@@ -1,0 +1,128 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * All hashing is md5-based so results are portable across engines (the
+  * correctness oracle recomputes them in DuckDB); at production scale md5
+  * would be swapped for xxhash64 (same plan shape, cheaper hash).
+  *
+  * Plan shapes, 100 TB view:
+  *  - exact dedup: single hash aggregate on the text digest — one shuffle of
+  *    (digest, id), never the full text.
+  *  - MinHash: explode (doc × shingle × k) then hash-aggregate min per
+  *    (doc, k). Linear in corpus size, no pairwise work.
+  *  - LSH bucketing: hash aggregate per (doc, band) then a self-join only
+  *    within buckets — the classic way to avoid the O(n²) pair join.
+  *  - verification (Jaccard) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Word tokens of a single-space separated text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, n), " ")))
+  }
+
+  /** Exact duplicate groups by content digest: (text_md5, keep_id, n_docs).
+    * keep_id is the smallest doc id of the group (the canonical survivor).
+    */
+  def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(text)).as("text_md5"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Long-format MinHash signatures: (doc_id, h, minhash) for h in [0, k).
+    * minhash(h) = lexicographic min over shingles of md5(h || ':' || s) —
+    * k independent permutations via salted digests.
+    */
+  def minhash(docs: DataFrame, k: Int, shingleLen: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .select(col(id), shingles(col(text), shingleLen).as("sh"))
+      .select(col(id), explode(sequence(lit(0), lit(k - 1))).as("h"), col("sh"))
+      .select(col(id), col("h"),
+        array_min(transform(col("sh"),
+          s => md5(concat(col("h").cast("string"), lit(":"), s)))).as("minhash"))
+
+  /** LSH band buckets from long-format signatures: (band, bucket, doc_id).
+    * Docs sharing (band, bucket) are near-duplicate candidates.
+    */
+  def lshBuckets(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", (col("h") / rowsPerBand).cast("int"))
+      .withColumn("hk", concat(lpad(col("h").cast("string"), 2, "0"),
+        lit(":"), col("minhash")))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(array_sort(collect_list(col("hk"))), ",")).as("bucket"))
+      .select("band", "bucket", "doc_id")
+
+  /** Candidate pairs (a < b) sharing at least one LSH bucket. */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs. `pairs`: (doc_a, doc_b).
+    * Computed via an explode + join on shingle value — set-oriented, never
+    * materializes per-pair sets on the driver.
+    */
+  def jaccard(docs: DataFrame, pairs: DataFrame, shingleLen: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = docs.select(col(id).as("jd_id"),
+      explode(shingles(col(text), shingleLen)).as("sh"))
+    val sizes = sh.groupBy("jd_id").agg(count(lit(1)).as("n_sh"))
+    // intersection size per pair
+    val inter = pairs
+      .join(sh.withColumnRenamed("jd_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("jd_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+        Seq("doc_b"))
+      .where(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("n_inter"))
+      .join(sizes.withColumnRenamed("jd_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("jd_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  /** SimHash (60-bit, from the first 15 hex chars of each token's md5):
+    * bit j of the signature is the sign of Σ_tokens (2·bit_j(h(token)) − 1).
+    */
+  def simhash(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val tok = docs.select(col(id),
+      explode(array_distinct(tokens(col(text)))).as("tok"))
+      .withColumn("hbits", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    tok
+      .select(col(id), explode(sequence(lit(0), lit(59))).as("j"), col("hbits"))
+      .withColumn("contrib",
+        when(expr("shiftright(hbits, j)").bitwiseAND(1) === 1, lit(1))
+          .otherwise(lit(-1)))
+      .groupBy(col(id), col("j"))
+      .agg(sum("contrib").as("s"))
+      .groupBy(col(id))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L))).as("simhash"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational/OLAP queries over the TPC-H-ish tables — exercises scans,
+  * predicate pushdown, broadcast joins and hash aggregation at bench scale.
+  *
+  * Float determinism: money aggregates are summed as DECIMAL (exact,
+  * order-independent) and cast back to double, so Spark and the DuckDB
+  * oracle agree bit-for-bit regardless of partitioning.
+  */
+object OlapQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.table(s, dir, name)
+
+  /** SUM(price*(1-disc)) with order-independent decimal accumulation. */
+  private val revenueExpr =
+    sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))"))
+      .cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"))),
+
+    "tpch_q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double")
+            .as("sum_base_price"),
+          revenueExpr.as("sum_disc_price"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    "tpch_q3_topranked" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), unix_millis(col("o_orderdate")).as("odate_ms"))
+        .agg(revenueExpr.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "tpch_q5_region_revenue" -> ((s, dir) => {
+      // dims broadcast; fact tables shuffle once on the join key
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val cust = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenueExpr.as("revenue"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+
+    "tpch_q1_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        sum(l_quantity) / count(*) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2""",
+
+    "tpch_q3_topranked" -> """
+      SELECT l_orderkey, epoch_ms(o_orderdate) AS odate_ms,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY 1, 2
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10""",
+
+    "tpch_q5_region_revenue" -> """
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1""")
+}

@@ -1,0 +1,102 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Floating-point determinism: dot products and norms are computed as a
+  * sequential left fold over the vector (`aggregate`), in double precision —
+  * bit-identical across engines and partitionings, so ranking ties resolve
+  * the same way everywhere (and in the DuckDB oracle).
+  *
+  * Scale path: [[bruteForceTopK]] is the exact baseline — a broadcast of the
+  * (small) query set against the full corpus, one pass, one per-query top-k
+  * aggregate; no shuffle of the corpus. [[lshTopK]] buckets vectors by
+  * sign-random-projection so each query only scans its bucket — the 100 TB
+  * variant where the corpus side is also large. (IVF would replace the
+  * hyperplanes with k-means centroids; same plan shape.)
+  */
+object Ann {
+
+  /** Σ aᵢ·bᵢ as a sequential fold in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (sqrt(normA) * sqrt(normB))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * @param queries  (vec_id, embedding) — small, broadcast
+    * @param corpus   (vec_id, embedding) — large, streamed
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
+      .withColumn("nn_norm", norm2(col("nn_emb")))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", norm2(col("q_emb")))
+    val scored = c.join(broadcast(q), col("nn_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * uniform in [-1, 1), derived from md5 so any engine reproduces it.
+    */
+  private def planeComponent(j: Column, d: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit("_"), d.cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(2147483648.0) - 1.0
+
+  /** Sign-random-projection bucket signature (nPlanes bits) per vector. */
+  def srpSignature(emb: Column, nPlanes: Int): Column = {
+    val planes = sequence(lit(0), lit(nPlanes - 1))
+    aggregate(
+      transform(planes, j => {
+        // projection of emb onto plane j
+        val proj = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, d) => x.cast("double") * planeComponent(j, d)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's SRP bucket.
+    * Falls back to fewer than k results when a bucket is small (standard
+    * LSH behavior; recall measured in the test suite).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus
+      .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
+      .withColumn("bucket", srpSignature(col("nn_emb"), nPlanes))
+      .withColumn("nn_norm", norm2(col("nn_emb")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", srpSignature(col("q_emb"), nPlanes))
+      .withColumn("q_norm", norm2(col("q_emb")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("nn_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language identification, and document fingerprinting. All
+  * expressions are engine-portable (verified against a DuckDB oracle) and
+  * codegen-friendly — no UDFs in the scan path.
+  */
+object TextOps {
+
+  /** Number of word tokens ([a-z0-9]+ runs, case-insensitive). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)))
+
+  /** BPE-ish subword count: alphanumeric runs are split every 4 chars,
+    * other printable symbols count one token each — a cheap deterministic
+    * stand-in for a real tokenizer's token count.
+    */
+  def subwordCount(text: Column): Column = {
+    val runs = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    val sym = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    aggregate(runs, lit(0),
+      (acc, r) => acc + ceil(length(r) / 4.0).cast("int")) + sym
+  }
+
+  /** Quality features + a composite score in [0, 1]. */
+  def quality(docs: DataFrame, text: String = "text"): DataFrame = {
+    val t = col(text)
+    val nTok = tokenCount(t)
+    val stop = size(regexp_extract_all(lower(t),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
+    val punct = size(regexp_extract_all(t, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val upper = size(regexp_extract_all(t, lit("[A-Z]"), lit(0)))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        round(length(regexp_replace(t, lit("\\s+"), lit(""))).cast("double") /
+          greatest(nTok, lit(1)).cast("double"), 6))
+      .withColumn("stopword_ratio",
+        round(stop.cast("double") / greatest(nTok, lit(1)).cast("double"), 6))
+      .withColumn("punct_ratio",
+        round(punct.cast("double") /
+          greatest(length(t), lit(1)).cast("double"), 6))
+      .withColumn("upper_ratio",
+        round(upper.cast("double") /
+          greatest(length(t), lit(1)).cast("double"), 6))
+      .withColumn("quality_score",
+        round(
+          least(col("n_tokens").cast("double") / 64.0, lit(1.0)) * 0.5 +
+            least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
+            (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 6))
+  }
+
+  /** N-gram-frequency language scoring: per language, the count of marker
+    * tokens divided by token count; prediction = argmax (ties → 'und').
+    * Markers are common function words / character patterns per language.
+    */
+  def langId(docs: DataFrame, text: String = "text"): DataFrame = {
+    val markers: Seq[(String, String)] = Seq(
+      "en" -> "\\b(the|and|of|to|is|in|that|it|was|for)\\b",
+      "fr" -> "\\b(le|la|les|et|de|des|un|une|est|que)\\b",
+      "es" -> "\\b(el|los|las|y|de|que|un|una|es|en)\\b",
+      "de" -> "\\b(der|die|das|und|ist|von|ein|eine|zu|den)\\b",
+      "zh" -> "[\\u4e00-\\u9fff]")
+    val t = lower(col(text))
+    val scored = markers.foldLeft(docs) { case (d, (lang, re)) =>
+      d.withColumn(s"score_$lang",
+        size(regexp_extract_all(t, lit(re), lit(0))))
+    }
+    val best = markers.map { case (lang, _) => col(s"score_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = markers.foldRight(lit("und"): Column) { case ((lang, _), el) =>
+      when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(el)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted token bag —
+    * robust to word shuffling (the classic "fingerprint" dedup key).
+    * Plus a positional rolling digest (md5 of the raw normalized text).
+    */
+  def fingerprint(docs: DataFrame, text: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(col(text)), lit("\\s+"), lit(" "))
+    docs
+      .withColumn("fp_exact", md5(norm))
+      .withColumn("fp_bag",
+        md5(array_join(array_sort(split(norm, " ")), " ")))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.tsdb
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PromQL-style label matchers compiled to Catalyst predicates.
+  *
+  * Reference behavior being reproduced (not ported):
+  *  - `postingsForMatchers` plans equality/regex/negated matchers over the
+  *    inverted index (`cassandra/index/index.go:3497-3632`). In Spark the
+  *    bitmap algebra is replaced by relational predicates that Catalyst
+  *    pushes into the parquet scan — there is no index structure to keep.
+  *  - Missing-label rule (prometheus#3575): an empty-string value matches a
+  *    missing label (`index.go:3765-3814`). We model that with
+  *    `coalesce(label, "")`.
+  *  - Prometheus regexes are fully anchored RE2 (`index.go:3664-3692`);
+  *    Spark `rlike` is unanchored Java regex, so patterns are wrapped as
+  *    `^(?:re)$`. Callers must stay within the RE2 ∩ java.util.regex dialect.
+  *  - Regex→IN simplification: an alternation of ≤10 literals compiles to
+  *    an IN-list instead of a regex scan (`index.go:3700-3763`, threshold
+  *    const `index.go:66`). Catalyst then prunes parquet row groups with
+  *    dictionary filters, which `rlike` would defeat.
+  */
+sealed trait Matcher { def label: String }
+final case class MatchEq(label: String, value: String) extends Matcher
+final case class MatchNeq(label: String, value: String) extends Matcher
+final case class MatchRe(label: String, pattern: String) extends Matcher
+final case class MatchNre(label: String, pattern: String) extends Matcher
+
+object Matchers {
+  /** Max alternates rewritten to IN, as in reference `index.go:66`. */
+  val MaxAlternates = 10
+
+  private def anchor(p: String): String = "^(?:" + p + ")$"
+
+  /** `a|b|c` with purely literal alternates → Some(Seq(a,b,c)). */
+  def literalAlternates(pattern: String): Option[Seq[String]] = {
+    val parts = pattern.split("\\|", -1).toSeq
+    val literal = "[A-Za-z0-9_\\- ]*".r
+    if (parts.nonEmpty && parts.size <= MaxAlternates &&
+      parts.forall(p => literal.pattern.matcher(p).matches())) Some(parts)
+    else None
+  }
+
+  /** Compile one matcher against a concrete string column. */
+  def predicate(labelCol: Column, m: Matcher): Column = {
+    val v = coalesce(labelCol, lit("")) // missing label == empty value
+    m match {
+      case MatchEq(_, value)  => v === value
+      case MatchNeq(_, value) => v =!= value
+      case MatchRe(_, p) =>
+        literalAlternates(p) match {
+          case Some(lits) => v.isin(lits: _*)
+          case None       => v.rlike(anchor(p))
+        }
+      case MatchNre(_, p) =>
+        literalAlternates(p) match {
+          case Some(lits) => !v.isin(lits: _*)
+          case None       => !v.rlike(anchor(p))
+        }
+    }
+  }
+
+  /** Compile a matcher set against a labels map<string,string> column. */
+  def predicateOnMap(labels: Column, m: Matcher): Column =
+    predicate(labels.getItem(m.label), m)
+
+  /** AND of all matchers, resolving each label via `resolve`
+    * (e.g. concrete columns for the events table, map lookups for a
+    * generic series table).
+    */
+  def all(resolve: String => Column, ms: Seq[Matcher]): Column =
+    ms.map(m => predicate(resolve(m.label), m)).reduce(_ && _)
+}

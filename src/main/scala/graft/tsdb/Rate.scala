@@ -1,0 +1,104 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PromQL counter functions (`rate`, `increase`, `delta`) with
+  * counter-reset correction and range extrapolation, compiled declaratively
+  * (no driver loops, no UDAF) so the whole evaluation stays inside
+  * whole-stage codegen.
+  *
+  * Semantics follow the public Prometheus `extrapolatedRate` algorithm
+  * (prometheus/promql/functions.go), which the reference inherits by
+  * embedding the engine (`api/promql/engine.go:27`). The reference's storage
+  * layer only routes these functions to the Max pre-agg column
+  * (`cassandra/tsdb/read.go:604-609`) — that routing lives in [[PreAgg]].
+  *
+  * Shape: counter resets are a per-series `lag` (one shuffle on series),
+  * then a range join against the (broadcast) step grid and a hash aggregate
+  * per (series, step). At 100 TB the points shuffle once; nothing is
+  * collected to the driver.
+  */
+object Rate {
+
+  /** Per (series, eval_ms) extrapolated counter increase / rate / delta.
+    *
+    * Window is PromQL's (eval_ms - rangeMs, eval_ms]. Steps where the window
+    * holds < 2 samples yield no row (as PromQL). Output columns:
+    * series..., eval_ms, n_samples, delta_raw, increase, rate.
+    *
+    * @param counter true for rate/increase (reset correction + zero-cut
+    *                extrapolation), false for delta semantics
+    */
+  def overGrid(
+      points: DataFrame,
+      grid: DataFrame,
+      series: Seq[String],
+      rangeMs: Long,
+      counter: Boolean = true,
+      tsMs: String = "ts_ms",
+      value: String = "value"): DataFrame = {
+    val sCols = series.map(col)
+    val wSeries = Window.partitionBy(sCols: _*).orderBy(col(tsMs))
+
+    // Per-sample reset correction: when a counter drops below its
+    // predecessor, the predecessor's value is the amount lost.
+    val withPrev = points
+      .withColumn("prev_val", lag(col(value), 1).over(wSeries))
+      .withColumn("prev_ts", lag(col(tsMs), 1).over(wSeries))
+      .withColumn("reset_corr",
+        if (counter)
+          when(col("prev_val").isNotNull && col(value) < col("prev_val"),
+            col("prev_val")).otherwise(lit(0.0))
+        else lit(0.0))
+
+    val inWindow = withPrev.join(
+      broadcast(grid),
+      col(tsMs) <= col("eval_ms") && col(tsMs) > col("eval_ms") - rangeMs)
+
+    // A reset pair counts only if both samples are inside the window.
+    val corrInWindow = when(
+      col("prev_ts").isNotNull && col("prev_ts") > col("eval_ms") - rangeMs,
+      col("reset_corr")).otherwise(lit(0.0))
+
+    val agg = inWindow
+      .groupBy((sCols :+ col("eval_ms")): _*)
+      .agg(
+        count(col(value)).as("n_samples"),
+        min(col(tsMs)).as("first_ts"),
+        max(col(tsMs)).as("last_ts"),
+        min_by(col(value), col(tsMs)).as("first_val"),
+        max_by(col(value), col(tsMs)).as("last_val"),
+        sum(corrInWindow).as("corr"))
+      .where(col("n_samples") >= 2)
+
+    // Prometheus extrapolation, all in double ms so the DuckDB oracle can
+    // reproduce the arithmetic bit-for-bit.
+    val delta = col("last_val") - col("first_val") + col("corr")
+    val sampledInterval = (col("last_ts") - col("first_ts")).cast("double")
+    val durToStart0 =
+      (col("first_ts") - (col("eval_ms") - rangeMs)).cast("double")
+    val durToEnd = (col("eval_ms") - col("last_ts")).cast("double")
+    val avgDur = sampledInterval / (col("n_samples") - 1).cast("double")
+    val threshold = avgDur * 1.1
+    // Threshold cap first, zero-cut second — Prometheus order.
+    val extStart0 = when(durToStart0 >= threshold, avgDur / 2.0).otherwise(durToStart0)
+    val extStart =
+      if (counter) {
+        val durToZero = when(delta > 0 && col("first_val") >= 0,
+          sampledInterval * (col("first_val") / delta))
+        when(durToZero.isNotNull && durToZero < extStart0, durToZero)
+          .otherwise(extStart0)
+      } else extStart0
+    val extEnd = when(durToEnd >= threshold, avgDur / 2.0).otherwise(durToEnd)
+    val factor = (sampledInterval + extStart + extEnd) / sampledInterval
+    val increase = delta * factor
+
+    agg
+      .withColumn("delta_raw", delta)
+      .withColumn("increase", increase)
+      .withColumn("rate", increase / lit(rangeMs / 1000.0))
+      .drop("first_ts", "last_ts", "first_val", "last_val", "corr")
+  }
+}
