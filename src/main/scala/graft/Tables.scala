@@ -54,6 +54,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Spark 4 defaults lower()/upper() to ICU case mappings; the first
+      // use pays a minutes-long interpreted static init of
+      // CollationAwareUTF8String (observed: a 500-row lower()+regex
+      // projection stalling 2-4 min with all tasks blocked on the clinit).
+      // JVM case mapping is identical for this engine's data and matches
+      // the DuckDB oracle.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32): SparkSession = {

@@ -23,13 +23,18 @@ object Dedup {
   /** Word tokens of a single-space separated text column. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles. */
+  /** Distinct word n-gram shingles. Docs with fewer than n tokens yield an
+    * empty set (guard needed: Spark's `sequence(1, 0)` counts DOWN, which
+    * would fabricate shingles at index 0).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, n), " ")))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact duplicate groups by content digest: (text_md5, keep_id, n_docs).
@@ -93,16 +98,21 @@ object Dedup {
       .where(col("sh_a") === col("sh_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
+    // Left-join sizes: a doc shorter than the shingle length has an empty
+    // shingle set (absent from `sizes`); its pairs must still surface, with
+    // n=0 and jaccard null when the union is empty (0/0).
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0, Seq("n_inter"))
       .join(sizes.withColumnRenamed("jd_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"), "left")
       .join(sizes.withColumnRenamed("jd_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"), "left")
+      .withColumn("n_union",
+        coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)) - col("n_inter"))
       .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+        when(col("n_union") > 0,
+          round(col("n_inter").cast("double") / col("n_union").cast("double"), 6)))
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Raw IEEE-754 bit access as native codegen'd Catalyst expressions.
@@ -29,6 +29,10 @@ case class DoubleBits(child: Expression) extends UnaryExpression {
 
 case class BitsToDouble(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  // Never constant-fold: a folded result would become a double Literal,
+  // and Literal codegen canonicalizes any NaN to Double.NaN — destroying
+  // the payload this expression exists to produce (StaleNaN, NormalNaN).
+  override def foldable: Boolean = false
   override protected def nullSafeEval(input: Any): Any =
     java.lang.Double.longBitsToDouble(input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,10 +53,14 @@ object Bits {
   val StaleNaN: Double = java.lang.Double.longBitsToDouble(StaleNaNBits)
 
   def doubleBits(c: Column): Column =
-    ExpressionUtils.column(DoubleBits(ExpressionUtils.expression(c)))
+    ColumnShim.column(DoubleBits(ColumnShim.expression(c)))
 
   def isStaleNaN(c: Column): Column = doubleBits(c) === lit(StaleNaNBits)
 
   def normalNaN: Column =
-    ExpressionUtils.column(BitsToDouble(ExpressionUtils.expression(lit(NormalNaNBits))))
+    ColumnShim.column(BitsToDouble(ColumnShim.expression(lit(NormalNaNBits))))
+
+  /** StaleNaN as a Column — payload-preserving (see [[BitsToDouble]]). */
+  def staleNaN: Column =
+    ColumnShim.column(BitsToDouble(ColumnShim.expression(lit(StaleNaNBits))))
 }

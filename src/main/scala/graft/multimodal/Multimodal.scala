@@ -38,8 +38,10 @@ object Multimodal {
       .select(col("asset_id"),
         posexplode(transform(
           sequence(lit(0),
-            greatest((octet_length(col("payload")) - 1) / (frameBytes * stride), lit(0))),
-          i => substring(col("payload"), (i * frameBytes * stride + 1).cast("int"), frameBytes))))
+            // Column `/` is double division; DIV keeps this integral
+            greatest(expr(s"(octet_length(payload) - 1) DIV ${frameBytes * stride}")
+              .cast("int"), lit(0))),
+          i => col("payload").substr((i * frameBytes * stride + 1).cast("int"), lit(frameBytes)))))
       .select(col("asset_id"), col("pos").as("frame_idx"), md5(col("col")).as("frame_digest"))
   }
 

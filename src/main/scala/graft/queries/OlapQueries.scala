@@ -47,7 +47,9 @@ object OlapQueries {
         .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), unix_millis(col("o_orderdate")).as("odate_ms"))
+        // o_orderdate is TIMESTAMP_NTZ; cast in the UTC session == epoch_ms
+        .groupBy(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
         .agg(revenueExpr.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)

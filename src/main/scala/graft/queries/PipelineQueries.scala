@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextOps
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline queries over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, n-gram Jaccard, SimHash), text
+  * analysis (quality, language-id, fingerprints, token counts), similarity
+  * search (brute-force + LSH ANN) and multimodal plumbing. Keys are
+  * prefixed d (dedup), x (text), v (vectors), mm (multimodal).
+  *
+  * The dedup corpus is the documents table plus two synthetic re-crawls:
+  * exact duplicates (doc_id+10000 for id<50) and near-duplicates with an
+  * appended tail (doc_id+20000 for 50<=id<80) — so every dedup stage has
+  * known positives at any scale factor.
+  */
+object PipelineQueries {
+
+  private val MinhashK = 8
+  private val ShingleLen = 3
+  private val RowsPerBand = 4
+
+  /** documents ∪ exact re-crawl ∪ near-dup re-crawl. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs
+      .unionByName(docs.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      .unionByName(docs.where(col("doc_id") >= 50 && col("doc_id") < 80)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", concat(col("text"), lit(" extra tail"))))
+  }
+
+  private def candidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidates(
+      Dedup.lshBuckets(
+        Dedup.minhash(corpus(s, dir), MinhashK, ShingleLen), RowsPerBand))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: one hash aggregate on the digest, never shuffles text
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(corpus(s, dir))),
+
+    // MinHash signatures (k salted digests, long format)
+    "d2_minhash_sig" -> ((s, dir) =>
+      Dedup.minhash(corpus(s, dir), MinhashK, ShingleLen)),
+
+    // LSH banding: candidate pairs only within shared buckets (no O(n²))
+    "d3_lsh_candidates" -> ((s, dir) =>
+      candidates(s, dir)),
+
+    // exact n-gram Jaccard verification on the candidate pairs
+    "d4_jaccard_verify" -> ((s, dir) =>
+      Dedup.jaccard(corpus(s, dir), candidates(s, dir), ShingleLen)),
+
+    // SimHash (60-bit) per document
+    "d5_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir))),
+
+    // text quality features + composite score
+    "x1_text_quality" -> ((s, dir) =>
+      TextOps.quality(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"),
+          col("upper_ratio"), col("quality_score"))),
+
+    // n-gram-marker language identification
+    "x2_text_langid" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang").as("lang_true"),
+          col("score_en").cast("long").as("score_en"),
+          col("score_fr").cast("long").as("score_fr"),
+          col("score_es").cast("long").as("score_es"),
+          col("score_de").cast("long").as("score_de"),
+          col("score_zh").cast("long").as("score_zh"),
+          col("lang_pred"))),
+
+    // order-sensitive + bag-of-words fingerprints
+    "x3_text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir))
+        .select("doc_id", "fp_exact", "fp_bag")),
+
+    // token counting: word tokens + BPE-ish subword count
+    "x4_token_counts" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
+
+    // exact brute-force cosine top-k (broadcast queries, stream corpus)
+    "v1_ann_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
+    }),
+
+    // sign-random-projection LSH ANN (bucketed scale path)
+    "v2_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), 5, nPlanes = 8)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
+    }),
+
+    // multimodal: typed metadata without decode
+    "mm1_asset_meta" -> ((s, dir) =>
+      Multimodal.assetMetadata(Tables.documents(s, dir))),
+
+    // multimodal: fixed-size strided frame sampling (video plan shape)
+    "mm2_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Tables.documents(s, dir))
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_digest")))
+  )
+
+  // --- DuckDB oracle ---------------------------------------------------
+
+  /** Σ aᵢ·bᵢ as an ordered left fold in double precision — matches Spark's
+    * `aggregate(zip_with(...))` bit-for-bit (verified: DuckDB's
+    * list_dot_product uses a different summation order and diverges).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
+
+  private val CorpusSql = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + 20000, text || ' extra tail' FROM documents
+      WHERE doc_id >= 50 AND doc_id < 80"""
+
+  /** Shared minhash chain: corpus → shingles → signatures → buckets →
+    * candidate pairs; each stage exactly mirrors the Spark expressions.
+    */
+  private val SigSql = s"""
+    corpus AS ($CorpusSql),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+    idx AS (SELECT doc_id, tk,
+      unnest(generate_series(1, len(tk) - ${ShingleLen - 1})) AS i
+      FROM toks WHERE len(tk) >= $ShingleLen),
+    sh AS (SELECT DISTINCT doc_id,
+      array_to_string(tk[i:i + ${ShingleLen - 1}], ' ') AS sh FROM idx),
+    hs AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS h),
+    sig AS (SELECT doc_id, h,
+      min(md5(h::VARCHAR || ':' || sh)) AS minhash
+      FROM sh CROSS JOIN hs GROUP BY 1, 2)"""
+
+  private val CandSql = s"""
+    bk AS (SELECT doc_id, h // $RowsPerBand AS band,
+      lpad(h::VARCHAR, 2, '0') || ':' || minhash AS hk FROM sig),
+    buckets AS (SELECT doc_id, band,
+      md5(array_to_string(list_sort(list(hk)), ',')) AS bucket
+      FROM bk GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM buckets l JOIN buckets r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "d1_dedup_exact" -> s"""
+      WITH corpus AS ($CorpusSql)
+      SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        count(*) AS n_docs
+      FROM corpus GROUP BY 1""",
+
+    "d2_minhash_sig" -> s"""
+      WITH $SigSql
+      SELECT doc_id, h, minhash FROM sig""",
+
+    "d3_lsh_candidates" -> s"""
+      WITH $SigSql, $CandSql
+      SELECT doc_a, doc_b FROM cand""",
+
+    "d4_jaccard_verify" -> s"""
+      WITH $SigSql, $CandSql,
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+        GROUP BY 1, 2)
+      SELECT c.doc_a, c.doc_b, coalesce(i.n_inter, 0) AS n_inter,
+        CASE WHEN coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+            - coalesce(i.n_inter, 0) > 0
+          THEN round(coalesce(i.n_inter, 0)::DOUBLE /
+            (coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+              - coalesce(i.n_inter, 0))::DOUBLE, 6)
+        END AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+      LEFT JOIN sizes sb ON sb.doc_id = c.doc_b""",
+
+    "d5_simhash" -> s"""
+      WITH tok AS (SELECT DISTINCT doc_id,
+        unnest(string_split(text, ' ')) AS tok FROM documents),
+      hb AS (SELECT doc_id, tok,
+        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hbits FROM tok),
+      bits AS (SELECT doc_id, hbits,
+        unnest(generate_series(0, 59)) AS j FROM hb),
+      s AS (SELECT doc_id, j,
+        CAST(sum(CASE WHEN (hbits >> j) & 1 = 1 THEN 1 ELSE -1 END)
+          AS BIGINT) AS s
+        FROM bits GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+          AS BIGINT) AS simhash
+      FROM s GROUP BY 1""",
+
+    "x1_text_quality" -> """
+      WITH f AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE /
+          greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+            1)::DOUBLE AS avg_token_len,
+        len(regexp_extract_all(lower(text),
+            '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE /
+          greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+            1)::DOUBLE AS stopword_ratio,
+        len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE /
+          greatest(length(text), 1)::DOUBLE AS punct_ratio,
+        len(regexp_extract_all(text, '[A-Z]'))::DOUBLE /
+          greatest(length(text), 1)::DOUBLE AS upper_ratio
+        FROM documents)
+      SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+        upper_ratio,
+        least(n_tokens::DOUBLE / 64.0, 1.0) * 0.5 +
+          least(stopword_ratio * 5.0, 1.0) * 0.3 +
+          (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score
+      FROM f""",
+
+    "x2_text_langid" -> """
+      WITH scored AS (SELECT doc_id, lang AS lang_true,
+        len(regexp_extract_all(lower(text),
+          '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS score_en,
+        len(regexp_extract_all(lower(text),
+          '\b(le|la|les|et|de|des|un|une|est|que)\b')) AS score_fr,
+        len(regexp_extract_all(lower(text),
+          '\b(el|los|las|y|de|que|un|una|es|en)\b')) AS score_es,
+        len(regexp_extract_all(lower(text),
+          '\b(der|die|das|und|ist|von|ein|eine|zu|den)\b')) AS score_de,
+        len(regexp_extract_all(lower(text),
+          '[一-鿿]')) AS score_zh
+        FROM documents)
+      SELECT doc_id, lang_true, score_en, score_fr, score_es, score_de,
+        score_zh,
+        CASE
+          WHEN score_en = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'en'
+          WHEN score_fr = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'fr'
+          WHEN score_es = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'es'
+          WHEN score_de = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'de'
+          WHEN score_zh = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'zh'
+          ELSE 'und' END AS lang_pred
+      FROM scored""",
+
+    "x3_text_fingerprint" -> """
+      WITH n AS (SELECT doc_id,
+        regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents)
+      SELECT doc_id, md5(norm) AS fp_exact,
+        md5(array_to_string(list_sort(string_split(norm, ' ')), ' '))
+          AS fp_bag
+      FROM n""",
+
+    "x4_token_counts" -> """
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        coalesce(list_sum(list_transform(
+          regexp_extract_all(lower(text), '[a-z0-9]+'),
+          r -> CAST(ceil(length(r) / 4.0) AS INT))), 0)::BIGINT +
+          len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_subwords
+      FROM documents""",
+
+    // ordered fold == Spark's aggregate(zip_with(...)): bit-exact dot
+    "v1_ann_brute" -> s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nn_id, embedding AS nn_emb FROM embeddings),
+      scored AS (SELECT q_id, nn_id,
+        ${dotSql("q_emb", "nn_emb")} /
+          (sqrt(${dotSql("q_emb", "q_emb")}) *
+           sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
+        FROM c CROSS JOIN q WHERE nn_id <> q_id)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= 5""",
+
+    "v2_ann_lsh" -> s"""
+      WITH planes AS (
+        SELECT j, d,
+          CAST('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8)
+            AS BIGINT)::DOUBLE / 2147483648.0 - 1.0 AS w
+        FROM (SELECT unnest(generate_series(0, 7)) AS j),
+             (SELECT unnest(generate_series(0, 63)) AS d)),
+      vecs AS (SELECT vec_id, embedding,
+        unnest(embedding) AS x,
+        generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+      proj AS (SELECT v.vec_id, p.j, sum(v.x::DOUBLE * p.w) AS pr
+        FROM vecs v JOIN planes p ON v.d = p.d GROUP BY 1, 2),
+      sigs AS (SELECT vec_id,
+        CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (7 - j)) ELSE 0 END)
+          AS BIGINT) AS bucket
+        FROM proj GROUP BY 1),
+      q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, s.bucket
+        FROM embeddings e JOIN sigs s USING (vec_id) WHERE e.vec_id < 10),
+      c AS (SELECT e.vec_id AS nn_id, e.embedding AS nn_emb, s.bucket
+        FROM embeddings e JOIN sigs s USING (vec_id)),
+      scored AS (SELECT q_id, nn_id,
+        ${dotSql("q_emb", "nn_emb")} /
+          (sqrt(${dotSql("q_emb", "q_emb")}) *
+           sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
+        FROM c JOIN q USING (bucket) WHERE nn_id <> q_id)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= 5""",
+
+    "mm1_asset_meta" -> """
+      SELECT doc_id AS asset_id,
+        octet_length(encode(text)) AS n_bytes,
+        md5(text) AS digest,
+        hex(encode(substr(text, 1, 4))) AS magic
+      FROM documents""",
+
+    "mm2_frames" -> """
+      WITH idx AS (SELECT doc_id, text,
+        unnest(generate_series(0,
+          greatest((length(text) - 1) // 256, 0))) AS i
+        FROM documents)
+      SELECT doc_id AS asset_id, i AS frame_idx,
+        md5(substr(text, i * 256 + 1, 64)) AS frame_digest
+      FROM idx"""
+  )
+}

@@ -1,0 +1,498 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Bits
+import graft.tsdb._
+
+/** TSDB operator queries over the `events` table, keyed by SURVEY §2
+  * operator ids so coverage maps line-by-line. The series identity is
+  * (user_id, event_type) — the label set — or just event_type where a
+  * denser series helps exercise window semantics.
+  *
+  * Every key has a DuckDB oracle in [[TsdbQueries.oracleSql]] reproducing
+  * the exact arithmetic (decimal accumulation for order-independent sums,
+  * struct min/max for deterministic argmin/argmax, round(…,6) wherever an
+  * FP sum's partition order could flip the last bit).
+  */
+object TsdbQueries {
+
+  // 2024-01-01T00:00Z .. 2024-01-31T00:00Z — the events table's span.
+  private val Start = 1704067200000L
+  private val End = 1706659200000L
+  private val Hour = 3600000L
+  private val Day = 86400000L
+  private val Jan10 = 1704844800000L
+  private val Jan15 = 1705276800000L
+  private val Jan20 = 1705708800000L
+  private val Jan25 = 1706140800000L
+  private val Jan28 = 1706400000000L
+
+  private def pts(s: SparkSession, dir: String): DataFrame = Tables.points(s, dir)
+
+  /** Last-write-wins dedup to one sample per (event_type, ms) — PromQL
+    * assumes unique timestamps per series (reference `types/metric.go:71-95`).
+    */
+  private def ptsByType(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .groupBy("event_type", "ts_ms")
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+
+  private val sumV =
+    sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — 5-min downsampling kernel (aggregate/aggregate.go:43-137)
+    "a1_downsample_5m" -> ((s, dir) =>
+      Downsample(pts(s, dir), Seq(col("user_id"), col("event_type")),
+          col("ts_ms"), col("value"))
+        .select(col("user_id"), col("event_type"), col("bucket_ms"),
+          col("min").as("min_v"), col("max").as("max_v"),
+          round(col("avg"), 6).as("avg_v"), col("count").as("n"))),
+
+    // A1/W4 — StaleNaN exclusion by exact bit pattern (aggregate.go:94-96)
+    "a1_downsample_stale" -> ((s, dir) => {
+      val staled = pts(s, dir).withColumn("value",
+        when(pmod(col("event_id"), lit(97)) === 0, Bits.staleNaN)
+          .otherwise(col("value")))
+      Downsample(staled, Seq(col("event_type")), col("ts_ms"), col("value"))
+        .select(col("event_type"), col("bucket_ms"),
+          col("min").as("min_v"), col("max").as("max_v"),
+          round(col("avg"), 6).as("avg_v"), col("count").as("n"))
+    }),
+
+    // A2/A4 — pre-agg routing with query-time tail re-aggregation
+    // (cassandra/tsdb/read.go:57-72,229-237) + bucket merge
+    "a2_preagg_routed" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val agg5 = Downsample(p, Seq(col("event_type")), col("ts_ms"), col("value"))
+      val routed = PreAgg.routed(p, agg5, Seq("event_type"), Jan20)
+      PreAgg.mergeBuckets(routed, Seq("event_type"))
+        .select(col("event_type"), col("min").as("min_v"), col("max").as("max_v"),
+          round(col("avg"), 6).as("avg_v"), col("count").as("n"))
+    }),
+
+    // A6 — aggregation operators with by-grouping
+    "a6_agg_by" -> ((s, dir) =>
+      pts(s, dir).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_series"),
+        sumV.as("sum_v"),
+        round(avg("value"), 6).as("avg_v"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"))),
+
+    // A6/W8 — topk per group, deterministic tiebreak
+    "a6_topk" -> ((s, dir) => {
+      val totals = pts(s, dir).groupBy("event_type", "user_id")
+        .agg(sumV.as("total_v"))
+      PointOps.topK(totals, Seq("event_type"), col("total_v"),
+          Seq(col("user_id")), 3)
+        .select(col("event_type"), col("user_id"), col("total_v"),
+          col("rank").cast("long").as("rnk"))
+    }),
+
+    // A6 — count_values (bucket by integer value)
+    "a6_count_values" -> ((s, dir) =>
+      pts(s, dir).groupBy(floor(col("value")).cast("long").as("value_f"))
+        .agg(count(lit(1)).as("n"))),
+
+    // W1 — instant vectors: latest sample per series within lookback,
+    // evaluated on an hourly grid via per-sample step explode (no BNLJ)
+    "w1_instant_lookback" -> ((s, dir) =>
+      RangeWindows.instantBucketed(pts(s, dir), Seq("user_id", "event_type"),
+        Start, End, Hour, Hour)),
+
+    // W2 — range-vector aggregation over trailing 1 h windows
+    "w2_range_agg" -> ((s, dir) =>
+      RangeWindows.rangeBucketed(ptsByType(s, dir), Seq("event_type"),
+        Start, End, Hour, Hour,
+        Seq("sum_v" -> (v => sum(v.cast("decimal(18,6)")).cast("double")),
+          "n" -> (v => count(v)),
+          "min_v" -> (v => min(v)),
+          "max_v" -> (v => max(v))))),
+
+    // W3 — rate/increase with counter-reset correction + extrapolation
+    "w3_rate_1h" -> ((s, dir) =>
+      Rate.overSteps(ptsByType(s, dir), Seq("event_type"),
+          Start, End, Hour, Hour)
+        .select(col("event_type"), col("eval_ms"), col("n_samples"),
+          round(col("delta_raw"), 6).as("delta_raw"),
+          round(col("increase"), 6).as("increase"),
+          round(col("rate"), 6).as("rate"))),
+
+    // W5 — offset modifier: instant vector shifted by 1 day
+    "w5_offset_1d" -> ((s, dir) => {
+      val shifted = ptsByType(s, dir)
+        .withColumn("ts_ms", col("ts_ms") + Day)
+      RangeWindows.instantBucketed(shifted, Seq("event_type"),
+        Start, End, Hour, Hour)
+    }),
+
+    // W7/A7 — *_over_time via rangeBetween window at each sample
+    "w7_over_time" -> ((s, dir) =>
+      RangeWindows.overTime(ptsByType(s, dir), Seq("event_type"), Hour,
+          Seq(v => avg(v), v => count(v)), Seq("avg_1h", "n_1h"))
+        .select(col("event_type"), col("ts_ms"), col("value"),
+          round(col("avg_1h"), 6).as("avg_1h"), col("n_1h"))),
+
+    // F1-F5 — label matchers: literal-alternate regex → IN, general regex,
+    // negated equality (cassandra/index/index.go:3497-3763)
+    "f1_matchers" -> ((s, dir) => {
+      val resolve: String => org.apache.spark.sql.Column = {
+        case "event_type" => col("event_type")
+        case "user" => col("user_id").cast("string")
+      }
+      val ms = Seq(
+        MatchRe("event_type", "click|view|purchase"), // IN-rewrite path
+        MatchNeq("user", "42"),
+        MatchRe("event_type", "cl.*|v.*w|pu.*e")) // anchored rlike path
+      pts(s, dir).where(Matchers.all(resolve, ms))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumV.as("sum_v"))
+    }),
+
+    // F6 — negative matchers + missing-label-matches-empty (prometheus#3575)
+    "f6_matchers_negative" -> ((s, dir) => {
+      val labeled = pts(s, dir).withColumn("labels",
+        when(pmod(col("user_id"), lit(3)) === 0,
+          map(lit("uid"), col("user_id").cast("string"),
+            lit("etype"), col("event_type"), lit("tier"), lit("gold")))
+          .otherwise(map(lit("uid"), col("user_id").cast("string"),
+            lit("etype"), col("event_type"))))
+      val ms = Seq(MatchEq("tier", ""), MatchNre("etype", "p.*"))
+      labeled
+        .where(ms.map(m => Matchers.predicateOnMap(col("labels"), m))
+          .reduce(_ && _))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
+    // F8 — 7-day time-shard arithmetic (index.go:3833-3892)
+    "f8_time_shards" -> ((s, dir) =>
+      pts(s, dir)
+        .groupBy(expr("ts_ms DIV 604800000").as("shard"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id"), col("event_type")).as("n_series"))),
+
+    // F13 — series limit: first N series in label order
+    "f13_series_limit" -> ((s, dir) =>
+      PointOps.seriesLimit(
+        pts(s, dir).select("user_id", "event_type").distinct(),
+        Seq(col("user_id").asc, col("event_type").asc), 10)),
+
+    // J1 — points ⋈ series dimension (broadcast hash join; id→labels)
+    "j1_points_join_series" -> ((s, dir) => {
+      val dim = SeriesDim.denseIds(s, dir)
+      pts(s, dir)
+        .join(broadcast(dim), Seq("user_id", "event_type"))
+        .groupBy("metric_id")
+        .agg(count(lit(1)).as("n"), sumV.as("sum_v"))
+    }),
+
+    // J3 — hot ∪ cold merge with per-series boundary (batch/batch.go:787-861)
+    "j3_hotcold_merge" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val cold = p.where(col("ts_ms") < Jan28)
+      val hot = p.where(col("ts_ms") >= Jan25)
+      PointOps.hotColdMerge(cold, hot, Seq("user_id", "event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumV.as("sum_v"),
+          min("ts_ms").as("min_ts"), max("ts_ms").as("max_ts"))
+    }),
+
+    // O2 — last-write-wins dedup per (series, minute)
+    "o2_dedup_lww" -> ((s, dir) =>
+      PointOps.dedupLastWriteWins(
+        pts(s, dir).withColumn("minute_ms",
+          col("ts_ms") - pmod(col("ts_ms"), lit(60000L))),
+        Seq("event_type", "minute_ms"), "event_id")),
+
+    // O4 — label values API: sorted distinct values of a label name
+    "o4_label_values" -> ((s, dir) =>
+      pts(s, dir).select(lit("event_type").as("label_name"),
+        col("event_type").as("label_value")).distinct()),
+
+    // O6/O7 — vector set ops and / unless / or on series sets
+    "o6_set_ops" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val clickers = p.where(col("event_type") === "click")
+        .select("user_id").distinct()
+      val buyers = p.where(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      PointOps.vectorAnd(clickers, buyers, Seq("user_id"))
+        .withColumn("op", lit("and"))
+        .unionByName(PointOps.vectorUnless(clickers, buyers, Seq("user_id"))
+          .withColumn("op", lit("unless")))
+        .unionByName(PointOps.vectorOr(clickers, buyers, Seq("user_id"))
+          .withColumn("op", lit("or")))
+    }),
+
+    // M1 — mutable-label matcher rewrite (cassandra/mutable/processor.go)
+    "m1_mutable_rewrite" -> ((s, dir) => {
+      val mapping = MutableMapping("tenant1", "group", "event_type", Map(
+        "interactive" -> Seq("click", "view"),
+        "transactional" -> Seq("purchase", "signup"),
+        "weird" -> Seq("c+x("))) // regex metachars must stay literal
+      val ms = mapping.rewrite(Seq(
+        MatchRe("group", ".*a.*"), MatchNre("group", "trans.*")))
+      pts(s, dir)
+        .where(Matchers.all(_ => col("event_type"), ms))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
+    // S1/F11 — ingest projection: tenant injection + validation
+    "s1_ingest_project" -> ((s, dir) =>
+      graft.streaming.Ingest.ingestProjection(pts(s, dir), "acme")
+        .groupBy("tenant", "event_type").agg(count(lit(1)).as("n"))),
+
+    // S2 — batch-granular future-point backdating (fake_remote_writer.go)
+    "s2_backdate" -> ((s, dir) =>
+      graft.streaming.Ingest.backdateBatch(pts(s, dir),
+          thresholdMs = 540000L, offsetMs = 600000L, nowMs = Jan15)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("ts_ms").as("min_ts"), max("ts_ms").as("max_ts"))),
+
+    // S4 — pruned raw scan: ids + time range, row-level fidelity
+    "s4_raw_scan" -> ((s, dir) =>
+      pts(s, dir)
+        .where(col("user_id").isin(7L, 42L, 99L) &&
+          col("ts_ms").between(Jan10, Jan20))
+        .select("event_id", "user_id", "event_type", "ts_ms", "value")),
+
+    // T1 — Structured Streaming ingest: watermark + 5-min windowed agg
+    "t1_stream_window" -> ((s, dir) =>
+      graft.streaming.Ingest.windowedCounts(s, dir, "t1_stream_window_sink"))
+  )
+
+  // DuckDB oracle — `events` is the parquet table registered by the driver.
+  private val P =
+    "SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms, value FROM events"
+  private val PD = // deduped to one sample per (event_type, ms)
+    "SELECT event_type, epoch_ns(ts)//1000000 AS ts_ms, arg_max(value, event_id) AS value FROM events GROUP BY 1, 2"
+  private val Grid =
+    s"SELECT unnest(generate_series(${Start}, ${End}, ${Hour})) AS eval_ms"
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_downsample_5m" -> s"""
+      WITH pts AS ($P)
+      SELECT user_id, event_type, ts_ms - ts_ms % 300000 AS bucket_ms,
+        min(value) AS min_v, max(value) AS max_v,
+        round(avg(value), 6) AS avg_v, count(value) AS n
+      FROM pts GROUP BY 1, 2, 3""",
+
+    "a1_downsample_stale" -> s"""
+      WITH pts AS ($P)
+      SELECT event_type, ts_ms - ts_ms % 300000 AS bucket_ms,
+        min(value) AS min_v, max(value) AS max_v,
+        round(avg(value), 6) AS avg_v, count(value) AS n
+      FROM pts WHERE event_id % 97 <> 0 GROUP BY 1, 2""",
+
+    "a2_preagg_routed" -> s"""
+      WITH pts AS ($P)
+      SELECT event_type, min(value) AS min_v, max(value) AS max_v,
+        round(avg(value), 6) AS avg_v, count(value) AS n
+      FROM pts GROUP BY 1""",
+
+    "a6_agg_by" -> s"""
+      WITH pts AS ($P)
+      SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_series,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        round(avg(value), 6) AS avg_v,
+        round(quantile_cont(value, 0.5), 6) AS p50
+      FROM pts GROUP BY 1""",
+
+    "a6_topk" -> s"""
+      WITH pts AS ($P), totals AS (
+        SELECT event_type, user_id,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_v
+        FROM pts GROUP BY 1, 2)
+      SELECT event_type, user_id, total_v, rnk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY total_v DESC, user_id ASC) AS rnk
+        FROM totals) WHERE rnk <= 3""",
+
+    "a6_count_values" -> s"""
+      WITH pts AS ($P)
+      SELECT CAST(floor(value) AS BIGINT) AS value_f, count(*) AS n
+      FROM pts GROUP BY 1""",
+
+    "w1_instant_lookback" -> s"""
+      WITH pts AS ($P), grid AS ($Grid)
+      SELECT user_id, event_type, eval_ms,
+        (max(struct_pack(t := ts_ms, v := value))).v AS value
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+      GROUP BY 1, 2, 3""",
+
+    "w2_range_agg" -> s"""
+      WITH pts AS ($PD), grid AS ($Grid)
+      SELECT event_type, eval_ms,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        count(value) AS n, min(value) AS min_v, max(value) AS max_v
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+      GROUP BY 1, 2""",
+
+    "w3_rate_1h" -> s"""
+      WITH pts AS ($PD), prev AS (
+        SELECT event_type, ts_ms, value,
+          lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts
+        FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms)
+      ), grid AS ($Grid), agg AS (
+        SELECT event_type, eval_ms, count(value) AS n_samples,
+          min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
+          (min(struct_pack(t := ts_ms, v := value))).v AS first_val,
+          (max(struct_pack(t := ts_ms, v := value))).v AS last_val,
+          sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > eval_ms - ${Hour}
+                AND prev_val IS NOT NULL AND value < prev_val
+              THEN prev_val ELSE 0.0 END) AS corr
+        FROM prev JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+        GROUP BY 1, 2 HAVING count(value) >= 2
+      ), ext AS (
+        SELECT *, last_val - first_val + corr AS delta,
+          CAST(last_ts - first_ts AS DOUBLE) AS si,
+          CAST(first_ts - (eval_ms - ${Hour}) AS DOUBLE) AS ds0,
+          CAST(eval_ms - last_ts AS DOUBLE) AS de,
+          CAST(last_ts - first_ts AS DOUBLE) / CAST(n_samples - 1 AS DOUBLE) AS ad
+        FROM agg
+      ), ext2 AS (
+        SELECT *,
+          CASE WHEN ds0 >= ad * 1.1 THEN ad / 2.0 ELSE ds0 END AS es0,
+          CASE WHEN de >= ad * 1.1 THEN ad / 2.0 ELSE de END AS ee,
+          CASE WHEN delta > 0 AND first_val >= 0
+            THEN si * (first_val / delta) END AS dz
+        FROM ext
+      ), fin AS (
+        SELECT *, delta * ((si +
+            (CASE WHEN dz IS NOT NULL AND dz < es0 THEN dz ELSE es0 END) +
+            ee) / si) AS inc
+        FROM ext2)
+      SELECT event_type, eval_ms, n_samples, round(delta, 6) AS delta_raw,
+        round(inc, 6) AS increase, round(inc / 3600.0, 6) AS rate
+      FROM fin""",
+
+    "w5_offset_1d" -> s"""
+      WITH pts AS (SELECT event_type, ts_ms + ${Day} AS ts_ms, value
+        FROM ($PD)), grid AS ($Grid)
+      SELECT event_type, eval_ms,
+        (max(struct_pack(t := ts_ms, v := value))).v AS value
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+      GROUP BY 1, 2""",
+
+    "w7_over_time" -> s"""
+      WITH pts AS ($PD)
+      SELECT event_type, ts_ms, value,
+        round(avg(value) OVER w, 6) AS avg_1h, count(value) OVER w AS n_1h
+      FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms
+        RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)""",
+
+    "f1_matchers" -> s"""
+      WITH pts AS ($P)
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM pts
+      WHERE event_type IN ('click', 'view', 'purchase')
+        AND CAST(user_id AS VARCHAR) <> '42'
+        AND regexp_full_match(event_type, '(?:cl.*|v.*w|pu.*e)')
+      GROUP BY 1""",
+
+    "f6_matchers_negative" -> s"""
+      WITH pts AS ($P)
+      SELECT event_type, count(*) AS n
+      FROM pts
+      WHERE coalesce(CASE WHEN user_id % 3 = 0 THEN 'gold' END, '') = ''
+        AND NOT regexp_full_match(event_type, '(?:p.*)')
+      GROUP BY 1""",
+
+    "f8_time_shards" -> s"""
+      WITH pts AS ($P)
+      SELECT ts_ms // 604800000 AS shard, count(*) AS n,
+        count(DISTINCT (user_id, event_type)) AS n_series
+      FROM pts GROUP BY 1""",
+
+    "f13_series_limit" -> s"""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type LIMIT 10""",
+
+    "j1_points_join_series" -> s"""
+      WITH pts AS ($P), dim AS (
+        SELECT user_id, event_type,
+          dense_rank() OVER (ORDER BY user_id, event_type) AS metric_id
+        FROM (SELECT DISTINCT user_id, event_type FROM events))
+      SELECT metric_id, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM pts JOIN dim USING (user_id, event_type)
+      GROUP BY 1""",
+
+    "j3_hotcold_merge" -> s"""
+      WITH pts AS ($P),
+      cold AS (SELECT * FROM pts WHERE ts_ms < ${Jan28}),
+      hot AS (SELECT * FROM pts WHERE ts_ms >= ${Jan25}),
+      fb AS (SELECT user_id, event_type, min(ts_ms) AS fh
+        FROM hot GROUP BY 1, 2),
+      keep AS (SELECT c.* FROM cold c
+        LEFT JOIN fb USING (user_id, event_type)
+        WHERE fb.fh IS NULL OR c.ts_ms < fb.fh),
+      merged AS (SELECT * FROM keep UNION ALL SELECT * FROM hot)
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+      FROM merged GROUP BY 1""",
+
+    "o2_dedup_lww" -> s"""
+      WITH pts AS ($P)
+      SELECT event_type, ts_ms - ts_ms % 60000 AS minute_ms,
+        arg_max(value, event_id) AS value
+      FROM pts GROUP BY 1, 2""",
+
+    "o4_label_values" -> s"""
+      SELECT DISTINCT 'event_type' AS label_name, event_type AS label_value
+      FROM events""",
+
+    "o6_set_ops" -> s"""
+      WITH clickers AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click'),
+      buyers AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase')
+      SELECT user_id, 'and' AS op FROM clickers
+        WHERE user_id IN (SELECT user_id FROM buyers)
+      UNION ALL
+      SELECT user_id, 'unless' AS op FROM clickers
+        WHERE user_id NOT IN (SELECT user_id FROM buyers)
+      UNION ALL
+      SELECT user_id, 'or' AS op FROM (
+        SELECT user_id FROM clickers
+        UNION ALL
+        SELECT user_id FROM buyers WHERE user_id NOT IN
+          (SELECT user_id FROM clickers))""",
+
+    "m1_mutable_rewrite" -> s"""
+      SELECT event_type, count(*) AS n FROM events
+      WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+        AND event_type NOT IN ('purchase', 'signup')
+      GROUP BY 1""",
+
+    "s1_ingest_project" -> s"""
+      SELECT 'acme' AS tenant, event_type, count(*) AS n FROM events
+      WHERE event_type IS NOT NULL AND event_type <> '' GROUP BY 1, 2""",
+
+    "s2_backdate" -> s"""
+      WITH pts AS ($P),
+      trip AS (SELECT max(ts_ms) >= ${Jan15} + 540000 AS hit FROM pts)
+      SELECT event_type, count(*) AS n,
+        min(CASE WHEN trip.hit THEN ts_ms - 600000 ELSE ts_ms END) AS min_ts,
+        max(CASE WHEN trip.hit THEN ts_ms - 600000 ELSE ts_ms END) AS max_ts
+      FROM pts, trip GROUP BY 1""",
+
+    "s4_raw_scan" -> s"""
+      WITH pts AS ($P)
+      SELECT event_id, user_id, event_type, ts_ms, value FROM pts
+      WHERE user_id IN (7, 42, 99) AND ts_ms BETWEEN ${Jan10} AND ${Jan20}""",
+
+    "t1_stream_window" -> s"""
+      WITH pts AS ($P)
+      SELECT ts_ms - ts_ms % 300000 AS bucket_ms, event_type,
+        count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM pts GROUP BY 1, 2"""
+  )
+}

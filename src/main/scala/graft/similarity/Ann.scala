@@ -49,7 +49,7 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"),
-        round(col("cos"), 6).as("cos_sim"))
+        col("cos").as("cos_sim")) // raw double: bit-exact cross-engine
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
@@ -97,6 +97,6 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"),
-        round(col("cos"), 6).as("cos_sim"))
+        col("cos").as("cos_sim")) // raw double: bit-exact cross-engine
   }
 }

@@ -13,18 +13,31 @@ import org.apache.spark.sql.streaming.Trigger
 object Ingest {
 
   /** The ingest projection applied to every incoming sample (reference:
-    * `api/remotestorage/write.go:80-137` + future-point backdating
-    * `api/fake_remote_writer.go:47-64`): tenant injection, validation,
-    * and backdating of samples too far in the future.
+    * `api/remotestorage/write.go:80-137`): tenant injection and validation
+    * (empty label values dropped, `write.go:219-231`).
     */
-  def ingestProjection(df: DataFrame, tenant: String,
-      maxFutureMs: Long, nowMs: Long): DataFrame =
+  def ingestProjection(df: DataFrame, tenant: String): DataFrame =
     df
       .withColumn("tenant", lit(tenant))
       .where(col("event_type").isNotNull && col("event_type") =!= "")
+
+  /** Future-point backdating, batch-granular like the reference
+    * (`api/fake_remote_writer.go:236-285`, `backdateSeries`): if ANY sample
+    * in the batch is at/after `nowMs + thresholdMs`, ALL samples in the
+    * batch are shifted back by the fixed `offsetMs` — preserving relative
+    * ordering within and across series. The trigger is a one-row aggregate
+    * broadcast back over the batch (no global window, no driver collect),
+    * so the decision scales to arbitrarily large batches.
+    */
+  def backdateBatch(df: DataFrame, thresholdMs: Long, offsetMs: Long,
+      nowMs: Long): DataFrame = {
+    val trip = df.agg(max(col("ts_ms")).as("__max_ts"))
+    df.crossJoin(broadcast(trip))
       .withColumn("ts_ms",
-        when(col("ts_ms") > nowMs + maxFutureMs, col("ts_ms") - maxFutureMs)
+        when(col("__max_ts") >= nowMs + thresholdMs, col("ts_ms") - offsetMs)
           .otherwise(col("ts_ms")))
+      .drop("__max_ts")
+  }
 
   /** Stream the events parquet through a watermarked 5-min windowed
     * aggregate into an in-memory sink, synchronously (AvailableNow); returns
@@ -33,9 +46,15 @@ object Ingest {
     */
   def windowedCounts(spark: SparkSession, dir: String, name: String): DataFrame = {
     val static = spark.read.parquet(s"$dir/events.parquet")
+    // The file-stream source lists a DIRECTORY; the test data is a single
+    // parquet file, so expose it through a temp dir of symlinks.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream
       .schema(static.schema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(streamDir.toString)
       .withColumn("ts_ms", expr("ts div 1000000"))
       .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
     val agg = stream
@@ -49,9 +68,17 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // Materialize and fully detach from streaming machinery: the memory
+    // sink + state-store listeners otherwise keep degrading every later
+    // batch query in the session (observed: 2.8s → 230s on a follow-up
+    // 500-row projection).
+    val out = spark.table(name)
       .select(
         unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"), col("sum_value"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    out
   }
 }

@@ -33,24 +33,26 @@ object TextOps {
       lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
     val punct = size(regexp_extract_all(t, lit("[^a-zA-Z0-9\\s]"), lit(0)))
     val upper = size(regexp_extract_all(t, lit("[A-Z]"), lit(0)))
+    // No rounding anywhere: every ratio is an int/int double division and
+    // the score is a fixed left-associated expression over them, so any
+    // IEEE-754 engine (incl. the DuckDB oracle) reproduces each value
+    // bit-for-bit. Rounding would *add* cross-engine risk (Spark rounds via
+    // shortest-decimal-string, C engines round the raw binary).
     docs
       .withColumn("n_tokens", nTok)
       .withColumn("avg_token_len",
-        round(length(regexp_replace(t, lit("\\s+"), lit(""))).cast("double") /
-          greatest(nTok, lit(1)).cast("double"), 6))
+        length(regexp_replace(t, lit("\\s+"), lit(""))).cast("double") /
+          greatest(nTok, lit(1)).cast("double"))
       .withColumn("stopword_ratio",
-        round(stop.cast("double") / greatest(nTok, lit(1)).cast("double"), 6))
+        stop.cast("double") / greatest(nTok, lit(1)).cast("double"))
       .withColumn("punct_ratio",
-        round(punct.cast("double") /
-          greatest(length(t), lit(1)).cast("double"), 6))
+        punct.cast("double") / greatest(length(t), lit(1)).cast("double"))
       .withColumn("upper_ratio",
-        round(upper.cast("double") /
-          greatest(length(t), lit(1)).cast("double"), 6))
+        upper.cast("double") / greatest(length(t), lit(1)).cast("double"))
       .withColumn("quality_score",
-        round(
-          least(col("n_tokens").cast("double") / 64.0, lit(1.0)) * 0.5 +
-            least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
-            (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 6))
+        least(col("n_tokens").cast("double") / 64.0, lit(1.0)) * 0.5 +
+          least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2)
   }
 
   /** N-gram-frequency language scoring: per language, the count of marker

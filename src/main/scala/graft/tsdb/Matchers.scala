@@ -27,6 +27,16 @@ final case class MatchNeq(label: String, value: String) extends Matcher
 final case class MatchRe(label: String, pattern: String) extends Matcher
 final case class MatchNre(label: String, pattern: String) extends Matcher
 
+/** Explicit IN-list matchers, produced by the mutable-label rewrite
+  * ([[MutableMapping.rewrite]]). The reference merges expanded values into
+  * one regex with every value `regexp.QuoteMeta`-escaped
+  * (`cassandra/mutable/processor.go:210-232`, `MergeRegex`); a typed IN-list
+  * carries the same semantics without escaping hazards and compiles to a
+  * pushdown-able `isin(...)`. An empty list matches nothing (negated: all).
+  */
+final case class MatchIn(label: String, values: Seq[String]) extends Matcher
+final case class MatchNotIn(label: String, values: Seq[String]) extends Matcher
+
 object Matchers {
   /** Max alternates rewritten to IN, as in reference `index.go:66`. */
   val MaxAlternates = 10
@@ -58,6 +68,10 @@ object Matchers {
           case Some(lits) => !v.isin(lits: _*)
           case None       => !v.rlike(anchor(p))
         }
+      case MatchIn(_, values) =>
+        if (values.isEmpty) lit(false) else v.isin(values: _*)
+      case MatchNotIn(_, values) =>
+        if (values.isEmpty) lit(true) else !v.isin(values: _*)
     }
   }
 

@@ -18,20 +18,32 @@ final case class MutableMapping(
     values: Map[String, Seq[String]]) { // mutable value -> real values
 
   /** Rewrite matchers on the mutable label into real-label matchers.
-    * Eq → IN-list (as MatchRe of literal alternates, mirroring the
-    * reference's merged regex); Neq → negated list.
+    * Eq → typed IN-list; Neq → negated IN-list; Re/Nre → IN-list of the
+    * real values behind every mutable value the (anchored) regex matches —
+    * mirroring `processMutableLabelRegex` and its MatchNotRegexp path
+    * (`cassandra/mutable/processor.go:125-189`). The reference merges the
+    * expansion into one regex with each value `regexp.QuoteMeta`-escaped
+    * (`processor.go:210-232`); [[MatchIn]]/[[MatchNotIn]] carry the same
+    * semantics with no escaping and no 10-alternate regex fallback, so
+    * values containing regex metacharacters can never match wrong series.
     */
   def rewrite(ms: Seq[Matcher]): Seq[Matcher] = ms.map {
     case MatchEq(n, v) if n == name =>
-      MatchRe(targetName, values.getOrElse(v, Seq("__none__")).mkString("|"))
+      MatchIn(targetName, values.getOrElse(v, Seq.empty))
     case MatchNeq(n, v) if n == name =>
-      MatchNre(targetName, values.getOrElse(v, Seq("__none__")).mkString("|"))
+      MatchNotIn(targetName, values.getOrElse(v, Seq.empty))
     case MatchRe(n, p) if n == name =>
-      val re = ("^(?:" + p + ")$").r
-      val expanded = values.collect {
-        case (mv, real) if re.pattern.matcher(mv).matches() => real
-      }.flatten.toSeq.distinct.sorted
-      MatchRe(targetName, (if (expanded.isEmpty) Seq("__none__") else expanded).mkString("|"))
+      MatchIn(targetName, expandRegex(p))
+    case MatchNre(n, p) if n == name =>
+      MatchNotIn(targetName, expandRegex(p))
     case other => other
+  }
+
+  /** Real values behind every mutable value matching the anchored regex. */
+  private def expandRegex(p: String): Seq[String] = {
+    val re = ("^(?:" + p + ")$").r
+    values.collect {
+      case (mv, real) if re.pattern.matcher(mv).matches() => real
+    }.flatten.toSeq.distinct.sorted
   }
 }

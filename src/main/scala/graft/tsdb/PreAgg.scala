@@ -38,8 +38,9 @@ object PreAgg {
       col("bucket_ms"), col("min"), col("max"), col("avg"), col("count"))
     val old = agg5m.where(col("bucket_ms") + resolutionMs <= watermarkMs)
       .select(cols: _*)
+    val tailFloorMs = watermarkMs - watermarkMs % resolutionMs
     val tail = Downsample(
-      points.where(col("ts_ms") >= watermarkMs - pmod(lit(watermarkMs), lit(resolutionMs))),
+      points.where(col("ts_ms") >= tailFloorMs),
       series.map(col), col("ts_ms"), col("value"), resolutionMs)
       .select(cols: _*)
     old.unionByName(tail)

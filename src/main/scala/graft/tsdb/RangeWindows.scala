@@ -47,6 +47,68 @@ object RangeWindows {
     points.select(series.map(col) ++ Seq(col(tsMs), col(value)) ++ outCols: _*)
   }
 
+  /** Map each sample to the eval steps whose trailing window contains it —
+    * the scale-correct alternative to joining a step grid on an inequality
+    * (which Spark can only execute as a broadcast nested-loop join,
+    * O(points × steps)). A sample at `ts` lands in windows of eval steps
+    * `k` with `eval >= ts && eval < ts + windowMs`; that k-interval is
+    * computed per row and exploded, so the whole evaluation is a projection
+    * + one hash aggregate: no join, one shuffle, row amplification bounded
+    * by `windowMs / stepMs + 1`. This is SURVEY §7.4 risk 3 addressed —
+    * at 100 TB the points move once and the "grid" never materializes.
+    */
+  def withEvalSteps(
+      points: DataFrame,
+      startMs: Long, endMs: Long, stepMs: Long, windowMs: Long,
+      tsMs: String = "ts_ms"): DataFrame = {
+    val kMax = (endMs - startMs) / stepMs
+    val t = col(tsMs)
+    // Pre-filter to contributing samples only; it also guarantees the DIV
+    // numerators below are non-negative, so integer DIV == floor (this
+    // filter is the partition-pruning predicate at scale).
+    val inRange = points.where(t > lit(startMs - windowMs) && t <= lit(endMs))
+    // k_lo = ceil((ts-start)/step), clamped to the grid; all exact longs.
+    val kLo = greatest(
+      expr(s"($tsMs - ${startMs}L + ${stepMs - 1}L) DIV ${stepMs}L"), lit(0L))
+    val kHi = least(
+      expr(s"($tsMs - ${startMs}L + ${windowMs - 1}L) DIV ${stepMs}L"), lit(kMax))
+    inRange
+      .withColumn("__k_lo", kLo)
+      .withColumn("__k_hi", kHi)
+      .where(col("__k_lo") <= col("__k_hi"))
+      .withColumn("__k", explode(sequence(col("__k_lo"), col("__k_hi"))))
+      .withColumn("eval_ms", col("__k") * stepMs + startMs)
+      .drop("__k_lo", "__k_hi", "__k")
+  }
+
+  /** Instant vectors over a regular grid via [[withEvalSteps]]: per
+    * (series, eval step) the last sample in (eval-lookback, eval], ties on
+    * ts broken by value order so every engine agrees.
+    */
+  def instantBucketed(
+      points: DataFrame,
+      series: Seq[String],
+      startMs: Long, endMs: Long, stepMs: Long,
+      lookbackMs: Long = LookbackDeltaMs,
+      tsMs: String = "ts_ms",
+      value: String = "value"): DataFrame =
+    withEvalSteps(points, startMs, endMs, stepMs, lookbackMs, tsMs)
+      .groupBy((series.map(col) :+ col("eval_ms")): _*)
+      .agg(max(struct(col(tsMs), col(value))).getField(value).as(value))
+
+  /** Range-vector aggregation over a regular grid via [[withEvalSteps]]. */
+  def rangeBucketed(
+      points: DataFrame,
+      series: Seq[String],
+      startMs: Long, endMs: Long, stepMs: Long, rangeMs: Long,
+      aggs: Seq[(String, Column => Column)],
+      tsMs: String = "ts_ms",
+      value: String = "value"): DataFrame =
+    withEvalSteps(points, startMs, endMs, stepMs, rangeMs, tsMs)
+      .groupBy((series.map(col) :+ col("eval_ms")): _*)
+      .agg(aggs.head._2(col(value)).as(aggs.head._1),
+        aggs.tail.map { case (n, a) => a(col(value)).as(n) }: _*)
+
   /** Evaluation grid: one row per step timestamp in [startMs, endMs]. */
   def stepGrid(spark: org.apache.spark.sql.SparkSession,
       startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
@@ -71,7 +133,9 @@ object RangeWindows {
       col(tsMs) <= col("eval_ms") && col(tsMs) > col("eval_ms") - lookbackMs)
     joined
       .groupBy((series.map(col) :+ col("eval_ms")): _*)
-      .agg(max_by(col(value), col(tsMs)).as(value))
+      // deterministic last-write-wins: ties on ts resolve by value order
+      // (struct max is lexicographic), so any engine agrees
+      .agg(max(struct(col(tsMs), col(value))).getField(value).as(value))
   }
 
   /** Range-vector aggregation over a grid: aggregates all samples in

@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Rate {
 
+  /** Like [[overGrid]] but over a regular step grid, compiled via
+    * [[RangeWindows.withEvalSteps]] (per-sample step-interval explode)
+    * instead of an inequality grid join — no broadcast nested-loop, one
+    * shuffle for the lag window and one for the final hash aggregate.
+    */
+  def overSteps(
+      points: DataFrame,
+      series: Seq[String],
+      startMs: Long, endMs: Long, stepMs: Long, rangeMs: Long,
+      counter: Boolean = true,
+      tsMs: String = "ts_ms",
+      value: String = "value"): DataFrame = {
+    val sCols = series.map(col)
+    val wSeries = Window.partitionBy(sCols: _*).orderBy(col(tsMs))
+    val withPrev = points
+      .withColumn("prev_val", lag(col(value), 1).over(wSeries))
+      .withColumn("prev_ts", lag(col(tsMs), 1).over(wSeries))
+      .withColumn("reset_corr",
+        if (counter)
+          when(col("prev_val").isNotNull && col(value) < col("prev_val"),
+            col("prev_val")).otherwise(lit(0.0))
+        else lit(0.0))
+    val inWindow =
+      RangeWindows.withEvalSteps(withPrev, startMs, endMs, stepMs, rangeMs, tsMs)
+    finishRate(inWindow, sCols, rangeMs, counter, tsMs, value)
+  }
+
   /** Per (series, eval_ms) extrapolated counter increase / rate / delta.
     *
     * Window is PromQL's (eval_ms - rangeMs, eval_ms]. Steps where the window
@@ -56,7 +83,20 @@ object Rate {
     val inWindow = withPrev.join(
       broadcast(grid),
       col(tsMs) <= col("eval_ms") && col(tsMs) > col("eval_ms") - rangeMs)
+    finishRate(inWindow, sCols, rangeMs, counter, tsMs, value)
+  }
 
+  /** Shared tail: aggregate samples per (series, step) and apply the
+    * Prometheus extrapolation algorithm. `inWindow` must carry eval_ms,
+    * prev_ts and reset_corr columns.
+    */
+  private def finishRate(
+      inWindow: DataFrame,
+      sCols: Seq[Column],
+      rangeMs: Long,
+      counter: Boolean,
+      tsMs: String,
+      value: String): DataFrame = {
     // A reset pair counts only if both samples are inside the window.
     val corrInWindow = when(
       col("prev_ts").isNotNull && col("prev_ts") > col("eval_ms") - rangeMs,
@@ -68,8 +108,9 @@ object Rate {
         count(col(value)).as("n_samples"),
         min(col(tsMs)).as("first_ts"),
         max(col(tsMs)).as("last_ts"),
-        min_by(col(value), col(tsMs)).as("first_val"),
-        max_by(col(value), col(tsMs)).as("last_val"),
+        // struct min/max: deterministic even under ts ties
+        min(struct(col(tsMs), col(value))).getField(value).as("first_val"),
+        max(struct(col(tsMs), col(value))).getField(value).as("last_val"),
         sum(corrInWindow).as("corr"))
       .where(col("n_samples") >= 2)
 
