@@ -54,38 +54,47 @@ object Ann {
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
     * uniform in [-1, 1), derived from md5 so any engine reproduces it.
+    * Computed ONCE on the driver — the plane matrix is a constant; an
+    * earlier version derived it per row with in-plan md5 calls, which cost
+    * nPlanes×dims digests per vector (~1000× the arithmetic of the fold).
     */
-  private def planeComponent(j: Column, d: Column): Column =
-    conv(substring(md5(concat(j.cast("string"), lit("_"), d.cast("string"))), 1, 8),
-      16, 10).cast("double") / lit(2147483648.0) - 1.0
+  private def planeComponent(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${j}_${d}".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble /
+      2147483648.0 - 1.0
+  }
 
-  /** Sign-random-projection bucket signature (nPlanes bits) per vector. */
-  def srpSignature(emb: Column, nPlanes: Int): Column = {
-    val planes = sequence(lit(0), lit(nPlanes - 1))
-    aggregate(
-      transform(planes, j => {
-        // projection of emb onto plane j
-        val proj = aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, d) => x.cast("double") * planeComponent(j, d)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, bit) => acc * 2 + bit)
+  /** Sign-random-projection bucket signature (nPlanes bits) per vector,
+    * MSB = plane 0. The plane weights are embedded as array literals, so
+    * the per-row work is nPlanes ordered dot-product folds — codegen'd,
+    * no digests, bit-identical to the md5-derived definition above.
+    */
+  def srpSignature(emb: Column, nPlanes: Int, dims: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val w = array((0 until dims).map(d => lit(planeComponent(j, d))): _*)
+      val proj = aggregate(
+        zip_with(emb, w, (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.foldLeft(lit(0L))((acc, b) => acc * 2 + b)
   }
 
   /** Approximate top-k: candidates restricted to the query's SRP bucket.
     * Falls back to fewer than k results when a bucket is small (standard
     * LSH behavior; recall measured in the test suite).
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 8, dims: Int = 64): DataFrame = {
     val c = corpus
       .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
-      .withColumn("bucket", srpSignature(col("nn_emb"), nPlanes))
+      .withColumn("bucket", srpSignature(col("nn_emb"), nPlanes, dims))
       .withColumn("nn_norm", norm2(col("nn_emb")))
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", srpSignature(col("q_emb"), nPlanes))
+      .withColumn("bucket", srpSignature(col("q_emb"), nPlanes, dims))
       .withColumn("q_norm", norm2(col("q_emb")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("nn_id") =!= col("q_id"))
