@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: short docs yield empty sets, no fabricated windows") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) === Set("a b c", "b c d"))
+    assert(sh(2L) === Set.empty)
+    assert(sh(3L) === Set.empty)
+  }
+
+  test("exact dedup groups by digest, keeps smallest id") {
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.exact(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((2L, 2L), (9L, 1L))) // (keep_id, n_docs)
+  }
+
+  test("jaccard: pairs with sub-shingle-length docs are not dropped") {
+    // doc 2 has <3 tokens → empty shingle set; pair (1,2) must still
+    // surface with jaccard 0/2 = 0. Pair (2,3): both empty → union empty
+    // → jaccard null (0/0). An earlier inner-join silently dropped both.
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccard(docs, pairs, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(out.size === 2)
+    assert(out((1L, 2L)) === ((0L, Some(0.0))))
+    assert(out((2L, 3L)) === ((0L, None)))
+  }
+
+  test("jaccard: identical docs score 1, disjoint docs score 0") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccard(docs, pairs, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) === 0.0)
+  }
+
+  test("LSH: exact duplicates collide in every band; disjoint docs never do") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"), // exact dup of 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val cand = Dedup.lshCandidates(
+      Dedup.lshBuckets(Dedup.minhash(docs, 8, 3), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand === Set((1L, 2L)))
+  }
+
+  test("simhash: deterministic, and identical docs hash identically") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val h = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+    assert(h(1L) >= 0L && h(1L) < (1L << 60))
+  }
+}

@@ -1,31 +1,18 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.funsuite.AnyFunSuite
+class SmokeSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
 
-object TestSpark {
-  lazy val spark: SparkSession = {
-    val s = SparkSession
-      .builder()
-      .master("local[8]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+  test("events parquet (nanos timestamps) is readable via ts_ms") {
+    val pts = Tables.points(spark, sfDir)
+    assert(pts.count() === 1000)
+    // ns→ms floor: all timestamps within 2024-01
+    val row = pts.selectExpr("min(ts_ms)", "max(ts_ms)").head()
+    assert(row.getLong(0) >= 1704067200000L)
+    assert(row.getLong(1) < 1706659200000L)
   }
-  val sfDir = "/root/testdata/sf0.001"
-}
 
-class SmokeSpec extends AnyFunSuite {
-  test("events parquet (nanos timestamps) is readable") {
-    val spark = TestSpark.spark
-    val e = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-    e.printSchema()
-    e.show(3, truncate = false)
-    assert(e.count() == 1000)
+  test("flagship entry query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
   }
 }

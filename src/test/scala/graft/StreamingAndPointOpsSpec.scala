@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Ingest
+import graft.tsdb.{PointOps, RangeWindows}
+
+/** Ingest projection + batch backdating (reference
+  * `api/fake_remote_writer.go:236-285`): if ANY sample trips the
+  * future threshold, ALL samples in the batch shift by the fixed offset.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = 1000000L
+
+  test("no sample trips the threshold: batch untouched") {
+    val df = Seq((1L, 900000L), (2L, now + 539999L))
+      .toDF("event_id", "ts_ms").withColumn("event_type", lit("x"))
+    val out = Ingest.backdateBatch(df, 540000L, 600000L, now)
+      .select("event_id", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 900000L, 2L -> (now + 539999L)))
+  }
+
+  test("one future sample backdates the WHOLE batch by the fixed offset") {
+    val df = Seq((1L, 900000L), (2L, now + 540000L))
+      .toDF("event_id", "ts_ms").withColumn("event_type", lit("x"))
+    val out = Ingest.backdateBatch(df, 540000L, 600000L, now)
+      .select("event_id", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // relative ordering preserved: both shifted by exactly offsetMs
+    assert(out === Map(1L -> 300000L, 2L -> (now - 60000L)))
+  }
+
+  test("ingest projection injects tenant and drops empty-label samples") {
+    val df = Seq(("a", 1.0), ("", 2.0), (null.asInstanceOf[String], 3.0))
+      .toDF("event_type", "value")
+    val out = Ingest.ingestProjection(df, "acme")
+    assert(out.count() === 1L)
+    assert(out.select("tenant").head().getString(0) === "acme")
+  }
+}
+
+class PointOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hotColdMerge: cold truncated at first hot ts per series; " +
+    "series without hot data keep full cold history") {
+    val cold = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 10L, 9.0)).toDF("sid", "ts_ms", "value")
+    val hot = Seq((1L, 20L, 2.5), (1L, 40L, 4.0)).toDF("sid", "ts_ms", "value")
+    val out = PointOps.hotColdMerge(cold, hot, Seq("sid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // series 1: cold ts<20 kept (10), hot 20(→2.5),40; series 2: all cold
+    assert(out === Set((1L, 10L, 1.0), (1L, 20L, 2.5), (1L, 40L, 4.0),
+      (2L, 10L, 9.0)))
+  }
+
+  test("vector and/unless/or over series sets") {
+    val l = Seq(1L, 2L, 3L).toDF("sid")
+    val r = Seq(2L, 3L, 4L).toDF("sid")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(PointOps.vectorAnd(l, r, Seq("sid"))) === Set(2L, 3L))
+    assert(ids(PointOps.vectorUnless(l, r, Seq("sid"))) === Set(1L))
+    assert(ids(PointOps.vectorOr(l, r, Seq("sid"))) === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("last-write-wins dedup keeps the highest-sequence sample") {
+    val df = Seq((1L, 100L, 5.0, 1L), (1L, 100L, 7.0, 2L), (1L, 200L, 1.0, 3L))
+      .toDF("sid", "ts_ms", "value", "seq")
+    val out = PointOps.dedupLastWriteWins(df, Seq("sid", "ts_ms"), "seq")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((100L, 7.0), (200L, 1.0)))
+  }
+}
+
+/** withEvalSteps must enumerate exactly the eval steps whose trailing
+  * window (eval-window, eval] contains the sample — checked against the
+  * brute-force join over a messy grid/window combination.
+  */
+class EvalStepsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exploded steps == brute-force window membership") {
+    val start = 1000L; val end = 2000L; val step = 70L; val window = 150L
+    val ts = (850L to 2100L by 13L)
+    val pts = ts.map(t => (t, 1.0)).toDF("ts_ms", "value")
+    val got = RangeWindows.withEvalSteps(pts, start, end, step, window)
+      .select("ts_ms", "eval_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val evals = (start to end by step)
+    val want = (for { t <- ts; e <- evals if e >= t && e < t + window }
+      yield (t, e)).toSet
+    assert(got === want)
+  }
+}
