@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.OlapQueries.queries ++
       graft.queries.TsdbQueries.queries ++
+      graft.queries.PromqlQueries.queries ++
       graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.OlapQueries.oracleSql ++
       graft.queries.TsdbQueries.oracleSql ++
+      graft.queries.PromqlQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql
 }

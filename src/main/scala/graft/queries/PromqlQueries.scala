@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ScalarFns
+import graft.tsdb._
+
+/** PromQL-evaluation queries beyond the storage operators: binary ops with
+  * vector matching (J4), subqueries (W6), the scalar/date/label function
+  * layer (§2.7), histogram_quantile, mutable-label result decoration (M2),
+  * the points-read limit (F14), and the reference's parquet export pivot
+  * (S11, `cmd/prom-remote-storage-to-parquet`).
+  */
+object PromqlQueries {
+  import TsdbQueries.{Start, End, Hour, P, PD, RateFinSql}
+
+  private val SixH = 6 * Hour
+
+  private def pts(s: SparkSession, dir: String): DataFrame = Tables.points(s, dir)
+
+  private def ptsByType(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .groupBy("event_type", "ts_ms")
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+
+  private val sumV =
+    sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double")
+
+  private val HistLes = Seq(50.0, 100.0, 200.0, 500.0, Double.PositiveInfinity)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J4 — one-to-one vector matching on(user_id): clicks - purchases
+    "j4_binop_one2one" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val clicks = p.where(col("event_type") === "click")
+        .groupBy("user_id").agg(sumV.as("value"))
+      val buys = p.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sumV.as("value"))
+      VectorMatch.oneToOne(clicks, buys, Seq("user_id"), _ - _, "diff")
+        .select("user_id", "diff")
+    }),
+
+    // J4 — many-to-one (group_left): per-type share of the user's total
+    "j4_binop_grpleft" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val perType = p.groupBy("user_id", "event_type").agg(sumV.as("value"))
+      val total = p.groupBy("user_id").agg(sumV.as("value"))
+      VectorMatch.manyToOne(perType, total, Seq("user_id"), _ / _, "share")
+        .select("user_id", "event_type", "share")
+    }),
+
+    // W6 — subquery max_over_time(rate(m[1h])[6h:1h]) at 6-hour steps
+    "w6_subquery" -> ((s, dir) => {
+      val rates = Rate.overSteps(ptsByType(s, dir), Seq("event_type"),
+          Start, End, Hour, Hour)
+        .select(col("event_type"), col("eval_ms").as("ts_ms"),
+          col("rate").as("value"))
+      RangeWindows.rangeBucketed(rates, Seq("event_type"),
+          Start, End, SixH, SixH, Seq("max_rate_6h" -> (v => max(v))))
+        .withColumn("max_rate_6h", round(col("max_rate_6h"), 6))
+    }),
+
+    // §2.7 — math functions (builtins, no UDFs); transcendentals rounded
+    // (libm vs Java Math may differ in the last ulp)
+    "sc1_math_fns" -> ((s, dir) =>
+      pts(s, dir).select(col("event_id"),
+        abs(col("value") - 100).as("abs_v"),
+        ceil(col("value")).cast("double").as("ceil_v"),
+        floor(col("value")).cast("double").as("floor_v"),
+        sqrt(col("value")).as("sqrt_v"), // IEEE-exact
+        round(col("value")).as("round_v"),
+        signum(col("value") - 100).as("sgn_v"),
+        ScalarFns.clamp(col("value"), 10.0, 100.0).as("clamp_v"),
+        round(exp(-col("value") / 100), 6).as("exp_v"),
+        round(log(col("value") + 1), 6).as("ln_v"),
+        round(log2(col("value") + 1), 6).as("log2_v"),
+        round(log10(col("value") + 1), 6).as("log10_v"))),
+
+    // §2.7 — date functions with PromQL conventions (day_of_week: 0=Sun)
+    "sc2_date_fns" -> ((s, dir) => {
+      val t = timestamp_millis(col("ts_ms"))
+      pts(s, dir).select(col("event_id"),
+        year(t).cast("long").as("y"),
+        month(t).cast("long").as("mo"),
+        dayofmonth(t).cast("long").as("dom"),
+        hour(t).cast("long").as("h"),
+        minute(t).cast("long").as("mi"),
+        ScalarFns.dayOfWeek(t).cast("long").as("dow"),
+        ScalarFns.daysInMonth(t).cast("long").as("dim"))
+    }),
+
+    // §2.7 — label_replace / label_join on a labels map
+    "sc3_label_fns" -> ((s, dir) => {
+      val labeled = pts(s, dir).withColumn("labels",
+        map(lit("uid"), col("user_id").cast("string"),
+          lit("etype"), col("event_type")))
+      val replaced = ScalarFns.labelReplace(col("labels"),
+        "etype_class", "$1_class", "etype", "(cl|vi).*")
+      val dropped = ScalarFns.labelReplace(col("labels"),
+        "uid", "", "etype", "error") // empty expansion removes the label
+      val joined = ScalarFns.labelJoin(col("labels"), "key", "|",
+        Seq("uid", "etype"))
+      labeled.select(col("event_id"),
+        replaced.getItem("etype_class").as("etype_class"),
+        dropped.getItem("uid").as("uid_after"),
+        joined.getItem("key").as("key"))
+    }),
+
+    // §2.7 — histogram_quantile over cumulative le-buckets
+    "sc4_histogram_quantile" -> ((s, dir) => {
+      val cums = HistLes.init.zipWithIndex.map { case (le, i) =>
+        count(when(col("value") <= le, 1)).as(s"c${i + 1}")
+      } :+ count(lit(1)).as(s"c${HistLes.length}")
+      val agg = pts(s, dir).groupBy("event_type").agg(cums.head, cums.tail: _*)
+      agg.select(col("event_type") +:
+        (1 to HistLes.length).map(i => col(s"c$i")) :+
+        ScalarFns.histogramQuantile(0.9, HistLes,
+          (1 to HistLes.length).map(i => col(s"c$i"))).as("p90"): _*)
+    }),
+
+    // M2 — decorate series with their mutable group (reverse mapping)
+    "m2_mutable_decorate" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "interactive"), ("view", "interactive"),
+        ("purchase", "transactional"), ("signup", "transactional"),
+        ("error", "errors")).toDF("event_type", "grp")
+      pts(s, dir)
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy("grp")
+        .agg(countDistinct(col("user_id"), col("event_type")).as("n_series"),
+          count(lit(1)).as("n_points"))
+    }),
+
+    // F14 — points-read limit probe for a selector
+    "f14_points_limit" -> ((s, dir) =>
+      pts(s, dir).where(col("event_type") === "click")
+        .agg(count(lit(1)).as("n_points"))
+        .withColumn("exceeded", col("n_points") > 20000L)),
+
+    // S11 — parquet export schema: one column per series, rows per bucket
+    "s11_export_pivot" -> ((s, dir) =>
+      pts(s, dir)
+        .groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sumV))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "j4_binop_one2one" -> s"""
+      WITH pts AS ($P),
+      c AS (SELECT user_id,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM pts WHERE event_type = 'click' GROUP BY 1),
+      b AS (SELECT user_id,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM pts WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id, c.v - b.v AS diff FROM c JOIN b USING (user_id)""",
+
+    "j4_binop_grpleft" -> s"""
+      WITH pts AS ($P),
+      pt AS (SELECT user_id, event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM pts GROUP BY 1, 2),
+      tot AS (SELECT user_id,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM pts GROUP BY 1)
+      SELECT user_id, event_type, pt.v / tot.v AS share
+      FROM pt JOIN tot USING (user_id)""",
+
+    "w6_subquery" -> s"""
+      WITH $RateFinSql,
+      rate_tbl AS (SELECT event_type, eval_ms AS ts_ms,
+        inc / 3600.0 AS value FROM fin),
+      grid6 AS (SELECT unnest(generate_series(${Start}, ${End}, ${SixH}))
+        AS eval_ms)
+      SELECT event_type, eval_ms, round(max(value), 6) AS max_rate_6h
+      FROM rate_tbl JOIN grid6
+        ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${SixH}
+      GROUP BY 1, 2""",
+
+    "sc1_math_fns" -> s"""
+      WITH pts AS ($P)
+      SELECT event_id,
+        abs(value - 100) AS abs_v,
+        CAST(ceil(value) AS DOUBLE) AS ceil_v,
+        CAST(floor(value) AS DOUBLE) AS floor_v,
+        sqrt(value) AS sqrt_v,
+        round(value) AS round_v,
+        CASE WHEN value - 100 > 0 THEN 1.0
+             WHEN value - 100 < 0 THEN -1.0 ELSE 0.0 END AS sgn_v,
+        least(greatest(value, 10.0), 100.0) AS clamp_v,
+        round(exp(-value / 100), 6) AS exp_v,
+        round(ln(value + 1), 6) AS ln_v,
+        round(log2(value + 1), 6) AS log2_v,
+        round(log10(value + 1), 6) AS log10_v
+      FROM pts""",
+
+    "sc2_date_fns" -> s"""
+      WITH pts AS ($P)
+      SELECT event_id,
+        year(epoch_ms(ts_ms)) AS y,
+        month(epoch_ms(ts_ms)) AS mo,
+        day(epoch_ms(ts_ms)) AS dom,
+        hour(epoch_ms(ts_ms)) AS h,
+        minute(epoch_ms(ts_ms)) AS mi,
+        dayofweek(epoch_ms(ts_ms)) AS dow,
+        day(last_day(epoch_ms(ts_ms))) AS dim
+      FROM pts""",
+
+    "sc3_label_fns" -> s"""
+      WITH pts AS ($P)
+      SELECT event_id,
+        CASE WHEN regexp_full_match(event_type, '(?:(cl|vi).*)')
+          THEN regexp_replace(event_type, '^(?:(cl|vi).*)$$', '\\1_class')
+        END AS etype_class,
+        CASE WHEN event_type = 'error' THEN NULL
+          ELSE CAST(user_id AS VARCHAR) END AS uid_after,
+        CAST(user_id AS VARCHAR) || '|' || event_type AS key
+      FROM pts""",
+
+    "sc4_histogram_quantile" -> s"""
+      WITH pts AS ($P),
+      h AS (SELECT event_type,
+        count(*) FILTER (value <= 50) AS c1,
+        count(*) FILTER (value <= 100) AS c2,
+        count(*) FILTER (value <= 200) AS c3,
+        count(*) FILTER (value <= 500) AS c4,
+        count(*) AS c5
+        FROM pts GROUP BY 1)
+      SELECT event_type, c1, c2, c3, c4, c5,
+        CASE
+          WHEN CAST(c1 AS DOUBLE) >= 0.9 * CAST(c5 AS DOUBLE)
+            THEN 0.0 + (50.0 - 0.0) * (0.9 * CAST(c5 AS DOUBLE) - 0.0)
+              / (CAST(c1 AS DOUBLE) - 0.0)
+          WHEN CAST(c2 AS DOUBLE) >= 0.9 * CAST(c5 AS DOUBLE)
+            THEN 50.0 + (100.0 - 50.0) * (0.9 * CAST(c5 AS DOUBLE)
+              - CAST(c1 AS DOUBLE)) / (CAST(c2 AS DOUBLE) - CAST(c1 AS DOUBLE))
+          WHEN CAST(c3 AS DOUBLE) >= 0.9 * CAST(c5 AS DOUBLE)
+            THEN 100.0 + (200.0 - 100.0) * (0.9 * CAST(c5 AS DOUBLE)
+              - CAST(c2 AS DOUBLE)) / (CAST(c3 AS DOUBLE) - CAST(c2 AS DOUBLE))
+          WHEN CAST(c4 AS DOUBLE) >= 0.9 * CAST(c5 AS DOUBLE)
+            THEN 200.0 + (500.0 - 200.0) * (0.9 * CAST(c5 AS DOUBLE)
+              - CAST(c3 AS DOUBLE)) / (CAST(c4 AS DOUBLE) - CAST(c3 AS DOUBLE))
+          ELSE 500.0 END AS p90
+      FROM h""",
+
+    "m2_mutable_decorate" -> s"""
+      WITH pts AS ($P)
+      SELECT CASE event_type
+          WHEN 'click' THEN 'interactive' WHEN 'view' THEN 'interactive'
+          WHEN 'purchase' THEN 'transactional' WHEN 'signup' THEN 'transactional'
+          ELSE 'errors' END AS grp,
+        count(DISTINCT (user_id, event_type)) AS n_series,
+        count(*) AS n_points
+      FROM pts GROUP BY 1""",
+
+    "f14_points_limit" -> s"""
+      SELECT count(*) AS n_points, count(*) > 20000 AS exceeded
+      FROM events WHERE event_type = 'click'""",
+
+    "s11_export_pivot" -> s"""
+      WITH pts AS ($P)
+      SELECT ts_ms - ts_ms % 86400000 AS day_ms,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'click')
+          AS DOUBLE) AS click,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'error')
+          AS DOUBLE) AS error,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'purchase')
+          AS DOUBLE) AS purchase,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'signup')
+          AS DOUBLE) AS signup,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'view')
+          AS DOUBLE) AS view
+      FROM pts GROUP BY 1"""
+  )
+}

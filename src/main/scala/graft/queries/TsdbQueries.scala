@@ -20,10 +20,10 @@ import graft.tsdb._
 object TsdbQueries {
 
   // 2024-01-01T00:00Z .. 2024-01-31T00:00Z — the events table's span.
-  private val Start = 1704067200000L
-  private val End = 1706659200000L
-  private val Hour = 3600000L
-  private val Day = 86400000L
+  private[queries] val Start = 1704067200000L
+  private[queries] val End = 1706659200000L
+  private[queries] val Hour = 3600000L
+  private[queries] val Day = 86400000L
   private val Jan10 = 1704844800000L
   private val Jan15 = 1705276800000L
   private val Jan20 = 1705708800000L
@@ -267,12 +267,51 @@ object TsdbQueries {
   )
 
   // DuckDB oracle — `events` is the parquet table registered by the driver.
-  private val P =
+  private[queries] val P =
     "SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms, value FROM events"
-  private val PD = // deduped to one sample per (event_type, ms)
+  private[queries] val PD = // deduped to one sample per (event_type, ms)
     "SELECT event_type, epoch_ns(ts)//1000000 AS ts_ms, arg_max(value, event_id) AS value FROM events GROUP BY 1, 2"
-  private val Grid =
+  private[queries] val Grid =
     s"SELECT unnest(generate_series(${Start}, ${End}, ${Hour})) AS eval_ms"
+
+  /** WITH-fragment computing hourly extrapolated rates per event_type into
+    * `fin` (columns incl. eval_ms, n_samples, delta, inc) — shared by the
+    * w3 oracle and the w6 subquery oracle.
+    */
+  private[queries] val RateFinSql = s"""
+      pts AS ($PD), prev AS (
+        SELECT event_type, ts_ms, value,
+          lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts
+        FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms)
+      ), grid AS ($Grid), agg AS (
+        SELECT event_type, eval_ms, count(value) AS n_samples,
+          min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
+          (min(struct_pack(t := ts_ms, v := value))).v AS first_val,
+          (max(struct_pack(t := ts_ms, v := value))).v AS last_val,
+          sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > eval_ms - ${Hour}
+                AND prev_val IS NOT NULL AND value < prev_val
+              THEN prev_val ELSE 0.0 END) AS corr
+        FROM prev JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+        GROUP BY 1, 2 HAVING count(value) >= 2
+      ), ext AS (
+        SELECT *, last_val - first_val + corr AS delta,
+          CAST(last_ts - first_ts AS DOUBLE) AS si,
+          CAST(first_ts - (eval_ms - ${Hour}) AS DOUBLE) AS ds0,
+          CAST(eval_ms - last_ts AS DOUBLE) AS de,
+          CAST(last_ts - first_ts AS DOUBLE) / CAST(n_samples - 1 AS DOUBLE) AS ad
+        FROM agg
+      ), ext2 AS (
+        SELECT *,
+          CASE WHEN ds0 >= ad * 1.1 THEN ad / 2.0 ELSE ds0 END AS es0,
+          CASE WHEN de >= ad * 1.1 THEN ad / 2.0 ELSE de END AS ee,
+          CASE WHEN delta > 0 AND first_val >= 0
+            THEN si * (first_val / delta) END AS dz
+        FROM ext
+      ), fin AS (
+        SELECT *, delta * ((si +
+            (CASE WHEN dz IS NOT NULL AND dz < es0 THEN dz ELSE es0 END) +
+            ee) / si) AS inc
+        FROM ext2)"""
 
   def oracleSql: Map[String, String] = Map(
     "a1_downsample_5m" -> s"""
@@ -334,39 +373,7 @@ object TsdbQueries {
       GROUP BY 1, 2""",
 
     "w3_rate_1h" -> s"""
-      WITH pts AS ($PD), prev AS (
-        SELECT event_type, ts_ms, value,
-          lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts
-        FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms)
-      ), grid AS ($Grid), agg AS (
-        SELECT event_type, eval_ms, count(value) AS n_samples,
-          min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
-          (min(struct_pack(t := ts_ms, v := value))).v AS first_val,
-          (max(struct_pack(t := ts_ms, v := value))).v AS last_val,
-          sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > eval_ms - ${Hour}
-                AND prev_val IS NOT NULL AND value < prev_val
-              THEN prev_val ELSE 0.0 END) AS corr
-        FROM prev JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
-        GROUP BY 1, 2 HAVING count(value) >= 2
-      ), ext AS (
-        SELECT *, last_val - first_val + corr AS delta,
-          CAST(last_ts - first_ts AS DOUBLE) AS si,
-          CAST(first_ts - (eval_ms - ${Hour}) AS DOUBLE) AS ds0,
-          CAST(eval_ms - last_ts AS DOUBLE) AS de,
-          CAST(last_ts - first_ts AS DOUBLE) / CAST(n_samples - 1 AS DOUBLE) AS ad
-        FROM agg
-      ), ext2 AS (
-        SELECT *,
-          CASE WHEN ds0 >= ad * 1.1 THEN ad / 2.0 ELSE ds0 END AS es0,
-          CASE WHEN de >= ad * 1.1 THEN ad / 2.0 ELSE de END AS ee,
-          CASE WHEN delta > 0 AND first_val >= 0
-            THEN si * (first_val / delta) END AS dz
-        FROM ext
-      ), fin AS (
-        SELECT *, delta * ((si +
-            (CASE WHEN dz IS NOT NULL AND dz < es0 THEN dz ELSE es0 END) +
-            ee) / si) AS inc
-        FROM ext2)
+      WITH $RateFinSql
       SELECT event_type, eval_ms, n_samples, round(delta, 6) AS delta_raw,
         round(inc, 6) AS increase, round(inc / 3600.0, 6) AS rate
       FROM fin""",
