@@ -1,0 +1,114 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.Downsample
+
+/** Physical storage layout (SURVEY §2.1 S8/S9, §2.8 T9, §3.4 A5).
+  *
+  * The reference stores XOR-chunked rows in Cassandra partitioned by
+  * (metric_id, 5-day base_ts) with per-write TTL (`cassandra/tsdb/write.go:
+  * 195-325`, `tsdb.go:39-41`); the Spark-native layout is date-partitioned
+  * parquet, where:
+  *  - partition pruning replaces the reference's base_ts loop arithmetic
+  *    (`read.go:274-291`) — a time-range query only lists/scans the
+  *    matching `day=` directories;
+  *  - Parquet encodings (delta-binary-packed ts, byte-stream-split doubles,
+  *    zstd) replace the hand-rolled Gorilla/XOR chunk codec;
+  *  - retention (the reference's TTL, `config/default.go:36`) is partition
+  *    lifecycle: dropping whole `day=` directories, never row rewrites;
+  *  - the pre-aggregation job (`cassandra/tsdb/aggregate.go:35-119`) is a
+  *    set-oriented batch: read raw beyond the watermark, downsample, append
+  *    to `agg_5m`, advance the watermark — no id-shards, no locks (Spark
+  *    task parallelism replaces the 60-shard round-robin).
+  *
+  * At 100 TB: writes repartition by day so each partition is written by
+  * its own tasks (the day count bounds file count × shuffle partitions),
+  * and `sortWithinPartitions(series, ts)` keeps rows clustered for
+  * row-group statistics pruning on series columns.
+  */
+object Store {
+
+  /** S8 — persist points date-partitioned, series-clustered. */
+  def writePoints(points: DataFrame, path: String,
+      series: Seq[String]): Unit =
+    points
+      .withColumn("day", to_date(timestamp_millis(col("ts_ms"))))
+      .repartition(col("day"))
+      .sortWithinPartitions((series.map(col) :+ col("ts_ms")): _*)
+      .write.partitionBy("day").mode(SaveMode.Overwrite).parquet(path)
+
+  /** Read back with partition pruning for a time range. */
+  def readPoints(spark: SparkSession, path: String,
+      fromMs: Long, toMs: Long): DataFrame =
+    spark.read.parquet(path)
+      .where(col("day").between(
+        to_date(timestamp_millis(lit(fromMs))),
+        to_date(timestamp_millis(lit(toMs)))) &&
+        col("ts_ms").between(fromMs, toMs))
+
+  /** A5/S9 — incremental pre-aggregation job: downsample raw points in
+    * [watermark, batchEnd) into agg_5m (partitioned by month), advance the
+    * watermark. Repeated runs are no-ops until new data lands. Returns the
+    * new watermark (`fullyAggregatedAt`, reference `read.go:112-123`).
+    */
+  def runPreAggJob(spark: SparkSession, pointsPath: String, aggPath: String,
+      series: Seq[String], batchEndMs: Long,
+      resolutionMs: Long = Downsample.DefaultResolutionMs): Long = {
+    val wm = readWatermark(aggPath)
+    val end = batchEndMs - batchEndMs % resolutionMs // only whole buckets
+    if (end <= wm) return wm
+    val raw = readPoints(spark, pointsPath, wm, end - 1)
+    val agg = Downsample(raw, series.map(col), col("ts_ms"), col("value"),
+        resolutionMs)
+      .withColumn("month", date_format(timestamp_millis(col("bucket_ms")),
+        "yyyy-MM"))
+    agg.repartition(col("month"))
+      .write.partitionBy("month").mode(SaveMode.Append).parquet(aggPath)
+    writeWatermark(aggPath, end)
+    end
+  }
+
+  /** T9 — retention by partition drop: remove day partitions strictly
+    * before the cutoff. No row-level rewrite — O(expired partitions).
+    */
+  def applyRetention(pointsPath: String, cutoffMs: Long): Seq[String] = {
+    val cutoffDay = java.time.Instant.ofEpochMilli(cutoffMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val root = Paths.get(pointsPath)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val dropped = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("day="))
+      .filter { p =>
+        val d = java.time.LocalDate.parse(
+          p.getFileName.toString.stripPrefix("day="))
+        d.isBefore(cutoffDay)
+      }.toSeq
+    dropped.foreach { p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+    }
+    dropped.map(_.getFileName.toString)
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  /** The `fullyAggregatedAt` control value, kept beside the agg table. */
+  def readWatermark(aggPath: String): Long = {
+    val p = Paths.get(aggPath, "_watermark")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  private def writeWatermark(aggPath: String, wm: Long): Unit = {
+    Files.createDirectories(Paths.get(aggPath))
+    Files.writeString(Paths.get(aggPath, "_watermark"), wm.toString)
+  }
+}

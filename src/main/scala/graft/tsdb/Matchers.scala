@@ -52,26 +52,44 @@ object Matchers {
     else None
   }
 
-  /** Compile one matcher against a concrete string column. */
+  /** Compile one matcher against a concrete string column.
+    *
+    * Missing label (null) behaves as the empty string (prometheus#3575) —
+    * but compiled null-AWARE rather than via a blanket `coalesce(l, '')`:
+    * a coalesce-wrapped predicate cannot be pushed into the parquet scan
+    * (`PushedFilters: []`), which at 100 TB means reading row groups the
+    * statistics would have skipped. Each case below adds the null branch
+    * only when the empty string would actually match.
+    */
   def predicate(labelCol: Column, m: Matcher): Column = {
-    val v = coalesce(labelCol, lit("")) // missing label == empty value
+    val l = labelCol
+    def nullMatches(matchesEmpty: Boolean, base: Column): Column =
+      if (matchesEmpty) l.isNull || base else l.isNotNull && base
+    def emptyMatchesRe(p: String): Boolean =
+      java.util.regex.Pattern.matches(anchor(p), "")
     m match {
-      case MatchEq(_, value)  => v === value
-      case MatchNeq(_, value) => v =!= value
+      case MatchEq(_, "")     => l.isNull || l === ""
+      case MatchEq(_, value)  => l === value // null fails naturally
+      case MatchNeq(_, "")    => l.isNotNull && l =!= ""
+      case MatchNeq(_, value) => l.isNull || l =!= value
       case MatchRe(_, p) =>
-        literalAlternates(p) match {
-          case Some(lits) => v.isin(lits: _*)
-          case None       => v.rlike(anchor(p))
+        val base = literalAlternates(p) match {
+          case Some(lits) => l.isin(lits: _*)
+          case None       => l.rlike(anchor(p))
         }
+        nullMatches(emptyMatchesRe(p), base)
       case MatchNre(_, p) =>
-        literalAlternates(p) match {
-          case Some(lits) => !v.isin(lits: _*)
-          case None       => !v.rlike(anchor(p))
+        val base = literalAlternates(p) match {
+          case Some(lits) => !l.isin(lits: _*)
+          case None       => !l.rlike(anchor(p))
         }
+        nullMatches(!emptyMatchesRe(p), base)
       case MatchIn(_, values) =>
-        if (values.isEmpty) lit(false) else v.isin(values: _*)
+        if (values.isEmpty) lit(false)
+        else nullMatches(values.contains(""), l.isin(values: _*))
       case MatchNotIn(_, values) =>
-        if (values.isEmpty) lit(true) else !v.isin(values: _*)
+        if (values.isEmpty) lit(true)
+        else nullMatches(!values.contains(""), !l.isin(values: _*))
     }
   }
 

@@ -1,0 +1,68 @@
+package graft
+
+/** Plan-shape regression tests: the properties that keep these operators
+  * viable at 100 TB — filters reaching the parquet scan, dimension joins
+  * broadcasting, and grid evaluation compiling to explode+hash-aggregate
+  * instead of a broadcast nested-loop join. `.explain` output is asserted
+  * so a refactor that silently degrades the plan fails here, not on a
+  * cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("s4 raw scan pushes id + time filters into the parquet scan") {
+    val p = plan("s4_raw_scan")
+    // a NON-EMPTY pushed-filter list naming the id column
+    assert(p.contains("In(user_id"), p)
+    // no shuffle at all for a pure scan+filter
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("matcher predicates stay pushable (no coalesce wrapper)") {
+    val p = plan("f1_matchers")
+    assert(p.contains("In(event_type"), p)
+  }
+
+  test("j1 dimension join broadcasts the series dim") {
+    val p = plan("j1_points_join_series")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("tpch_q5 uses broadcast joins for dims, never a cartesian product") {
+    val p = plan("tpch_q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("grid evaluation (w1/w2/rate) has no broadcast nested-loop join") {
+    for (q <- Seq("w1_instant_lookback", "w2_range_agg", "w3_rate_1h")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q compiled to a nested-loop grid join")
+      assert(p.contains("Generate explode"), s"$q lost the step explode")
+    }
+  }
+
+  test("downsample is a single partial+final hash aggregate") {
+    val p = plan("a1_downsample_5m")
+    // one shuffle: exactly one hashpartitioning exchange
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).length
+    assert(shuffles === 1, s"expected 1 shuffle, plan:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("matcher queries keep whole-stage codegen in the scan path") {
+    // AQE hides codegen until the final plan: execute first
+    val df = SparkEntry.queries("f1_matchers")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the tree string
+    assert(p.contains("*("), p)
+  }
+}

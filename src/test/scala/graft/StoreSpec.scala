@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.store.Store
+import graft.tsdb.{Downsample, PreAgg}
+
+/** Storage layout: partitioned write (S8), partition-drop retention (T9),
+  * and the incremental pre-aggregation job with watermark (A5/S9), wired
+  * into the raw↔agg routed read (A2/A4).
+  */
+class StoreSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val tmp = Files.createTempDirectory("graft_store").toString
+  private lazy val pointsPath = s"$tmp/points"
+  private lazy val aggPath = s"$tmp/agg_5m"
+  private val series = Seq("event_type")
+
+  private lazy val pts = Tables.points(spark, sfDir)
+    .select("event_type", "ts_ms", "value")
+
+  test("S8: write is date-partitioned; day directories exist") {
+    Store.writePoints(pts, pointsPath, series)
+    val days = Files.list(Paths.get(pointsPath)).iterator()
+    var names = List.empty[String]
+    while (days.hasNext) names ::= days.next().getFileName.toString
+    assert(names.count(_.startsWith("day=2024-01-")) === 30)
+  }
+
+  test("read prunes partitions and preserves every row in range") {
+    val from = 1704844800000L // 2024-01-10
+    val to = 1705708799999L // 2024-01-19 end
+    val got = Store.readPoints(spark, pointsPath, from, to).count()
+    val want = pts.where(col("ts_ms").between(from, to)).count()
+    assert(got === want && got > 0)
+    // and the physical plan only lists the matching day partitions
+    val plan = Store.readPoints(spark, pointsPath, from, to)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
+  test("A5: pre-agg job is incremental and watermarked") {
+    val wm1 = Store.runPreAggJob(spark, pointsPath, aggPath, series,
+      1705708800000L) // 2024-01-20
+    assert(wm1 === 1705708800000L)
+    val n1 = spark.read.parquet(aggPath).count()
+    assert(n1 > 0)
+    // re-run with the same end: no-op
+    val wm2 = Store.runPreAggJob(spark, pointsPath, aggPath, series,
+      1705708800000L)
+    assert(wm2 === wm1)
+    assert(spark.read.parquet(aggPath).count() === n1)
+    // advance: only the new window is appended
+    val wm3 = Store.runPreAggJob(spark, pointsPath, aggPath, series,
+      1706659200000L) // 2024-01-31
+    assert(wm3 === 1706659200000L)
+    val all = spark.read.parquet(aggPath)
+    // stored agg == downsampling everything in one go
+    val direct = Downsample(pts, series.map(col), col("ts_ms"), col("value"))
+    assert(all.count() === direct.count())
+    val merged = all.groupBy("event_type")
+      .agg(sum("count").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = pts.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === want)
+  }
+
+  test("A2/A4: routed read over the stored agg matches the raw aggregate") {
+    val wm = Store.readWatermark(aggPath)
+    // simulate a mid-stream watermark: use a past one so a raw tail exists
+    val midWm = 1705708800000L
+    val agg = spark.read.parquet(aggPath)
+      .select((series.map(col) :+ col("bucket_ms") :+ col("min") :+
+        col("max") :+ col("avg") :+ col("count")): _*)
+    val routed = PreAgg.routed(pts, agg, series, midWm)
+    val merged = PreAgg.mergeBuckets(routed, series)
+    val got = merged.select("event_type", "count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = pts.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(wm === 1706659200000L)
+  }
+
+  test("T9: retention drops whole day partitions, keeps the rest") {
+    val cutoff = 1704844800000L // 2024-01-10
+    val dropped = Store.applyRetention(pointsPath, cutoff)
+    assert(dropped.toSet === (1 to 9)
+      .map(d => f"day=2024-01-$d%02d").toSet)
+    val left = Store.readPoints(spark, pointsPath, 0L, 4102444800000L)
+    assert(left.count() ===
+      pts.where(col("ts_ms") >= cutoff).count())
+  }
+}
