@@ -101,6 +101,29 @@ object Store {
     }
   }
 
+  /** J2 — series get-or-create (reference `cassandra/index/index.go:
+    * 1366-1538` under a global lock): new label-sets are appended with
+    * stateless hash ids (xxhash64 of the canonical label string), so
+    * creation needs no lock and no id sequence — idempotent across
+    * concurrent writers, shard-friendly at 100 TB ingest. Returns the
+    * number of newly created series.
+    */
+  def upsertSeries(spark: SparkSession, dimPath: String,
+      incoming: DataFrame, labelCols: Seq[String]): Long = {
+    val withId = incoming.select(labelCols.map(col): _*).distinct()
+      .withColumn("metric_id",
+        xxhash64(concat_ws("", labelCols.map(c => col(c).cast("string")): _*)))
+    val fresh =
+      if (Files.isDirectory(Paths.get(dimPath)))
+        withId.join(spark.read.parquet(dimPath).select("metric_id"),
+          Seq("metric_id"), "left_anti")
+      else withId
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode(SaveMode.Append).parquet(dimPath)
+    n
+  }
+
   /** The `fullyAggregatedAt` control value, kept beside the agg table. */
   def readWatermark(aggPath: String): Long = {
     val p = Paths.get(aggPath, "_watermark")

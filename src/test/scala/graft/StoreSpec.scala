@@ -86,6 +86,20 @@ class StoreSpec extends SparkSpec {
     assert(wm === 1706659200000L)
   }
 
+  test("J2: series get-or-create is idempotent with stable hash ids") {
+    val dimPath = s"$tmp/series_dim"
+    val first = Store.upsertSeries(spark, dimPath,
+      Tables.points(spark, sfDir), Seq("user_id", "event_type"))
+    assert(first > 0)
+    // same input again: nothing created
+    val second = Store.upsertSeries(spark, dimPath,
+      Tables.points(spark, sfDir), Seq("user_id", "event_type"))
+    assert(second === 0L)
+    val dim = spark.read.parquet(dimPath)
+    assert(dim.count() === first)
+    assert(dim.select("metric_id").distinct().count() === first) // no collisions
+  }
+
   test("T9: retention drops whole day partitions, keeps the rest") {
     val cutoff = 1704844800000L // 2024-01-10
     val dropped = Store.applyRetention(pointsPath, cutoff)
