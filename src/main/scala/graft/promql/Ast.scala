@@ -1,0 +1,50 @@
+package graft.promql
+
+import graft.tsdb.Matcher
+
+/** PromQL AST for the supported grammar subset (SURVEY §7.1 layer 6):
+  *
+  * {{{
+  * expr     := binary
+  * binary   := unary (op modifiers unary)*        op ∈ + - * /
+  * modifiers:= [on(l,…) | ignoring(l,…)] [group_left]
+  * unary    := number | '(' expr ')' | agg | func | selector
+  * agg      := (sum|avg|min|max|count) [by(l,…)|without(l,…)] '(' expr ')'
+  * func     := (rate|increase|delta|avg_over_time|min_over_time|
+  *              max_over_time|sum_over_time|count_over_time|last_over_time)
+  *             '(' selector '[' duration ']' ')'
+  * selector := name? '{' matcher (',' matcher)* '}' ['[' duration ']']
+  *             ['offset' duration]
+  * matcher  := label (= | != | =~ | !~) quoted-string
+  * }}}
+  *
+  * The reference gets this grammar from the embedded Prometheus engine
+  * (`api/promql/engine.go:27`); this front-end re-expresses it so the
+  * compiler can emit DataFrame plans.
+  */
+sealed trait Expr
+
+final case class NumLit(v: Double) extends Expr
+
+/** `name` compiles to a matcher on the reserved `__name__` label. */
+final case class Selector(
+    name: Option[String],
+    matchers: Seq[Matcher],
+    rangeMs: Option[Long],
+    offsetMs: Long) extends Expr
+
+final case class FuncCall(fn: String, sel: Selector) extends Expr
+
+final case class Agg(
+    op: String,
+    by: Seq[String],
+    without: Boolean,
+    body: Expr) extends Expr
+
+final case class BinOp(
+    op: String,
+    lhs: Expr,
+    rhs: Expr,
+    on: Seq[String],
+    ignoring: Seq[String],
+    groupLeft: Boolean) extends Expr

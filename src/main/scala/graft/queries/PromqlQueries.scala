@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.ScalarFns
+import graft.promql.{Compiler, EvalParams, PromSource}
 import graft.tsdb._
 
 /** PromQL-evaluation queries beyond the storage operators: binary ops with
@@ -30,7 +31,49 @@ object PromqlQueries {
 
   private val HistLes = Seq(50.0, 100.0, 200.0, 500.0, Double.PositiveInfinity)
 
+  /** Deduped per-(user_id, event_type) series for the PromQL compiler. */
+  private def ptsBySeries(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .groupBy("user_id", "event_type", "ts_ms")
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+
+  private def srcByType(s: SparkSession, dir: String): PromSource =
+    PromSource(ptsByType(s, dir), Seq("event_type"), {
+      case "__name__" => lit("events")
+      case "event_type" => col("event_type")
+    })
+
+  private def srcBySeries(s: SparkSession, dir: String): PromSource =
+    PromSource(ptsBySeries(s, dir), Seq("user_id", "event_type"), {
+      case "__name__" => lit("events")
+      case "event_type" => col("event_type")
+      case "user_id" => col("user_id").cast("string")
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PromQL end-to-end: parse → compile → DataFrame plan (SURVEY §7.1.6)
+    "pql1_rate_sum" -> ((s, dir) =>
+      Compiler.compile(
+        """sum by (event_type) (rate(events{event_type=~"click|view"}[1h]))""",
+        srcByType(s, dir), EvalParams(Start, End, Hour))
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("rate_v"))),
+
+    "pql2_over_time" -> ((s, dir) =>
+      Compiler.compile(
+        """max_over_time(events{event_type="purchase"}[6h])""",
+        srcByType(s, dir), EvalParams(Start, End, SixH))
+        .select(col("event_type"), col("eval_ms"), col("value").as("max_v"))),
+
+    "pql3_binop_ratio" -> ((s, dir) =>
+      Compiler.compile(
+        """sum by (user_id) (events{event_type="click"})
+           / on(user_id) sum by (user_id) (events)""",
+        srcBySeries(s, dir),
+        EvalParams(Start, End, 86400000L, lookbackMs = Hour))
+        .select(col("user_id"), col("eval_ms"),
+          round(col("value"), 6).as("ratio"))),
+
     // J4 — one-to-one vector matching on(user_id): clicks - purchases
     "j4_binop_one2one" -> ((s, dir) => {
       val p = pts(s, dir)
@@ -150,6 +193,37 @@ object PromqlQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "pql1_rate_sum" -> s"""
+      WITH $RateFinSql
+      SELECT event_type, eval_ms, round(inc / 3600.0, 6) AS rate_v
+      FROM fin WHERE event_type IN ('click', 'view')""",
+
+    "pql2_over_time" -> s"""
+      WITH pts AS ($PD),
+      grid AS (SELECT unnest(generate_series(${Start}, ${End}, ${SixH}))
+        AS eval_ms)
+      SELECT event_type, eval_ms, max(value) AS max_v
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${SixH}
+      WHERE event_type = 'purchase'
+      GROUP BY 1, 2""",
+
+    "pql3_binop_ratio" -> s"""
+      WITH pts AS (SELECT user_id, event_type,
+        epoch_ns(ts)//1000000 AS ts_ms, arg_max(value, event_id) AS value
+        FROM events GROUP BY 1, 2, 3),
+      grid AS (SELECT unnest(generate_series(${Start}, ${End}, 86400000))
+        AS eval_ms),
+      inst AS (SELECT user_id, event_type, eval_ms,
+        (max(struct_pack(t := ts_ms, v := value))).v AS value
+        FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+        GROUP BY 1, 2, 3),
+      num AS (SELECT user_id, eval_ms, sum(value) AS v FROM inst
+        WHERE event_type = 'click' GROUP BY 1, 2),
+      den AS (SELECT user_id, eval_ms, sum(value) AS v FROM inst
+        GROUP BY 1, 2)
+      SELECT user_id, eval_ms, round(num.v / den.v, 6) AS ratio
+      FROM num JOIN den USING (user_id, eval_ms)""",
+
     "j4_binop_one2one" -> s"""
       WITH pts AS ($P),
       c AS (SELECT user_id,

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.promql._
+import graft.tsdb._
+
+/** PromQL front-end: parser AST shapes, error positions, and compile
+  * equivalence — every construct must produce the same rows as the
+  * directly-built operator pipeline it lowers onto.
+  */
+class PromqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val pts = Tables.points(spark, sfDir)
+    .groupBy("event_type", "ts_ms")
+    .agg(max_by(col("value"), col("event_id")).as("value"))
+
+  private lazy val src = PromSource(pts, Seq("event_type"), {
+    case "__name__" => lit("events")
+    case "event_type" => col("event_type")
+  })
+
+  private val Start = 1704067200000L
+  private val End = 1706659200000L
+  private val Hour = 3600000L
+  private val p = EvalParams(Start, End, Hour)
+
+  private def rows(df: DataFrame): Set[(String, Long, Double)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("parser: aggregation over rate over matcher selector") {
+    val e = Parser.parse(
+      """sum by (event_type) (rate(events{event_type=~"click|view"}[1h]))""")
+    assert(e === Agg("sum", Seq("event_type"), without = false,
+      FuncCall("rate", Selector(Some("events"),
+        Seq(MatchRe("event_type", "click|view")), Some(3600000L), 0L))))
+  }
+
+  test("parser: offset, durations, binary modifiers") {
+    val e = Parser.parse("""foo{a="1"} offset 90m / on(x) group_left bar""")
+    assert(e === BinOp("/",
+      Selector(Some("foo"), Seq(MatchEq("a", "1")), None, 5400000L),
+      Selector(Some("bar"), Seq.empty, None, 0L),
+      Seq("x"), Seq.empty, groupLeft = true))
+    assert(Parser.parse("rate(m[1h30m])") ===
+      FuncCall("rate", Selector(Some("m"), Seq.empty, Some(5400000L), 0L)))
+  }
+
+  test("parser: malformed input fails with position") {
+    for (bad <- Seq("rate(m)", "sum by (", """m{a=}""", "1 + ", "m[5x]"))
+      intercept[Exception](Parser.parse(bad))
+  }
+
+  test("compile: instant selector == instantBucketed") {
+    val got = Compiler.compile("""events{event_type="click"}""", src, p)
+    val want = RangeWindows.instantBucketed(
+      pts.where(col("event_type") === "click"), Seq("event_type"),
+      Start, End, Hour, p.lookbackMs)
+    assert(rows(got) === rows(want))
+    assert(got.count() > 0)
+  }
+
+  test("compile: rate == Rate.overSteps") {
+    val got = Compiler.compile("rate(events[1h])", src, p)
+    val want = Rate.overSteps(pts, Seq("event_type"), Start, End, Hour, Hour)
+      .select(col("event_type"), col("eval_ms"), col("rate").as("value"))
+    assert(rows(got) === rows(want))
+  }
+
+  test("compile: sum by == groupBy over the inner plan; scalar arithmetic") {
+    val got = Compiler.compile(
+      "sum by (event_type) (rate(events[1h])) * 60", src, p)
+    val want = Rate.overSteps(pts, Seq("event_type"), Start, End, Hour, Hour)
+      .groupBy("event_type", "eval_ms")
+      .agg(sum(col("rate")).as("value"))
+      .withColumn("value", col("value") * 60)
+    assert(rows(got) === rows(want))
+  }
+
+  test("compile: vector/vector division joins on shared labels + step") {
+    val got = Compiler.compile(
+      """events{event_type="click"} / on(event_type) events{event_type="click"}""",
+      src, p)
+    // x / x == 1 everywhere the series exists
+    val vals = got.select("value").distinct().collect().map(_.getDouble(0))
+    assert(vals.toSeq === Seq(1.0))
+  }
+
+  test("compile: count_over_time and offset shift") {
+    val got = Compiler.compile("count_over_time(events[1d] offset 1d)", src, p)
+    val want = RangeWindows.rangeBucketed(
+      pts.withColumn("ts_ms", col("ts_ms") + 86400000L), Seq("event_type"),
+      Start, End, Hour, 86400000L,
+      Seq("value" -> (c => count(c).cast("double"))))
+    assert(rows(got) === rows(want))
+  }
+}
