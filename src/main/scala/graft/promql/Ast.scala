@@ -9,7 +9,8 @@ import graft.tsdb.Matcher
   * binary   := unary (op modifiers unary)*        op ∈ + - * /
   * modifiers:= [on(l,…) | ignoring(l,…)] [group_left]
   * unary    := number | '(' expr ')' | agg | func | selector
-  * agg      := (sum|avg|min|max|count) [by(l,…)|without(l,…)] '(' expr ')'
+  * agg      := (sum|avg|min|max|count|topk|quantile)
+  *             [by(l,…)|without(l,…)] '(' [param ','] expr ')'
   * func     := (rate|increase|delta|avg_over_time|min_over_time|
   *              max_over_time|sum_over_time|count_over_time|last_over_time)
   *             '(' selector '[' duration ']' ')'
@@ -39,7 +40,8 @@ final case class Agg(
     op: String,
     by: Seq[String],
     without: Boolean,
-    body: Expr) extends Expr
+    body: Expr,
+    param: Option[Double] = None) extends Expr
 
 final case class BinOp(
     op: String,

@@ -97,22 +97,41 @@ object Compiler {
         }
         Vec(df, src.labelCols, scalar = false)
 
-      case Agg(op, by, without, body) =>
+      case Agg(op, by, without, body, param) =>
         val inner = compileVec(body, src, p)
         val groupLabels =
           if (without) inner.labels.filterNot(by.contains)
           else by.filter(inner.labels.contains)
-        val aggCol: Column = op match {
-          case "sum" => sum(col("value"))
-          case "avg" => avg(col("value"))
-          case "min" => min(col("value"))
-          case "max" => max(col("value"))
-          case "count" => count(col("value")).cast("double")
+        op match {
+          case "topk" =>
+            // keep the full label set; rank within (group, step)
+            val k = param.getOrElse(
+              throw new IllegalArgumentException("topk needs k")).toInt
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy((groupLabels.map(col) :+ col("eval_ms")): _*)
+              .orderBy(col("value").desc,
+                struct(inner.labels.map(col): _*).asc)
+            val df = inner.df
+              .withColumn("__rk", row_number().over(w))
+              .where(col("__rk") <= k).drop("__rk")
+            Vec(df, inner.labels, scalar = false)
+          case _ =>
+            val aggCol: Column = op match {
+              case "sum" => sum(col("value"))
+              case "avg" => avg(col("value"))
+              case "min" => min(col("value"))
+              case "max" => max(col("value"))
+              case "count" => count(col("value")).cast("double")
+              case "quantile" =>
+                org.apache.spark.sql.functions.expr(
+                  s"percentile(value, ${param.getOrElse(
+                    throw new IllegalArgumentException("quantile needs q"))})")
+            }
+            val df = inner.df
+              .groupBy((groupLabels.map(col) :+ col("eval_ms")): _*)
+              .agg(aggCol.as("value"))
+            Vec(df, groupLabels, scalar = false)
         }
-        val df = inner.df
-          .groupBy((groupLabels.map(col) :+ col("eval_ms")): _*)
-          .agg(aggCol.as("value"))
-        Vec(df, groupLabels, scalar = false)
 
       case BinOp(op, lhs, rhs, on, ignoring, _) =>
         val l = compileVec(lhs, src, p)

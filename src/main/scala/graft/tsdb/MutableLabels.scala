@@ -47,3 +47,33 @@ final case class MutableMapping(
     }.flatten.toSeq.distinct.sorted
   }
 }
+
+/** M4 — provider: mutable-label definitions kept as a small dimension
+  * table `(tenant, name, target_name, value, associated_value)` (the Spark
+  * analogue of `cassandra/mutable/provider.go`'s Cassandra tables, one row
+  * per association). Collected to the driver once per query compilation —
+  * the rewrite happens before plan construction, exactly like the
+  * reference's cache-backed provider; the dimension is tenant-scoped and
+  * tiny by construction.
+  */
+object MutableProvider {
+  def mappings(dim: org.apache.spark.sql.DataFrame,
+      tenant: String): Seq[MutableMapping] = {
+    import org.apache.spark.sql.functions.col
+    dim.where(col("tenant") === tenant)
+      .select("name", "target_name", "value", "associated_value")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case ((name, target), rows) =>
+        MutableMapping(tenant, name, target,
+          rows.groupBy(_.getString(2))
+            .map { case (v, rs) => v -> rs.map(_.getString(3)).toSeq.sorted }
+            .toMap)
+      }.toSeq
+  }
+
+  /** Apply every mapping's rewrite in sequence (names are disjoint). */
+  def rewriteAll(ms: Seq[Matcher],
+      mappings: Seq[MutableMapping]): Seq[Matcher] =
+    mappings.foldLeft(ms)((acc, m) => m.rewrite(acc))
+}

@@ -94,4 +94,19 @@ class MutableLabelsSpec extends SparkSpec {
     assert(mapping.rewrite(Seq(MatchEq("etype", "click"))) ===
       Seq(MatchEq("etype", "click")))
   }
+
+  test("M4 provider builds tenant-scoped mappings from a dimension table") {
+    import spark.implicits._
+    val dim = Seq(
+      ("t1", "group", "etype", "interactive", "view"),
+      ("t1", "group", "etype", "interactive", "click"),
+      ("t2", "group", "etype", "interactive", "error"))
+      .toDF("tenant", "name", "target_name", "value", "associated_value")
+    val ms = MutableProvider.mappings(dim, "t1")
+    assert(ms.size === 1)
+    assert(ms.head.values === Map("interactive" -> Seq("click", "view")))
+    assert(MutableProvider.rewriteAll(
+      Seq(MatchEq("group", "interactive")), ms) ===
+      Seq(MatchIn("etype", Seq("click", "view"))))
+  }
 }

@@ -90,6 +90,25 @@ class PromqlSpec extends SparkSpec {
     assert(vals.toSeq === Seq(1.0))
   }
 
+  test("compile: topk keeps full labels; quantile groups") {
+    val top = Compiler.compile(
+      "topk(2, sum by (event_type) (rate(events[1h])))", src, p)
+    // at most 2 rows per eval step (single grouping: all-to-one)
+    val counts = top.groupBy("eval_ms").count()
+      .select(max("count")).head().getLong(0)
+    assert(counts <= 2L)
+    val q = Compiler.compile(
+      "quantile(0.5, events)", src, p)
+    assert(q.columns.toSeq === Seq("eval_ms", "value"))
+    assert(q.count() > 0)
+  }
+
+  test("parser: topk/quantile parameter syntax") {
+    assert(Parser.parse("topk(3, m)") ===
+      Agg("topk", Seq.empty, without = false,
+        Selector(Some("m"), Seq.empty, None, 0L), Some(3.0)))
+  }
+
   test("compile: count_over_time and offset shift") {
     val got = Compiler.compile("count_over_time(events[1d] offset 1d)", src, p)
     val want = RangeWindows.rangeBucketed(
