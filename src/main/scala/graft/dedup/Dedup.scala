@@ -90,12 +90,14 @@ object Dedup {
     val sh = docs.select(col(id).as("jd_id"),
       explode(shingles(col(text), shingleLen)).as("sh"))
     val sizes = sh.groupBy("jd_id").agg(count(lit(1)).as("n_sh"))
-    // intersection size per pair
+    // Intersection size per pair. BOTH the pair id and the shingle value
+    // are join keys: joining on doc ids alone and filtering sh_a == sh_b
+    // afterwards materializes an |sh_a|×|sh_b| cross product per pair
+    // (observed 20× slowdown at sf0.1) — the equi-join on (doc, sh) keeps
+    // it a hash join on composite keys.
     val inter = pairs
-      .join(sh.withColumnRenamed("jd_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("jd_id", "doc_b").withColumnRenamed("sh", "sh_b"),
-        Seq("doc_b"))
-      .where(col("sh_a") === col("sh_b"))
+      .join(sh.select(col("jd_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("jd_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     // Left-join sizes: a doc shorter than the shingle length has an empty
