@@ -34,6 +34,10 @@ object Ann {
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries  (vec_id, embedding) — small, broadcast
     * @param corpus   (vec_id, embedding) — large, streamed
+    *
+    * The ranking is a bounded-state [[TopKAgg]] — partial aggregation
+    * ships k candidates per map task instead of windowing the full scored
+    * set through one shuffle (see TopKAgg scaladoc).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
@@ -43,13 +47,21 @@ object Ann {
     val scored = c.join(broadcast(q), col("nn_id") =!= col("q_id"))
       .withColumn("cos",
         cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("nn_id").asc)
+    rankTopK(scored, k)
+  }
+
+  /** Final ranking via the bounded top-k aggregate; output identical to a
+    * `row_number` window over (cos desc, nn_id asc).
+    */
+  private[similarity] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
     scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("nn_id"),
-        col("cos").as("cos_sim")) // raw double: bit-exact cross-engine
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("nn_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nn_id"),
+        col("col.cos").as("cos_sim")) // raw double: bit-exact cross-engine
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
@@ -100,12 +112,6 @@ object Ann {
       .where(col("nn_id") =!= col("q_id"))
       .withColumn("cos",
         cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("nn_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("nn_id"),
-        col("cos").as("cos_sim")) // raw double: bit-exact cross-engine
+    rankTopK(scored, k)
   }
 }

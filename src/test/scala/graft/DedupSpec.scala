@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     assert(cand === Set((1L, 2L)))
   }
 
+  test("TopKAgg: ordered insert, tiebreak, merge, k-truncation") {
+    import graft.similarity.{Scored, TopKAgg}
+    val agg = new TopKAgg(3)
+    val buf = Seq(Scored(0.5, 2L), Scored(0.9, 7L), Scored(0.5, 1L),
+      Scored(0.1, 9L), Scored(0.9, 3L))
+      .foldLeft(agg.zero)(agg.reduce)
+    // desc by cos, asc id on ties, truncated to 3
+    assert(agg.finish(buf) ===
+      Seq(Scored(0.9, 3L), Scored(0.9, 7L), Scored(0.5, 1L)))
+    // merge keeps global order across partial buffers
+    val other = Seq(Scored(0.7, 4L), Scored(0.95, 5L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(buf, other)) ===
+      Seq(Scored(0.95, 5L), Scored(0.9, 3L), Scored(0.9, 7L)))
+    // fewer than k inputs: all kept
+    assert(agg.finish(agg.reduce(agg.zero, Scored(1.0, 1L))) ===
+      Seq(Scored(1.0, 1L)))
+  }
+
   test("simhash: deterministic, and identical docs hash identically") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta")).toDF("doc_id", "text")
