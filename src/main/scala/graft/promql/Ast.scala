@@ -6,7 +6,9 @@ import graft.tsdb.Matcher
   *
   * {{{
   * expr     := binary
-  * binary   := unary (op modifiers unary)*        op ∈ + - * /
+  * binary   := unary (op modifiers unary)*
+  *             op ∈ + - * / == != > < >= <= and or unless
+  *             (precedence: or < and/unless < comparisons < +- < * /)
   * modifiers:= [on(l,…) | ignoring(l,…)] [group_left]
   * unary    := number | '(' expr ')' | agg | func | selector
   * agg      := (sum|avg|min|max|count|topk|quantile)

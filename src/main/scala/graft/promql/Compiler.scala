@@ -133,14 +133,62 @@ object Compiler {
             Vec(df, groupLabels, scalar = false)
         }
 
+      case BinOp(op @ ("and" | "or" | "unless"), lhs, rhs, on, ignoring, _) =>
+        val l = compileVec(lhs, src, p)
+        val r = compileVec(rhs, src, p)
+        val matchOn =
+          if (on.nonEmpty) on
+          else l.labels.intersect(r.labels).filterNot(ignoring.contains)
+        val keys = matchOn :+ "eval_ms"
+        val rKeys = r.df.select(keys.map(col): _*).distinct()
+        val df = op match {
+          case "and" => l.df.join(rKeys, keys, "left_semi")
+          case "unless" => l.df.join(rKeys, keys, "left_anti")
+          case "or" =>
+            require(l.labels == r.labels,
+              "or requires identical label sets in this engine")
+            l.df.unionByName(
+              r.df.join(l.df.select(keys.map(col): _*).distinct(),
+                keys, "left_anti"))
+        }
+        Vec(df, l.labels, scalar = false)
+
       case BinOp(op, lhs, rhs, on, ignoring, _) =>
         val l = compileVec(lhs, src, p)
         val r = compileVec(rhs, src, p)
+        val isCmp = Set("==", "!=", ">", "<", ">=", "<=")(op)
+        def cmp(a: Column, b: Column): Column = op match {
+          case "==" => a === b; case "!=" => a =!= b
+          case ">" => a > b; case "<" => a < b
+          case ">=" => a >= b; case "<=" => a <= b
+        }
         def apply(a: Column, b: Column): Column = op match {
           case "+" => a + b
           case "-" => a - b
           case "*" => a * b
           case "/" => a / b
+        }
+        if (isCmp) {
+          // comparison = filter: keep lhs rows where the predicate holds
+          (l.scalar, r.scalar) match {
+            case (false, true) =>
+              val rv = r.df.head().getDouble(0)
+              return Vec(l.df.where(cmp(col("value"), lit(rv))),
+                l.labels, scalar = false)
+            case (false, false) =>
+              val matchOn =
+                if (on.nonEmpty) on
+                else l.labels.intersect(r.labels).filterNot(ignoring.contains)
+              val keys = matchOn :+ "eval_ms"
+              val rSide = r.df.withColumnRenamed("value", "__rv")
+                .select((keys :+ "__rv").map(col): _*)
+              return Vec(l.df.join(broadcast(rSide), keys)
+                .where(cmp(col("value"), col("__rv"))).drop("__rv"),
+                l.labels, scalar = false)
+            case _ =>
+              throw new IllegalArgumentException(
+                s"unsupported comparison operands for $op")
+          }
         }
         (l.scalar, r.scalar) match {
           case (true, true) =>

@@ -55,6 +55,17 @@ object OlapQueries {
         .limit(10)
     }),
 
+    // pure scan+filter+agg — the pushdown/codegen showcase query
+    "tpch_q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(expr("CAST(l_extendedprice * l_discount AS DECIMAL(28,10))"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
     "tpch_q5_region_revenue" -> ((s, dir) => {
       // dims broadcast; fact tables shuffle once on the join key
       val n = t(s, dir, "nation")
@@ -99,6 +110,16 @@ object OlapQueries {
       GROUP BY 1, 2
       ORDER BY revenue DESC, l_orderkey ASC
       LIMIT 10""",
+
+    "tpch_q6_forecast" -> """
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))
+          AS DOUBLE) AS revenue,
+        count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        AND l_shipdate < TIMESTAMP '1995-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
 
     "tpch_q5_region_revenue" -> """
       SELECT n_name,

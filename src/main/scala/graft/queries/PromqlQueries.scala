@@ -189,7 +189,21 @@ object PromqlQueries {
         .groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"))
         .pivot("event_type",
           Seq("click", "error", "purchase", "signup", "view"))
-        .agg(sumV))
+        .agg(sumV)),
+
+    // S11 import direction: unpivot the export schema back to long rows —
+    // round-trips to the direct (day, series) aggregate
+    "s11_import_unpivot" -> ((s, dir) => {
+      val pivoted = pts(s, dir)
+        .groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sumV)
+      pivoted.select(col("day_ms"), expr(
+        """stack(5, 'click', click, 'error', error, 'purchase', purchase,
+           'signup', signup, 'view', view) AS (event_type, sum_v)"""))
+        .where(col("sum_v").isNotNull)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -349,6 +363,12 @@ object PromqlQueries {
           AS DOUBLE) AS signup,
         CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'view')
           AS DOUBLE) AS view
-      FROM pts GROUP BY 1"""
+      FROM pts GROUP BY 1""",
+
+    "s11_import_unpivot" -> s"""
+      WITH pts AS ($P)
+      SELECT ts_ms - ts_ms % 86400000 AS day_ms, event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM pts GROUP BY 1, 2"""
   )
 }

@@ -103,6 +103,41 @@ class PromqlSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("parser: precedence of or < and < comparison < arithmetic") {
+    val e = Parser.parse("a + b > c and d or f")
+    // ((a+b) > c) and d, then or f
+    assert(e === BinOp("or",
+      BinOp("and",
+        BinOp(">",
+          BinOp("+", sel("a"), sel("b"), Nil, Nil, false),
+          sel("c"), Nil, Nil, false),
+        sel("d"), Nil, Nil, false),
+      sel("f"), Nil, Nil, false))
+  }
+
+  private def sel(n: String) = Selector(Some(n), Seq.empty, None, 0L)
+
+  test("compile: comparison filters; and/unless/or set semantics") {
+    val gt = Compiler.compile("""events{event_type="click"} > 100""", src, p)
+    assert(gt.where(col("value") <= 100).count() === 0L)
+    assert(gt.count() > 0)
+
+    val both = Compiler.compile(
+      """events{event_type="click"} and events{event_type="click"}""", src, p)
+    val clicks = Compiler.compile("""events{event_type="click"}""", src, p)
+    assert(both.count() === clicks.count())
+
+    val none = Compiler.compile(
+      """events{event_type="click"} unless events{event_type="click"}""",
+      src, p)
+    assert(none.count() === 0L)
+
+    val union = Compiler.compile(
+      """events{event_type="click"} or events{event_type="view"}""", src, p)
+    val views = Compiler.compile("""events{event_type="view"}""", src, p)
+    assert(union.count() === clicks.count() + views.count())
+  }
+
   test("parser: topk/quantile parameter syntax") {
     assert(Parser.parse("topk(3, m)") ===
       Agg("topk", Seq.empty, without = false,
