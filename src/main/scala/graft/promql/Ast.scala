@@ -36,7 +36,10 @@ final case class Selector(
     rangeMs: Option[Long],
     offsetMs: Long) extends Expr
 
-final case class FuncCall(fn: String, sel: Selector) extends Expr
+/** Range functions take a range selector; math functions and `absent`
+  * take any vector expression.
+  */
+final case class FuncCall(fn: String, arg: Expr) extends Expr
 
 final case class Agg(
     op: String,

@@ -64,7 +64,39 @@ object Compiler {
           src.tsCol, src.valueCol)
         Vec(df, src.labelCols, scalar = false)
 
-      case FuncCall(fn, sel) =>
+      case FuncCall(fn, arg) if Parser.MathFunctions(fn) =>
+        val inner = compileVec(arg, src, p)
+        val v = fn match {
+          case "abs" => abs(col("value"))
+          case "ceil" => ceil(col("value")).cast("double")
+          case "floor" => floor(col("value")).cast("double")
+          case "exp" => exp(col("value"))
+          case "ln" => log(col("value"))
+          case "log2" => log2(col("value"))
+          case "log10" => log10(col("value"))
+          case "sqrt" => sqrt(col("value"))
+          case "sgn" => signum(col("value"))
+        }
+        Vec(inner.df.withColumn("value", v), inner.labels, inner.scalar)
+
+      case FuncCall("absent", arg) =>
+        // 1 at eval steps where the inner vector has no series at all
+        val inner = compileVec(arg, src, p)
+        val spark = src.points.sparkSession
+        val kMax = (p.endMs - p.startMs) / p.stepMs
+        val grid = spark.range(0, kMax + 1)
+          .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
+        val present = inner.df.select("eval_ms").distinct()
+        val df = grid.join(present, Seq("eval_ms"), "left_anti")
+          .withColumn("value", lit(1.0))
+        Vec(df, Seq.empty, scalar = false)
+
+      case FuncCall(fn, selExpr) =>
+        val sel = selExpr match {
+          case s: Selector => s
+          case other => throw new IllegalArgumentException(
+            s"$fn requires a range selector, got $other")
+        }
         val base = selectorPoints(sel, src)
         val range = sel.rangeMs.get
         val df = fn match {

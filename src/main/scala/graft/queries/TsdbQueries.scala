@@ -213,6 +213,21 @@ object TsdbQueries {
       pts(s, dir).select(lit("event_type").as("label_name"),
         col("event_type").as("label_value")).distinct()),
 
+    // O4/§3.3 — label names API: distinct keys of the label map
+    "o4_label_names" -> ((s, dir) =>
+      pts(s, dir)
+        .select(explode(map_keys(map(
+          lit("user_id"), col("user_id").cast("string"),
+          lit("event_type"), col("event_type")))).as("label_name"))
+        .distinct()),
+
+    // §3.3 — /api/v1/series: matcher-filtered series listing
+    "o4_series_api" -> ((s, dir) =>
+      pts(s, dir)
+        .where(Matchers.predicate(col("event_type"),
+          MatchRe("event_type", "click|error")))
+        .select("user_id", "event_type").distinct()),
+
     // O6/O7 — vector set ops and / unless / or on series sets
     "o6_set_ops" -> ((s, dir) => {
       val p = pts(s, dir)
@@ -455,6 +470,13 @@ object TsdbQueries {
     "o4_label_values" -> s"""
       SELECT DISTINCT 'event_type' AS label_name, event_type AS label_value
       FROM events""",
+
+    "o4_label_names" -> s"""
+      SELECT 'user_id' AS label_name UNION ALL SELECT 'event_type'""",
+
+    "o4_series_api" -> s"""
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type IN ('click', 'error')""",
 
     "o6_set_ops" -> s"""
       WITH clickers AS (SELECT DISTINCT user_id FROM events

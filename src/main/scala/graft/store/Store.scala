@@ -94,6 +94,31 @@ object Store {
     dropped.map(_.getFileName.toString)
   }
 
+  /** §5.4 — index self-verification (the reference ships a production
+    * `Verifier` walking postings↔labels↔expiration consistency,
+    * `cassandra/index/verify.go`): set-oriented invariant checks between
+    * the points table and the series dimension. All three counts must be
+    * zero on a healthy store.
+    */
+  final case class IndexReport(
+      orphanPoints: Long, // points whose label-set is absent from the dim
+      duplicateLabelSets: Long, // same labels registered twice
+      idCollisions: Long) // one metric_id for two different label-sets
+
+  def verifyIndex(points: DataFrame, dim: DataFrame,
+      labelCols: Seq[String]): IndexReport = {
+    val orphan = points
+      .select(labelCols.map(col): _*).distinct()
+      .join(dim.select(labelCols.map(col): _*), labelCols, "left_anti")
+      .count()
+    val dups = dim.groupBy(labelCols.map(col): _*)
+      .count().where(col("count") > 1).count()
+    val collisions = dim.groupBy("metric_id")
+      .agg(countDistinct(struct(labelCols.map(col): _*)).as("n"))
+      .where(col("n") > 1).count()
+    IndexReport(orphan, dups, collisions)
+  }
+
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext

@@ -138,6 +138,26 @@ class PromqlSpec extends SparkSpec {
     assert(union.count() === clicks.count() + views.count())
   }
 
+  test("compile: math functions and absent()") {
+    val lnQ = Compiler.compile("ln(events + 1)", src, p)
+    val base = Compiler.compile("events + 1", src, p)
+    assert(lnQ.count() === base.count())
+    val one = lnQ.join(base.withColumnRenamed("value", "raw"),
+      Seq("event_type", "eval_ms"))
+      .where(col("value") =!= log(col("raw"))).count()
+    assert(one === 0L)
+    // a matcher that hits nothing → absent == every step
+    val ab = Compiler.compile("""absent(events{event_type="nope"})""", src, p)
+    assert(ab.count() === (End - Start) / Hour + 1)
+    assert(ab.select("value").distinct().head().getDouble(0) === 1.0)
+    // a matcher that hits everything → absent is empty... except steps
+    // with no click sample in the lookback window
+    val abClick = Compiler.compile("""absent(events{event_type="click"})""", src, p)
+    val clickSteps = Compiler.compile("""events{event_type="click"}""", src, p)
+      .select("eval_ms").distinct().count()
+    assert(abClick.count() === (End - Start) / Hour + 1 - clickSteps)
+  }
+
   test("parser: topk/quantile parameter syntax") {
     assert(Parser.parse("topk(3, m)") ===
       Agg("topk", Seq.empty, without = false,

@@ -100,6 +100,22 @@ class StoreSpec extends SparkSpec {
     assert(dim.select("metric_id").distinct().count() === first) // no collisions
   }
 
+  test("index verifier: clean store reports zero; corruption is detected") {
+    val dimPath = s"$tmp/series_dim"
+    val points = Tables.points(spark, sfDir)
+    val dim = spark.read.parquet(dimPath)
+    val clean = Store.verifyIndex(points, dim,
+      Seq("user_id", "event_type"))
+    assert(clean === Store.IndexReport(0L, 0L, 0L))
+    // corrupt: drop some series and alias one id to a different label-set
+    import org.apache.spark.sql.functions._
+    val broken = dim.where(col("user_id") =!= 1L)
+      .unionByName(dim.limit(1).withColumn("event_type", lit("hacked")))
+    val r = Store.verifyIndex(points, broken, Seq("user_id", "event_type"))
+    assert(r.orphanPoints > 0L)
+    assert(r.idCollisions === 1L)
+  }
+
   test("T9: retention drops whole day partitions, keeps the rest") {
     val cutoff = 1704844800000L // 2024-01-10
     val dropped = Store.applyRetention(pointsPath, cutoff)

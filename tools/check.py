@@ -26,12 +26,10 @@ def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        if a == b:
-            return True
-        # float noise guard: compare to 9 significant-ish digits
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        # STRICT: the driver hash-compares, so floats must be bit-equal —
+        # the engine is designed for cross-engine bit-exactness (decimal
+        # accumulation, ordered folds, string-semantics rounding).
+        return (math.isnan(a) and math.isnan(b)) or a == b
     try:
         if pd.isna(a) and pd.isna(b):
             return True
