@@ -122,6 +122,19 @@ object TsdbQueries {
           round(col("increase"), 6).as("increase"),
           round(col("rate"), 6).as("rate"))),
 
+    // W3 — deriv(): per-(series, step) least-squares slope per second
+    // over the trailing window (Prometheus promql/functions.go funcDeriv);
+    // regr_slope is a built-in partial+final aggregate, x shifted to
+    // window-relative seconds so magnitudes stay sane
+    "w3_deriv_1h" -> ((s, dir) =>
+      RangeWindows.withEvalSteps(ptsByType(s, dir), Start, End, Hour, Hour)
+        .groupBy("event_type", "eval_ms")
+        .agg(count(lit(1)).as("n"),
+          round(expr(
+            s"regr_slope(value, (ts_ms - (eval_ms - ${Hour}L)) / 1000.0)"),
+            6).as("slope"))
+        .where(col("n") >= 2)),
+
     // W5 — offset modifier: instant vector shifted by 1 day
     "w5_offset_1d" -> ((s, dir) => {
       val shifted = ptsByType(s, dir)
@@ -392,6 +405,14 @@ object TsdbQueries {
       SELECT event_type, eval_ms, n_samples, round(delta, 6) AS delta_raw,
         round(inc, 6) AS increase, round(inc / 3600.0, 6) AS rate
       FROM fin""",
+
+    "w3_deriv_1h" -> s"""
+      WITH pts AS ($PD), grid AS ($Grid)
+      SELECT event_type, eval_ms, count(*) AS n,
+        round(regr_slope(value, (ts_ms - (eval_ms - ${Hour})) / 1000.0), 6)
+          AS slope
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+      GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     "w5_offset_1d" -> s"""
       WITH pts AS (SELECT event_type, ts_ms + ${Day} AS ts_ms, value

@@ -59,6 +59,19 @@ class DownsampleSpec extends SparkSpec {
       assert(java.lang.Double.doubleToRawLongBits(v) === Bits.NormalNaNBits)
   }
 
+  test("A3: function→column routing is counter-safe (rate family reads max)") {
+    import graft.tsdb.PreAgg
+    assert(PreAgg.columnFor("min_over_time") === "min")
+    assert(PreAgg.columnFor("max") === "max")
+    assert(PreAgg.columnFor("count_over_time") === "count")
+    // averaging a counter would fabricate resets; the reference routes the
+    // whole rate family to Max (cassandra/tsdb/read.go:604-609)
+    for (f <- Seq("rate", "irate", "increase", "resets"))
+      assert(PreAgg.columnFor(f) === "max")
+    assert(PreAgg.columnFor("avg") === "avg")
+    assert(PreAgg.columnFor("anything_else") === "avg")
+  }
+
   test("StaleNaN detection is exact-bit: ordinary NaN is NOT stale") {
     val df = Seq(Bits.StaleNaN, Double.NaN, Bits.NormalNaN, 1.0)
       .toDF("value")
