@@ -111,6 +111,16 @@ object Compiler {
             }
             out.select((src.labelCols.map(col) :+ col("eval_ms") :+
               v.as("value")): _*)
+          case "irate" | "idelta" | "resets" =>
+            val out = Rate.instantOverSteps(base, src.labelCols,
+              p.startMs, p.endMs, p.stepMs, range, src.tsCol, src.valueCol)
+            val v = fn match {
+              case "irate" => col("irate")
+              case "idelta" => col("idelta")
+              case "resets" => col("resets").cast("double")
+            }
+            out.select((src.labelCols.map(col) :+ col("eval_ms") :+
+              v.as("value")): _*)
           case over =>
             val agg: Column => Column = over match {
               case "avg_over_time" => avg
@@ -118,6 +128,9 @@ object Compiler {
               case "max_over_time" => max
               case "sum_over_time" => sum
               case "count_over_time" => c => count(c).cast("double")
+              case "stddev_over_time" => c => stddev_pop(c)
+              case "stdvar_over_time" => c => var_pop(c)
+              case "present_over_time" => _ => max(lit(1.0))
               case "last_over_time" =>
                 c => max(struct(col(src.tsCol), c)).getField(src.valueCol)
               case other =>

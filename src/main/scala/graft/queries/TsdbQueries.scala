@@ -122,6 +122,11 @@ object TsdbQueries {
           round(col("increase"), 6).as("increase"),
           round(col("rate"), 6).as("rate"))),
 
+    // W3 — irate/idelta/resets: instant-pair functions, bit-exact
+    "w3_irate_1h" -> ((s, dir) =>
+      Rate.instantOverSteps(ptsByType(s, dir), Seq("event_type"),
+        Start, End, Hour, Hour)),
+
     // W3 — deriv(): per-(series, step) least-squares slope per second
     // over the trailing window (Prometheus promql/functions.go funcDeriv);
     // regr_slope is a built-in partial+final aggregate, x shifted to
@@ -405,6 +410,27 @@ object TsdbQueries {
       SELECT event_type, eval_ms, n_samples, round(delta, 6) AS delta_raw,
         round(inc, 6) AS increase, round(inc / 3600.0, 6) AS rate
       FROM fin""",
+
+    "w3_irate_1h" -> s"""
+      WITH pts AS ($PD), prev AS (
+        SELECT event_type, ts_ms, value,
+          lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts
+        FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms)
+      ), grid AS ($Grid), win AS (
+        SELECT *, eval_ms,
+          prev_ts IS NOT NULL AND prev_ts > eval_ms - ${Hour} AS pair_in
+        FROM prev JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour})
+      SELECT event_type, eval_ms, count(value) AS n_samples,
+        (max(struct_pack(t := ts_ms, v := CASE WHEN pair_in THEN
+          CASE WHEN value >= prev_val
+            THEN (value - prev_val) / ((ts_ms - prev_ts) / 1000.0)
+            ELSE value / ((ts_ms - prev_ts) / 1000.0) END END))).v AS irate,
+        (max(struct_pack(t := ts_ms, v := CASE WHEN pair_in
+          THEN value - prev_val END))).v AS idelta,
+        CAST(sum(CASE WHEN pair_in AND value < prev_val THEN 1 ELSE 0 END)
+          AS BIGINT) AS resets
+      FROM win GROUP BY 1, 2
+      HAVING count(value) >= 2 AND irate IS NOT NULL""",
 
     "w3_deriv_1h" -> s"""
       WITH pts AS ($PD), grid AS ($Grid)

@@ -49,6 +49,51 @@ object Rate {
     finishRate(inWindow, sCols, rangeMs, counter, tsMs, value)
   }
 
+  /** Per (series, eval_ms) instant-pair functions over the trailing window:
+    * `irate` (rate from the LAST two samples, reset-aware), `idelta`
+    * (their raw difference), `resets` (count of counter decreases whose
+    * pair lies fully inside the window). Prometheus funcIrate/funcIdelta/
+    * funcResets semantics; all arithmetic is per-pair subtraction/division
+    * of exact values — bit-reproducible with no rounding.
+    *
+    * Same scale shape as [[overSteps]]: lag window + step explode + one
+    * hash aggregate. Windows holding < 2 samples yield no row.
+    */
+  def instantOverSteps(
+      points: DataFrame,
+      series: Seq[String],
+      startMs: Long, endMs: Long, stepMs: Long, rangeMs: Long,
+      tsMs: String = "ts_ms",
+      value: String = "value"): DataFrame = {
+    val sCols = series.map(col)
+    val wSeries = Window.partitionBy(sCols: _*).orderBy(col(tsMs))
+    val withPrev = points
+      .withColumn("prev_val", lag(col(value), 1).over(wSeries))
+      .withColumn("prev_ts", lag(col(tsMs), 1).over(wSeries))
+    val exploded =
+      RangeWindows.withEvalSteps(withPrev, startMs, endMs, stepMs, rangeMs, tsMs)
+    // pair counts only when BOTH ends are inside (eval-range, eval]
+    val pairIn = col("prev_ts").isNotNull &&
+      col("prev_ts") > col("eval_ms") - rangeMs
+    val dtSec = (col(tsMs) - col("prev_ts")).cast("double") / 1000.0
+    val instRate = when(pairIn,
+      when(col(value) >= col("prev_val"),
+        (col(value) - col("prev_val")) / dtSec)
+        .otherwise(col(value) / dtSec)) // counter reset: restart from 0
+    val instDelta = when(pairIn, col(value) - col("prev_val"))
+    exploded
+      .groupBy((sCols :+ col("eval_ms")): _*)
+      .agg(
+        count(col(value)).as("n_samples"),
+        max(struct(col(tsMs).as("t"), instRate.as("v")))
+          .getField("v").as("irate"),
+        max(struct(col(tsMs).as("t"), instDelta.as("v")))
+          .getField("v").as("idelta"),
+        sum(when(pairIn && col(value) < col("prev_val"), 1L)
+          .otherwise(0L)).as("resets"))
+      .where(col("n_samples") >= 2 && col("irate").isNotNull)
+  }
+
   /** Per (series, eval_ms) extrapolated counter increase / rate / delta.
     *
     * Window is PromQL's (eval_ms - rangeMs, eval_ms]. Steps where the window

@@ -138,6 +138,18 @@ class PromqlSpec extends SparkSpec {
     assert(union.count() === clicks.count() + views.count())
   }
 
+  test("compile: irate/idelta/resets and present_over_time") {
+    val irate = Compiler.compile("irate(events[1h])", src, p)
+    val want = graft.tsdb.Rate.instantOverSteps(pts, Seq("event_type"),
+      Start, End, Hour, Hour)
+      .select(col("event_type"), col("eval_ms"), col("irate").as("value"))
+    assert(rows(irate) === rows(want))
+    val present = Compiler.compile("present_over_time(events[1h])", src, p)
+    assert(present.select("value").distinct().head().getDouble(0) === 1.0)
+    val resets = Compiler.compile("resets(events[1h])", src, p)
+    assert(resets.where(col("value") < 0).count() === 0L)
+  }
+
   test("compile: math functions and absent()") {
     val lnQ = Compiler.compile("ln(events + 1)", src, p)
     val base = Compiler.compile("events + 1", src, p)
