@@ -36,10 +36,12 @@ final case class Selector(
     rangeMs: Option[Long],
     offsetMs: Long) extends Expr
 
-/** Range functions take a range selector; math functions and `absent`
-  * take any vector expression.
+/** Range functions take a range selector (plus trailing scalar params for
+  * predict_linear / holt_winters); math functions and `absent` take any
+  * vector expression.
   */
-final case class FuncCall(fn: String, arg: Expr) extends Expr
+final case class FuncCall(fn: String, arg: Expr,
+    params: Seq[Double] = Nil) extends Expr
 
 final case class Agg(
     op: String,

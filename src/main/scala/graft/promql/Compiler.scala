@@ -64,7 +64,7 @@ object Compiler {
           src.tsCol, src.valueCol)
         Vec(df, src.labelCols, scalar = false)
 
-      case FuncCall(fn, arg) if Parser.MathFunctions(fn) =>
+      case FuncCall(fn, arg, _) if Parser.MathFunctions(fn) =>
         val inner = compileVec(arg, src, p)
         val v = fn match {
           case "abs" => abs(col("value"))
@@ -79,7 +79,7 @@ object Compiler {
         }
         Vec(inner.df.withColumn("value", v), inner.labels, inner.scalar)
 
-      case FuncCall("absent", arg) =>
+      case FuncCall("absent", arg, _) =>
         // 1 at eval steps where the inner vector has no series at all
         val inner = compileVec(arg, src, p)
         val spark = src.points.sparkSession
@@ -91,7 +91,7 @@ object Compiler {
           .withColumn("value", lit(1.0))
         Vec(df, Seq.empty, scalar = false)
 
-      case FuncCall(fn, selExpr) =>
+      case FuncCall(fn, selExpr, params) =>
         val sel = selExpr match {
           case s: Selector => s
           case other => throw new IllegalArgumentException(
@@ -121,6 +121,38 @@ object Compiler {
             }
             out.select((src.labelCols.map(col) :+ col("eval_ms") :+
               v.as("value")): _*)
+          case "deriv" | "predict_linear" =>
+            val horizon =
+              if (fn == "predict_linear")
+                params.headOption.getOrElse(throw new IllegalArgumentException(
+                  "predict_linear needs a horizon (seconds)"))
+              else 0.0
+            val x = s"(${src.tsCol} - eval_ms) / 1000.0"
+            val v =
+              if (fn == "deriv")
+                org.apache.spark.sql.functions.expr(
+                  s"regr_slope(${src.valueCol}, $x)")
+              else org.apache.spark.sql.functions.expr(
+                s"regr_intercept(${src.valueCol}, $x) + " +
+                  s"regr_slope(${src.valueCol}, $x) * $horizon")
+            RangeWindows.withEvalSteps(base, p.startMs, p.endMs, p.stepMs,
+                range, src.tsCol)
+              .groupBy((src.labelCols.map(col) :+ col("eval_ms")): _*)
+              .agg(count(lit(1)).as("__n"), v.as("value"))
+              .where(col("__n") >= 2).drop("__n")
+          case "holt_winters" =>
+            val (sf, tf) = (params.lift(0), params.lift(1)) match {
+              case (Some(a), Some(b)) => (a, b)
+              case _ => throw new IllegalArgumentException(
+                "holt_winters needs sf and tf")
+            }
+            val hw = udaf(new graft.tsdb.HoltWintersAgg(sf, tf))
+            RangeWindows.withEvalSteps(base, p.startMs, p.endMs, p.stepMs,
+                range, src.tsCol)
+              .groupBy((src.labelCols.map(col) :+ col("eval_ms")): _*)
+              .agg(count(lit(1)).as("__n"),
+                hw(col(src.tsCol), col(src.valueCol)).as("value"))
+              .where(col("__n") >= 2 && col("value").isNotNull).drop("__n")
           case over =>
             val agg: Column => Column = over match {
               case "avg_over_time" => avg

@@ -140,6 +140,28 @@ object TsdbQueries {
             6).as("slope"))
         .where(col("n") >= 2)),
 
+    // W3 — predict_linear(m[1h], 30m): regression extrapolation via the
+    // built-in partial+final regr_* aggregates
+    "w3_predict_linear" -> ((s, dir) =>
+      RangeWindows.withEvalSteps(ptsByType(s, dir), Start, End, Hour, Hour)
+        .groupBy("event_type", "eval_ms")
+        .agg(count(lit(1)).as("n"),
+          round(expr(
+            s"""regr_intercept(value, (ts_ms - eval_ms) / 1000.0)
+                + regr_slope(value, (ts_ms - eval_ms) / 1000.0) * 1800.0"""),
+            6).as("predict"))
+        .where(col("n") >= 2)),
+
+    // W3 — holt_winters: order-sensitive smoothing as a custom Aggregator
+    "w3_holt_winters" -> ((s, dir) => {
+      val hw = udaf(new HoltWintersAgg(0.3, 0.1))
+      RangeWindows.withEvalSteps(ptsByType(s, dir), Start, End, Hour, Hour)
+        .groupBy("event_type", "eval_ms")
+        .agg(count(lit(1)).as("n"),
+          round(hw(col("ts_ms"), col("value")), 6).as("hw"))
+        .where(col("n") >= 2 && col("hw").isNotNull)
+    }),
+
     // W5 — offset modifier: instant vector shifted by 1 day
     "w5_offset_1d" -> ((s, dir) => {
       val shifted = ptsByType(s, dir)
@@ -439,6 +461,42 @@ object TsdbQueries {
           AS slope
       FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
       GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    "w3_predict_linear" -> s"""
+      WITH pts AS ($PD), grid AS ($Grid)
+      SELECT event_type, eval_ms, count(*) AS n,
+        round(regr_intercept(value, (ts_ms - eval_ms) / 1000.0)
+          + regr_slope(value, (ts_ms - eval_ms) / 1000.0) * 1800.0, 6)
+          AS predict
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+      GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    // Recursive CTE (NOT list_reduce: DuckDB 1.0 evaluates sibling
+    // struct_pack fields against inconsistent accumulator state). Each
+    // recursive step computes s1 once in a subquery so the FP op order
+    // matches the Aggregator's loop exactly.
+    "w3_holt_winters" -> s"""
+      WITH RECURSIVE pts AS ($PD), grid AS ($Grid),
+      l AS (SELECT event_type, eval_ms, count(*) AS n,
+        list(value ORDER BY ts_ms, value) AS vs
+        FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      idx AS (SELECT event_type, eval_ms, n, unnest(vs) AS v,
+        generate_subscripts(vs, 1) AS i FROM l),
+      rec AS (
+        SELECT event_type, eval_ms, n, 2 AS i, s1 AS s,
+          0.1 * (s1 - v1) + (1 - 0.1) * (v2 - v1) AS b
+        FROM (SELECT event_type, eval_ms, n, vs[1] AS v1, vs[2] AS v2,
+          0.3 * vs[2] + (1 - 0.3) * (vs[1] + (vs[2] - vs[1])) AS s1 FROM l)
+        UNION ALL
+        SELECT event_type, eval_ms, n, i, s1 AS s,
+          0.1 * (s1 - s0) + (1 - 0.1) * b0 AS b
+        FROM (SELECT r.event_type, r.eval_ms, r.n, r.i + 1 AS i,
+          0.3 * x.v + (1 - 0.3) * (r.s + r.b) AS s1, r.s AS s0, r.b AS b0
+          FROM rec r JOIN idx x ON x.event_type = r.event_type
+            AND x.eval_ms = r.eval_ms AND x.i = r.i + 1))
+      SELECT event_type, eval_ms, n, round(s, 6) AS hw
+      FROM rec WHERE i = n""",
 
     "w5_offset_1d" -> s"""
       WITH pts AS (SELECT event_type, ts_ms + ${Day} AS ts_ms, value

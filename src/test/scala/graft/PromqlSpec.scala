@@ -150,6 +150,28 @@ class PromqlSpec extends SparkSpec {
     assert(resets.where(col("value") < 0).count() === 0L)
   }
 
+  test("holt_winters golden cases and compiler wiring") {
+    import graft.tsdb.{HoltWintersAgg, TsSample}
+    val agg = new HoltWintersAgg(0.5, 0.5)
+    def run(vs: Seq[Double]): Option[Double] =
+      agg.finish(vs.zipWithIndex.map { case (v, i) =>
+        TsSample(i.toLong, v) }.toList)
+    // s0=10,b=10 → i1: s=20,b=10 → i2: s=30 (linear trend tracked exactly)
+    assert(run(Seq(10.0, 20.0, 30.0)) === Some(30.0))
+    // v=[10,20,10]: i1: s=20,b=10; i2: s=0.5*10+0.5*30=20, b=0.5*0+0.5*10=5
+    assert(run(Seq(10.0, 20.0, 10.0)) === Some(20.0))
+    assert(run(Seq(42.0)) === None)
+    // order independence of the buffer (merge is concatenation)
+    val shuffled = List(TsSample(2L, 30.0), TsSample(0L, 10.0), TsSample(1L, 20.0))
+    assert(agg.finish(shuffled) === Some(30.0))
+    // compiler wiring parses params and produces rows
+    val df = Compiler.compile(
+      "holt_winters(events[1h], 0.3, 0.1)", src, p)
+    assert(df.count() > 0)
+    val pl = Compiler.compile("predict_linear(events[1h], 1800)", src, p)
+    assert(pl.count() > 0)
+  }
+
   test("compile: math functions and absent()") {
     val lnQ = Compiler.compile("ln(events + 1)", src, p)
     val base = Compiler.compile("events + 1", src, p)
