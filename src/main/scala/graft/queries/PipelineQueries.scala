@@ -63,6 +63,15 @@ object PipelineQueries {
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
 
+    // embedding-cosine near-dup: SRP-bucketed pair generation + exact
+    // cosine filter; planted re-ingested vectors guarantee positives
+    "d6_embedding_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = emb.unionByName(emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000))
+      Ann.cosineNearDupPairs(corpus, 0.9)
+    }),
+
     // text quality features + composite score
     "x1_text_quality" -> ((s, dir) =>
       TextOps.quality(Tables.documents(s, dir))
@@ -213,6 +222,35 @@ object PipelineQueries {
         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
           AS BIGINT) AS simhash
       FROM s GROUP BY 1""",
+
+    "d6_embedding_neardup" -> s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20),
+      planes AS (
+        SELECT j, d,
+          CAST('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8)
+            AS BIGINT)::DOUBLE / 2147483648.0 - 1.0 AS w
+        FROM (SELECT unnest(generate_series(0, 7)) AS j),
+             (SELECT unnest(generate_series(0, 63)) AS d)),
+      vecs AS (SELECT vec_id, unnest(embedding) AS x,
+        generate_subscripts(embedding, 1) - 1 AS d FROM corpus),
+      proj AS (SELECT v.vec_id, p.j, sum(v.x::DOUBLE * p.w) AS pr
+        FROM vecs v JOIN planes p ON v.d = p.d GROUP BY 1, 2),
+      sigs AS (SELECT vec_id,
+        CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (7 - j)) ELSE 0 END)
+          AS BIGINT) AS bucket
+        FROM proj GROUP BY 1),
+      cv AS (SELECT c.vec_id, c.embedding, s.bucket
+        FROM corpus c JOIN sigs s USING (vec_id)),
+      pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ${dotSql("a.embedding", "b.embedding")} /
+          (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+           sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos_sim
+        FROM cv a JOIN cv b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.9""",
 
     "x1_text_quality" -> """
       WITH f AS (SELECT doc_id,

@@ -114,4 +114,28 @@ object Ann {
         cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
     rankTopK(scored, k)
   }
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join (only
+    * same-bucket vectors are compared — linear in bucket sizes, never
+    * O(n²)), then the exact cosine filter. The corpus-side dedup analogue
+    * of [[lshTopK]]; recall is bounded by the bucket collision probability
+    * of the planes (standard SRP-LSH).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val c = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", srpSignature(col("embedding"), nPlanes, dims))
+      .withColumn("norm", norm2(col("embedding")))
+    val a = c.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("bucket"), col("norm").as("norm_a"))
+    val b = c.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("bucket"), col("norm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        cosine(col("emb_a"), col("emb_b"), col("norm_a"), col("norm_b")))
+      .where(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
 }
