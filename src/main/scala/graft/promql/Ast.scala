@@ -43,6 +43,11 @@ final case class Selector(
 final case class FuncCall(fn: String, arg: Expr,
     params: Seq[Double] = Nil) extends Expr
 
+/** `expr[range:step]` — the inner expression evaluated on its own step
+  * grid, consumed by a range function as a derived series (W6).
+  */
+final case class Subquery(body: Expr, rangeMs: Long, stepMs: Long) extends Expr
+
 final case class Agg(
     op: String,
     by: Seq[String],

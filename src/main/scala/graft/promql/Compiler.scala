@@ -91,35 +91,44 @@ object Compiler {
           .withColumn("value", lit(1.0))
         Vec(df, Seq.empty, scalar = false)
 
-      case FuncCall(fn, selExpr, params) =>
-        val sel = selExpr match {
-          case s: Selector => s
+      case FuncCall(fn, arg, params) =>
+        // The range function's input: either matcher-filtered raw points,
+        // or — for a subquery — the inner expression materialized on its
+        // own (finer) step grid covering [start-range, end], re-fed as a
+        // derived point stream (W6).
+        val (base, range, labels, tCol, vCol) = arg match {
+          case s: Selector =>
+            (selectorPoints(s, src), s.rangeMs.get, src.labelCols,
+              src.tsCol, src.valueCol)
+          case Subquery(body, r, st) =>
+            val innerP = EvalParams(p.startMs - r, p.endMs, st, p.lookbackMs)
+            val inner = compileVec(body, src, innerP)
+            (inner.df.withColumnRenamed("eval_ms", "__sq_ts"), r,
+              inner.labels, "__sq_ts", "value")
           case other => throw new IllegalArgumentException(
-            s"$fn requires a range selector, got $other")
+            s"$fn requires a range selector or subquery, got $other")
         }
-        val base = selectorPoints(sel, src)
-        val range = sel.rangeMs.get
         val df = fn match {
           case "rate" | "increase" | "delta" =>
-            val out = Rate.overSteps(base, src.labelCols,
+            val out = Rate.overSteps(base, labels,
               p.startMs, p.endMs, p.stepMs, range,
-              counter = fn != "delta", src.tsCol, src.valueCol)
+              counter = fn != "delta", tCol, vCol)
             val v = fn match {
               case "rate" => col("rate")
               case "increase" => col("increase")
               case "delta" => col("delta_raw")
             }
-            out.select((src.labelCols.map(col) :+ col("eval_ms") :+
+            out.select((labels.map(col) :+ col("eval_ms") :+
               v.as("value")): _*)
           case "irate" | "idelta" | "resets" =>
-            val out = Rate.instantOverSteps(base, src.labelCols,
-              p.startMs, p.endMs, p.stepMs, range, src.tsCol, src.valueCol)
+            val out = Rate.instantOverSteps(base, labels,
+              p.startMs, p.endMs, p.stepMs, range, tCol, vCol)
             val v = fn match {
               case "irate" => col("irate")
               case "idelta" => col("idelta")
               case "resets" => col("resets").cast("double")
             }
-            out.select((src.labelCols.map(col) :+ col("eval_ms") :+
+            out.select((labels.map(col) :+ col("eval_ms") :+
               v.as("value")): _*)
           case "deriv" | "predict_linear" =>
             val horizon =
@@ -127,17 +136,15 @@ object Compiler {
                 params.headOption.getOrElse(throw new IllegalArgumentException(
                   "predict_linear needs a horizon (seconds)"))
               else 0.0
-            val x = s"(${src.tsCol} - eval_ms) / 1000.0"
+            val x = s"($tCol - eval_ms) / 1000.0"
             val v =
               if (fn == "deriv")
-                org.apache.spark.sql.functions.expr(
-                  s"regr_slope(${src.valueCol}, $x)")
+                org.apache.spark.sql.functions.expr(s"regr_slope($vCol, $x)")
               else org.apache.spark.sql.functions.expr(
-                s"regr_intercept(${src.valueCol}, $x) + " +
-                  s"regr_slope(${src.valueCol}, $x) * $horizon")
+                s"regr_intercept($vCol, $x) + regr_slope($vCol, $x) * $horizon")
             RangeWindows.withEvalSteps(base, p.startMs, p.endMs, p.stepMs,
-                range, src.tsCol)
-              .groupBy((src.labelCols.map(col) :+ col("eval_ms")): _*)
+                range, tCol)
+              .groupBy((labels.map(col) :+ col("eval_ms")): _*)
               .agg(count(lit(1)).as("__n"), v.as("value"))
               .where(col("__n") >= 2).drop("__n")
           case "holt_winters" =>
@@ -148,10 +155,10 @@ object Compiler {
             }
             val hw = udaf(new graft.tsdb.HoltWintersAgg(sf, tf))
             RangeWindows.withEvalSteps(base, p.startMs, p.endMs, p.stepMs,
-                range, src.tsCol)
-              .groupBy((src.labelCols.map(col) :+ col("eval_ms")): _*)
+                range, tCol)
+              .groupBy((labels.map(col) :+ col("eval_ms")): _*)
               .agg(count(lit(1)).as("__n"),
-                hw(col(src.tsCol), col(src.valueCol)).as("value"))
+                hw(col(tCol), col(vCol)).as("value"))
               .where(col("__n") >= 2 && col("value").isNotNull).drop("__n")
           case over =>
             val agg: Column => Column = over match {
@@ -164,15 +171,15 @@ object Compiler {
               case "stdvar_over_time" => c => var_pop(c)
               case "present_over_time" => _ => max(lit(1.0))
               case "last_over_time" =>
-                c => max(struct(col(src.tsCol), c)).getField(src.valueCol)
+                c => max(struct(col(tCol), c)).getField(vCol)
               case other =>
                 throw new IllegalArgumentException(s"unsupported function $other")
             }
-            RangeWindows.rangeBucketed(base, src.labelCols,
+            RangeWindows.rangeBucketed(base, labels,
               p.startMs, p.endMs, p.stepMs, range,
-              Seq("value" -> agg), src.tsCol, src.valueCol)
+              Seq("value" -> agg), tCol, vCol)
         }
-        Vec(df, src.labelCols, scalar = false)
+        Vec(df, labels, scalar = false)
 
       case Agg(op, by, without, body, param) =>
         val inner = compileVec(body, src, p)

@@ -150,6 +150,32 @@ class PromqlSpec extends SparkSpec {
     assert(resets.where(col("value") < 0).count() === 0L)
   }
 
+  test("subquery: parse and compile expr[range:step]") {
+    assert(Parser.parse("max_over_time(rate(m[1h])[6h:1h])") ===
+      FuncCall("max_over_time",
+        Subquery(FuncCall("rate",
+          Selector(Some("m"), Seq.empty, Some(3600000L), 0L)),
+          21600000L, 3600000L)))
+    // compiled == inner rate on the extended grid re-fed through the
+    // outer range aggregation
+    val got = Compiler.compile("max_over_time(rate(events[1h])[6h:1h])",
+      src, EvalParams(Start, End, 6 * Hour))
+    val innerRates = graft.tsdb.Rate.overSteps(pts, Seq("event_type"),
+        Start - 6 * Hour, End, Hour, Hour)
+      .select(col("event_type"), col("eval_ms").as("ts2"),
+        col("rate").as("value"))
+    val want = RangeWindows.rangeBucketed(innerRates, Seq("event_type"),
+      Start, End, 6 * Hour, 6 * Hour,
+      Seq("value" -> (v => max(v))), tsMs = "ts2")
+    assert(rows(got) === rows(want))
+    // aggregated inner: labels narrow to the aggregation's label set
+    val agg = Compiler.compile(
+      "max_over_time(sum by (event_type) (events)[6h:1h])",
+      src, EvalParams(Start, End, 6 * Hour))
+    assert(agg.columns.toSeq === Seq("event_type", "eval_ms", "value"))
+    assert(agg.count() > 0)
+  }
+
   test("holt_winters golden cases and compiler wiring") {
     import graft.tsdb.{HoltWintersAgg, TsSample}
     val agg = new HoltWintersAgg(0.5, 0.5)
