@@ -29,12 +29,16 @@ sealed trait Expr
 
 final case class NumLit(v: Double) extends Expr
 
-/** `name` compiles to a matcher on the reserved `__name__` label. */
+/** `name` compiles to a matcher on the reserved `__name__` label.
+  * `atMs` is the `@` modifier: evaluation pinned to a fixed timestamp,
+  * the result replicated across every output step (W5 sibling).
+  */
 final case class Selector(
     name: Option[String],
     matchers: Seq[Matcher],
     rangeMs: Option[Long],
-    offsetMs: Long) extends Expr
+    offsetMs: Long,
+    atMs: Option[Long] = None) extends Expr
 
 /** Range functions take a range selector (plus trailing scalar params for
   * predict_linear / holt_winters); math functions and `absent` take any

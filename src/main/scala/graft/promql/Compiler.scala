@@ -59,9 +59,24 @@ object Compiler {
           throw new IllegalArgumentException(
             "bare range selector outside a range function")
         val base = selectorPoints(s, src)
-        val df = RangeWindows.instantBucketed(base, src.labelCols,
-          p.startMs, p.endMs, p.stepMs, p.lookbackMs,
-          src.tsCol, src.valueCol)
+        val df = s.atMs match {
+          case None =>
+            RangeWindows.instantBucketed(base, src.labelCols,
+              p.startMs, p.endMs, p.stepMs, p.lookbackMs,
+              src.tsCol, src.valueCol)
+          case Some(at) =>
+            // @ modifier: evaluate once at the pinned timestamp, then
+            // replicate across the step grid (tiny broadcast cross join —
+            // the fixed-time result is one row per series)
+            val fixed = RangeWindows.instantBucketed(base, src.labelCols,
+                at, at, p.stepMs, p.lookbackMs, src.tsCol, src.valueCol)
+              .drop("eval_ms")
+            val spark = src.points.sparkSession
+            val kMax = (p.endMs - p.startMs) / p.stepMs
+            val grid = spark.range(0, kMax + 1)
+              .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
+            fixed.crossJoin(broadcast(grid))
+        }
         Vec(df, src.labelCols, scalar = false)
 
       case FuncCall(fn, arg, _) if Parser.MathFunctions(fn) =>

@@ -150,6 +150,24 @@ class PromqlSpec extends SparkSpec {
     assert(resets.where(col("value") < 0).count() === 0L)
   }
 
+  test("@ modifier pins evaluation to a fixed time across all steps") {
+    // 1704672000s = 2024-01-08; day-long lookback guarantees samples at
+    // this scale factor
+    val pDay = EvalParams(Start, End, Hour, lookbackMs = 86400000L)
+    val at = Compiler.compile("""events{event_type="click"} @ 1704672000""",
+      src, pDay)
+    val perStep = at.groupBy("eval_ms").count()
+    // same series count at every step, and one distinct value per series
+    assert(perStep.select(countDistinct(col("count"))).head().getLong(0) === 1L)
+    val fixed = Compiler.compile("""events{event_type="click"}""",
+      src, EvalParams(1704672000000L, 1704672000000L, Hour,
+        lookbackMs = 86400000L))
+    val atVals = at.select("event_type", "value").distinct().collect().toSet
+    val fixedVals = fixed.select("event_type", "value").collect().toSet
+    assert(atVals === fixedVals)
+    assert(at.count() === fixed.count() * ((End - Start) / Hour + 1))
+  }
+
   test("subquery: parse and compile expr[range:step]") {
     assert(Parser.parse("max_over_time(rate(m[1h])[6h:1h])") ===
       FuncCall("max_over_time",
