@@ -65,4 +65,5 @@ final case class BinOp(
     rhs: Expr,
     on: Seq[String],
     ignoring: Seq[String],
-    groupLeft: Boolean) extends Expr
+    groupLeft: Boolean,
+    boolMode: Boolean = false) extends Expr

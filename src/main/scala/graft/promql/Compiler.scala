@@ -221,6 +221,7 @@ object Compiler {
               case "min" => min(col("value"))
               case "max" => max(col("value"))
               case "count" => count(col("value")).cast("double")
+              case "group" => max(lit(1.0)) // 1 per existing group
               case "quantile" =>
                 org.apache.spark.sql.functions.expr(
                   s"percentile(value, ${param.getOrElse(
@@ -232,7 +233,7 @@ object Compiler {
             Vec(df, groupLabels, scalar = false)
         }
 
-      case BinOp(op @ ("and" | "or" | "unless"), lhs, rhs, on, ignoring, _) =>
+      case BinOp(op @ ("and" | "or" | "unless"), lhs, rhs, on, ignoring, _, _) =>
         val l = compileVec(lhs, src, p)
         val r = compileVec(rhs, src, p)
         val matchOn =
@@ -252,7 +253,7 @@ object Compiler {
         }
         Vec(df, l.labels, scalar = false)
 
-      case BinOp(op, lhs, rhs, on, ignoring, _) =>
+      case BinOp(op, lhs, rhs, on, ignoring, _, boolMode) =>
         val l = compileVec(lhs, src, p)
         val r = compileVec(rhs, src, p)
         val isCmp = Set("==", "!=", ">", "<", ">=", "<=")(op)
@@ -268,12 +269,15 @@ object Compiler {
           case "/" => a / b
         }
         if (isCmp) {
-          // comparison = filter: keep lhs rows where the predicate holds
+          // comparison = filter (or 1/0 projection under `bool`)
           (l.scalar, r.scalar) match {
             case (false, true) =>
               val rv = r.df.head().getDouble(0)
-              return Vec(l.df.where(cmp(col("value"), lit(rv))),
-                l.labels, scalar = false)
+              val out =
+                if (boolMode) l.df.withColumn("value",
+                  when(cmp(col("value"), lit(rv)), 1.0).otherwise(0.0))
+                else l.df.where(cmp(col("value"), lit(rv)))
+              return Vec(out, l.labels, scalar = false)
             case (false, false) =>
               val matchOn =
                 if (on.nonEmpty) on
@@ -281,9 +285,13 @@ object Compiler {
               val keys = matchOn :+ "eval_ms"
               val rSide = r.df.withColumnRenamed("value", "__rv")
                 .select((keys :+ "__rv").map(col): _*)
-              return Vec(l.df.join(broadcast(rSide), keys)
-                .where(cmp(col("value"), col("__rv"))).drop("__rv"),
-                l.labels, scalar = false)
+              val joined = l.df.join(broadcast(rSide), keys)
+              val out =
+                if (boolMode) joined.withColumn("value",
+                  when(cmp(col("value"), col("__rv")), 1.0).otherwise(0.0))
+                  .drop("__rv")
+                else joined.where(cmp(col("value"), col("__rv"))).drop("__rv")
+              return Vec(out, l.labels, scalar = false)
             case _ =>
               throw new IllegalArgumentException(
                 s"unsupported comparison operands for $op")

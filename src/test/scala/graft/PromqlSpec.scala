@@ -150,6 +150,19 @@ class PromqlSpec extends SparkSpec {
     assert(resets.where(col("value") < 0).count() === 0L)
   }
 
+  test("bool modifier projects 1/0 instead of filtering; group returns 1") {
+    val filt = Compiler.compile("""events{event_type="click"} > 100""", src, p)
+    val boolQ = Compiler.compile(
+      """events{event_type="click"} > bool 100""", src, p)
+    val all = Compiler.compile("""events{event_type="click"}""", src, p)
+    assert(boolQ.count() === all.count()) // no filtering
+    assert(boolQ.where(col("value") === 1.0).count() === filt.count())
+    assert(boolQ.select("value").distinct().collect()
+      .map(_.getDouble(0)).toSet.subsetOf(Set(0.0, 1.0)))
+    val grp = Compiler.compile("group by (event_type) (events)", src, p)
+    assert(grp.select("value").distinct().head().getDouble(0) === 1.0)
+  }
+
   test("@ modifier pins evaluation to a fixed time across all steps") {
     // 1704672000s = 2024-01-08; day-long lookback guarantees samples at
     // this scale factor
