@@ -47,6 +47,10 @@ final case class Selector(
 final case class FuncCall(fn: String, arg: Expr,
     params: Seq[Double] = Nil) extends Expr
 
+/** label_replace / label_join: string-typed arguments. */
+final case class LabelCall(fn: String, arg: Expr,
+    strArgs: Seq[String]) extends Expr
+
 /** `expr[range:step]` — the inner expression evaluated on its own step
   * grid, consumed by a range function as a derived series (W6).
   */

@@ -94,6 +94,31 @@ object Compiler {
         }
         Vec(inner.df.withColumn("value", v), inner.labels, inner.scalar)
 
+      // label manipulation over column-label sources: the destination
+      // becomes a derived (string) label column on the plan
+      case LabelCall(fn, arg, strArgs) =>
+        val inner = compileVec(arg, src, p)
+        def labelCol(n: String): Column =
+          if (inner.labels.contains(n)) col(n).cast("string") else lit("")
+        fn match {
+          case "label_replace" =>
+            val Seq(dst, replacement, srcLabel, regex) = strArgs
+            val anchored = "^(?:" + regex + ")$"
+            val srcVal = labelCol(srcLabel)
+            val newVal = when(srcVal.rlike(anchored),
+              regexp_replace(srcVal, anchored, replacement))
+              .otherwise(labelCol(dst))
+            val df = inner.df.withColumn(dst, newVal)
+            Vec(df, (inner.labels :+ dst).distinct, scalar = false)
+          case "label_join" =>
+            val dst = strArgs.head
+            val sep = strArgs(1)
+            val srcs = strArgs.drop(2)
+            val df = inner.df.withColumn(dst,
+              concat_ws(sep, srcs.map(labelCol): _*))
+            Vec(df, (inner.labels :+ dst).distinct, scalar = false)
+        }
+
       case FuncCall("absent", arg, _) =>
         // 1 at eval steps where the inner vector has no series at all
         val inner = compileVec(arg, src, p)

@@ -150,6 +150,28 @@ class PromqlSpec extends SparkSpec {
     assert(resets.where(col("value") < 0).count() === 0L)
   }
 
+  test("label_replace / label_join derive label columns in the compiler") {
+    val lr = Compiler.compile(
+      """label_replace(events, "class", "$1_x", "event_type", "(cl|vi).*")""",
+      src, p)
+    assert(lr.columns.contains("class"))
+    val classes = lr.select("event_type", "class").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(classes("click") === "cl_x" && classes("view") === "vi_x")
+    assert(classes("purchase") === "") // no match → dst (missing) kept
+    val lj = Compiler.compile(
+      """label_join(events, "key", "|", "event_type", "event_type")""",
+      src, p)
+    assert(lj.select("key").distinct().collect().map(_.getString(0)).toSet
+      .contains("click|click"))
+    // aggregating by the derived label works
+    val agg = Compiler.compile(
+      """sum by (class) (label_replace(events, "class", "$1_x",
+         "event_type", "(cl|vi).*"))""", src, p)
+    assert(agg.columns.toSeq === Seq("class", "eval_ms", "value"))
+    assert(agg.count() > 0)
+  }
+
   test("bool modifier projects 1/0 instead of filtering; group returns 1") {
     val filt = Compiler.compile("""events{event_type="click"} > 100""", src, p)
     val boolQ = Compiler.compile(
