@@ -79,7 +79,8 @@ object Compiler {
         }
         Vec(df, src.labelCols, scalar = false)
 
-      case FuncCall(fn, arg, _) if Parser.MathFunctions(fn) =>
+      case FuncCall(fn, arg, fnParams)
+        if Parser.MathFunctions(fn) || Parser.ParamMathFunctions(fn) =>
         val inner = compileVec(arg, src, p)
         val v = fn match {
           case "abs" => abs(col("value"))
@@ -91,6 +92,15 @@ object Compiler {
           case "log10" => log10(col("value"))
           case "sqrt" => sqrt(col("value"))
           case "sgn" => signum(col("value"))
+          case "clamp" =>
+            val Seq(lo, hi) = fnParams
+            least(greatest(col("value"), lit(lo)), lit(hi))
+          case "clamp_min" => greatest(col("value"), lit(fnParams.head))
+          case "clamp_max" => least(col("value"), lit(fnParams.head))
+          case "round" =>
+            // PromQL round(v, to): nearest multiple, ties away from zero
+            val to = fnParams.headOption.getOrElse(1.0)
+            floor(col("value") / to + 0.5) * to
         }
         Vec(inner.df.withColumn("value", v), inner.labels, inner.scalar)
 

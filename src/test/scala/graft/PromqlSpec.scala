@@ -150,6 +150,17 @@ class PromqlSpec extends SparkSpec {
     assert(resets.where(col("value") < 0).count() === 0L)
   }
 
+  test("parametric math: clamp family and round-to-multiple") {
+    val c = Compiler.compile("clamp(events, 10, 100)", src, p)
+    val mm = c.agg(min("value"), max("value")).head()
+    assert(mm.getDouble(0) >= 10.0 && mm.getDouble(1) <= 100.0)
+    val r = Compiler.compile("round(events, 5)", src, p)
+    val off = r.where(expr("value % 5 != 0")).count()
+    assert(off === 0L)
+    assert(Compiler.compile("clamp_min(events, 50)", src, p)
+      .where(col("value") < 50).count() === 0L)
+  }
+
   test("label_replace / label_join derive label columns in the compiler") {
     val lr = Compiler.compile(
       """label_replace(events, "class", "$1_x", "event_type", "(cl|vi).*")""",
