@@ -129,6 +129,31 @@ object Compiler {
             Vec(df, (inner.labels :+ dst).distinct, scalar = false)
         }
 
+      // time(): the evaluation timestamp (seconds) at every step —
+      // a label-less vector over the grid
+      case FuncCall("time", _, _) =>
+        val spark = src.points.sparkSession
+        val kMax = (p.endMs - p.startMs) / p.stepMs
+        val df = spark.range(0, kMax + 1)
+          .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
+          .withColumn("value", col("eval_ms").cast("double") / 1000.0)
+        Vec(df, Seq.empty, scalar = false)
+
+      // vector(s): scalar as a label-less vector; scalar(v): a
+      // single-series vector's value as a scalar per step (here: the
+      // label-less vector itself — both are the same representation)
+      case FuncCall("vector" | "scalar", arg, _) =>
+        val inner = compileVec(arg, src, p)
+        if (inner.scalar) {
+          val v = inner.df.head().getDouble(0)
+          val spark = src.points.sparkSession
+          val kMax = (p.endMs - p.startMs) / p.stepMs
+          val df = spark.range(0, kMax + 1)
+            .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
+            .withColumn("value", lit(v))
+          Vec(df, Seq.empty, scalar = false)
+        } else Vec(inner.df, Seq.empty, scalar = false)
+
       case FuncCall("absent", arg, _) =>
         // 1 at eval steps where the inner vector has no series at all
         val inner = compileVec(arg, src, p)

@@ -150,6 +150,18 @@ class PromqlSpec extends SparkSpec {
     assert(resets.where(col("value") < 0).count() === 0L)
   }
 
+  test("time() and vector() produce label-less step vectors") {
+    val t = Compiler.compile("time()", src, p)
+    assert(t.count() === (End - Start) / Hour + 1)
+    val first = t.orderBy("eval_ms").head()
+    assert(first.getDouble(t.columns.indexOf("value")) === Start / 1000.0)
+    val v = Compiler.compile("vector(42)", src, p)
+    assert(v.select("value").distinct().head().getDouble(0) === 42.0)
+    // arithmetic against a label-less vector joins on eval_ms alone
+    val ratio = Compiler.compile("vector(2) * vector(3)", src, p)
+    assert(ratio.select("value").distinct().head().getDouble(0) === 6.0)
+  }
+
   test("parametric math: clamp family and round-to-multiple") {
     val c = Compiler.compile("clamp(events, 10, 100)", src, p)
     val mm = c.agg(min("value"), max("value")).head()
