@@ -56,13 +56,21 @@ final case class LabelCall(fn: String, arg: Expr,
   */
 final case class Subquery(body: Expr, rangeMs: Long, stepMs: Long) extends Expr
 
+/** `param` is the leading scalar of topk/bottomk/quantile; `strParam` the
+  * leading string of count_values (the destination label name).
+  */
 final case class Agg(
     op: String,
     by: Seq[String],
     without: Boolean,
     body: Expr,
-    param: Option[Double] = None) extends Expr
+    param: Option[Double] = None,
+    strParam: Option[String] = None) extends Expr
 
+/** `groupLeft`/`groupRight` are the many-to-one / one-to-many match
+  * modifiers; `groupLabels` the extra labels carried over from the "one"
+  * side (`group_left(job)`).
+  */
 final case class BinOp(
     op: String,
     lhs: Expr,
@@ -70,4 +78,6 @@ final case class BinOp(
     on: Seq[String],
     ignoring: Seq[String],
     groupLeft: Boolean,
-    boolMode: Boolean = false) extends Expr
+    boolMode: Boolean = false,
+    groupRight: Boolean = false,
+    groupLabels: Seq[String] = Nil) extends Expr

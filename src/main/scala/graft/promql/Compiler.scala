@@ -1,6 +1,7 @@
 package graft.promql
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tsdb.{Matchers, Rate, RangeWindows}
@@ -33,13 +34,30 @@ final case class EvalParams(
   * operators: selectors → matcher predicates + per-sample step explode
   * (no nested-loop grid join), rate-family → [[Rate.overSteps]],
   * `*_over_time` → [[RangeWindows.rangeBucketed]], aggregation → hash
-  * aggregate on (labels, eval_ms), binary ops → broadcast-friendly
-  * equi-joins on the matching labels + eval step.
+  * aggregate on (labels, eval_ms), binary ops → equi-joins on the matching
+  * labels + eval step.
+  *
+  * Compile-time discipline (100 TB posture):
+  *  - NO driver actions during compilation: scalar literals fold in Scala
+  *    (`Vec.const`), data-dependent scalars (`scalar(v)`, `time()`) stay
+  *    1-row-per-step plans joined on eval_ms — the r2 `.head()` jobs that
+  *    serialized nested scalar builds are gone.
+  *  - NO unconditional broadcast: the "one" side of a vector match gets a
+  *    broadcast hint only when its AST shape is aggregate-bounded
+  *    ([[aggBounded]]); raw-selector sides are left to AQE, so `a / b` over
+  *    two unbounded selectors can never OOM the driver.
   */
 object Compiler {
 
-  /** Compiled form: the plan plus its series label set. */
-  final case class Vec(df: DataFrame, labels: Seq[String], scalar: Boolean)
+  /** Compiled form: the plan plus its series label set. `scalar` marks the
+    * PromQL scalar type — the df is (eval_ms, value); `const` is set when
+    * the value is a compile-time literal (df is a 1-row frame, only used
+    * if the scalar is the query's top-level result).
+    */
+  final case class Vec(df: DataFrame, labels: Seq[String], scalar: Boolean,
+      const: Option[Double] = None)
+
+  private val CmpOps = Set("==", "!=", ">", "<", ">=", "<=")
 
   def compile(expr: Expr, src: PromSource, p: EvalParams): DataFrame =
     compileVec(expr, src, p).df
@@ -47,12 +65,31 @@ object Compiler {
   def compile(promql: String, src: PromSource, p: EvalParams): DataFrame =
     compile(Parser.parse(promql), src, p)
 
+  /** One row per eval step: the query_range grid. */
+  private def grid(spark: SparkSession, p: EvalParams): DataFrame =
+    spark.range(0, (p.endMs - p.startMs) / p.stepMs + 1)
+      .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
+
+  private def constVec(spark: SparkSession, v: Double): Vec =
+    Vec(spark.range(1).select(lit(v).as("value")), Seq.empty, scalar = true,
+      const = Some(v))
+
+  /** True when the expression's cardinality is bounded by an aggregation —
+    * safe to broadcast as the one-side of a vector match.
+    */
+  private def aggBounded(e: Expr): Boolean = e match {
+    case _: Agg => true
+    case _: NumLit => true
+    case FuncCall("time" | "vector" | "scalar" | "absent", _, _) => true
+    case FuncCall(_, a, _) => aggBounded(a)
+    case LabelCall(_, a, _) => aggBounded(a)
+    case BinOp(_, a, b, _, _, _, _, _, _) => aggBounded(a) && aggBounded(b)
+    case _ => false // Selector / Subquery: unbounded series sets
+  }
+
   private def compileVec(expr: Expr, src: PromSource, p: EvalParams): Vec =
     expr match {
-      case NumLit(v) =>
-        val df = src.points.sparkSession.range(1)
-          .select(lit(v).as("value"))
-        Vec(df, Seq.empty, scalar = true)
+      case NumLit(v) => constVec(src.points.sparkSession, v)
 
       case s: Selector =>
         if (s.rangeMs.nonEmpty)
@@ -71,38 +108,20 @@ object Compiler {
             val fixed = RangeWindows.instantBucketed(base, src.labelCols,
                 at, at, p.stepMs, p.lookbackMs, src.tsCol, src.valueCol)
               .drop("eval_ms")
-            val spark = src.points.sparkSession
-            val kMax = (p.endMs - p.startMs) / p.stepMs
-            val grid = spark.range(0, kMax + 1)
-              .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
-            fixed.crossJoin(broadcast(grid))
+            fixed.crossJoin(broadcast(grid(src.points.sparkSession, p)))
         }
         Vec(df, src.labelCols, scalar = false)
 
       case FuncCall(fn, arg, fnParams)
         if Parser.MathFunctions(fn) || Parser.ParamMathFunctions(fn) =>
         val inner = compileVec(arg, src, p)
-        val v = fn match {
-          case "abs" => abs(col("value"))
-          case "ceil" => ceil(col("value")).cast("double")
-          case "floor" => floor(col("value")).cast("double")
-          case "exp" => exp(col("value"))
-          case "ln" => log(col("value"))
-          case "log2" => log2(col("value"))
-          case "log10" => log10(col("value"))
-          case "sqrt" => sqrt(col("value"))
-          case "sgn" => signum(col("value"))
-          case "clamp" =>
-            val Seq(lo, hi) = fnParams
-            least(greatest(col("value"), lit(lo)), lit(hi))
-          case "clamp_min" => greatest(col("value"), lit(fnParams.head))
-          case "clamp_max" => least(col("value"), lit(fnParams.head))
-          case "round" =>
-            // PromQL round(v, to): nearest multiple, ties away from zero
-            val to = fnParams.headOption.getOrElse(1.0)
-            floor(col("value") / to + 0.5) * to
+        inner.const match {
+          case Some(cv) =>
+            constVec(src.points.sparkSession, scalarMath(fn, cv, fnParams))
+          case None =>
+            Vec(inner.df.withColumn("value", mathCol(fn, col("value"), fnParams)),
+              inner.labels, inner.scalar)
         }
-        Vec(inner.df.withColumn("value", v), inner.labels, inner.scalar)
 
       // label manipulation over column-label sources: the destination
       // becomes a derived (string) label column on the plan
@@ -129,42 +148,104 @@ object Compiler {
             Vec(df, (inner.labels :+ dst).distinct, scalar = false)
         }
 
-      // time(): the evaluation timestamp (seconds) at every step —
-      // a label-less vector over the grid
+      // time(): the evaluation timestamp (seconds) at every step — a
+      // per-step scalar (PromQL scalar type), joined on eval_ms downstream
       case FuncCall("time", _, _) =>
-        val spark = src.points.sparkSession
-        val kMax = (p.endMs - p.startMs) / p.stepMs
-        val df = spark.range(0, kMax + 1)
-          .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
+        val df = grid(src.points.sparkSession, p)
           .withColumn("value", col("eval_ms").cast("double") / 1000.0)
-        Vec(df, Seq.empty, scalar = false)
+        Vec(df, Seq.empty, scalar = true)
 
-      // vector(s): scalar as a label-less vector; scalar(v): a
-      // single-series vector's value as a scalar per step (here: the
-      // label-less vector itself — both are the same representation)
-      case FuncCall("vector" | "scalar", arg, _) =>
+      // vector(s): scalar as a label-less instant vector
+      case FuncCall("vector", arg, _) =>
         val inner = compileVec(arg, src, p)
-        if (inner.scalar) {
-          val v = inner.df.head().getDouble(0)
-          val spark = src.points.sparkSession
-          val kMax = (p.endMs - p.startMs) / p.stepMs
-          val df = spark.range(0, kMax + 1)
-            .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
-            .withColumn("value", lit(v))
-          Vec(df, Seq.empty, scalar = false)
-        } else Vec(inner.df, Seq.empty, scalar = false)
+        inner.const match {
+          case Some(cv) =>
+            val df = grid(src.points.sparkSession, p)
+              .withColumn("value", lit(cv))
+            Vec(df, Seq.empty, scalar = false)
+          case None =>
+            // per-step scalar already has the (eval_ms, value) shape
+            Vec(inner.df, Seq.empty, scalar = false)
+        }
+
+      // scalar(v): the single series' value per step; NaN when the vector
+      // has zero or many series at that step (Prometheus semantics)
+      case FuncCall("scalar", arg, _) =>
+        val inner = compileVec(arg, src, p)
+        if (inner.scalar) inner
+        else {
+          val agg = inner.df.groupBy("eval_ms").agg(
+            when(count(lit(1)) === 1, first(col("value")))
+              .otherwise(lit(Double.NaN)).as("value"))
+          val df = grid(src.points.sparkSession, p)
+            .join(agg, Seq("eval_ms"), "left")
+            .withColumn("value", coalesce(col("value"), lit(Double.NaN)))
+          Vec(df, Seq.empty, scalar = true)
+        }
 
       case FuncCall("absent", arg, _) =>
         // 1 at eval steps where the inner vector has no series at all
         val inner = compileVec(arg, src, p)
-        val spark = src.points.sparkSession
-        val kMax = (p.endMs - p.startMs) / p.stepMs
-        val grid = spark.range(0, kMax + 1)
-          .select((lit(p.startMs) + col("id") * p.stepMs).as("eval_ms"))
         val present = inner.df.select("eval_ms").distinct()
-        val df = grid.join(present, Seq("eval_ms"), "left_anti")
+        val df = grid(src.points.sparkSession, p)
+          .join(present, Seq("eval_ms"), "left_anti")
           .withColumn("value", lit(1.0))
         Vec(df, Seq.empty, scalar = false)
+
+      // timestamp(v): the timestamp (seconds) of each sample. For a raw
+      // selector that is the chosen sample's own ts (offset removed, as
+      // Prometheus reports the original sample time); for derived vectors
+      // the sample time is the evaluation time.
+      case FuncCall("timestamp", arg, _) =>
+        arg match {
+          case s: Selector if s.rangeMs.isEmpty =>
+            val base = selectorPoints(s, src)
+            val df = RangeWindows.withEvalSteps(base,
+                p.startMs, p.endMs, p.stepMs, p.lookbackMs, src.tsCol)
+              .groupBy((src.labelCols.map(col) :+ col("eval_ms")): _*)
+              .agg(((max(struct(col(src.tsCol), col(src.valueCol)))
+                  .getField(src.tsCol) - lit(s.offsetMs)).cast("double")
+                / 1000.0).as("value"))
+            Vec(df, src.labelCols, scalar = false)
+          case other =>
+            val inner = compileVec(other, src, p)
+            Vec(inner.df.withColumn("value",
+              col("eval_ms").cast("double") / 1000.0),
+              inner.labels, scalar = false)
+        }
+
+      // sort/sort_desc order the result rows by value (presentation only —
+      // the result set is identical)
+      case FuncCall(fn @ ("sort" | "sort_desc"), arg, _) =>
+        val inner = compileVec(arg, src, p)
+        val df =
+          if (fn == "sort") inner.df.orderBy(col("value").asc_nulls_last)
+          else inner.df.orderBy(col("value").desc_nulls_last)
+        Vec(df, inner.labels, scalar = false)
+
+      // histogram_quantile(φ, v) over `le`-labelled cumulative buckets:
+      // group by series-minus-le, sort buckets, interpolate inside the
+      // target bucket (Prometheus promql/quantile.go bucketQuantile).
+      // One hash aggregate; bucket arrays are histogram-sized (bounded).
+      case FuncCall("histogram_quantile", arg, params) =>
+        val phi = params.headOption.getOrElse(
+          throw new IllegalArgumentException("histogram_quantile needs φ"))
+        val inner = compileVec(arg, src, p)
+        if (!inner.labels.contains("le"))
+          throw new IllegalArgumentException(
+            "histogram_quantile needs an input vector with an 'le' label")
+        val groupLabels = inner.labels.filterNot(_ == "le")
+        val leNum = when(col("le").isin("+Inf", "Inf", "inf"),
+          lit(Double.PositiveInfinity)).otherwise(col("le").cast("double"))
+        val grouped = inner.df
+          .withColumn("__le", leNum)
+          .groupBy((groupLabels.map(col) :+ col("eval_ms")): _*)
+          .agg(sort_array(collect_list(
+            struct(col("__le").as("le"), col("value").as("v")))).as("__bs"))
+        val df = grouped
+          .withColumn("value", bucketQuantile(lit(phi), col("__bs")))
+          .drop("__bs")
+        Vec(df, groupLabels, scalar = false)
 
       case FuncCall(fn, arg, params) =>
         // The range function's input: either matcher-filtered raw points,
@@ -205,6 +286,29 @@ object Compiler {
             }
             out.select((labels.map(col) :+ col("eval_ms") :+
               v.as("value")): _*)
+          case "changes" =>
+            // count of consecutive-sample value changes whose pair lies
+            // inside the window (Prometheus funcChanges); NaN→NaN is not a
+            // change under Spark's NaN==NaN comparison, matching the
+            // engine's explicit both-NaN exemption
+            val w = Window.partitionBy(labels.map(col): _*).orderBy(col(tCol))
+            val withPrev = base
+              .withColumn("__prev_val", lag(col(vCol), 1).over(w))
+              .withColumn("__prev_ts", lag(col(tCol), 1).over(w))
+            RangeWindows.withEvalSteps(withPrev,
+                p.startMs, p.endMs, p.stepMs, range, tCol)
+              .groupBy((labels.map(col) :+ col("eval_ms")): _*)
+              .agg(sum(when(col("__prev_ts").isNotNull &&
+                  col("__prev_ts") > col("eval_ms") - range &&
+                  col(vCol) =!= col("__prev_val"), 1L).otherwise(0L))
+                .cast("double").as("value"))
+          case "quantile_over_time" =>
+            val q = params.headOption.getOrElse(
+              throw new IllegalArgumentException("quantile_over_time needs q"))
+            RangeWindows.rangeBucketed(base, labels,
+              p.startMs, p.endMs, p.stepMs, range,
+              Seq("value" -> (_ => org.apache.spark.sql.functions.expr(s"percentile($vCol, $q)"))),
+              tCol, vCol)
           case "deriv" | "predict_linear" =>
             val horizon =
               if (fn == "predict_linear")
@@ -213,8 +317,7 @@ object Compiler {
               else 0.0
             val x = s"($tCol - eval_ms) / 1000.0"
             val v =
-              if (fn == "deriv")
-                org.apache.spark.sql.functions.expr(s"regr_slope($vCol, $x)")
+              if (fn == "deriv") org.apache.spark.sql.functions.expr(s"regr_slope($vCol, $x)")
               else org.apache.spark.sql.functions.expr(
                 s"regr_intercept($vCol, $x) + regr_slope($vCol, $x) * $horizon")
             RangeWindows.withEvalSteps(base, p.startMs, p.endMs, p.stepMs,
@@ -256,24 +359,37 @@ object Compiler {
         }
         Vec(df, labels, scalar = false)
 
-      case Agg(op, by, without, body, param) =>
+      case Agg(op, by, without, body, param, strParam) =>
         val inner = compileVec(body, src, p)
         val groupLabels =
           if (without) inner.labels.filterNot(by.contains)
           else by.filter(inner.labels.contains)
         op match {
-          case "topk" =>
-            // keep the full label set; rank within (group, step)
+          case "topk" | "bottomk" =>
+            // keep the full label set; rank within (group, step);
+            // deterministic tiebreak on the label tuple
             val k = param.getOrElse(
-              throw new IllegalArgumentException("topk needs k")).toInt
-            val w = org.apache.spark.sql.expressions.Window
+              throw new IllegalArgumentException(s"$op needs k")).toInt
+            val ord =
+              if (op == "topk") col("value").desc else col("value").asc
+            val w = Window
               .partitionBy((groupLabels.map(col) :+ col("eval_ms")): _*)
-              .orderBy(col("value").desc,
-                struct(inner.labels.map(col): _*).asc)
+              .orderBy(ord, struct(inner.labels.map(col): _*).asc)
             val df = inner.df
               .withColumn("__rk", row_number().over(w))
               .where(col("__rk") <= k).drop("__rk")
             Vec(df, inner.labels, scalar = false)
+          case "count_values" =>
+            // one output series per (group, distinct value): the value
+            // becomes a new label, the new value is the count
+            val vLab = strParam.getOrElse(
+              throw new IllegalArgumentException(
+                "count_values needs a label name"))
+            val df = inner.df
+              .withColumn(vLab, col("value").cast("string"))
+              .groupBy(((groupLabels :+ vLab).map(col) :+ col("eval_ms")): _*)
+              .agg(count(lit(1)).cast("double").as("value"))
+            Vec(df, groupLabels :+ vLab, scalar = false)
           case _ =>
             val aggCol: Column = op match {
               case "sum" => sum(col("value"))
@@ -282,6 +398,8 @@ object Compiler {
               case "max" => max(col("value"))
               case "count" => count(col("value")).cast("double")
               case "group" => max(lit(1.0)) // 1 per existing group
+              case "stddev" => stddev_pop(col("value"))
+              case "stdvar" => var_pop(col("value"))
               case "quantile" =>
                 org.apache.spark.sql.functions.expr(
                   s"percentile(value, ${param.getOrElse(
@@ -293,104 +411,266 @@ object Compiler {
             Vec(df, groupLabels, scalar = false)
         }
 
-      case BinOp(op @ ("and" | "or" | "unless"), lhs, rhs, on, ignoring, _, _) =>
+      case BinOp(op @ ("and" | "or" | "unless"), lhs, rhs, on, ignoring,
+          _, _, _, _) =>
         val l = compileVec(lhs, src, p)
         val r = compileVec(rhs, src, p)
+        // Prometheus matches set ops on the FULL label set by default;
+        // differing label schemas are reconciled by padding missing labels
+        // with "" (consistent with missing-label-matches-empty, F6)
+        val all = (l.labels ++ r.labels).distinct
+        def pad(v: Vec): DataFrame =
+          all.foldLeft(v.df)((d, c) =>
+            if (v.labels.contains(c)) d else d.withColumn(c, lit("")))
         val matchOn =
           if (on.nonEmpty) on
-          else l.labels.intersect(r.labels).filterNot(ignoring.contains)
+          else if (ignoring.nonEmpty) all.filterNot(ignoring.contains)
+          else all
         val keys = matchOn :+ "eval_ms"
-        val rKeys = r.df.select(keys.map(col): _*).distinct()
-        val df = op match {
-          case "and" => l.df.join(rKeys, keys, "left_semi")
-          case "unless" => l.df.join(rKeys, keys, "left_anti")
+        op match {
+          case "and" =>
+            val rKeys = pad(r).select(keys.map(col): _*).distinct()
+            val df = pad(l).join(rKeys, keys, "left_semi")
+              .select(((l.labels :+ "eval_ms" :+ "value").map(col)): _*)
+            Vec(df, l.labels, scalar = false)
+          case "unless" =>
+            val rKeys = pad(r).select(keys.map(col): _*).distinct()
+            val df = pad(l).join(rKeys, keys, "left_anti")
+              .select(((l.labels :+ "eval_ms" :+ "value").map(col)): _*)
+            Vec(df, l.labels, scalar = false)
           case "or" =>
-            require(l.labels == r.labels,
-              "or requires identical label sets in this engine")
-            l.df.unionByName(
-              r.df.join(l.df.select(keys.map(col): _*).distinct(),
-                keys, "left_anti"))
+            // left rows, plus right rows with no match group on the left
+            val outCols = (all :+ "eval_ms" :+ "value").map(col)
+            val lp = pad(l)
+            val lKeys = lp.select(keys.map(col): _*).distinct()
+            val df = lp.select(outCols: _*).unionByName(
+              pad(r).join(lKeys, keys, "left_anti").select(outCols: _*))
+            Vec(df, all, scalar = false)
         }
-        Vec(df, l.labels, scalar = false)
 
-      case BinOp(op, lhs, rhs, on, ignoring, _, boolMode) =>
-        val l = compileVec(lhs, src, p)
-        val r = compileVec(rhs, src, p)
-        val isCmp = Set("==", "!=", ">", "<", ">=", "<=")(op)
-        def cmp(a: Column, b: Column): Column = op match {
-          case "==" => a === b; case "!=" => a =!= b
-          case ">" => a > b; case "<" => a < b
-          case ">=" => a >= b; case "<=" => a <= b
-        }
-        def apply(a: Column, b: Column): Column = op match {
-          case "+" => a + b
-          case "-" => a - b
-          case "*" => a * b
-          case "/" => a / b
-        }
-        if (isCmp) {
-          // comparison = filter (or 1/0 projection under `bool`)
-          (l.scalar, r.scalar) match {
-            case (false, true) =>
-              val rv = r.df.head().getDouble(0)
-              val out =
-                if (boolMode) l.df.withColumn("value",
-                  when(cmp(col("value"), lit(rv)), 1.0).otherwise(0.0))
-                else l.df.where(cmp(col("value"), lit(rv)))
-              return Vec(out, l.labels, scalar = false)
-            case (false, false) =>
-              val matchOn =
-                if (on.nonEmpty) on
-                else l.labels.intersect(r.labels).filterNot(ignoring.contains)
-              val keys = matchOn :+ "eval_ms"
-              val rSide = r.df.withColumnRenamed("value", "__rv")
-                .select((keys :+ "__rv").map(col): _*)
-              val joined = l.df.join(broadcast(rSide), keys)
-              val out =
-                if (boolMode) joined.withColumn("value",
-                  when(cmp(col("value"), col("__rv")), 1.0).otherwise(0.0))
-                  .drop("__rv")
-                else joined.where(cmp(col("value"), col("__rv"))).drop("__rv")
-              return Vec(out, l.labels, scalar = false)
-            case _ =>
-              throw new IllegalArgumentException(
-                s"unsupported comparison operands for $op")
-          }
-        }
-        (l.scalar, r.scalar) match {
-          case (true, true) =>
-            val lv = l.df.head().getDouble(0)
-            val rv = r.df.head().getDouble(0)
-            compileVec(NumLit(evalScalar(op, lv, rv)), src, p)
-          case (false, true) =>
-            val rv = r.df.head().getDouble(0)
-            Vec(l.df.withColumn("value", apply(col("value"), lit(rv))),
-              l.labels, scalar = false)
-          case (true, false) =>
-            val lv = l.df.head().getDouble(0)
-            Vec(r.df.withColumn("value", apply(lit(lv), col("value"))),
-              r.labels, scalar = false)
-          case (false, false) =>
-            val matchOn =
-              if (on.nonEmpty) on
-              else (l.labels.intersect(r.labels)).filterNot(ignoring.contains)
-            val keys = matchOn :+ "eval_ms"
-            val rSide = r.df
-              .withColumnRenamed("value", "__rv")
-              .select((keys :+ "__rv").map(col): _*)
-            // the one-side of a match is an aggregate: broadcast it
-            val joined = l.df.join(broadcast(rSide), keys)
-              .withColumn("value", apply(col("value"), col("__rv")))
-              .drop("__rv")
-            Vec(joined, l.labels, scalar = false)
+      case BinOp(op, lhsE, rhsE, on, ignoring, gl, boolMode, gr, gLabels) =>
+        val l = compileVec(lhsE, src, p)
+        val r = compileVec(rhsE, src, p)
+        (l.const, r.const) match {
+          case (Some(a), Some(b)) =>
+            if (CmpOps(op)) {
+              if (!boolMode) throw new IllegalArgumentException(
+                "comparisons between scalars must use BOOL modifier")
+              constVec(src.points.sparkSession,
+                if (cmpScalar(op, a, b)) 1.0 else 0.0)
+            } else constVec(src.points.sparkSession, evalScalar(op, a, b))
+          case _ =>
+            (l.scalar, r.scalar) match {
+              case (false, true) =>
+                vecScalar(op, l, r, vecOnLeft = true, boolMode)
+              case (true, false) =>
+                vecScalar(op, r, l, vecOnLeft = false, boolMode)
+              case (true, true) =>
+                scalarScalar(op, l, r, boolMode, src, p)
+              case (false, false) =>
+                vectorVector(op, l, r, lhsE, rhsE, on, ignoring, gl, gr,
+                  gLabels, boolMode)
+            }
         }
     }
+
+  /** vector ◦ scalar (either order). The scalar is a literal column when
+    * constant, else a per-step 1-row frame joined (broadcast) on eval_ms.
+    */
+  private def vecScalar(op: String, v: Vec, s: Vec, vecOnLeft: Boolean,
+      boolMode: Boolean): Vec = {
+    val withScalar: (DataFrame, Column) = s.const match {
+      case Some(sv) => (v.df, lit(sv))
+      case None =>
+        val sSide = s.df.withColumnRenamed("value", "__sv")
+        (v.df.join(broadcast(sSide), Seq("eval_ms")), col("__sv"))
+    }
+    val (df0, sCol) = withScalar
+    val (a, b) = if (vecOnLeft) (col("value"), sCol) else (sCol, col("value"))
+    val out =
+      if (CmpOps(op)) {
+        if (boolMode)
+          df0.withColumn("value", when(cmpCol(op, a, b), 1.0).otherwise(0.0))
+        else df0.where(cmpCol(op, a, b))
+      } else df0.withColumn("value", applyCol(op, a, b))
+    Vec(dropTemp(out), v.labels, scalar = false)
+  }
+
+  /** scalar ◦ scalar where at least one side is per-step. */
+  private def scalarScalar(op: String, l: Vec, r: Vec, boolMode: Boolean,
+      src: PromSource, p: EvalParams): Vec = {
+    if (CmpOps(op) && !boolMode) throw new IllegalArgumentException(
+      "comparisons between scalars must use BOOL modifier")
+    def combine(df: DataFrame, a: Column, b: Column): DataFrame =
+      if (CmpOps(op))
+        df.withColumn("value", when(cmpCol(op, a, b), 1.0).otherwise(0.0))
+      else df.withColumn("value", applyCol(op, a, b))
+    val df = (l.const, r.const) match {
+      case (Some(lv), None) => combine(r.df, lit(lv), col("value"))
+      case (None, Some(rv)) => combine(l.df, col("value"), lit(rv))
+      case _ =>
+        val rSide = r.df.withColumnRenamed("value", "__sv")
+        combine(l.df.join(rSide, Seq("eval_ms")), col("value"), col("__sv"))
+    }
+    Vec(dropTemp(df), Seq.empty, scalar = true)
+  }
+
+  /** Vector-vector matching: equi-join on (match labels, eval_ms).
+    *
+    * Cardinality contract (ADVICE r2): the "one" side must be unique per
+    * match group — enforced with a windowed count and `raise_error`, the
+    * Spark analogue of Prometheus' "found duplicate series for the match
+    * group". group_left/group_right carry `gLabels` from the one side.
+    */
+  private def vectorVector(op: String, l: Vec, r: Vec, lhsE: Expr, rhsE: Expr,
+      on: Seq[String], ignoring: Seq[String], gl: Boolean, gr: Boolean,
+      gLabels: Seq[String], boolMode: Boolean): Vec = {
+    val isCmp = CmpOps(op)
+    val matchOn =
+      if (on.nonEmpty) on
+      else l.labels.intersect(r.labels).filterNot(ignoring.contains)
+    val keys = matchOn :+ "eval_ms"
+    // group_right flips which side is the "one" side
+    val (many, one, oneE) = if (gr) (r, l, lhsE) else (l, r, rhsE)
+    val extras = gLabels.filter(one.labels.contains).filterNot(matchOn.contains)
+    require(!extras.exists(many.labels.contains),
+      s"group modifier labels ${extras.mkString(",")} already exist on the many side")
+    val w = Window.partitionBy(keys.map(col): _*)
+    val oneSel = one.df
+      .select(((keys ++ extras).map(col) :+ col("value").as("__ov")): _*)
+      .withColumn("__ocnt", count(lit(1)).over(w))
+    val oneSide = if (aggBounded(oneE)) broadcast(oneSel) else oneSel
+    val joined = many.df.join(oneSide, keys)
+    val (a, b) =
+      if (gr) (col("__ov"), col("value")) else (col("value"), col("__ov"))
+    val dupError = raise_error(concat(
+      lit("PromQL vector match: found duplicate series for the match group ("),
+      lit(matchOn.mkString(",")), lit(")"))).cast("double")
+    def guarded(c: Column): Column =
+      when(col("__ocnt") > 1, dupError).otherwise(c)
+    val outLabels =
+      if (isCmp) many.labels ++ extras
+      else if (gl || gr) many.labels ++ extras
+      else if (on.nonEmpty) on
+      else l.labels.filterNot(ignoring.contains)
+    val out =
+      if (isCmp) {
+        if (boolMode)
+          joined.withColumn("value",
+            guarded(when(cmpCol(op, a, b), 1.0).otherwise(0.0)))
+        else joined
+          .withColumn("__keep", guarded(when(cmpCol(op, a, b), 1.0)))
+          .where(col("__keep").isNotNull)
+      } else joined.withColumn("value", guarded(applyCol(op, a, b)))
+    val df = out.select(((outLabels :+ "eval_ms" :+ "value").map(col)): _*)
+    Vec(df, outLabels, scalar = false)
+  }
+
+  private def dropTemp(df: DataFrame): DataFrame =
+    df.columns.filter(_.startsWith("__")).foldLeft(df)(_.drop(_))
+
+  private def applyCol(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b // fmod, dividend sign — PromQL math.Mod
+    case "^" => pow(a, b)
+  }
+
+  private def cmpCol(op: String, a: Column, b: Column): Column = op match {
+    case "==" => a === b; case "!=" => a =!= b
+    case ">" => a > b; case "<" => a < b
+    case ">=" => a >= b; case "<=" => a <= b
+  }
 
   private def evalScalar(op: String, a: Double, b: Double): Double =
     op match {
       case "+" => a + b; case "-" => a - b
       case "*" => a * b; case "/" => a / b
+      case "%" => a % b; case "^" => math.pow(a, b)
     }
+
+  private def cmpScalar(op: String, a: Double, b: Double): Boolean =
+    op match {
+      case "==" => a == b; case "!=" => a != b
+      case ">" => a > b; case "<" => a < b
+      case ">=" => a >= b; case "<=" => a <= b
+    }
+
+  /** Constant folding for math functions over scalar literals — keeps
+    * nested scalar expressions free of Spark jobs at compile time.
+    */
+  private def scalarMath(fn: String, v: Double, ps: Seq[Double]): Double =
+    fn match {
+      case "abs" => math.abs(v)
+      case "ceil" => math.ceil(v)
+      case "floor" => math.floor(v)
+      case "exp" => math.exp(v)
+      case "ln" => math.log(v)
+      case "log2" => math.log(v) / math.log(2.0)
+      case "log10" => math.log10(v)
+      case "sqrt" => math.sqrt(v)
+      case "sgn" => math.signum(v)
+      case "clamp" => math.min(math.max(v, ps.head), ps(1))
+      case "clamp_min" => math.max(v, ps.head)
+      case "clamp_max" => math.min(v, ps.head)
+      case "round" =>
+        val to = ps.headOption.getOrElse(1.0)
+        math.floor(v / to + 0.5) * to
+    }
+
+  private def mathCol(fn: String, v: Column, ps: Seq[Double]): Column =
+    fn match {
+      case "abs" => abs(v)
+      case "ceil" => ceil(v).cast("double")
+      case "floor" => floor(v).cast("double")
+      case "exp" => exp(v)
+      case "ln" => log(v)
+      case "log2" => log2(v)
+      case "log10" => log10(v)
+      case "sqrt" => sqrt(v)
+      case "sgn" => signum(v)
+      case "clamp" =>
+        val Seq(lo, hi) = ps
+        least(greatest(v, lit(lo)), lit(hi))
+      case "clamp_min" => greatest(v, lit(ps.head))
+      case "clamp_max" => least(v, lit(ps.head))
+      case "round" =>
+        // PromQL round(v, to): nearest multiple, ties away from zero
+        val to = ps.headOption.getOrElse(1.0)
+        floor(v / to + 0.5) * to
+    }
+
+  /** Prometheus bucketQuantile over a sorted array of (le, cumulative
+    * count) structs. Invalid histograms (fewer than 2 buckets, or highest
+    * bucket not +Inf) yield NaN; a rank inside the +Inf bucket returns the
+    * highest finite le; interpolation is linear within the target bucket.
+    */
+  private def bucketQuantile(phi: Column, bs: Column): Column = {
+    val n = size(bs)
+    val lastLe = element_at(bs, -1).getField("le")
+    val total = element_at(bs, -1).getField("v")
+    val rank = phi * total
+    // 0-based index of the first bucket with cumulative count >= rank
+    val lower = size(filter(bs, b => b.getField("v") < rank))
+    val target = element_at(bs, least(lower + 1, n))
+    val prevLe = when(lower === 0, lit(0.0))
+      .otherwise(element_at(bs, greatest(lower, lit(1))).getField("le"))
+    val prevCnt = when(lower === 0, lit(0.0))
+      .otherwise(element_at(bs, greatest(lower, lit(1))).getField("v"))
+    val interpolated = prevLe +
+      (target.getField("le") - prevLe) *
+        ((rank - prevCnt) / (target.getField("v") - prevCnt))
+    when(n < 2 || lastLe =!= lit(Double.PositiveInfinity), lit(Double.NaN))
+      .when(phi < 0, lit(Double.NegativeInfinity))
+      .when(phi > 1, lit(Double.PositiveInfinity))
+      .when(lower >= n - 1, element_at(bs, greatest(n - 1, lit(1)))
+        .getField("le"))
+      .when(lower === 0 && element_at(bs, 1).getField("le") <= 0,
+        element_at(bs, 1).getField("le"))
+      .otherwise(interpolated)
+  }
 
   /** Matcher-filtered, offset-shifted points for a selector. */
   private def selectorPoints(s: Selector, src: PromSource): DataFrame = {

@@ -300,6 +300,187 @@ class PromqlSpec extends SparkSpec {
         Selector(Some("m"), Seq.empty, None, 0L), Some(3.0)))
   }
 
+  test("parser: keyword boundary — on/ignoring/group_left as RHS prefixes") {
+    // ADVICE r2: `a + online_users` must not have `on` eaten as a modifier
+    assert(Parser.parse("a + online_users") ===
+      BinOp("+", sel("a"), sel("online_users"), Nil, Nil, false))
+    assert(Parser.parse("x / ignoring_errors_total") ===
+      BinOp("/", sel("x"), sel("ignoring_errors_total"), Nil, Nil, false))
+    assert(Parser.parse("a * group_left_total") ===
+      BinOp("*", sel("a"), sel("group_left_total"), Nil, Nil, false))
+    val e = Parser.parse("a / on(x) group_left(j) b")
+    assert(e === BinOp("/", sel("a"), sel("b"), Seq("x"), Nil,
+      groupLeft = true, boolMode = false, groupRight = false,
+      groupLabels = Seq("j")))
+    assert(Parser.parse("a / on(x) group_right b") ===
+      BinOp("/", sel("a"), sel("b"), Seq("x"), Nil, false, false, true, Nil))
+  }
+
+  test("parser: % ^ unary minus precedence and Inf/NaN/hex literals") {
+    // 1 * 2 + 4 / 6 - 10 % 2 ^ 2  (compliance corpus yml:104)
+    val e = Parser.parse("1 * 2 + 4 / 6 - 10 % 2 ^ 2")
+    val v = Compiler.compile(e, src, p).head().getDouble(0)
+    assert(v === (1.0 * 2 + 4.0 / 6 - 10 % math.pow(2, 2)))
+    assert(Compiler.compile("2 ^ 3 ^ 2", src, p).head().getDouble(0)
+      === math.pow(2, 9)) // right-assoc
+    assert(Compiler.compile("-2 ^ 2", src, p).head().getDouble(0)
+      === -4.0) // unary binds looser than ^
+    assert(Compiler.compile("Inf", src, p).head().getDouble(0)
+      === Double.PositiveInfinity)
+    assert(Compiler.compile("-Inf", src, p).head().getDouble(0)
+      === Double.NegativeInfinity)
+    assert(Compiler.compile("NaN", src, p).head().getDouble(0).isNaN)
+    assert(Compiler.compile("0x1f + 1", src, p).head().getDouble(0) === 32.0)
+    // unary minus over a vector negates values
+    val neg = Compiler.compile("""-events{event_type="click"}""", src, p)
+    assert(neg.where(col("value") > 0).count() === 0L)
+  }
+
+  test("compile: bottomk, stddev/stdvar, count_values") {
+    // day-long lookback so every hourly step sees all event types
+    val p = EvalParams(Start, End, Hour, lookbackMs = 86400000L)
+    val bot = Compiler.compile(
+      "bottomk(2, sum by (event_type) (events))", src, p)
+    val top = Compiler.compile(
+      "topk(2, sum by (event_type) (events))", src, p)
+    // per step with ≥ 2k series, bottomk's values sit below topk's
+    val n = Compiler.compile("sum by (event_type) (events)", src, p)
+      .groupBy("eval_ms").count()
+    val joined = bot.groupBy("eval_ms").agg(max("value").as("bmax"))
+      .join(top.groupBy("eval_ms").agg(min("value").as("tmin")), "eval_ms")
+      .join(n, "eval_ms").where(col("count") >= 4)
+    assert(joined.count() > 0)
+    assert(joined.where(col("bmax") > col("tmin")).count() === 0L)
+
+    val sd = Compiler.compile("stddev by (event_type) (events)", src, p)
+    val sv = Compiler.compile("stdvar by (event_type) (events)", src, p)
+    val chk = sd.withColumnRenamed("value", "sd")
+      .join(sv.withColumnRenamed("value", "sv"), Seq("event_type", "eval_ms"))
+      .where(abs(col("sd") * col("sd") - col("sv")) >
+        greatest(abs(col("sv")) * 1e-9, lit(1e-9)))
+    assert(chk.count() === 0L)
+
+    val cv = Compiler.compile("""count_values("v", floor(events / 100))""",
+      src, p)
+    assert(cv.columns.contains("v"))
+    assert(cv.agg(sum("value")).head().getDouble(0) ===
+      Compiler.compile("events", src, p).count().toDouble)
+  }
+
+  test("compile: timestamp/changes/quantile_over_time/sort") {
+    val ts = Compiler.compile("""timestamp(events{event_type="click"})""",
+      src, p)
+    // sample timestamps are at or before the eval step, within lookback
+    val bad = ts.where(col("value") * 1000 > col("eval_ms") ||
+      col("value") * 1000 <= col("eval_ms") - p.lookbackMs).count()
+    assert(bad === 0L && ts.count() > 0)
+
+    val ch = Compiler.compile("changes(events[6h])", src, p)
+    assert(ch.where(col("value") < 0).count() === 0L)
+    // changes <= samples-1 in the window
+    val cnt = Compiler.compile("count_over_time(events[6h])", src, p)
+      .withColumnRenamed("value", "n")
+    assert(ch.join(cnt, Seq("event_type", "eval_ms"))
+      .where(col("value") > col("n") - 1).count() === 0L)
+
+    val q0 = Compiler.compile("quantile_over_time(0, events[6h])", src, p)
+    val mn = Compiler.compile("min_over_time(events[6h])", src, p)
+      .withColumnRenamed("value", "mn")
+    assert(q0.join(mn, Seq("event_type", "eval_ms"))
+      .where(col("value") =!= col("mn")).count() === 0L)
+
+    val sorted = Compiler.compile(
+      "sort_desc(sum by (event_type) (events))", src, p)
+    assert(sorted.count() > 0)
+  }
+
+  test("compile: group_left carries extra labels; guard rejects dup groups") {
+    val srcSeries = PromSource(
+      Tables.points(spark, sfDir)
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(max_by(col("value"), col("event_id")).as("value")),
+      Seq("user_id", "event_type"), {
+        case "__name__" => lit("events")
+        case "event_type" => col("event_type")
+        case "user_id" => col("user_id").cast("string")
+      })
+    val pDay = EvalParams(Start, End, 86400000L, lookbackMs = Hour)
+    val gl = Compiler.compile(
+      """sum by (user_id) (events) * on(user_id) group_left(event_type)
+         max by (user_id, event_type) (events{event_type="signup"})""",
+      srcSeries, pDay)
+    assert(gl.columns.toSeq === Seq("user_id", "event_type", "eval_ms", "value"))
+    assert(gl.select("event_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("signup"))
+    // many-per-group one side → raise_error surfaces as SparkException
+    val bad = Compiler.compile(
+      """sum by (user_id) (events) * on(user_id)
+         max by (user_id, event_type) (events)""", srcSeries, pDay)
+    intercept[Exception](bad.collect())
+  }
+
+  test("compile: or merges differing label sets; scalar() NaN semantics") {
+    val srcSeries = PromSource(
+      Tables.points(spark, sfDir)
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(max_by(col("value"), col("event_id")).as("value")),
+      Seq("user_id", "event_type"), {
+        case "__name__" => lit("events")
+        case "event_type" => col("event_type")
+        case "user_id" => col("user_id").cast("string")
+      })
+    val pDay = EvalParams(Start, End, 86400000L, lookbackMs = Hour)
+    val u = Compiler.compile(
+      """sum by (user_id) (events{event_type="click"})
+         or on(user_id) sum by (user_id, event_type)
+           (events{event_type="purchase"})""", srcSeries, pDay)
+    // union schema: event_type padded with "" on the left side's rows
+    assert(u.columns.toSet === Set("user_id", "event_type", "eval_ms", "value"))
+    assert(u.where(col("event_type") === "").count() > 0)
+
+    // scalar() is NaN exactly where the vector has ≠ 1 series at the step
+    val sc = Compiler.compile("scalar(events)", src, p)
+    val perStep = Compiler.compile("events", src, p)
+      .groupBy("eval_ms").count()
+    val cross = sc.join(perStep, Seq("eval_ms"), "left")
+      .withColumn("n", coalesce(col("count"), lit(0L)))
+    assert(cross.where(isnan(col("value")) =!= (col("n") =!= 1)).count() === 0L)
+    assert(sc.count() === (End - Start) / Hour + 1) // every step present
+    val one = Compiler.compile("scalar(sum(events))", src, p)
+    // no labels on a scalar result
+    assert(one.columns.toSeq === Seq("eval_ms", "value"))
+  }
+
+  test("compile: histogram_quantile over le-labelled buckets") {
+    import spark.implicits._
+    // two series (job a/b) with classic cumulative buckets at one ts
+    val t0 = Start + Hour
+    val rows = Seq(
+      ("a", "0.1", 10.0), ("a", "0.5", 50.0), ("a", "1", 90.0),
+      ("a", "+Inf", 100.0),
+      ("b", "0.1", 0.0), ("b", "0.5", 10.0), ("b", "1", 10.0),
+      ("b", "+Inf", 10.0))
+      .map { case (j, le, v) => (j, le, t0, v) }
+      .toDF("job", "le", "ts_ms", "value")
+    val hsrc = PromSource(rows, Seq("job", "le"), {
+      case "__name__" => lit("m")
+      case "job" => col("job")
+      case "le" => col("le")
+    })
+    val hp = EvalParams(t0, t0, Hour)
+    val got = Compiler.compile("histogram_quantile(0.9, m)", hsrc, hp)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // series a: rank=90 → falls exactly at bucket le=1 upper edge:
+    // lower bucket (0.5, 50) → 0.5 + (1-0.5)*(90-50)/(90-50) = 1.0
+    assert(math.abs(got("a") - 1.0) < 1e-12)
+    // series b: rank=9 → inside (0.1, 0.5]: 0.1 + 0.4*(9-0)/(10-0)
+    assert(math.abs(got("b") - (0.1 + 0.4 * 0.9)) < 1e-12)
+    // φ=1 returns the highest finite bucket for a
+    val p100 = Compiler.compile("histogram_quantile(1, m)", hsrc, hp)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(p100("a") === 1.0)
+  }
+
   test("compile: count_over_time and offset shift") {
     val got = Compiler.compile("count_over_time(events[1d] offset 1d)", src, p)
     val want = RangeWindows.rangeBucketed(
