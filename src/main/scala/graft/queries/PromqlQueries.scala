@@ -15,9 +15,16 @@ import graft.tsdb._
   * (S11, `cmd/prom-remote-storage-to-parquet`).
   */
 object PromqlQueries {
-  import TsdbQueries.{Start, End, Hour, P, PD, RateFinSql}
+  import TsdbQueries.{Start, End, Hour, P, PD, Grid, RateFinSql}
 
   private val SixH = 6 * Hour
+  private val Day = 86400000L
+
+  /** Hour-lookback hourly grid / hour-lookback daily grid eval params for
+    * the compiler-driven gated queries.
+    */
+  private val HourP = EvalParams(Start, End, Hour, lookbackMs = Hour)
+  private val DayP = EvalParams(Start, End, Day, lookbackMs = Hour)
 
   private def pts(s: SparkSession, dir: String): DataFrame = Tables.points(s, dir)
 
@@ -73,6 +80,119 @@ object PromqlQueries {
         EvalParams(Start, End, 86400000L, lookbackMs = Hour))
         .select(col("user_id"), col("eval_ms"),
           round(col("value"), 6).as("ratio"))),
+
+    // §2.7/A6 — histogram_quantile compiled over le-labelled cumulative
+    // buckets (compliance yml:233): hourly per-type histograms derived
+    // from the events table, quantile interpolated per (series-minus-le)
+    "pql4_hist_quantile" -> ((s, dir) => {
+      val hourly = pts(s, dir)
+        .withColumn("hour_ms", col("ts_ms") - pmod(col("ts_ms"), lit(Hour)))
+        .groupBy("event_type", "hour_ms")
+        .agg(count(when(col("value") <= 50, 1)).as("c1"),
+          count(when(col("value") <= 100, 1)).as("c2"),
+          count(when(col("value") <= 200, 1)).as("c3"),
+          count(when(col("value") <= 500, 1)).as("c4"),
+          count(lit(1)).as("c5"))
+      val buckets = hourly.select(col("event_type"),
+          col("hour_ms").as("ts_ms"), explode(array(
+            struct(lit("50").as("le"), col("c1").cast("double").as("value")),
+            struct(lit("100").as("le"), col("c2").cast("double").as("value")),
+            struct(lit("200").as("le"), col("c3").cast("double").as("value")),
+            struct(lit("500").as("le"), col("c4").cast("double").as("value")),
+            struct(lit("+Inf").as("le"), col("c5").cast("double").as("value"))
+          )).as("b"))
+        .select(col("event_type"), col("ts_ms"),
+          col("b.le").as("le"), col("b.value").as("value"))
+      val hsrc = PromSource(buckets, Seq("event_type", "le"), {
+        case "__name__" => lit("m")
+        case "event_type" => col("event_type")
+        case "le" => col("le")
+      })
+      Compiler.compile("histogram_quantile(0.9, m)", hsrc, HourP)
+        .select(col("event_type"), col("eval_ms"), col("value").as("p90"))
+    }),
+
+    // A6/W8 — bottomk via the compiler (compliance yml:100 topBottomOp)
+    "pql5_bottomk" -> ((s, dir) =>
+      Compiler.compile("bottomk(2, sum by (event_type) (events))",
+        srcByType(s, dir), HourP)
+        .select(col("event_type"), col("eval_ms"), col("value"))),
+
+    // A6 — count_values via the compiler (yml:242): the sample value
+    // becomes a label, the count the new value
+    "pql6_count_values" -> ((s, dir) =>
+      Compiler.compile("""count_values("v", floor(events / 100))""",
+        srcByType(s, dir), HourP)
+        .select(col("v"), col("eval_ms"), col("value").as("n"))),
+
+    // A6 — stddev/stdvar aggregators (yml:68-96 simpleAggrOp)
+    "pql7_stddev_stdvar" -> ((s, dir) => {
+      val src = srcBySeries(s, dir)
+      val sd = Compiler.compile("stddev by (event_type) (events)", src, DayP)
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("sd"))
+      val sv = Compiler.compile("stdvar by (event_type) (events)", src, DayP)
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("sv"))
+      sd.join(sv, Seq("event_type", "eval_ms"))
+    }),
+
+    // §2.7 — % ^ and unary minus through the compiler (yml:104,120)
+    "pql8_arith_mod_pow" -> ((s, dir) =>
+      Compiler.compile("events % 7 + events ^ 2 - -events",
+        srcByType(s, dir), HourP)
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("val"))),
+
+    // §2.7 — timestamp(): the chosen sample's own timestamp (yml:117,171)
+    "pql9_timestamp" -> ((s, dir) =>
+      Compiler.compile("timestamp(events)", srcByType(s, dir), HourP)
+        .select(col("event_type"), col("eval_ms"), col("value").as("ts_sec"))),
+
+    // W3 — changes() over the range window (yml:229)
+    "pql10_changes" -> ((s, dir) =>
+      Compiler.compile("changes(events[6h])", srcByType(s, dir), HourP)
+        .select(col("event_type"), col("eval_ms"),
+          col("value").as("n_changes"))),
+
+    // A7 — quantile_over_time (yml:169)
+    "pql11_quantile_over_time" -> ((s, dir) =>
+      Compiler.compile("quantile_over_time(0.9, events[6h])",
+        srcByType(s, dir), HourP)
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("q90"))),
+
+    // O1 — sort_desc through the compiler (result-set identical; ordering
+    // is presentation, which the gate ignores — this pins the compile path)
+    "pql12_sort_desc" -> ((s, dir) =>
+      Compiler.compile("sort_desc(sum by (event_type) (events))",
+        srcByType(s, dir), HourP)
+        .select(col("event_type"), col("eval_ms"), col("value"))),
+
+    // J4 — group_left with extra-label carry (yml:131): the one side's
+    // event_type label decorates the many side's rows
+    "pql13_group_left" -> ((s, dir) =>
+      Compiler.compile(
+        """max by (user_id) (events) * on(user_id) group_left(event_type)
+           min by (user_id, event_type) (events{event_type="signup"})""",
+        srcBySeries(s, dir), DayP)
+        .select(col("user_id"), col("event_type"), col("eval_ms"),
+          col("value"))),
+
+    // O7 — or across differing label schemas (padded with ""): left rows
+    // plus unmatched right rows
+    "pql14_or_mixed" -> ((s, dir) =>
+      Compiler.compile(
+        """max by (user_id) (events{event_type="click"}) or on(user_id)
+           max by (user_id, event_type) (events{event_type="purchase"})""",
+        srcBySeries(s, dir), DayP)
+        .select(col("user_id"), col("event_type"), col("eval_ms"),
+          col("value"))),
+
+    // §2.7 — scalar(): NaN unless exactly one series at the step
+    "pql15_scalar_semantics" -> ((s, dir) =>
+      Compiler.compile("scalar(events)", srcByType(s, dir), HourP)
+        .select(col("eval_ms"), isnan(col("value")).as("is_nan"))),
 
     // J4 — one-to-one vector matching on(user_id): clicks - purchases
     "j4_binop_one2one" -> ((s, dir) => {
@@ -206,7 +326,139 @@ object PromqlQueries {
     })
   )
 
+  /** Shared oracle CTEs: instant vectors on the hourly (by type) and daily
+    * (by series) grids, arithmetic mirroring [[RangeWindows.instantBucketed]].
+    */
+  private val InstType = s"""
+    pts AS ($PD), grid AS (SELECT unnest(generate_series(${Start}, ${End},
+      ${Hour})) AS eval_ms),
+    inst AS (SELECT event_type, eval_ms,
+      (max(struct_pack(t := ts_ms, v := value))).v AS value
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+      GROUP BY 1, 2)"""
+
+  private val InstSeries = s"""
+    pts AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms,
+      arg_max(value, event_id) AS value FROM events GROUP BY 1, 2, 3),
+    grid AS (SELECT unnest(generate_series(${Start}, ${End}, ${Day}))
+      AS eval_ms),
+    inst AS (SELECT user_id, event_type, eval_ms,
+      (max(struct_pack(t := ts_ms, v := value))).v AS value
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+      GROUP BY 1, 2, 3)"""
+
   def oracleSql: Map[String, String] = Map(
+    // Bucket interpolation: same op order as Compiler.bucketQuantile
+    // (prev_le + (le-prev_le) * ((rank-prev_c)/(c-prev_c))); x-0.0 == x
+    // bit-exact for the first bucket, so the c1 branch simplifies.
+    "pql4_hist_quantile" -> s"""
+      WITH pts AS ($P),
+      b AS (SELECT event_type, ts_ms - ts_ms % ${Hour} AS eval_ms,
+        CAST(count(*) FILTER (value <= 50) AS DOUBLE) AS c1,
+        CAST(count(*) FILTER (value <= 100) AS DOUBLE) AS c2,
+        CAST(count(*) FILTER (value <= 200) AS DOUBLE) AS c3,
+        CAST(count(*) FILTER (value <= 500) AS DOUBLE) AS c4,
+        CAST(count(*) AS DOUBLE) AS c5
+        FROM pts GROUP BY 1, 2)
+      SELECT event_type, eval_ms,
+        CASE
+          WHEN c1 >= 0.9 * c5 THEN
+            0.0 + (50.0 - 0.0) * ((0.9 * c5 - 0.0) / (c1 - 0.0))
+          WHEN c2 >= 0.9 * c5 THEN
+            50.0 + (100.0 - 50.0) * ((0.9 * c5 - c1) / (c2 - c1))
+          WHEN c3 >= 0.9 * c5 THEN
+            100.0 + (200.0 - 100.0) * ((0.9 * c5 - c2) / (c3 - c2))
+          WHEN c4 >= 0.9 * c5 THEN
+            200.0 + (500.0 - 200.0) * ((0.9 * c5 - c3) / (c4 - c3))
+          ELSE 500.0 END AS p90
+      FROM b""",
+
+    "pql5_bottomk" -> s"""
+      WITH $InstType
+      SELECT event_type, eval_ms, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY eval_ms
+          ORDER BY value ASC, event_type ASC) AS rk FROM inst)
+      WHERE rk <= 2""",
+
+    "pql6_count_values" -> s"""
+      WITH $InstType
+      SELECT CAST(floor(value / 100.0) AS VARCHAR) AS v, eval_ms,
+        CAST(count(*) AS DOUBLE) AS n
+      FROM inst GROUP BY 1, 2""",
+
+    "pql7_stddev_stdvar" -> s"""
+      WITH $InstSeries
+      SELECT event_type, eval_ms, round(stddev_pop(value), 6) AS sd,
+        round(var_pop(value), 6) AS sv
+      FROM inst GROUP BY 1, 2""",
+
+    "pql8_arith_mod_pow" -> s"""
+      WITH $InstType
+      SELECT event_type, eval_ms,
+        round((fmod(value, 7.0) + power(value, 2.0)) - (-1.0 * value), 6)
+          AS val
+      FROM inst""",
+
+    "pql9_timestamp" -> s"""
+      WITH pts AS ($PD), grid AS (SELECT unnest(generate_series(${Start},
+        ${End}, ${Hour})) AS eval_ms)
+      SELECT event_type, eval_ms,
+        CAST(max(ts_ms) AS DOUBLE) / 1000.0 AS ts_sec
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+      GROUP BY 1, 2""",
+
+    "pql10_changes" -> s"""
+      WITH pts AS ($PD), prev AS (
+        SELECT event_type, ts_ms, value,
+          lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts
+        FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms)
+      ), grid AS ($Grid)
+      SELECT event_type, eval_ms,
+        CAST(sum(CASE WHEN prev_ts IS NOT NULL
+            AND prev_ts > eval_ms - ${SixH} AND value <> prev_val
+          THEN 1 ELSE 0 END) AS DOUBLE) AS n_changes
+      FROM prev JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${SixH}
+      GROUP BY 1, 2""",
+
+    "pql11_quantile_over_time" -> s"""
+      WITH pts AS ($PD), grid AS ($Grid)
+      SELECT event_type, eval_ms,
+        round(quantile_cont(value, 0.9), 6) AS q90
+      FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${SixH}
+      GROUP BY 1, 2""",
+
+    "pql12_sort_desc" -> s"""
+      WITH $InstType
+      SELECT event_type, eval_ms, value FROM inst""",
+
+    "pql13_group_left" -> s"""
+      WITH $InstSeries,
+      m AS (SELECT user_id, eval_ms, max(value) AS mv
+        FROM inst GROUP BY 1, 2),
+      s AS (SELECT user_id, eval_ms, min(value) AS sv
+        FROM inst WHERE event_type = 'signup' GROUP BY 1, 2)
+      SELECT m.user_id, 'signup' AS event_type, m.eval_ms, m.mv * s.sv AS value
+      FROM m JOIN s ON m.user_id = s.user_id AND m.eval_ms = s.eval_ms""",
+
+    "pql14_or_mixed" -> s"""
+      WITH $InstSeries,
+      l AS (SELECT user_id, '' AS event_type, eval_ms, max(value) AS value
+        FROM inst WHERE event_type = 'click' GROUP BY 1, 3),
+      r AS (SELECT user_id, event_type, eval_ms, value
+        FROM inst WHERE event_type = 'purchase')
+      SELECT * FROM l
+      UNION ALL
+      SELECT r.* FROM r WHERE NOT EXISTS (SELECT 1 FROM l
+        WHERE l.user_id = r.user_id AND l.eval_ms = r.eval_ms)""",
+
+    "pql15_scalar_semantics" -> s"""
+      WITH pts AS ($PD), grid AS ($Grid),
+      n AS (SELECT eval_ms, count(DISTINCT event_type) AS n
+        FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+        GROUP BY 1)
+      SELECT g.eval_ms, coalesce(n.n, 0) <> 1 AS is_nan
+      FROM grid g LEFT JOIN n ON g.eval_ms = n.eval_ms""",
+
     "pql1_rate_sum" -> s"""
       WITH $RateFinSql
       SELECT event_type, eval_ms, round(inc / 3600.0, 6) AS rate_v
