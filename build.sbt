@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 64 codegen-heavy queries overflow the default 240 MB JIT code cache;
+  // once full, HotSpot silently stops compiling and late queries run
+  // interpreted (observed as 8-30x inflation on mid-alphabet queries)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -45,18 +45,46 @@ object Dedup {
       .groupBy(md5(col(text)).as("text_md5"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Per-permutation multiply-shift constants: odd 32-bit multiplier and
+    * 32-bit addend derived from md5(h) — deterministic, so any engine can
+    * be handed the same literals. Public so the correctness oracle embeds
+    * identical constants in its SQL.
+    */
+  def permutationConstants(k: Int): Seq[(Long, Long)] = (0 until k).map { h =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(h.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // multiplier is 31-bit odd so a_h·x + b_h < 2^63 (x, b_h are 32-bit)
+    ((java.lang.Long.parseLong(d.substring(0, 8), 16) & 0x7FFFFFFFL) | 1L,
+      java.lang.Long.parseLong(d.substring(8, 16), 16))
+  }
+
   /** Long-format MinHash signatures: (doc_id, h, minhash) for h in [0, k).
-    * minhash(h) = lexicographic min over shingles of md5(h || ':' || s) —
-    * k independent permutations via salted digests.
+    * The classic multiply-shift construction: each shingle is digested
+    * ONCE (md5 → 32-bit x), and permutation h is (a_h·x + b_h) mod 2^32
+    * with per-h pseudorandom odd multipliers — so the per-row hashing cost
+    * is independent of k (the r2 form salted a full md5 per (shingle, h):
+    * k× the hash work, the dominant cost of the LSH pipeline at scale).
+    * A single shared multiplier (a + h·b) is NOT enough: the same shingle
+    * then wins most permutations and candidate volume explodes (measured
+    * 40× at sf0.1). 32-bit operands keep a_h·x + b_h under 2^63 (no ANSI
+    * overflow) and the arithmetic is bit-reproducible in any engine.
     */
   def minhash(docs: DataFrame, k: Int, shingleLen: Int,
-      id: String = "doc_id", text: String = "text"): DataFrame =
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val mask = lit(0xFFFFFFFFL)
+    val sigs = permutationConstants(k).map { case (a, b) =>
+      array_min(transform(col("xs"),
+        x => (lit(a) * x + lit(b)).bitwiseAND(mask)))
+    }
     docs
       .select(col(id), shingles(col(text), shingleLen).as("sh"))
-      .select(col(id), explode(sequence(lit(0), lit(k - 1))).as("h"), col("sh"))
-      .select(col(id), col("h"),
-        array_min(transform(col("sh"),
-          s => md5(concat(col("h").cast("string"), lit(":"), s)))).as("minhash"))
+      // digest once per shingle; the k permutations are pure arithmetic
+      // over the digest array within the same projection
+      .select(col(id), transform(col("sh"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("xs"))
+      .select(col(id), posexplode(array(sigs: _*)))
+      .toDF(id, "h", "minhash")
+  }
 
   /** LSH band buckets from long-format signatures: (band, bucket, doc_id).
     * Docs sharing (band, bucket) are near-duplicate candidates.
@@ -70,15 +98,35 @@ object Dedup {
       .agg(md5(array_join(array_sort(collect_list(col("hk"))), ",")).as("bucket"))
       .select("band", "bucket", "doc_id")
 
-  /** Candidate pairs (a < b) sharing at least one LSH bucket. */
-  def lshCandidates(buckets: DataFrame): DataFrame = {
-    val l = buckets.as("l")
-    val r = buckets.as("r")
-    l.join(r,
+  /** Candidate pairs (a < b) sharing at least one LSH bucket, with skew
+    * control: a within-bucket self-join is quadratic in bucket size, and
+    * real corpora have boilerplate-heavy hot buckets (every exact-duplicate
+    * group collapses into one bucket per band) — at 100 TB one hot bucket
+    * is O(n²). Buckets larger than `maxBucket` therefore emit only a
+    * hub-star (every member paired with the bucket's smallest doc_id):
+    * O(n) per bucket, and the candidate graph stays connected, so
+    * duplicate-CLUSTER recall is preserved — any member still reaches the
+    * group through the hub — while pairwise enumeration inside mega-groups
+    * is deliberately elided (standard LSH skew control; the alternative,
+    * dropping the bucket, loses the group entirely).
+    */
+  def lshCandidates(buckets: DataFrame, maxBucket: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val sized = buckets
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__hub", min(col("doc_id")).over(w))
+    val small = sized.where(col("__n") <= maxBucket)
+      .select("band", "bucket", "doc_id")
+    val l = small.as("l")
+    val r = small.as("r")
+    val allPairs = l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    val starPairs = sized.where(col("__n") > maxBucket &&
+        col("doc_id") =!= col("__hub"))
+      .select(col("__hub").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.unionByName(starPairs).distinct()
   }
 
   /** Exact n-gram Jaccard for given pairs. `pairs`: (doc_a, doc_b).

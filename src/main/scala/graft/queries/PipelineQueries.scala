@@ -22,9 +22,14 @@ import graft.multimodal.Multimodal
   */
 object PipelineQueries {
 
-  private val MinhashK = 8
+  // 4 bands of 3 rows (r2 had 2 bands of 4 — too coarse for near-dup
+  // recall, VERDICT r2 #5; 2-row bands measured 10× the candidate volume
+  // from random collisions). Buckets beyond MaxBucket emit hub-stars only
+  // (LSH skew control — see Dedup.lshCandidates).
+  private val MinhashK = 12
   private val ShingleLen = 3
-  private val RowsPerBand = 4
+  private val RowsPerBand = 3
+  private val MaxBucket = 32
 
   /** documents ∪ exact re-crawl ∪ near-dup re-crawl. */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -40,7 +45,8 @@ object PipelineQueries {
   private def candidates(s: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidates(
       Dedup.lshBuckets(
-        Dedup.minhash(corpus(s, dir), MinhashK, ShingleLen), RowsPerBand))
+        Dedup.minhash(corpus(s, dir), MinhashK, ShingleLen), RowsPerBand),
+      MaxBucket)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: one hash aggregate on the digest, never shuffles text
@@ -55,9 +61,14 @@ object PipelineQueries {
     "d3_lsh_candidates" -> ((s, dir) =>
       candidates(s, dir)),
 
-    // exact n-gram Jaccard verification on the candidate pairs
+    // exact n-gram Jaccard verification on the candidate pairs. The pair
+    // set is referenced three times inside jaccard (intersection + two
+    // size joins) — materialize it once (it is candidate-sized, tiny
+    // relative to the corpus; at 100 TB this is the natural pipeline
+    // checkpoint between the LSH and verify stages)
     "d4_jaccard_verify" -> ((s, dir) =>
-      Dedup.jaccard(corpus(s, dir), candidates(s, dir), ShingleLen)),
+      Dedup.jaccard(corpus(s, dir),
+        candidates(s, dir).localCheckpoint(true), ShingleLen)),
 
     // SimHash (60-bit) per document
     "d5_simhash" -> ((s, dir) =>
@@ -157,10 +168,13 @@ object PipelineQueries {
       FROM toks WHERE len(tk) >= $ShingleLen),
     sh AS (SELECT DISTINCT doc_id,
       array_to_string(tk[i:i + ${ShingleLen - 1}], ' ') AS sh FROM idx),
-    hs AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS h),
-    sig AS (SELECT doc_id, h,
-      min(md5(h::VARCHAR || ':' || sh)) AS minhash
-      FROM sh CROSS JOIN hs GROUP BY 1, 2)"""
+    xs AS (SELECT doc_id,
+      CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS x FROM sh),
+    perm AS (SELECT * FROM (VALUES ${Dedup.permutationConstants(MinhashK)
+        .zipWithIndex.map { case ((a, b), h) => s"($h, ${a}, ${b})" }
+        .mkString(", ")}) AS t(h, ac, bc)),
+    sig AS (SELECT doc_id, h, min((ac * x + bc) & 4294967295) AS minhash
+      FROM xs CROSS JOIN perm GROUP BY 1, 2)"""
 
   private val CandSql = s"""
     bk AS (SELECT doc_id, h // $RowsPerBand AS band,
@@ -168,9 +182,16 @@ object PipelineQueries {
     buckets AS (SELECT doc_id, band,
       md5(array_to_string(list_sort(list(hk)), ',')) AS bucket
       FROM bk GROUP BY 1, 2),
-    cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM buckets l JOIN buckets r
-      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)"""
+    sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS n,
+      min(doc_id) OVER (PARTITION BY band, bucket) AS hub FROM buckets),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM sized l JOIN sized r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      WHERE l.n <= $MaxBucket
+      UNION ALL
+      SELECT hub AS doc_a, doc_id AS doc_b FROM sized
+      WHERE n > $MaxBucket AND doc_id <> hub))"""
 
   def oracleSql: Map[String, String] = Map(
     "d1_dedup_exact" -> s"""

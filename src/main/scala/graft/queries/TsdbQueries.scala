@@ -193,18 +193,18 @@ object TsdbQueries {
         .agg(count(lit(1)).as("n"), sumV.as("sum_v"))
     }),
 
-    // F6 — negative matchers + missing-label-matches-empty (prometheus#3575)
+    // F6 — negative matchers + missing-label-matches-empty (prometheus#3575).
+    // Matchers compile against RESOLVED columns (a sparse label is a null-
+    // yielding expression), not a per-row constructed map: the r2 map
+    // variant allocated a map per row and blocked every pushdown (42.8 s
+    // vs 1.1 s for f1 at sf0.1 — VERDICT r2 #3).
     "f6_matchers_negative" -> ((s, dir) => {
-      val labeled = pts(s, dir).withColumn("labels",
-        when(pmod(col("user_id"), lit(3)) === 0,
-          map(lit("uid"), col("user_id").cast("string"),
-            lit("etype"), col("event_type"), lit("tier"), lit("gold")))
-          .otherwise(map(lit("uid"), col("user_id").cast("string"),
-            lit("etype"), col("event_type"))))
+      val resolve: String => org.apache.spark.sql.Column = {
+        case "tier" => when(pmod(col("user_id"), lit(3)) === 0, lit("gold"))
+        case "etype" => col("event_type")
+      }
       val ms = Seq(MatchEq("tier", ""), MatchNre("etype", "p.*"))
-      labeled
-        .where(ms.map(m => Matchers.predicateOnMap(col("labels"), m))
-          .reduce(_ && _))
+      pts(s, dir).where(Matchers.all(resolve, ms))
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     }),
 
@@ -221,13 +221,28 @@ object TsdbQueries {
         pts(s, dir).select("user_id", "event_type").distinct(),
         Seq(col("user_id").asc, col("event_type").asc), 10)),
 
-    // J1 — points ⋈ series dimension (broadcast hash join; id→labels)
+    // J1/J2 — points ⋈ persisted series dimension (broadcast hash join).
+    // The scale path (VERDICT r2 #4): the dim is get-or-created once via
+    // Store.upsertSeries (stateless hash ids — no global dense_rank sort),
+    // read back from parquet, broadcast for labels→id, then joined again
+    // for id→labels (the actual J1 lookup, `index.go:1190-1236`). The
+    // oracle checks the label-keyed result — ids are engine-internal.
     "j1_points_join_series" -> ((s, dir) => {
-      val dim = SeriesDim.denseIds(s, dir)
-      pts(s, dir)
+      // process-unique path: reused across bench passes in one JVM,
+      // isolated from concurrent runs (upsert is idempotent within a JVM)
+      val dimPath = "/tmp/graft_dim_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${java.lang.ProcessHandle.current.pid}/series"
+      graft.store.Store.upsertSeries(s, dimPath, pts(s, dir),
+        Seq("user_id", "event_type"))
+      val dim = s.read.parquet(dimPath)
+      val byId = pts(s, dir)
         .join(broadcast(dim), Seq("user_id", "event_type"))
         .groupBy("metric_id")
         .agg(count(lit(1)).as("n"), sumV.as("sum_v"))
+      byId // id→labels: the J1 lookup proper
+        .join(broadcast(dim), Seq("metric_id"))
+        .select("user_id", "event_type", "n", "sum_v")
     }),
 
     // J3 — hot ∪ cold merge with per-series boundary (batch/batch.go:787-861)
@@ -542,14 +557,10 @@ object TsdbQueries {
       ORDER BY user_id, event_type LIMIT 10""",
 
     "j1_points_join_series" -> s"""
-      WITH pts AS ($P), dim AS (
-        SELECT user_id, event_type,
-          dense_rank() OVER (ORDER BY user_id, event_type) AS metric_id
-        FROM (SELECT DISTINCT user_id, event_type FROM events))
-      SELECT metric_id, count(*) AS n,
+      WITH pts AS ($P)
+      SELECT user_id, event_type, count(*) AS n,
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
-      FROM pts JOIN dim USING (user_id, event_type)
-      GROUP BY 1""",
+      FROM pts GROUP BY 1, 2""",
 
     "j3_hotcold_merge" -> s"""
       WITH pts AS ($P),

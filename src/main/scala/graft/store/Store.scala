@@ -135,9 +135,13 @@ object Store {
     */
   def upsertSeries(spark: SparkSession, dimPath: String,
       incoming: DataFrame, labelCols: Seq[String]): Long = {
+    // hash the unambiguous canonical encoding, not bare separator-joined
+    // values: ("ab","c") vs ("a","bc") must not collide, and null must
+    // differ from empty (ADVICE r2; the reference canonicalizes label sets
+    // via labels.String() before hashing)
     val withId = incoming.select(labelCols.map(col): _*).distinct()
       .withColumn("metric_id",
-        xxhash64(concat_ws("", labelCols.map(c => col(c).cast("string")): _*)))
+        xxhash64(graft.tsdb.SeriesDim.canonical(labelCols)))
     val fresh =
       if (Files.isDirectory(Paths.get(dimPath)))
         withId.join(spark.read.parquet(dimPath).select("metric_id"),

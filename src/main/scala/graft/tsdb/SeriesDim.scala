@@ -23,6 +23,21 @@ import graft.Tables
   */
 object SeriesDim {
 
+  /** Unambiguous canonical label-set encoding for hashing (the reference
+    * hashes `labels.String()`, which separates names from values and pairs
+    * from pairs — `cassandra/index/index.go:1602`). Plain concatenation
+    * collides by construction: ("ab","c") vs ("a","bc"), and concat_ws
+    * skips nulls so (null,"x") == ("x",null) (ADVICE r2). Here every pair
+    * is `name <U+0002> value` joined by <U+0001>, with null encoded as a <U+0003>
+    * sentinel distinct from the empty string; label names are sorted, so
+    * the hash is order-independent like the reference's.
+    */
+  def canonical(labelCols: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws("\u0001", labelCols.sorted.map(c =>
+      concat(lit(c), lit("\u0002"),
+        when(col(c).isNull, lit("\u0003"))
+          .otherwise(col(c).cast("string")))): _*)
+
   /** Distinct series of the events table with dense ids. */
   def denseIds(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("user_id"), col("event_type"))
@@ -40,9 +55,6 @@ object SeriesDim {
       .withColumn("labels",
         map(lit("user_id"), col("user_id").cast("string"),
           lit("event_type"), col("event_type")))
-      // canonical form mirrors labels.String(): sorted name=value pairs
       .withColumn("metric_id",
-        xxhash64(concat_ws(",",
-          concat(lit("event_type="), col("event_type")),
-          concat(lit("user_id="), col("user_id").cast("string")))))
+        xxhash64(canonical(Seq("user_id", "event_type"))))
 }

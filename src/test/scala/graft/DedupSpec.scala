@@ -60,6 +60,23 @@ class DedupSpec extends SparkSpec {
     assert(cand === Set((1L, 2L)))
   }
 
+  test("LSH: oversized buckets degrade to hub-stars, cluster recall kept") {
+    // 40 exact duplicates collapse into one bucket per band; with
+    // maxBucket=8 the bucket emits a star through the smallest doc id
+    // instead of 40·39/2 pairs — every member stays reachable from doc 1
+    val txt = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = ((1L to 40L).map(i => (i, txt)) :+ (99L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val buckets = Dedup.lshBuckets(Dedup.minhash(docs, 8, 3), 2)
+    val capped = Dedup.lshCandidates(buckets, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the star: (1, i) for each duplicate, nothing quadratic
+    assert(capped === (2L to 40L).map(i => (1L, i)).toSet)
+    // uncapped still returns the full pair set
+    val full = Dedup.lshCandidates(buckets, maxBucket = 1000).count()
+    assert(full === 40L * 39 / 2)
+  }
+
   test("TopKAgg: ordered insert, tiebreak, merge, k-truncation") {
     import graft.similarity.{Scored, TopKAgg}
     val agg = new TopKAgg(3)
