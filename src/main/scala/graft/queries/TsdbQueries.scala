@@ -333,7 +333,68 @@ object TsdbQueries {
 
     // T1 — Structured Streaming ingest: watermark + 5-min windowed agg
     "t1_stream_window" -> ((s, dir) =>
-      graft.streaming.Ingest.windowedCounts(s, dir, "t1_stream_window_sink"))
+      graft.streaming.Ingest.windowedCounts(s, dir, "t1_stream_window_sink")),
+
+    // T9 — per-write TTL max-merged per series; points survive while
+    // ts + series_ttl > now (remotestorage.go:103-114, read.go:352)
+    "t9_ttl_expiry" -> ((s, dir) => {
+      val withTtl = pts(s, dir).withColumn("ttl_sec",
+        (pmod(col("event_id"), lit(50)) + 1) * lit(86400L))
+      graft.store.Store.ttlFilter(withTtl, Seq("user_id", "event_type"),
+          "ttl_sec", nowMs = End)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("ts_ms").as("min_ts"), max("ts_ms").as("max_ts"))
+    }),
+
+    // F10 — forced matcher injection (queryable.go:136-151): the header
+    // matcher conjoins with — and cannot be shadowed by — user matchers
+    "f10_forced_matcher" -> ((s, dir) => {
+      val resolve: String => org.apache.spark.sql.Column = {
+        case "event_type" => col("event_type")
+        case "user" => col("user_id").cast("string")
+      }
+      val userMs = Seq(MatchNeq("user", "42"),
+        MatchRe("event_type", "click|view|error"))
+      val forced = Seq(MatchEq("event_type", "click"))
+      pts(s, dir)
+        .where(Matchers.all(resolve, Matchers.withForced(userMs, forced)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumV.as("sum_v"))
+    }),
+
+    // M3 — label-API override: mutable names union physical names; values
+    // of a mutable name come from its definition, not a series scan
+    "m3_label_api_override" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("tenant1", "group", "event_type", "interactive", "click"),
+        ("tenant1", "group", "event_type", "interactive", "view"),
+        ("tenant1", "group", "event_type", "transactional", "purchase"),
+        ("tenant2", "env", "event_type", "prod", "click"))
+        .toDF("tenant", "name", "target_name", "value", "associated_value")
+      val physical = pts(s, dir)
+        .select(explode(map_keys(map(
+          lit("user_id"), col("user_id").cast("string"),
+          lit("event_type"), col("event_type")))).as("label_name"))
+        .distinct()
+      val names = MutableProvider.labelNamesWithMutable(physical, dim, "tenant1")
+        .withColumn("kind", lit("name"))
+        .withColumnRenamed("label_name", "val")
+      val values = MutableProvider.labelValuesOfMutable(dim, "tenant1", "group")
+        .withColumn("kind", lit("value"))
+        .withColumnRenamed("label_value", "val")
+      names.unionByName(values).select("kind", "val")
+    }),
+
+    // O1 — series sorted by labels, rank materialized (the engine-demanded
+    // sort, queryable.go:324-342; dimension-sized, so the global window is
+    // bounded by series count, not points)
+    "o1_series_sorted" -> ((s, dir) =>
+      pts(s, dir).select("user_id", "event_type").distinct()
+        .withColumn("ord", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("user_id"), col("event_type"))).cast("long")))
   )
 
   // DuckDB oracle — `events` is the parquet table registered by the driver.
@@ -638,6 +699,39 @@ object TsdbQueries {
       WITH pts AS ($P)
       SELECT ts_ms - ts_ms % 300000 AS bucket_ms, event_type,
         count(*) AS n, round(sum(value), 6) AS sum_value
-      FROM pts GROUP BY 1, 2"""
+      FROM pts GROUP BY 1, 2""",
+
+    "t9_ttl_expiry" -> s"""
+      WITH pts AS ($P),
+      t AS (SELECT *, (event_id % 50 + 1) * 86400 AS ttl_sec FROM pts),
+      m AS (SELECT user_id, event_type, max(ttl_sec) AS series_ttl
+        FROM t GROUP BY 1, 2)
+      SELECT event_type, count(*) AS n,
+        min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+      FROM t JOIN m USING (user_id, event_type)
+      WHERE ts_ms + series_ttl * 1000 > ${End}
+      GROUP BY 1""",
+
+    "f10_forced_matcher" -> s"""
+      WITH pts AS ($P)
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM pts
+      WHERE event_type = 'click'
+        AND CAST(user_id AS VARCHAR) <> '42'
+        AND regexp_full_match(event_type, '(?:click|view|error)')
+      GROUP BY 1""",
+
+    "m3_label_api_override" -> s"""
+      SELECT 'name' AS kind, 'user_id' AS val
+      UNION ALL SELECT 'name', 'event_type'
+      UNION ALL SELECT 'name', 'group'
+      UNION ALL SELECT 'value', 'interactive'
+      UNION ALL SELECT 'value', 'transactional'""",
+
+    "o1_series_sorted" -> s"""
+      SELECT user_id, event_type, row_number() OVER (
+        ORDER BY user_id, event_type) AS ord
+      FROM (SELECT DISTINCT user_id, event_type FROM events)"""
   )
 }

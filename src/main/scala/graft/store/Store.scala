@@ -153,6 +153,24 @@ object Store {
     n
   }
 
+  /** T9 — per-write TTL, max-merged per series (the reference takes the
+    * TTL header per write and keeps the LARGEST value any write supplied
+    * for a series, `api/remotestorage/remotestorage.go:103-114`; reads
+    * honor it at `cassandra/tsdb/read.go:352`). A point survives while
+    * `ts + series_ttl > now`. One window shuffle on the series key — the
+    * same partitioning every per-series operator reuses.
+    */
+  def ttlFilter(points: DataFrame, labelCols: Seq[String],
+      ttlSecCol: String, nowMs: Long,
+      tsCol: String = "ts_ms"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCols.map(col): _*)
+    points
+      .withColumn("__series_ttl", max(col(ttlSecCol)).over(w))
+      .where(col(tsCol) + col("__series_ttl") * 1000L > nowMs)
+      .drop("__series_ttl")
+  }
+
   /** The `fullyAggregatedAt` control value, kept beside the agg table. */
   def readWatermark(aggPath: String): Long = {
     val p = Paths.get(aggPath, "_watermark")

@@ -103,4 +103,14 @@ object Matchers {
     */
   def all(resolve: String => Column, ms: Seq[Matcher]): Column =
     ms.map(m => predicate(resolve(m.label), m)).reduce(_ && _)
+
+  /** F10 — forced matcher injection: the `X-SquirrelDB-Forced-Matcher`
+    * header adds an equality matcher to EVERY query of the session
+    * (reference `api/promql/queryable.go:136-151`,
+    * `api/promql/filtering_index.go:31-80`). Forced matchers are
+    * prepended so they conjoin with — and can never be shadowed by —
+    * user matchers on the same label.
+    */
+  def withForced(userMs: Seq[Matcher], forced: Seq[Matcher]): Seq[Matcher] =
+    forced ++ userMs
 }

@@ -76,4 +76,28 @@ object MutableProvider {
   def rewriteAll(ms: Seq[Matcher],
       mappings: Seq[MutableMapping]): Seq[Matcher] =
     mappings.foldLeft(ms)((acc, m) => m.rewrite(acc))
+
+  /** M3 — label-API override (reference `cassandra/mutable/index.go:
+    * 127-185`): `/api/v1/labels` appends the tenant's mutable label names
+    * to the physical ones, and `/api/v1/label/<n>/values` of a mutable
+    * name lists its configured values instead of scanning series.
+    * Set-oriented: a union with the (tiny) definition dimension.
+    */
+  def labelNamesWithMutable(physicalNames: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      tenant: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    physicalNames.select(col("label_name"))
+      .unionByName(dim.where(col("tenant") === tenant)
+        .select(col("name").as("label_name")))
+      .distinct()
+  }
+
+  /** Values of a mutable label name for a tenant (M3 value override). */
+  def labelValuesOfMutable(dim: org.apache.spark.sql.DataFrame,
+      tenant: String, name: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    dim.where(col("tenant") === tenant && col("name") === name)
+      .select(col("value").as("label_value")).distinct()
+  }
 }

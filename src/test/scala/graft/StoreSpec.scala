@@ -125,4 +125,18 @@ class StoreSpec extends SparkSpec {
     assert(left.count() ===
       pts.where(col("ts_ms") >= cutoff).count())
   }
+
+  test("T9: per-write TTL is max-merged per series before expiry") {
+    import spark.implicits._
+    // series A: writes carried TTLs 10s and 100s → effective 100s, so the
+    // old point at ts=0 survives a now=50s cutoff; series B only ever got
+    // 10s → both its points expire
+    val pts = Seq(
+      ("A", 0L, 10L), ("A", 40000L, 100L),
+      ("B", 0L, 10L), ("B", 20000L, 10L))
+      .toDF("series", "ts_ms", "ttl_sec")
+    val kept = Store.ttlFilter(pts, Seq("series"), "ttl_sec", nowMs = 50000L)
+      .select("series", "ts_ms").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.toSet === Set(("A", 0L), ("A", 40000L)))
+  }
 }
