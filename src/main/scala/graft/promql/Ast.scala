@@ -52,9 +52,11 @@ final case class LabelCall(fn: String, arg: Expr,
     strArgs: Seq[String]) extends Expr
 
 /** `expr[range:step]` — the inner expression evaluated on its own step
-  * grid, consumed by a range function as a derived series (W6).
+  * grid, consumed by a range function as a derived series (W6). `offsetMs`
+  * shifts the whole subquery window (`x[5m:10s] offset 5m`).
   */
-final case class Subquery(body: Expr, rangeMs: Long, stepMs: Long) extends Expr
+final case class Subquery(body: Expr, rangeMs: Long, stepMs: Long,
+    offsetMs: Long = 0L) extends Expr
 
 /** `param` is the leading scalar of topk/bottomk/quantile; `strParam` the
   * leading string of count_values (the destination label name).

@@ -214,6 +214,40 @@ object Compiler {
               inner.labels, scalar = false)
         }
 
+      // date-component functions: the sample VALUE is an epoch-seconds
+      // timestamp; the result is its UTC calendar component (Prometheus
+      // "Date functions"; zero-arg form desugars to time() in the parser)
+      case FuncCall(fn, arg, _) if Parser.DateFunctions(fn) =>
+        val inner = compileVec(arg, src, p)
+        def component(ts: Column): Column = fn match {
+          case "minute" => minute(ts)
+          case "hour" => hour(ts)
+          case "day_of_week" => dayofweek(ts) - 1 // 0 = Sunday
+          case "day_of_month" => dayofmonth(ts)
+          case "days_in_month" => dayofmonth(last_day(ts))
+          case "month" => month(ts)
+          case "year" => year(ts)
+        }
+        inner.const match {
+          case Some(cv) =>
+            val t = java.time.LocalDateTime.ofEpochSecond(
+              cv.toLong, 0, java.time.ZoneOffset.UTC)
+            val v = fn match {
+              case "minute" => t.getMinute
+              case "hour" => t.getHour
+              case "day_of_week" => t.getDayOfWeek.getValue % 7 // 0 = Sunday
+              case "day_of_month" => t.getDayOfMonth
+              case "days_in_month" => t.toLocalDate.lengthOfMonth
+              case "month" => t.getMonthValue
+              case "year" => t.getYear
+            }
+            constVec(src.points.sparkSession, v.toDouble)
+          case None =>
+            val ts = timestamp_seconds(floor(col("value")).cast("long"))
+            Vec(inner.df.withColumn("value", component(ts).cast("double")),
+              inner.labels, inner.scalar)
+        }
+
       // sort/sort_desc order the result rows by value (presentation only —
       // the result set is identical)
       case FuncCall(fn @ ("sort" | "sort_desc"), arg, _) =>
@@ -256,11 +290,18 @@ object Compiler {
           case s: Selector =>
             (selectorPoints(s, src), s.rangeMs.get, src.labelCols,
               src.tsCol, src.valueCol)
-          case Subquery(body, r, st) =>
-            val innerP = EvalParams(p.startMs - r, p.endMs, st, p.lookbackMs)
+          case Subquery(body, r, st, off) =>
+            // offset shifts the whole subquery window: evaluate the inner
+            // plan `off` earlier, then re-stamp its steps forward so the
+            // outer range sees them at the shifted positions
+            val innerP =
+              EvalParams(p.startMs - r - off, p.endMs - off, st, p.lookbackMs)
             val inner = compileVec(body, src, innerP)
-            (inner.df.withColumnRenamed("eval_ms", "__sq_ts"), r,
-              inner.labels, "__sq_ts", "value")
+            val shifted = inner.df.withColumnRenamed("eval_ms", "__sq_ts")
+            val df =
+              if (off == 0) shifted
+              else shifted.withColumn("__sq_ts", col("__sq_ts") + off)
+            (df, r, inner.labels, "__sq_ts", "value")
           case other => throw new IllegalArgumentException(
             s"$fn requires a range selector or subquery, got $other")
         }

@@ -194,6 +194,23 @@ object PromqlQueries {
       Compiler.compile("scalar(events)", srcByType(s, dir), HourP)
         .select(col("eval_ms"), isnan(col("value")).as("is_nan"))),
 
+    // §2.7 — date functions through the compiler: components of the
+    // chosen sample's own timestamp (corpus dateFunc family)
+    "pql16_date_fns" -> ((s, dir) => {
+      val src = srcByType(s, dir)
+      def one(q: String, n: String) =
+        Compiler.compile(q, src, HourP)
+          .select(col("event_type"), col("eval_ms"),
+            col("value").cast("long").as(n))
+      one("year(timestamp(events))", "y")
+        .join(one("month(timestamp(events))", "mo"),
+          Seq("event_type", "eval_ms"))
+        .join(one("day_of_week(timestamp(events))", "dow"),
+          Seq("event_type", "eval_ms"))
+        .join(one("hour(timestamp(events))", "h"),
+          Seq("event_type", "eval_ms"))
+    }),
+
     // J4 — one-to-one vector matching on(user_id): clicks - purchases
     "j4_binop_one2one" -> ((s, dir) => {
       val p = pts(s, dir)
@@ -450,6 +467,17 @@ object PromqlQueries {
       UNION ALL
       SELECT r.* FROM r WHERE NOT EXISTS (SELECT 1 FROM l
         WHERE l.user_id = r.user_id AND l.eval_ms = r.eval_ms)""",
+
+    "pql16_date_fns" -> s"""
+      WITH pts AS ($PD), grid AS (SELECT unnest(generate_series(${Start},
+        ${End}, ${Hour})) AS eval_ms),
+      t AS (SELECT event_type, eval_ms,
+        epoch_ms(max(ts_ms) - max(ts_ms) % 1000) AS st
+        FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+        GROUP BY 1, 2)
+      SELECT event_type, eval_ms, year(st) AS y, month(st) AS mo,
+        dayofweek(st) AS dow, hour(st) AS h
+      FROM t""",
 
     "pql15_scalar_semantics" -> s"""
       WITH pts AS ($PD), grid AS ($Grid),

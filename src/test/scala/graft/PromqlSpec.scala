@@ -481,6 +481,44 @@ class PromqlSpec extends SparkSpec {
     assert(p100("a") === 1.0)
   }
 
+  test("parser: .123 / 1.23e-3 literals, negative offset, subquery offset") {
+    assert(Compiler.compile(".123", src, p).head().getDouble(0) === 0.123)
+    assert(Compiler.compile("1.23e-3", src, p).head().getDouble(0) === 1.23e-3)
+    assert(Parser.parse("m offset -5m") ===
+      Selector(Some("m"), Seq.empty, None, -300000L))
+    assert(Parser.parse("max_over_time(x[5m:10s] offset 5m)") ===
+      FuncCall("max_over_time",
+        Subquery(sel("x"), 300000L, 10000L, 300000L)))
+    // negative offset shifts samples earlier; compiled plan produces rows
+    val neg = Compiler.compile("""events{event_type="click"} offset -1h""",
+      src, p)
+    assert(neg.count() > 0)
+    // corpus shape: subquery with offset over a scalar-vector comparison
+    val sq = Compiler.compile(
+      "max_over_time((time() - sum(events) < 100000000)[6h:1h] offset 6h)",
+      src, EvalParams(Start, End, 6 * Hour))
+    assert(sq.columns.toSeq === Seq("eval_ms", "value"))
+  }
+
+  test("compile: date functions over epoch-second values and time()") {
+    // year() == year at every eval step (events span Jan 2024)
+    val y = Compiler.compile("year()", src, p)
+    assert(y.select("value").distinct().collect()
+      .map(_.getDouble(0)).toSet === Set(2024.0))
+    val dim = Compiler.compile("days_in_month()", src, p)
+    assert(dim.select("value").distinct().collect()
+      .map(_.getDouble(0)).toSet === Set(31.0))
+    // day_of_week: 2024-01-01 was a Monday → 1 (0 = Sunday)
+    val dow = Compiler.compile("day_of_week()", src,
+      EvalParams(Start, Start, Hour))
+    assert(dow.head().getDouble(1) === 1.0)
+    // over a vector: timestamp(events) gives sample ts in seconds; its
+    // month must be January
+    val m = Compiler.compile("month(timestamp(events))", src, p)
+    assert(m.select("value").distinct().collect()
+      .map(_.getDouble(0)).toSet === Set(1.0))
+  }
+
   test("compile: count_over_time and offset shift") {
     val got = Compiler.compile("count_over_time(events[1d] offset 1d)", src, p)
     val want = RangeWindows.rangeBucketed(
