@@ -387,6 +387,19 @@ object TsdbQueries {
       names.unionByName(values).select("kind", "val")
     }),
 
+    // §5.4/J2 — series-dim expiration classification: a series expires
+    // when its last write + TTL lies before now (index.go:2138-2291); the
+    // sweep itself is StoreSpec-verified, the classification is gated here
+    "j2_series_expiry" -> ((s, dir) => {
+      val cutoff = Jan20
+      pts(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg((max(col("ts_ms")) + 7L * 86400000L).as("expiration_ms"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_series"),
+          count(when(col("expiration_ms") <= cutoff, 1)).as("n_expired"))
+    }),
+
     // O1 — series sorted by labels, rank materialized (the engine-demanded
     // sort, queryable.go:324-342; dimension-sized, so the global window is
     // bounded by series count, not points)
@@ -732,6 +745,15 @@ object TsdbQueries {
     "o1_series_sorted" -> s"""
       SELECT user_id, event_type, row_number() OVER (
         ORDER BY user_id, event_type) AS ord
-      FROM (SELECT DISTINCT user_id, event_type FROM events)"""
+      FROM (SELECT DISTINCT user_id, event_type FROM events)""",
+
+    "j2_series_expiry" -> s"""
+      WITH pts AS ($P),
+      e AS (SELECT user_id, event_type,
+        max(ts_ms) + 7 * 86400000 AS expiration_ms
+        FROM pts GROUP BY 1, 2)
+      SELECT event_type, count(*) AS n_series,
+        count(*) FILTER (expiration_ms <= ${Jan20}) AS n_expired
+      FROM e GROUP BY 1"""
   )
 }

@@ -171,6 +171,44 @@ object Store {
       .drop("__series_ttl")
   }
 
+  /** Series-dim expiration (the reference registers every series under an
+    * expiration day and a background sweep deletes entries whose day
+    * passed, `cassandra/index/index.go:2138-2291`). Spark-native shape:
+    * each write batch APPENDS (metric_id, labels, expiration_ms =
+    * max write ts + TTL) refresh rows — appends are the refresh, no
+    * row rewrites on the hot path — and the sweep compacts the dim to the
+    * per-series max expiration, dropping series whose refreshed
+    * expiration still lies before `now`. Returns the dropped series count.
+    */
+  def refreshSeriesExpiry(spark: SparkSession, dimPath: String,
+      batch: DataFrame, labelCols: Seq[String], ttlSec: Long,
+      tsCol: String = "ts_ms"): Unit =
+    batch
+      .groupBy(labelCols.map(col): _*)
+      .agg((max(col(tsCol)) + ttlSec * 1000L).as("expiration_ms"))
+      .withColumn("metric_id",
+        xxhash64(graft.tsdb.SeriesDim.canonical(labelCols)))
+      .write.mode(SaveMode.Append).parquet(dimPath)
+
+  def expireSeries(spark: SparkSession, dimPath: String,
+      nowMs: Long, labelCols: Seq[String]): Long = {
+    val dim = spark.read.parquet(dimPath)
+    val effective = dim
+      .groupBy((col("metric_id") +: labelCols.map(col)): _*)
+      .agg(max(col("expiration_ms")).as("expiration_ms"))
+    val live = effective.where(col("expiration_ms") > nowMs)
+    val total = effective.count()
+    val kept = live.count()
+    // compact: rewrite the dim as the live set only (out-of-band job —
+    // the write path never rewrites)
+    val tmp = dimPath + "_compact"
+    live.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = Paths.get(dimPath)
+    Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.move(Paths.get(tmp), target)
+    total - kept
+  }
+
   /** The `fullyAggregatedAt` control value, kept beside the agg table. */
   def readWatermark(aggPath: String): Long = {
     val p = Paths.get(aggPath, "_watermark")

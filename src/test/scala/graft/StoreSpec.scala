@@ -126,6 +126,26 @@ class StoreSpec extends SparkSpec {
       pts.where(col("ts_ms") >= cutoff).count())
   }
 
+  test("series-dim expiration: appends refresh, sweep drops expired only") {
+    import spark.implicits._
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_expiry").toString + "/dim"
+    // first batch at t=0: both series get expiry 0 + 100s
+    val b1 = Seq(("A", 0L), ("B", 0L)).toDF("series", "ts_ms")
+    Store.refreshSeriesExpiry(spark, dimPath, b1, Seq("series"), ttlSec = 100L)
+    // series A writes again at t=200s → refreshed to 300s; B goes silent
+    val b2 = Seq(("A", 200000L)).toDF("series", "ts_ms")
+    Store.refreshSeriesExpiry(spark, dimPath, b2, Seq("series"), ttlSec = 100L)
+    // sweep at t=250s: B (expiry 100s) dropped, A (refreshed 300s) kept
+    val dropped = Store.expireSeries(spark, dimPath, 250000L, Seq("series"))
+    assert(dropped === 1L)
+    val left = spark.read.parquet(dimPath).select("series")
+      .collect().map(_.getString(0)).toSeq
+    assert(left === Seq("A"))
+    // sweep is idempotent
+    assert(Store.expireSeries(spark, dimPath, 250000L, Seq("series")) === 0L)
+  }
+
   test("T9: per-write TTL is max-merged per series before expiry") {
     import spark.implicits._
     // series A: writes carried TTLs 10s and 100s → effective 100s, so the
