@@ -20,7 +20,12 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set
+    // (the driver never sets it — full run is the default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     var results = Map.empty[String, Double]
     for (pass <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)

@@ -57,6 +57,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("vector-vector binops broadcast only aggregate-bounded sides") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.points(spark, sfDir)
+      .groupBy("event_type", "ts_ms")
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val src = graft.promql.PromSource(pts, Seq("event_type"), {
+      case "__name__" => lit("events")
+      case "event_type" => col("event_type")
+    })
+    val p = graft.promql.EvalParams(1704067200000L, 1706659200000L, 3600000L)
+    // raw selector / raw selector: NO broadcast hint — AQE decides from
+    // runtime sizes (the r2 unconditional broadcast could OOM the driver)
+    val raw = graft.promql.Compiler
+      .compile("events / events", src, p)
+      .queryExecution.optimizedPlan.toString
+    assert(!raw.contains("ResolvedHint"),
+      s"raw-selector RHS must not carry a broadcast hint:\n$raw")
+    // aggregate RHS: the bounded side IS hinted for broadcast
+    val agg = graft.promql.Compiler
+      .compile("events / sum by (event_type) (events)", src, p)
+      .queryExecution.executedPlan.toString
+    assert(agg.contains("BroadcastHashJoin"),
+      s"aggregate RHS should broadcast:\n$agg")
+  }
+
+  test("f6 negative matchers compile to plain column predicates (no map)") {
+    val p = plan("f6_matchers_negative")
+    // the r2 form allocated a map per row; resolved columns must not
+    assert(!p.contains("map_from_arrays") && !p.toLowerCase.contains("map("),
+      s"f6 must not build a per-row label map:\n$p")
+  }
+
   test("matcher queries keep whole-stage codegen in the scan path") {
     // AQE hides codegen until the final plan: execute first
     val df = SparkEntry.queries("f1_matchers")(spark, sfDir)
