@@ -175,6 +175,144 @@ object Prompb {
     out.write(v.toInt)
   }
 
+  // --- remote-read framing (S3): ReadRequest/ReadResponse -------------
+  //
+  // ReadRequest  { repeated Query queries = 1; }
+  // Query        { int64 start_timestamp_ms = 1; int64 end_timestamp_ms = 2;
+  //                repeated LabelMatcher matchers = 3; }
+  // LabelMatcher { Type type = 1 (EQ=0 NEQ=1 RE=2 NRE=3);
+  //                string name = 2; string value = 3; }
+  // ReadResponse { repeated QueryResult results = 1; }
+  // QueryResult  { repeated TimeSeries timeseries = 1; }
+  // (reference serves this framing at `api/api.go:58-61`; the selection
+  // underneath is the same Search path as every query)
+
+  final case class ReadQuery(startMs: Long, endMs: Long,
+      matchers: Seq[graft.tsdb.Matcher])
+
+  def decodeReadRequest(bytes: Array[Byte]): Seq[ReadQuery] = {
+    val out = Seq.newBuilder[ReadQuery]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (tag, p1) = varint(bytes, pos)
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val (len, p2) = varint(bytes, p1)
+        out += decodeQuery(bytes, p2, p2 + len.toInt)
+        pos = p2 + len.toInt
+      } else pos = skip(bytes, p1, (tag & 7).toInt)
+    }
+    out.result()
+  }
+
+  private def decodeQuery(b: Array[Byte], from: Int, to: Int): ReadQuery = {
+    var pos = from
+    var start = 0L
+    var end = 0L
+    val ms = Seq.newBuilder[graft.tsdb.Matcher]
+    while (pos < to) {
+      val (tag, p1) = varint(b, pos)
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => val (v, p2) = varint(b, p1); start = v; pos = p2
+        case (2, 0) => val (v, p2) = varint(b, p1); end = v; pos = p2
+        case (3, 2) =>
+          val (len, p2) = varint(b, p1)
+          ms += decodeMatcher(b, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case (_, w) => pos = skip(b, p1, w.toInt)
+      }
+    }
+    ReadQuery(start, end, ms.result())
+  }
+
+  private def decodeMatcher(b: Array[Byte], from: Int,
+      to: Int): graft.tsdb.Matcher = {
+    import graft.tsdb._
+    var pos = from
+    var typ = 0L
+    var name = ""
+    var value = ""
+    while (pos < to) {
+      val (tag, p1) = varint(b, pos)
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => val (v, p2) = varint(b, p1); typ = v; pos = p2
+        case (f, 2) =>
+          val (len, p2) = varint(b, p1)
+          val s = new String(b, p2, len.toInt, "UTF-8")
+          if (f == 2) name = s else value = s
+          pos = p2 + len.toInt
+        case (_, w) => pos = skip(b, p1, w.toInt)
+      }
+    }
+    typ match {
+      case 0 => MatchEq(name, value)
+      case 1 => MatchNeq(name, value)
+      case 2 => MatchRe(name, value)
+      case 3 => MatchNre(name, value)
+      case other =>
+        throw new IllegalArgumentException(s"unknown matcher type $other")
+    }
+  }
+
+  /** One QueryResult per query, each carrying its matched series. */
+  def encodeReadResponse(results: Seq[Seq[PromSeries]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    results.foreach { series =>
+      val qr = new java.io.ByteArrayOutputStream()
+      series.foreach(ts => writeLenDelim(qr, 1, encodeTimeSeries(ts)))
+      writeLenDelim(out, 1, qr.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** Decode a ReadResponse back to per-query series (round-trip + client
+    * side of the framing).
+    */
+  def decodeReadResponse(bytes: Array[Byte]): Seq[Seq[PromSeries]] = {
+    val out = Seq.newBuilder[Seq[PromSeries]]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (tag, p1) = varint(bytes, pos)
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val (len, p2) = varint(bytes, p1)
+        // QueryResult payload is shaped exactly like WriteRequest (repeated
+        // TimeSeries in field 1), so the same decoder applies
+        out += decodeWriteRequest(
+          java.util.Arrays.copyOfRange(bytes, p2, p2 + len.toInt))
+        pos = p2 + len.toInt
+      } else pos = skip(bytes, p1, (tag & 7).toInt)
+    }
+    out.result()
+  }
+
+  def encodeMatcher(m: graft.tsdb.Matcher): Array[Byte] = {
+    import graft.tsdb._
+    val (typ, name, value) = m match {
+      case MatchEq(n, v) => (0, n, v)
+      case MatchNeq(n, v) => (1, n, v)
+      case MatchRe(n, p) => (2, n, p)
+      case MatchNre(n, p) => (3, n, p)
+      case other =>
+        throw new IllegalArgumentException(s"not a wire matcher: $other")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1 << 3); writeVarint(out, typ.toLong)
+    writeLenDelim(out, 2, name.getBytes("UTF-8"))
+    writeLenDelim(out, 3, value.getBytes("UTF-8"))
+    out.toByteArray
+  }
+
+  def encodeReadRequest(queries: Seq[ReadQuery]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    queries.foreach { q =>
+      val qb = new java.io.ByteArrayOutputStream()
+      qb.write(1 << 3); writeVarint(qb, q.startMs)
+      qb.write(2 << 3); writeVarint(qb, q.endMs)
+      q.matchers.foreach(m => writeLenDelim(qb, 3, encodeMatcher(m)))
+      writeLenDelim(out, 1, qb.toByteArray)
+    }
+    out.toByteArray
+  }
+
   // --- Spark plumbing ---
 
   /** Decode a distributed set of snappy remote-write payloads into flat

@@ -48,6 +48,33 @@ class PrompbSpec extends SparkSpec {
     assert(Prompb.decodeWriteRequest(extra) === Seq(series.head))
   }
 
+  test("remote-read framing: request decode drives Search, response round-trips") {
+    import graft.streaming.Prompb.ReadQuery
+    import graft.tsdb._
+    import org.apache.spark.sql.functions._
+    val req = Seq(ReadQuery(1704067200000L, 1704153600000L, Seq(
+      MatchEq("event_type", "click"), MatchNeq("user", "42"),
+      MatchRe("job", "a|b"), MatchNre("env", "dev.*"))))
+    val decoded = Prompb.decodeReadRequest(Prompb.encodeReadRequest(req))
+    assert(decoded === req)
+    // the decoded matchers ARE the Search input: compile to a predicate
+    // over the events table and select series — the same path as queries
+    val q = decoded.head
+    val resolve: String => org.apache.spark.sql.Column = {
+      case "event_type" => col("event_type")
+      case "user" => col("user_id").cast("string")
+    }
+    val matched = Tables.points(spark, "/root/testdata/sf0.001")
+      .where(Matchers.all(resolve, q.matchers.take(2)) &&
+        col("ts_ms").between(q.startMs, q.endMs))
+    assert(matched.count() > 0)
+    assert(matched.where(col("event_type") =!= "click").count() === 0L)
+    // response: series stream → proto frames → decode equals input
+    val resp = Prompb.decodeReadResponse(Prompb.encodeReadResponse(
+      Seq(series, Seq.empty, series.take(1))))
+    assert(resp === Seq(series, Seq.empty, series.take(1)))
+  }
+
   test("decodeDataset: distributed decode feeds the ingest projection") {
     import spark.implicits._
     val payloads = Seq(Prompb.encodeSnappy(series)).toDS()
