@@ -700,9 +700,12 @@ object Compiler {
       .otherwise(element_at(bs, greatest(lower, lit(1))).getField("le"))
     val prevCnt = when(lower === 0, lit(0.0))
       .otherwise(element_at(bs, greatest(lower, lit(1))).getField("v"))
-    val interpolated = prevLe +
-      (target.getField("le") - prevLe) *
-        ((rank - prevCnt) / (target.getField("v") - prevCnt))
+    // empty target bucket (0/0) is NaN as in Prometheus — and must not
+    // trip ANSI divide-by-zero
+    val denom = target.getField("v") - prevCnt
+    val interpolated = when(denom === 0.0, lit(Double.NaN)).otherwise(
+      prevLe + (target.getField("le") - prevLe) *
+        ((rank - prevCnt) / denom))
     when(n < 2 || lastLe =!= lit(Double.PositiveInfinity), lit(Double.NaN))
       .when(phi < 0, lit(Double.NegativeInfinity))
       .when(phi > 1, lit(Double.PositiveInfinity))
