@@ -78,7 +78,11 @@ object Ingest {
         col("event_type"), col("n"), col("sum_value"))
       .localCheckpoint(true)
     spark.catalog.dropTempView(name)
+    q.stop() // release source/sink resources beyond termination
     spark.streams.resetTerminated()
+    // unload state-store providers + their maintenance thread — the last
+    // streaming residue that can tax later batch queries in the session
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     out
   }
 }
