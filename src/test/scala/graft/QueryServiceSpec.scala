@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{QueryService, RequestOptions}
+import graft.promql.{EvalParams, PromSource}
+import graft.tsdb._
+
+/** §3.1 per-request wrapper chain: tenant and forced matchers reach every
+  * selector, mutable labels rewrite before plan build, the series limit
+  * aborts lazily.
+  */
+class QueryServiceSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val Start = 1704067200000L
+  private val End = 1706659200000L
+  private val Hour = 3600000L
+  private val p = EvalParams(Start, End, Hour, lookbackMs = 86400000L)
+
+  private lazy val pts = Tables.points(spark, sfDir)
+    .groupBy("event_type", "ts_ms")
+    .agg(max_by(col("value"), col("event_id")).as("value"))
+
+  private lazy val src = PromSource(pts, Seq("event_type"), {
+    case "__name__" => lit("events")
+    case "event_type" => col("event_type")
+  })
+
+  test("tenant + forced matchers are injected into every selector") {
+    val opts = RequestOptions(
+      tenantLabel = Some(("event_type", "click")))
+    // both sides of the binop get the tenant filter — the non-click side
+    // becomes empty, so the sum equals the click-only sum
+    val got = QueryService.queryRange(
+      """sum(events) + sum(events{event_type=~"click|view"})""",
+      src, p, opts)
+    val clickOnly = QueryService.queryRange("sum(events) * 2", src, p, opts)
+    val joined = got.withColumnRenamed("value", "a")
+      .join(clickOnly.withColumnRenamed("value", "b"), "eval_ms")
+    assert(joined.where(col("a") =!= col("b")).count() === 0L)
+    assert(got.count() > 0)
+
+    // a user matcher cannot shadow the forced one: forced click ∧ user view = ∅
+    val shadowed = QueryService.queryRange(
+      """events{event_type="view"}""", src, p,
+      RequestOptions(forced = Seq(MatchEq("event_type", "click"))))
+    assert(shadowed.count() === 0L)
+  }
+
+  test("mutable labels rewrite inside the service chain") {
+    val mapping = MutableMapping("t1", "group", "event_type",
+      Map("interactive" -> Seq("click", "view")))
+    val got = QueryService.queryRange(
+      """sum(events{group="interactive"})""", src, p,
+      RequestOptions(mutable = Seq(mapping)))
+    val want = QueryService.queryRange(
+      """sum(events{event_type=~"click|view"})""", src, p)
+    val joined = got.withColumnRenamed("value", "a")
+      .join(want.withColumnRenamed("value", "b"), "eval_ms")
+    assert(joined.where(col("a") =!= col("b")).count() === 0L)
+    assert(got.count() > 0)
+  }
+
+  test("series limit aborts lazily when exceeded, passes under the cap") {
+    val under = QueryService.queryRange("events", src, p,
+      RequestOptions(maxSeries = Some(100)))
+    assert(under.count() > 0) // 5 event types ≤ 100
+    val over = QueryService.queryRange("events", src, p,
+      RequestOptions(maxSeries = Some(2)))
+    intercept[Exception](over.collect())
+  }
+}
