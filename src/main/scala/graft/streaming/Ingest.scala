@@ -21,6 +21,32 @@ object Ingest {
       .withColumn("tenant", lit(tenant))
       .where(col("event_type").isNotNull && col("event_type") =!= "")
 
+  /** The ingest projection for label-MAP rows (the wire-decode output
+    * shape): reference validation (`api/remotestorage/write.go:185-231`) —
+    * label names must be `[a-zA-Z_][a-zA-Z0-9_]*` and must not contain
+    * `'|'`, empty-valued labels are dropped from the set, samples without
+    * a `__name__` are rejected — then the tenant label is injected
+    * (overwriting any client-supplied value, `write.go:80-109`), and the
+    * series key is the canonical-map hash, identical to what
+    * column-labeled tables produce for the same label set.
+    */
+  def ingestLabeled(df: DataFrame, tenantLabel: String,
+      tenant: String): DataFrame = {
+    val cleaned = map_filter(col("labels"),
+      (_, v) => v.isNotNull && v =!= "")
+    val validNames = forall(map_keys(col("labels")),
+      k => k.rlike("^[a-zA-Z_:][a-zA-Z0-9_:]*$"))
+    df
+      .where(validNames)
+      .withColumn("labels",
+        map_concat(
+          map_filter(cleaned, (k, _) => k =!= tenantLabel),
+          map(lit(tenantLabel), lit(tenant))))
+      .where(element_at(col("labels"), "__name__").isNotNull)
+      .withColumn("metric_id",
+        xxhash64(graft.tsdb.SeriesDim.canonicalMap(col("labels"))))
+  }
+
   /** Future-point backdating, batch-granular like the reference
     * (`api/fake_remote_writer.go:236-285`, `backdateSeries`): if ANY sample
     * in the batch is at/after `nowMs + thresholdMs`, ALL samples in the

@@ -38,6 +38,19 @@ object SeriesDim {
         when(col(c).isNull, lit("\u0003"))
           .otherwise(col(c).cast("string")))): _*)
 
+  /** Canonical encoding of a `map<string,string>` labels column — the
+    * dynamic-schema counterpart of [[canonical]]: entries sorted by name,
+    * same name/value/pair separators, so a map-labeled stream and a
+    * column-labeled table agree on series identity. Null values cannot
+    * occur in validated label maps (empty values are dropped at ingest),
+    * so no null sentinel is needed here.
+    */
+  def canonicalMap(labels: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(
+      transform(array_sort(map_entries(labels)),
+        e => concat(e.getField("key"), lit("\u0002"), e.getField("value"))),
+      "\u0001")
+
   /** Distinct series of the events table with dense ids. */
   def denseIds(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("user_id"), col("event_type"))

@@ -45,6 +45,55 @@ class IngestSpec extends SparkSpec {
 /** Multimodal typed-Dataset decode path: partition-at-a-time batching
   * with the (clearly stubbed) codec — the plan shape of real decoders.
   */
+class IngestLabeledSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("label-map ingest: validation, tenant injection, canonical series key") {
+    val rows = Seq(
+      // valid series; client-supplied tenant must be overwritten
+      (Map("__name__" -> "up", "job" -> "api", "__account_id__" -> "evil"),
+        1000L, 1.0),
+      // empty-valued label dropped from the set, sample kept
+      (Map("__name__" -> "up", "job" -> "api", "env" -> ""), 2000L, 2.0),
+      // no __name__ → rejected
+      (Map("job" -> "api"), 3000L, 3.0),
+      // invalid label name → rejected
+      (Map("__name__" -> "up", "bad|name" -> "x"), 4000L, 4.0))
+      .toDF("labels", "ts_ms", "value")
+    val out = graft.streaming.Ingest
+      .ingestLabeled(rows, "__account_id__", "acme")
+    val got = out.select("ts_ms", "labels").collect()
+      .map(r => r.getLong(0) -> r.getAs[Map[String, String]]("labels")).toMap
+    assert(got.keySet === Set(1000L, 2000L))
+    assert(got(1000L)("__account_id__") === "acme")
+    assert(!got(2000L).contains("env"))
+    // both survivors normalize to the SAME label set → same metric_id,
+    // and it matches the column-path canonical hash of the same labels
+    val ids = out.select("metric_id").distinct().collect().map(_.getLong(0))
+    assert(ids.length === 1)
+    val colPath = Seq(("up", "api", "acme"))
+      .toDF("__name__", "job", "__account_id__")
+      .select(xxhash64(graft.tsdb.SeriesDim.canonical(
+        Seq("__name__", "job", "__account_id__"))).as("id"))
+      .head().getLong(0)
+    assert(ids.head === colPath)
+  }
+
+  test("wire → ingest: prompb payload lands with canonical series keys") {
+    import graft.streaming.Prompb
+    import graft.streaming.Prompb.PromSeries
+    val payload = Prompb.encodeSnappy(Seq(
+      PromSeries(Map("__name__" -> "up", "job" -> "api"),
+        Seq((1000L, 1.0), (2000L, 0.0)))))
+    val decoded = Prompb.decodeDataset(Seq(payload).toDS())
+    val out = graft.streaming.Ingest
+      .ingestLabeled(decoded, "__account_id__", "t1")
+    assert(out.count() === 2)
+    assert(out.select("metric_id").distinct().count() === 1)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import graft.multimodal.Multimodal
 
