@@ -1,0 +1,172 @@
+package graft.streaming
+
+import graft.streaming.Prompb.PromSeries
+
+/** Remote-write v2 wire decode (S1): the symbol-table format the reference
+  * accepts alongside v1 (`api/api.go:63-66` enables
+  * `remoteWriteProtoMsgs{V1, V2}`). Public message shape
+  * (`io.prometheus.write.v2.Request`):
+  *
+  * {{{
+  * Request    { repeated string symbols = 4; repeated TimeSeries timeseries = 5; }
+  * TimeSeries { repeated uint32 labels_refs = 1 (packed, name/value ref pairs);
+  *              repeated Sample samples = 2; }
+  * Sample     { double value = 1; int64 timestamp = 2; }
+  * }}}
+  *
+  * Labels are (name-ref, value-ref) pairs into the request-wide symbol
+  * table; symbol 0 is the empty string by spec. Unknown fields
+  * (exemplars, histograms, metadata) are skipped.
+  */
+object PrompbV2 {
+
+  def decodeSnappy(payload: Array[Byte]): Seq[PromSeries] =
+    decodeRequest(org.xerial.snappy.Snappy.uncompress(payload))
+
+  def decodeRequest(bytes: Array[Byte]): Seq[PromSeries] = {
+    // pass 1: symbols; pass 2: series (refs need the full table)
+    val symbols = Seq.newBuilder[String]
+    val seriesSpans = Seq.newBuilder[(Int, Int)]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (tag, p1) = varint(bytes, pos)
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (4, 2) =>
+          val (len, p2) = varint(bytes, p1)
+          symbols += new String(bytes, p2, len.toInt, "UTF-8")
+          pos = p2 + len.toInt
+        case (5, 2) =>
+          val (len, p2) = varint(bytes, p1)
+          seriesSpans += ((p2, p2 + len.toInt))
+          pos = p2 + len.toInt
+        case (_, w) => pos = skip(bytes, p1, w)
+      }
+    }
+    val sym = symbols.result().toIndexedSeq
+    seriesSpans.result().map { case (from, to) =>
+      decodeTimeSeries(bytes, from, to, sym)
+    }
+  }
+
+  private def decodeTimeSeries(b: Array[Byte], from: Int, to: Int,
+      sym: IndexedSeq[String]): PromSeries = {
+    var pos = from
+    val refs = Seq.newBuilder[Int]
+    val samples = Seq.newBuilder[(Long, Double)]
+    while (pos < to) {
+      val (tag, p1) = varint(b, pos)
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => // packed uint32 refs
+          val (len, p2) = varint(b, p1)
+          var q = p2
+          while (q < p2 + len.toInt) {
+            val (v, q2) = varint(b, q); refs += v.toInt; q = q2
+          }
+          pos = p2 + len.toInt
+        case (1, 0) => // unpacked ref (legal encoding)
+          val (v, p2) = varint(b, p1); refs += v.toInt; pos = p2
+        case (2, 2) =>
+          val (len, p2) = varint(b, p1)
+          samples += decodeSample(b, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case (_, w) => pos = skip(b, p1, w)
+      }
+    }
+    val labels = refs.result().grouped(2).collect {
+      case Seq(n, v) if sym(n).nonEmpty => sym(n) -> sym(v)
+    }.toMap
+    PromSeries(labels, samples.result())
+  }
+
+  private def decodeSample(b: Array[Byte], from: Int, to: Int): (Long, Double) = {
+    var pos = from
+    var ts = 0L
+    var v = 0.0
+    while (pos < to) {
+      val (tag, p1) = varint(b, pos)
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 1) =>
+          v = java.lang.Double.longBitsToDouble(fixed64(b, p1)); pos = p1 + 8
+        case (2, 0) => val (t, p2) = varint(b, p1); ts = t; pos = p2
+        case (_, w) => pos = skip(b, p1, w)
+      }
+    }
+    (ts, v)
+  }
+
+  // --- encoder (tests) ---
+
+  def encodeRequest(series: Seq[PromSeries]): Array[Byte] = {
+    // build the symbol table: index 0 = "" by spec
+    val syms = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+    def ref(s: String): Int = syms.getOrElseUpdate(s, syms.size)
+    val encoded = series.map { ts =>
+      val refs = ts.labels.toSeq.sortBy(_._1)
+        .flatMap { case (n, v) => Seq(ref(n), ref(v)) }
+      (refs, ts.samples)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    syms.keys.foreach { s =>
+      writeLenDelim(out, 4, s.getBytes("UTF-8"))
+    }
+    encoded.foreach { case (refs, samples) =>
+      val tsb = new java.io.ByteArrayOutputStream()
+      val packed = new java.io.ByteArrayOutputStream()
+      refs.foreach(r => writeVarint(packed, r.toLong))
+      writeLenDelim(tsb, 1, packed.toByteArray)
+      samples.foreach { case (t, v) =>
+        val sb = new java.io.ByteArrayOutputStream()
+        sb.write((1 << 3) | 1)
+        val bits = java.lang.Double.doubleToLongBits(v)
+        var i = 0
+        while (i < 8) { sb.write(((bits >> (8 * i)) & 0xFF).toInt); i += 1 }
+        sb.write(2 << 3)
+        writeVarint(sb, t)
+        writeLenDelim(tsb, 2, sb.toByteArray)
+      }
+      writeLenDelim(out, 5, tsb.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  def encodeSnappy(series: Seq[PromSeries]): Array[Byte] =
+    org.xerial.snappy.Snappy.compress(encodeRequest(series))
+
+  // shared wire helpers (duplicated minimally; Prompb's are private)
+  private def varint(b: Array[Byte], from: Int): (Long, Int) = {
+    var pos = from; var shift = 0; var acc = 0L; var going = true
+    while (going) {
+      val x = b(pos); acc |= (x & 0x7FL) << shift; shift += 7; pos += 1
+      going = (x & 0x80) != 0
+    }
+    (acc, pos)
+  }
+
+  private def fixed64(b: Array[Byte], from: Int): Long = {
+    var acc = 0L; var i = 7
+    while (i >= 0) { acc = (acc << 8) | (b(from + i) & 0xFFL); i -= 1 }
+    acc
+  }
+
+  private def skip(b: Array[Byte], pos: Int, wire: Int): Int = wire match {
+    case 0 => varint(b, pos)._2
+    case 1 => pos + 8
+    case 2 => val (len, p) = varint(b, pos); p + len.toInt
+    case 5 => pos + 4
+    case other =>
+      throw new IllegalArgumentException(s"unsupported wire type $other")
+  }
+
+  private def writeLenDelim(out: java.io.ByteArrayOutputStream, field: Int,
+      payload: Array[Byte]): Unit = {
+    out.write((field << 3) | 2)
+    writeVarint(out, payload.length.toLong)
+    out.write(payload)
+  }
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+}

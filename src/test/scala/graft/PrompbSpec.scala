@@ -75,6 +75,42 @@ class PrompbSpec extends SparkSpec {
     assert(resp === Seq(series, Seq.empty, series.take(1)))
   }
 
+  test("remote-write v2: symbol-table payloads decode to the same series") {
+    import graft.streaming.PrompbV2
+    val got = PrompbV2.decodeSnappy(PrompbV2.encodeSnappy(series))
+    assert(got === series)
+    // shared symbols are deduplicated on the wire but decode identically
+    val shared = Seq(
+      PromSeries(Map("__name__" -> "up", "job" -> "api"), Seq((1L, 1.0))),
+      PromSeries(Map("__name__" -> "up", "job" -> "web"), Seq((2L, 0.0))))
+    assert(PrompbV2.decodeRequest(PrompbV2.encodeRequest(shared)) === shared)
+  }
+
+  test("OTLP: gauge datapoints translate to Prometheus series") {
+    import graft.streaming.Otlp
+    import graft.streaming.Otlp.OtlpPoint
+    val payload = Otlp.encodeExportRequest("checkout", "host-1", Seq(
+      OtlpPoint("http.requests", Map("http.method" -> "GET"),
+        1704067200000000000L, 42.0),
+      OtlpPoint("queue_depth", Map.empty, 1704067215000000000L, 7.0)))
+    val got = Otlp.decodeExportRequest(payload)
+    assert(got.size === 2)
+    val byName = got.map(s => s.labels("__name__") -> s).toMap
+    // attribute keys sanitized, resource attrs → job/instance, ns → ms
+    val req = byName("http_requests")
+    assert(req.labels === Map("__name__" -> "http_requests",
+      "job" -> "checkout", "instance" -> "host-1", "http_method" -> "GET"))
+    assert(req.samples === Seq((1704067200000L, 42.0)))
+    assert(byName("queue_depth").samples === Seq((1704067215000L, 7.0)))
+    // decoded OTLP rows feed the same label-map ingest path
+    import spark.implicits._
+    val rows = got.flatMap(s => s.samples.map { case (t, v) =>
+      (s.labels, t, v) }).toDF("labels", "ts_ms", "value")
+    val ingested = graft.streaming.Ingest
+      .ingestLabeled(rows, "__account_id__", "t1")
+    assert(ingested.count() === 2)
+  }
+
   test("decodeDataset: distributed decode feeds the ingest projection") {
     import spark.implicits._
     val payloads = Seq(Prompb.encodeSnappy(series)).toDS()
