@@ -89,6 +89,17 @@ class PlanSpec extends SparkSpec {
       s"f6 must not build a per-row label map:\n$p")
   }
 
+  test("no registered query plans an unbroadcast cartesian product") {
+    // t1 drives a streaming query (side effects); j1 writes its dim —
+    // both excluded from this pure plan sweep
+    val skip = Set("t1_stream_window", "j1_points_join_series")
+    for ((name, fn) <- SparkEntry.queries if !skip(name)) {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("matcher queries keep whole-stage codegen in the scan path") {
     // AQE hides codegen until the final plan: execute first
     val df = SparkEntry.queries("f1_matchers")(spark, sfDir)
