@@ -128,6 +128,16 @@ object PipelineQueries {
           col("nn_id"), col("cos_sim"))
     }),
 
+    // IVF-flat ANN: deterministic 1-iteration k-means quantizer, nprobe=2
+    // probe + exact in-cell rerank (the inverted-file scale path — the
+    // corpus is scanned per probed cell, never in full)
+    "v3_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), 5)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
+    }),
+
     // multimodal: typed metadata without decode
     "mm1_asset_meta" -> ((s, dir) =>
       Multimodal.assetMetadata(Tables.documents(s, dir))),
@@ -386,6 +396,56 @@ object PipelineQueries {
           (sqrt(${dotSql("q_emb", "q_emb")}) *
            sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
         FROM c JOIN q USING (bucket) WHERE nn_id <> q_id)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= 5""",
+
+    // IVF: every mean is decimal-accumulated (order-independent), every
+    // distance an ordered fold, every argmin a struct-min — so the
+    // centroids, assignments, probes and final ranking are bit-identical
+    // to the Spark plan
+    "v3_ann_ivf" -> s"""
+      WITH vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      ia AS (SELECT vec_id, vec_id % 8 AS c FROM embeddings),
+      iw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ia a USING (vec_id) GROUP BY 1, 2),
+      icen AS (SELECT c, list(w ORDER BY d) AS cen FROM iw GROUP BY 1),
+      d1 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN icen i),
+      a1 AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM d1 GROUP BY 1),
+      uw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      cells AS (SELECT c, list(w ORDER BY d) AS cen FROM uw GROUP BY 1),
+      d2 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN cells i),
+      asg AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM d2 GROUP BY 1),
+      probes AS (SELECT vec_id AS q_id, c FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, c) AS rn
+          FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
+      q AS (SELECT p.q_id, e.embedding AS q_emb, p.c
+        FROM probes p JOIN embeddings e ON e.vec_id = p.q_id),
+      cand AS (SELECT q.q_id, q.q_emb, a.vec_id AS nn_id, e.embedding AS nn_emb
+        FROM q JOIN asg a USING (c)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> q.q_id),
+      scored AS (SELECT q_id, nn_id,
+          ${dotSql("q_emb", "nn_emb")} /
+            (sqrt(${dotSql("q_emb", "q_emb")}) *
+             sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
+        FROM cand)
       SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
         SELECT *, row_number() OVER (
           PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk

@@ -115,6 +115,97 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** IVF-flat coarse quantizer: K centroid arrays from one deterministic
+    * Lloyd iteration (init = per-dim mean of the `vec_id % K` partition,
+    * then reassign-to-nearest + recompute). Set-oriented throughout:
+    * means are decimal-accumulated per (cell, dim) — order-independent,
+    * so the centroids are bit-identical across partitionings and engines
+    * — and distances are ordered folds. At 100 TB the quantizer trains on
+    * a sample; the cells DataFrame is K rows (broadcast everywhere).
+    */
+  def ivfCells(corpus: DataFrame, nCells: Int): DataFrame = {
+    val vecs = corpus.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        col("x").cast("double").as("x"))
+    def meanCentroids(assigned: DataFrame): DataFrame =
+      vecs.join(assigned, "vec_id")
+        .groupBy("c", "d")
+        .agg((sum(col("x").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("w"))
+        .groupBy("c")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
+          e => e.getField("w")).as("cen"))
+    val init = meanCentroids(
+      corpus.select(col("vec_id"), pmod(col("vec_id"), lit(nCells)).as("c")))
+    meanCentroids(assignCells(corpus, init)
+      .select(col("vec_id"), col("c")))
+  }
+
+  /** Nearest cell per vector: K ordered-fold L2 distances, argmin with
+    * deterministic (dist, c) tiebreak.
+    */
+  def assignCells(vectors: DataFrame, cells: DataFrame): DataFrame = {
+    val dist = aggregate(
+      zip_with(col("embedding"), col("cen"),
+        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+      lit(0.0), (acc, x) => acc + x)
+    vectors.crossJoin(broadcast(cells))
+      .withColumn("dist", dist)
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist").as("dd"), col("c").as("c")))
+        .getField("c").as("c"),
+        min(struct(col("dist").as("dd"), col("c").as("c")))
+          .getField("dd").as("dist"))
+  }
+
+  /** IVF-flat approximate top-k: each query probes its `nProbe` nearest
+    * cells and reranks exactly within them — the classic inverted-file
+    * scale path (the corpus is scanned per-cell, never in full; cells are
+    * co-partitioned by construction). Recall falls back gracefully when
+    * the true neighbors live outside the probed cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    // K rows; materialized once — the quantizer is trained once and
+    // reused by corpus assignment AND probe ranking (otherwise each
+    // reference replays the whole k-means chain)
+    val cells = ivfCells(corpus, nCells).localCheckpoint(true)
+    // the materialized assignment IS the inverted file — at scale this is
+    // the persisted index table queries probe into
+    val asg = assignCells(corpus, cells).select("vec_id", "c")
+      .localCheckpoint(true)
+    val c = corpus.join(asg, "vec_id")
+      .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+        col("c"))
+      .withColumn("nn_norm", norm2(col("nn_emb")))
+    // probe ranking: per query the nProbe nearest centroids
+    val qDist = assignCellsAll(queries, cells)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))
+    val probes = qDist
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c"))
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("q_norm", norm2(col("q_emb")))
+      .join(probes, "q_id")
+    val scored = c.join(broadcast(q), Seq("c"))
+      .where(col("nn_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
+    rankTopK(scored, k)
+  }
+
+  /** All (vector, cell) distances — the probe-ranking input. */
+  private def assignCellsAll(vectors: DataFrame, cells: DataFrame): DataFrame = {
+    val dist = aggregate(
+      zip_with(col("embedding"), col("cen"),
+        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+      lit(0.0), (acc, x) => acc + x)
+    vectors.crossJoin(broadcast(cells)).withColumn("dist", dist)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join (only
     * same-bucket vectors are compared — linear in bucket sizes, never
     * O(n²)), then the exact cosine filter. The corpus-side dedup analogue

@@ -96,6 +96,27 @@ class DedupSpec extends SparkSpec {
       Seq(Scored(1.0, 1L)))
   }
 
+  test("IVF: planted duplicate vectors are each other's top neighbor") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // re-ingest queries under new ids: the duplicate shares the cell and
+    // must rank first with cosine 1
+    val corpus = emb.unionByName(
+      emb.where(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 100000))
+    val got = Ann.ivfTopK(corpus, emb.where(col("vec_id") < 5), 3)
+      .where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 5L).foreach { q =>
+      assert(got(q) === q + 100000, s"query $q top-1 should be its clone")
+    }
+    // cells partition the corpus: every vector lands in exactly one cell
+    val cells = Ann.ivfCells(corpus, 8)
+    val asg = Ann.assignCells(corpus, cells)
+    assert(asg.count() === corpus.count())
+    assert(asg.select("vec_id").distinct().count() === corpus.count())
+  }
+
   test("simhash: deterministic, and identical docs hash identically") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta")).toDF("doc_id", "text")
