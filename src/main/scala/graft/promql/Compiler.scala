@@ -379,6 +379,14 @@ object Compiler {
               .agg(count(lit(1)).as("__n"),
                 hw(col(tCol), col(vCol)).as("value"))
               .where(col("__n") >= 2 && col("value").isNotNull).drop("__n")
+          case "absent_over_time" =>
+            // 1 at steps where the range window holds NO sample at all
+            val present = RangeWindows.withEvalSteps(base,
+                p.startMs, p.endMs, p.stepMs, range, tCol)
+              .select("eval_ms").distinct()
+            return Vec(grid(src.points.sparkSession, p)
+              .join(present, Seq("eval_ms"), "left_anti")
+              .withColumn("value", lit(1.0)), Seq.empty, scalar = false)
           case over =>
             val agg: Column => Column = over match {
               case "avg_over_time" => avg
@@ -617,6 +625,7 @@ object Compiler {
     case "/" => a / b
     case "%" => a % b // fmod, dividend sign — PromQL math.Mod
     case "^" => pow(a, b)
+    case "atan2" => atan2(a, b)
   }
 
   private def cmpCol(op: String, a: Column, b: Column): Column = op match {
@@ -630,6 +639,7 @@ object Compiler {
       case "+" => a + b; case "-" => a - b
       case "*" => a * b; case "/" => a / b
       case "%" => a % b; case "^" => math.pow(a, b)
+      case "atan2" => math.atan2(a, b)
     }
 
   private def cmpScalar(op: String, a: Double, b: Double): Boolean =
@@ -653,6 +663,12 @@ object Compiler {
       case "log10" => math.log10(v)
       case "sqrt" => math.sqrt(v)
       case "sgn" => math.signum(v)
+      case "sin" => math.sin(v); case "cos" => math.cos(v)
+      case "tan" => math.tan(v); case "asin" => math.asin(v)
+      case "acos" => math.acos(v); case "atan" => math.atan(v)
+      case "sinh" => math.sinh(v); case "cosh" => math.cosh(v)
+      case "tanh" => math.tanh(v)
+      case "deg" => math.toDegrees(v); case "rad" => math.toRadians(v)
       case "clamp" => math.min(math.max(v, ps.head), ps(1))
       case "clamp_min" => math.max(v, ps.head)
       case "clamp_max" => math.min(v, ps.head)
@@ -672,6 +688,10 @@ object Compiler {
       case "log10" => log10(v)
       case "sqrt" => sqrt(v)
       case "sgn" => signum(v)
+      case "sin" => sin(v); case "cos" => cos(v); case "tan" => tan(v)
+      case "asin" => asin(v); case "acos" => acos(v); case "atan" => atan(v)
+      case "sinh" => sinh(v); case "cosh" => cosh(v); case "tanh" => tanh(v)
+      case "deg" => degrees(v); case "rad" => radians(v)
       case "clamp" =>
         val Seq(lo, hi) = ps
         least(greatest(v, lit(lo)), lit(hi))

@@ -194,6 +194,19 @@ object PromqlQueries {
       Compiler.compile("scalar(events)", srcByType(s, dir), HourP)
         .select(col("eval_ms"), isnan(col("value")).as("is_nan"))),
 
+    // §2.7 — trig functions + the atan2 binary operator (Prometheus 2.31
+    // surface; transcendentals rounded — libm vs Java last-ulp)
+    "pql17_trig" -> ((s, dir) =>
+      Compiler.compile(
+        "sin(events / 100) + cos(events / 100) + rad(deg(atan(events)))",
+        srcByType(s, dir), HourP)
+        .join(Compiler.compile("events atan2 vector(2)", srcByType(s, dir),
+            HourP).select(col("event_type"), col("eval_ms"),
+            round(col("value"), 6).as("at2")),
+          Seq("event_type", "eval_ms"))
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("trig"), col("at2"))),
+
     // §2.7 — date functions through the compiler: components of the
     // chosen sample's own timestamp (corpus dateFunc family)
     "pql16_date_fns" -> ((s, dir) => {
@@ -467,6 +480,14 @@ object PromqlQueries {
       UNION ALL
       SELECT r.* FROM r WHERE NOT EXISTS (SELECT 1 FROM l
         WHERE l.user_id = r.user_id AND l.eval_ms = r.eval_ms)""",
+
+    "pql17_trig" -> s"""
+      WITH $InstType
+      SELECT event_type, eval_ms,
+        round(sin(value / 100.0) + cos(value / 100.0) +
+          radians(degrees(atan(value))), 6) AS trig,
+        round(atan2(value, 2.0), 6) AS at2
+      FROM inst""",
 
     "pql16_date_fns" -> s"""
       WITH pts AS ($PD), grid AS (SELECT unnest(generate_series(${Start},

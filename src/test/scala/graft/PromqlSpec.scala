@@ -519,6 +519,25 @@ class PromqlSpec extends SparkSpec {
       .map(_.getDouble(0)).toSet === Set(1.0))
   }
 
+  test("compile: trig/atan2/absent_over_time") {
+    // identity: rad(deg(x)) == x up to fp; sin²+cos² == 1
+    val one = Compiler.compile(
+      "sin(events) ^ 2 + cos(events) ^ 2", src, p)
+    assert(one.where(abs(col("value") - 1.0) > 1e-9).count() === 0L)
+    assert(Compiler.compile("(1 atan2 1) * 4", src, p).head().getDouble(0)
+      === math.Pi)
+    // absent_over_time: 1 exactly at steps with no sample in the window
+    val ab = Compiler.compile(
+      """absent_over_time(events{event_type="nope"}[1h])""", src, p)
+    assert(ab.count() === (End - Start) / Hour + 1)
+    val abSome = Compiler.compile(
+      """absent_over_time(events{event_type="click"}[1h])""", src, p)
+    val present = Compiler.compile(
+      "count_over_time(events{event_type=\"click\"}[1h])", src, p)
+      .select("eval_ms").distinct().count()
+    assert(abSome.count() === (End - Start) / Hour + 1 - present)
+  }
+
   test("compile: count_over_time and offset shift") {
     val got = Compiler.compile("count_over_time(events[1d] offset 1d)", src, p)
     val want = RangeWindows.rangeBucketed(
