@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
+import graft.streaming.Wire._
+
 /** Prometheus remote-write v1 wire decode (S1): a hand-rolled protobuf
   * wire-format reader for the public `prompb.WriteRequest` message — the
   * piece the reference gets from its generated protobuf bindings
@@ -99,36 +101,8 @@ object Prompb {
     (ts, v)
   }
 
-  private def varint(b: Array[Byte], from: Int): (Long, Int) = {
-    var pos = from
-    var shift = 0
-    var acc = 0L
-    var going = true
-    while (going) {
-      val x = b(pos)
-      acc |= (x & 0x7FL) << shift
-      shift += 7
-      pos += 1
-      going = (x & 0x80) != 0
-    }
-    (acc, pos)
-  }
 
-  private def fixed64(b: Array[Byte], from: Int): Long = {
-    var acc = 0L
-    var i = 7
-    while (i >= 0) { acc = (acc << 8) | (b(from + i) & 0xFFL); i -= 1 }
-    acc
-  }
 
-  private def skip(b: Array[Byte], pos: Int, wire: Int): Int = wire match {
-    case 0 => varint(b, pos)._2
-    case 1 => pos + 8
-    case 2 => val (len, p) = varint(b, pos); p + len.toInt
-    case 5 => pos + 4
-    case other =>
-      throw new IllegalArgumentException(s"unsupported wire type $other")
-  }
 
   // --- encoder (tests + the reference's own remote-write client shape) ---
 
@@ -162,18 +136,7 @@ object Prompb {
     out.toByteArray
   }
 
-  private def writeLenDelim(out: java.io.ByteArrayOutputStream, field: Int,
-      payload: Array[Byte]): Unit = {
-    out.write((field << 3) | 2)
-    writeVarint(out, payload.length.toLong)
-    out.write(payload)
-  }
 
-  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-  }
 
   // --- remote-read framing (S3): ReadRequest/ReadResponse -------------
   //

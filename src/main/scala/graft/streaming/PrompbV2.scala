@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.streaming.Prompb.PromSeries
+import graft.streaming.Wire._
 
 /** Remote-write v2 wire decode (S1): the symbol-table format the reference
   * accepts alongside v1 (`api/api.go:63-66` enables
@@ -132,41 +133,8 @@ object PrompbV2 {
   def encodeSnappy(series: Seq[PromSeries]): Array[Byte] =
     org.xerial.snappy.Snappy.compress(encodeRequest(series))
 
-  // shared wire helpers (duplicated minimally; Prompb's are private)
-  private def varint(b: Array[Byte], from: Int): (Long, Int) = {
-    var pos = from; var shift = 0; var acc = 0L; var going = true
-    while (going) {
-      val x = b(pos); acc |= (x & 0x7FL) << shift; shift += 7; pos += 1
-      going = (x & 0x80) != 0
-    }
-    (acc, pos)
-  }
 
-  private def fixed64(b: Array[Byte], from: Int): Long = {
-    var acc = 0L; var i = 7
-    while (i >= 0) { acc = (acc << 8) | (b(from + i) & 0xFFL); i -= 1 }
-    acc
-  }
 
-  private def skip(b: Array[Byte], pos: Int, wire: Int): Int = wire match {
-    case 0 => varint(b, pos)._2
-    case 1 => pos + 8
-    case 2 => val (len, p) = varint(b, pos); p + len.toInt
-    case 5 => pos + 4
-    case other =>
-      throw new IllegalArgumentException(s"unsupported wire type $other")
-  }
 
-  private def writeLenDelim(out: java.io.ByteArrayOutputStream, field: Int,
-      payload: Array[Byte]): Unit = {
-    out.write((field << 3) | 2)
-    writeVarint(out, payload.length.toLong)
-    out.write(payload)
-  }
 
-  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-  }
 }
