@@ -579,8 +579,17 @@ object Compiler {
       if (on.nonEmpty) on
       else l.labels.intersect(r.labels).filterNot(ignoring.contains)
     val keys = matchOn :+ "eval_ms"
+    // on(...) may name labels absent from a side: an absent label matches
+    // as the empty string (prometheus#3575 semantics carried into vector
+    // matching), so pad it rather than failing resolution
+    def pad(v: Vec): Vec = {
+      val missing = matchOn.filterNot(v.labels.contains)
+      Vec(missing.foldLeft(v.df)((d, c) => d.withColumn(c, lit(""))),
+        v.labels ++ missing, v.scalar, v.const)
+    }
+    val (l2, r2) = (pad(l), pad(r))
     // group_right flips which side is the "one" side
-    val (many, one, oneE) = if (gr) (r, l, lhsE) else (l, r, rhsE)
+    val (many, one, oneE) = if (gr) (r2, l2, lhsE) else (l2, r2, rhsE)
     val extras = gLabels.filter(one.labels.contains).filterNot(matchOn.contains)
     require(!extras.exists(many.labels.contains),
       s"group modifier labels ${extras.mkString(",")} already exist on the many side")
