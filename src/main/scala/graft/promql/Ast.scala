@@ -40,6 +40,15 @@ final case class Selector(
     offsetMs: Long,
     atMs: Option[Long] = None) extends Expr
 
+object Selector {
+  /** Sentinels for `@ start()` / `@ end()` — resolved against the query
+    * range at compile time (no real evaluation timestamp collides with
+    * them).
+    */
+  val AtStart: Long = Long.MinValue
+  val AtEnd: Long = Long.MaxValue
+}
+
 /** Range functions take a range selector (plus trailing scalar params for
   * predict_linear / holt_winters); math functions and `absent` take any
   * vector expression.

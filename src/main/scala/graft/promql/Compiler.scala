@@ -101,10 +101,16 @@ object Compiler {
             RangeWindows.instantBucketed(base, src.labelCols,
               p.startMs, p.endMs, p.stepMs, p.lookbackMs,
               src.tsCol, src.valueCol)
-          case Some(at) =>
-            // @ modifier: evaluate once at the pinned timestamp, then
-            // replicate across the step grid (tiny broadcast cross join —
-            // the fixed-time result is one row per series)
+          case Some(at0) =>
+            // @ modifier: evaluate once at the pinned timestamp (start()/
+            // end() resolve against the query range), then replicate
+            // across the step grid (tiny broadcast cross join — the
+            // fixed-time result is one row per series)
+            val at = at0 match {
+              case Selector.AtStart => p.startMs
+              case Selector.AtEnd => p.endMs
+              case t => t
+            }
             val fixed = RangeWindows.instantBucketed(base, src.labelCols,
                 at, at, p.stepMs, p.lookbackMs, src.tsCol, src.valueCol)
               .drop("eval_ms")
@@ -129,10 +135,18 @@ object Compiler {
         val inner = compileVec(arg, src, p)
         def labelCol(n: String): Column =
           if (inner.labels.contains(n)) col(n).cast("string") else lit("")
+        val ValidLabel = "[a-zA-Z_][a-zA-Z0-9_]*".r
+        def requireLabelName(n: String): Unit =
+          if (!ValidLabel.pattern.matcher(n).matches())
+            throw new IllegalArgumentException(
+              s"invalid destination label name '$n'")
         fn match {
           case "label_replace" =>
             val Seq(dst, replacement, srcLabel, regex) = strArgs
+            requireLabelName(dst)
             val anchored = "^(?:" + regex + ")$"
+            // invalid regexes fail at compile, not mid-job
+            java.util.regex.Pattern.compile(anchored)
             val srcVal = labelCol(srcLabel)
             val newVal = when(srcVal.rlike(anchored),
               regexp_replace(srcVal, anchored, replacement))
@@ -141,6 +155,7 @@ object Compiler {
             Vec(df, (inner.labels :+ dst).distinct, scalar = false)
           case "label_join" =>
             val dst = strArgs.head
+            requireLabelName(dst)
             val sep = strArgs(1)
             val srcs = strArgs.drop(2)
             val df = inner.df.withColumn(dst,

@@ -78,17 +78,23 @@ class ComplianceCorpusSpec extends SparkSpec {
 
   test("every corpus template parses and compiles (variants substituted)") {
     assume(new java.io.File(CorpusPath).exists())
-    // should_fail templates fail in Prometheus at EVALUATION (select-all
-    // guard, invalid regex/label names) — semantic checks, not syntax;
-    // they are skipped here. on(..., __name__) needs name-as-column
-    // plumbing this engine does not carry.
+    // should_fail templates fail in Prometheus at EVALUATION; here the
+    // invalid-label-name and invalid-regex cases are rejected at COMPILE
+    // (the select-all guard is a per-deployment policy, skipped).
+    // on(..., __name__) needs name-as-column plumbing this engine does
+    // not carry.
     val nameInOn = (q: String) => q.contains("__name__)")
+    val compileRejected = (q: String) =>
+      q.contains("~invalid") || q.contains("\"(.*\"")
     var parsed = 0
     var compiled = 0
     val failures = Seq.newBuilder[String]
     templates.foreach { case (tpl, shouldFail) =>
       val q = substitute(tpl)
-      if (!shouldFail) {
+      if (shouldFail && compileRejected(q)) {
+        intercept[Exception](
+          Compiler.compile(graft.promql.Parser.parse(q), src, p))
+      } else if (!shouldFail) {
         try {
           val ast = graft.promql.Parser.parse(q)
           parsed += 1

@@ -519,6 +519,21 @@ class PromqlSpec extends SparkSpec {
       .map(_.getDouble(0)).toSet === Set(1.0))
   }
 
+  test("@ start() / end() pin evaluation to the query range bounds") {
+    val pDay = EvalParams(Start, End, Hour, lookbackMs = 86400000L)
+    assert(Parser.parse("m @ start()") ===
+      Selector(Some("m"), Seq.empty, None, 0L,
+        Some(graft.promql.Selector.AtStart)))
+    val atStart = Compiler.compile("""events{event_type="click"} @ start()""",
+      src, pDay)
+    val explicit = Compiler.compile(
+      s"""events{event_type="click"} @ ${Start / 1000}""", src, pDay)
+    assert(atStart.collect().toSet === explicit.collect().toSet)
+    val atEnd = Compiler.compile("""events{event_type="click"} @ end()""",
+      src, pDay)
+    assert(atEnd.count() > 0)
+  }
+
   test("compile: trig/atan2/absent_over_time") {
     // identity: rad(deg(x)) == x up to fp; sin²+cos² == 1
     val one = Compiler.compile(
