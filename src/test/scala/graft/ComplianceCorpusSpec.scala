@@ -112,4 +112,23 @@ class ComplianceCorpusSpec extends SparkSpec {
     assert(parsed >= 110, s"only $parsed templates parsed")
     assert(compiled >= 108, s"only $compiled templates compiled")
   }
+
+  test("printer roundtrip: parse(print(parse(q))) == parse(q) over the corpus") {
+    assume(new java.io.File(CorpusPath).exists())
+    val bad = Seq.newBuilder[String]
+    templates.foreach { case (tpl, shouldFail) =>
+      if (!shouldFail) {
+        val q = substitute(tpl)
+        val ast = graft.promql.Parser.parse(q)
+        val printed = graft.promql.Printer.print(ast)
+        // print-normal-form fixpoint (AST == fails on NaN literals: Scala
+        // Double equality), and the reprint must be identical text
+        val re = scala.util.Try(graft.promql.Parser.parse(printed))
+        if (re.isFailure || graft.promql.Printer.print(re.get) != printed)
+          bad += s"$q  ->  $printed"
+      }
+    }
+    val fs = bad.result()
+    assert(fs.isEmpty, s"roundtrip failures (${fs.size}):\n${fs.mkString("\n")}")
+  }
 }
