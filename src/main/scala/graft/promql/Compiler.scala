@@ -96,11 +96,17 @@ object Compiler {
           throw new IllegalArgumentException(
             "bare range selector outside a range function")
         val base = selectorPoints(s, src)
+        // W4: staleness markers participate in the latest-sample CHOICE
+        // (a marker newer than real samples suppresses the series at the
+        // step — older samples must not leak through), then the chosen
+        // marker rows are dropped
+        def dropStale(df: DataFrame): DataFrame =
+          df.where(!graft.functions.Bits.isStaleNaN(col(src.valueCol)))
         val df = s.atMs match {
           case None =>
-            RangeWindows.instantBucketed(base, src.labelCols,
+            dropStale(RangeWindows.instantBucketed(base, src.labelCols,
               p.startMs, p.endMs, p.stepMs, p.lookbackMs,
-              src.tsCol, src.valueCol)
+              src.tsCol, src.valueCol))
           case Some(at0) =>
             // @ modifier: evaluate once at the pinned timestamp (start()/
             // end() resolve against the query range), then replicate
@@ -111,8 +117,9 @@ object Compiler {
               case Selector.AtEnd => p.endMs
               case t => t
             }
-            val fixed = RangeWindows.instantBucketed(base, src.labelCols,
-                at, at, p.stepMs, p.lookbackMs, src.tsCol, src.valueCol)
+            val fixed = dropStale(RangeWindows.instantBucketed(base,
+                src.labelCols, at, at, p.stepMs, p.lookbackMs,
+                src.tsCol, src.valueCol))
               .drop("eval_ms")
             fixed.crossJoin(broadcast(grid(src.points.sparkSession, p)))
         }
@@ -303,8 +310,10 @@ object Compiler {
         // derived point stream (W6).
         val (base, range, labels, tCol, vCol) = arg match {
           case s: Selector =>
-            (selectorPoints(s, src), s.rangeMs.get, src.labelCols,
-              src.tsCol, src.valueCol)
+            // W4: markers never appear inside range vectors
+            (selectorPoints(s, src)
+              .where(!graft.functions.Bits.isStaleNaN(col(src.valueCol))),
+              s.rangeMs.get, src.labelCols, src.tsCol, src.valueCol)
           case Subquery(body, r, st, off) =>
             // offset shifts the whole subquery window: evaluate the inner
             // plan `off` earlier, then re-stamp its steps forward so the

@@ -534,6 +534,36 @@ class PromqlSpec extends SparkSpec {
     assert(atEnd.count() > 0)
   }
 
+  test("W4: staleness markers suppress series in instant and range vectors") {
+    import spark.implicits._
+    import graft.functions.Bits
+    // series a: real sample then a NEWER stale marker — the marker wins
+    // the lookback choice and the series must be ABSENT at steps where it
+    // is newest (not fall back to ts=1000); series b stays live
+    val t0 = Start
+    val rows = Seq(
+      ("a", t0 - 3000L, 5.0), ("b", t0 - 3000L, 7.0),
+      ("b", t0 + 3600000L, 8.0))
+      .toDF("s", "ts_ms", "value")
+      .unionByName(Seq(("a", t0 - 2000L))
+        .toDF("s", "ts_ms")
+        .withColumn("value", Bits.staleNaN))
+    val ssrc = PromSource(rows, Seq("s"), {
+      case "__name__" => lit("m"); case "s" => col("s")
+    })
+    val sp = EvalParams(t0, t0 + 3600000L, 3600000L, lookbackMs = 7200000L)
+    val inst = Compiler.compile("m", ssrc, sp)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a is absent everywhere (marker is its newest sample in every window)
+    assert(inst === Set(("b", t0), ("b", t0 + 3600000L)))
+    // range vectors never contain markers: count_over_time sees only the
+    // real sample for a
+    val cnt = Compiler.compile("count_over_time(m[2h])", ssrc, sp)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(cnt(("a", t0 + 3600000L)) === 1.0)
+  }
+
   test("compile: trig/atan2/absent_over_time") {
     // identity: rad(deg(x)) == x up to fp; sin²+cos² == 1
     val one = Compiler.compile(
