@@ -222,12 +222,20 @@ object Compiler {
         arg match {
           case s: Selector if s.rangeMs.isEmpty =>
             val base = selectorPoints(s, src)
+            // W4 as for plain instant selectors: the staleness marker
+            // participates in the latest-sample CHOICE (a marker newer than
+            // real samples suppresses the series at the step), then chosen
+            // marker rows are dropped — markers never leak a timestamp
             val df = RangeWindows.withEvalSteps(base,
                 p.startMs, p.endMs, p.stepMs, p.lookbackMs, src.tsCol)
               .groupBy((src.labelCols.map(col) :+ col("eval_ms")): _*)
-              .agg(((max(struct(col(src.tsCol), col(src.valueCol)))
-                  .getField(src.tsCol) - lit(s.offsetMs)).cast("double")
-                / 1000.0).as("value"))
+              .agg(max(struct(col(src.tsCol), col(src.valueCol))).as("__ch"))
+              .where(!graft.functions.Bits.isStaleNaN(
+                col("__ch").getField(src.valueCol)))
+              .withColumn("value",
+                (col("__ch").getField(src.tsCol) - lit(s.offsetMs))
+                  .cast("double") / 1000.0)
+              .drop("__ch")
             Vec(df, src.labelCols, scalar = false)
           case other =>
             val inner = compileVec(other, src, p)

@@ -34,8 +34,10 @@ object Ingest {
       tenant: String): DataFrame = {
     val cleaned = map_filter(col("labels"),
       (_, v) => v.isNotNull && v =!= "")
+    // label NAMES are [a-zA-Z_][a-zA-Z0-9_]* (write.go:185-231); colons are
+    // only legal inside metric names, i.e. the __name__ VALUE, never a key
     val validNames = forall(map_keys(col("labels")),
-      k => k.rlike("^[a-zA-Z_:][a-zA-Z0-9_:]*$"))
+      k => k.rlike("^[a-zA-Z_][a-zA-Z0-9_]*$"))
     df
       .where(validNames)
       .withColumn("labels",

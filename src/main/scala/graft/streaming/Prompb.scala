@@ -126,7 +126,9 @@ object Prompb {
     ts.samples.foreach { case (t, v) =>
       val s = new java.io.ByteArrayOutputStream()
       s.write((1 << 3) | 1) // field 1 fixed64
-      val bits = java.lang.Double.doubleToLongBits(v)
+      // raw bits: doubleToLongBits canonicalizes NaN payloads, which would
+      // destroy Prometheus StaleNaN markers (0x7ff0000000000002) in transit
+      val bits = java.lang.Double.doubleToRawLongBits(v)
       var i = 0
       while (i < 8) { s.write(((bits >> (8 * i)) & 0xFF).toInt); i += 1 }
       s.write((2 << 3) | 0) // field 2 varint

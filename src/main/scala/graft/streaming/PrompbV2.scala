@@ -118,7 +118,8 @@ object PrompbV2 {
       samples.foreach { case (t, v) =>
         val sb = new java.io.ByteArrayOutputStream()
         sb.write((1 << 3) | 1)
-        val bits = java.lang.Double.doubleToLongBits(v)
+        // raw bits: preserve NaN payloads (StaleNaN markers) on the wire
+        val bits = java.lang.Double.doubleToRawLongBits(v)
         var i = 0
         while (i < 8) { sb.write(((bits >> (8 * i)) & 0xFF).toInt); i += 1 }
         sb.write(2 << 3)

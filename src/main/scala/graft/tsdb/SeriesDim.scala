@@ -26,17 +26,25 @@ object SeriesDim {
   /** Unambiguous canonical label-set encoding for hashing (the reference
     * hashes `labels.String()`, which separates names from values and pairs
     * from pairs — `cassandra/index/index.go:1602`). Plain concatenation
-    * collides by construction: ("ab","c") vs ("a","bc"), and concat_ws
-    * skips nulls so (null,"x") == ("x",null) (ADVICE r2). Here every pair
-    * is `name <U+0002> value` joined by <U+0001>, with null encoded as a <U+0003>
-    * sentinel distinct from the empty string; label names are sorted, so
-    * the hash is order-independent like the reference's.
+    * collides by construction: ("ab","c") vs ("a","bc") (ADVICE r2), so
+    * every pair is `name <U+0002> value` joined by <U+0001>; label names
+    * are sorted, so the hash is order-independent like the reference's.
+    *
+    * Null/empty-valued pairs are OMITTED entirely (each retained pair
+    * carries its label name, so omission is unambiguous): a missing label
+    * equals the empty label — Prometheus semantics — and, critically, a
+    * column-labeled table and a map-labeled stream (where
+    * [[graft.streaming.Ingest.ingestLabeled]] drops empty-valued entries
+    * and [[canonicalMap]] never sees absent ones) hash the same logical
+    * series to the same metric_id (ADVICE r3).
     */
   def canonical(labelCols: Seq[String]): org.apache.spark.sql.Column =
-    concat_ws("\u0001", labelCols.sorted.map(c =>
-      concat(lit(c), lit("\u0002"),
-        when(col(c).isNull, lit("\u0003"))
-          .otherwise(col(c).cast("string")))): _*)
+    concat_ws("\u0001", labelCols.sorted.map { c =>
+      val v = col(c).cast("string")
+      // concat_ws skips null elements — the omission mechanism
+      when(v.isNull || v === "", lit(null).cast("string"))
+        .otherwise(concat(lit(c), lit("\u0002"), v))
+    }: _*)
 
   /** Canonical encoding of a `map<string,string>` labels column — the
     * dynamic-schema counterpart of [[canonical]]: entries sorted by name,

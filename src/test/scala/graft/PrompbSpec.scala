@@ -40,6 +40,24 @@ class PrompbSpec extends SparkSpec {
     assert(Prompb.decodeSnappy(Prompb.encodeSnappy(series)) === series)
   }
 
+  test("StaleNaN payload survives encode → decode (v1 and v2, raw bits)") {
+    // Prometheus staleness marker: a specific NaN payload that
+    // doubleToLongBits would canonicalize away (ADVICE r3; XorChunkSpec
+    // guards the same invariant in the chunk codec)
+    val staleBits = 0x7ff0000000000002L
+    val stale = java.lang.Double.longBitsToDouble(staleBits)
+    val s = Seq(PromSeries(Map("__name__" -> "up"),
+      Seq((1000L, 1.0), (2000L, stale))))
+    def bitsOf(series: Seq[PromSeries]): Seq[Long] =
+      series.flatMap(_.samples.map(p =>
+        java.lang.Double.doubleToRawLongBits(p._2)))
+    assert(bitsOf(Prompb.decodeWriteRequest(Prompb.encodeWriteRequest(s)))
+      === Seq(java.lang.Double.doubleToRawLongBits(1.0), staleBits))
+    assert(bitsOf(graft.streaming.PrompbV2.decodeRequest(
+      graft.streaming.PrompbV2.encodeRequest(s)))
+      === Seq(java.lang.Double.doubleToRawLongBits(1.0), staleBits))
+  }
+
   test("unknown fields are skipped (v1 payloads with exemplars decode)") {
     // append an unknown length-delimited field 3 to a TimeSeries
     val base = Prompb.encodeWriteRequest(Seq(series.head))

@@ -562,6 +562,12 @@ class PromqlSpec extends SparkSpec {
       .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
       .toMap
     assert(cnt(("a", t0 + 3600000L)) === 1.0)
+    // timestamp(selector) obeys the same choose-then-drop: a winning
+    // marker suppresses the series instead of leaking its timestamp
+    // (ADVICE r3)
+    val ts = Compiler.compile("timestamp(m)", ssrc, sp)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ts === Set(("b", t0), ("b", t0 + 3600000L)))
   }
 
   test("compile: trig/atan2/absent_over_time") {

@@ -59,7 +59,10 @@ class IngestLabeledSpec extends SparkSpec {
       // no __name__ → rejected
       (Map("job" -> "api"), 3000L, 3.0),
       // invalid label name → rejected
-      (Map("__name__" -> "up", "bad|name" -> "x"), 4000L, 4.0))
+      (Map("__name__" -> "up", "bad|name" -> "x"), 4000L, 4.0),
+      // colon is only legal in metric names, never label names
+      // (write.go label-name validation) → rejected
+      (Map("__name__" -> "up", "name:space" -> "x"), 5000L, 5.0))
       .toDF("labels", "ts_ms", "value")
     val out = graft.streaming.Ingest
       .ingestLabeled(rows, "__account_id__", "acme")
@@ -78,6 +81,30 @@ class IngestLabeledSpec extends SparkSpec {
         Seq("__name__", "job", "__account_id__"))).as("id"))
       .head().getLong(0)
     assert(ids.head === colPath)
+  }
+
+  test("canonical: null/empty column labels hash like an absent map entry") {
+    // a column-labeled table with env NULL or '' must produce the same
+    // metric_id as a map-labeled stream that simply lacks env — the
+    // 'agree on series identity' invariant behind Store.upsertSeries and
+    // Ingest.ingestLabeled (ADVICE r3: omission, not sentinels)
+    val cols = Seq("__name__", "job", "env")
+    val colIds = Seq(("up", "api", null: String), ("up", "api", ""))
+      .toDF(cols: _*)
+      .select(xxhash64(graft.tsdb.SeriesDim.canonical(cols)).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    val mapId = Seq(Map("__name__" -> "up", "job" -> "api"))
+      .toDF("labels")
+      .select(xxhash64(
+        graft.tsdb.SeriesDim.canonicalMap(col("labels"))).as("id"))
+      .head().getLong(0)
+    assert(colIds === Set(mapId))
+    // and omission stays unambiguous: a present pair never collides with
+    // an absent one
+    val withEnv = Seq(("up", "api", "prod")).toDF(cols: _*)
+      .select(xxhash64(graft.tsdb.SeriesDim.canonical(cols)).as("id"))
+      .head().getLong(0)
+    assert(withEnv !== mapId)
   }
 
   test("wire → ingest: prompb payload lands with canonical series keys") {
