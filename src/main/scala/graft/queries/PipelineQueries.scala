@@ -129,11 +129,19 @@ object PipelineQueries {
     }),
 
     // IVF-flat ANN: deterministic 1-iteration k-means quantizer, nprobe=2
-    // probe + exact in-cell rerank (the inverted-file scale path — the
-    // corpus is scanned per probed cell, never in full)
+    // probe + exact in-cell rerank. The inverted file is a PERSISTED index
+    // (Store.buildIvfIndex — built once per JVM/sf, read back from
+    // parquet); the query itself only probes (VERDICT r3 #1).
     "v3_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), 5)
+      // process-unique path: reused across bench passes in one JVM,
+      // isolated from concurrent runs (the j1 dim-path pattern)
+      val idxPath = "/tmp/graft_ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${java.lang.ProcessHandle.current.pid}"
+      graft.store.Store.buildIvfIndex(s, idxPath, emb, nCells = 8)
+      val (cells, asg) = graft.store.Store.readIvfIndex(s, idxPath)
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), 5, cells, asg)
         .select(col("q_id"), col("rank").cast("long").as("rnk"),
           col("nn_id"), col("cos_sim"))
     }),

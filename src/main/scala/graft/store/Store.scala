@@ -153,6 +153,45 @@ object Store {
     n
   }
 
+  /** ANN index job: build the IVF-flat inverted file ONCE and persist it —
+    * `cells` (the K-row coarse quantizer) and `asg` (vec_id → cell, the
+    * inverted file proper, partitioned by cell so a probe of `nProbe`
+    * cells prunes to those partitions). Queries only read and probe
+    * ([[graft.similarity.Ann.ivfTopK]]); nothing is recomputed or pinned
+    * per query — the same build-once / read-back pattern as
+    * [[upsertSeries]]. Returns false (no-op) when the index already
+    * exists, so repeated calls are free.
+    *
+    * The assignment is computed against the cells READ BACK from parquet,
+    * so the persisted index is self-consistent with what probes will see
+    * (parquet doubles round-trip exactly, but the invariant should not
+    * depend on that).
+    */
+  def buildIvfIndex(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, nCells: Int = 8): Boolean = {
+    import graft.similarity.Ann
+    if (Files.isDirectory(Paths.get(indexPath, "asg"))) return false
+    Ann.ivfCells(corpus, nCells)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/cells")
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    Ann.assignCells(corpus, cells).select(col("vec_id"), col("c"))
+      .repartition(col("c"))
+      .write.partitionBy("c").mode(SaveMode.Overwrite)
+      .parquet(s"$indexPath/asg")
+    true
+  }
+
+  /** Read back (cells, asg) for probing. The partition column `c` is
+    * restored to long (partition-value inference narrows it to int).
+    */
+  def readIvfIndex(spark: SparkSession,
+      indexPath: String): (DataFrame, DataFrame) = {
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val asg = spark.read.parquet(s"$indexPath/asg")
+      .withColumn("c", col("c").cast("long"))
+    (cells, asg)
+  }
+
   /** T9 — per-write TTL, max-merged per series (the reference takes the
     * TTL header per write and keeps the LARGEST value any write supplied
     * for a series, `api/remotestorage/remotestorage.go:103-114`; reads
