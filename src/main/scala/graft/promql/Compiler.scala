@@ -53,9 +53,17 @@ object Compiler {
     * PromQL scalar type — the df is (eval_ms, value); `const` is set when
     * the value is a compile-time literal (df is a 1-row frame, only used
     * if the scalar is the query's top-level result).
+    *
+    * `nameCol`: the metric-name expression while the vector still HAS a
+    * name (Prometheus semantics: selectors carry `__name__`; rate/math/
+    * aggregation/arithmetic drop it). It exists so `on(..., __name__)`
+    * vector matching can materialize the name as a join column on demand
+    * — it is never part of `labels` and is always dropped from match
+    * output (the corpus pins exactly that: "__name__ is always dropped,
+    * even if it's part of the matching labels").
     */
   final case class Vec(df: DataFrame, labels: Seq[String], scalar: Boolean,
-      const: Option[Double] = None)
+      const: Option[Double] = None, nameCol: Option[Column] = None)
 
   private val CmpOps = Set("==", "!=", ">", "<", ">=", "<=")
 
@@ -123,7 +131,8 @@ object Compiler {
               .drop("eval_ms")
             fixed.crossJoin(broadcast(grid(src.points.sparkSession, p)))
         }
-        Vec(df, src.labelCols, scalar = false)
+        Vec(df, src.labelCols, scalar = false,
+          nameCol = Some(src.resolve("__name__")))
 
       case FuncCall(fn, arg, fnParams)
         if Parser.MathFunctions(fn) || Parser.ParamMathFunctions(fn) =>
@@ -159,7 +168,8 @@ object Compiler {
               regexp_replace(srcVal, anchored, replacement))
               .otherwise(labelCol(dst))
             val df = inner.df.withColumn(dst, newVal)
-            Vec(df, (inner.labels :+ dst).distinct, scalar = false)
+            Vec(df, (inner.labels :+ dst).distinct, scalar = false,
+              nameCol = inner.nameCol)
           case "label_join" =>
             val dst = strArgs.head
             requireLabelName(dst)
@@ -167,7 +177,8 @@ object Compiler {
             val srcs = strArgs.drop(2)
             val df = inner.df.withColumn(dst,
               concat_ws(sep, srcs.map(labelCol): _*))
-            Vec(df, (inner.labels :+ dst).distinct, scalar = false)
+            Vec(df, (inner.labels :+ dst).distinct, scalar = false,
+              nameCol = inner.nameCol)
         }
 
       // time(): the evaluation timestamp (seconds) at every step — a
@@ -459,7 +470,8 @@ object Compiler {
             val df = inner.df
               .withColumn("__rk", row_number().over(w))
               .where(col("__rk") <= k).drop("__rk")
-            Vec(df, inner.labels, scalar = false)
+            // topk/bottomk return input series unchanged → name survives
+            Vec(df, inner.labels, scalar = false, nameCol = inner.nameCol)
           case "count_values" =>
             // one output series per (group, distinct value): the value
             // becomes a new label, the new value is the count
@@ -494,8 +506,14 @@ object Compiler {
 
       case BinOp(op @ ("and" | "or" | "unless"), lhs, rhs, on, ignoring,
           _, _, _, _) =>
-        val l = compileVec(lhs, src, p)
-        val r = compileVec(rhs, src, p)
+        val l0 = compileVec(lhs, src, p)
+        val r0 = compileVec(rhs, src, p)
+        // on(..., __name__): materialize the metric name as a join column
+        // (dropped again from the output labels below)
+        val (l, r) =
+          if (on.contains("__name__"))
+            (materializeName(l0), materializeName(r0))
+          else (l0, r0)
         // Prometheus matches set ops on the FULL label set by default;
         // differing label schemas are reconciled by padding missing labels
         // with "" (consistent with missing-label-matches-empty, F6)
@@ -508,25 +526,28 @@ object Compiler {
           else if (ignoring.nonEmpty) all.filterNot(ignoring.contains)
           else all
         val keys = matchOn :+ "eval_ms"
+        // __name__ joins but never appears in the output label set
+        val lOut = l.labels.filterNot(_ == "__name__")
         op match {
           case "and" =>
             val rKeys = pad(r).select(keys.map(col): _*).distinct()
             val df = pad(l).join(rKeys, keys, "left_semi")
-              .select(((l.labels :+ "eval_ms" :+ "value").map(col)): _*)
-            Vec(df, l.labels, scalar = false)
+              .select(((lOut :+ "eval_ms" :+ "value").map(col)): _*)
+            Vec(df, lOut, scalar = false, nameCol = l0.nameCol)
           case "unless" =>
             val rKeys = pad(r).select(keys.map(col): _*).distinct()
             val df = pad(l).join(rKeys, keys, "left_anti")
-              .select(((l.labels :+ "eval_ms" :+ "value").map(col)): _*)
-            Vec(df, l.labels, scalar = false)
+              .select(((lOut :+ "eval_ms" :+ "value").map(col)): _*)
+            Vec(df, lOut, scalar = false, nameCol = l0.nameCol)
           case "or" =>
             // left rows, plus right rows with no match group on the left
-            val outCols = (all :+ "eval_ms" :+ "value").map(col)
+            val outAll = all.filterNot(_ == "__name__")
+            val outCols = (outAll :+ "eval_ms" :+ "value").map(col)
             val lp = pad(l)
             val lKeys = lp.select(keys.map(col): _*).distinct()
             val df = lp.select(outCols: _*).unionByName(
               pad(r).join(lKeys, keys, "left_anti").select(outCols: _*))
-            Vec(df, all, scalar = false)
+            Vec(df, outAll, scalar = false)
         }
 
       case BinOp(op, lhsE, rhsE, on, ignoring, gl, boolMode, gr, gLabels) =>
@@ -574,7 +595,10 @@ object Compiler {
           df0.withColumn("value", when(cmpCol(op, a, b), 1.0).otherwise(0.0))
         else df0.where(cmpCol(op, a, b))
       } else df0.withColumn("value", applyCol(op, a, b))
-    Vec(dropTemp(out), v.labels, scalar = false)
+    // filter comparisons keep the vector's samples (and name); arithmetic
+    // and bool-mode drop the metric name
+    Vec(dropTemp(out), v.labels, scalar = false,
+      nameCol = if (CmpOps(op) && !boolMode) v.nameCol else None)
   }
 
   /** scalar ◦ scalar where at least one side is per-step. */
@@ -603,10 +627,15 @@ object Compiler {
     * Spark analogue of Prometheus' "found duplicate series for the match
     * group". group_left/group_right carry `gLabels` from the one side.
     */
-  private def vectorVector(op: String, l: Vec, r: Vec, lhsE: Expr, rhsE: Expr,
+  private def vectorVector(op: String, l0: Vec, r0: Vec, lhsE: Expr, rhsE: Expr,
       on: Seq[String], ignoring: Seq[String], gl: Boolean, gr: Boolean,
       gLabels: Seq[String], boolMode: Boolean): Vec = {
     val isCmp = CmpOps(op)
+    // on(..., __name__): the metric name becomes a real join column on
+    // both sides (a name-less side — e.g. an aggregate — matches as "")
+    val (l, r) =
+      if (on.contains("__name__")) (materializeName(l0), materializeName(r0))
+      else (l0, r0)
     val matchOn =
       if (on.nonEmpty) on
       else l.labels.intersect(r.labels).filterNot(ignoring.contains)
@@ -638,11 +667,14 @@ object Compiler {
       lit(matchOn.mkString(",")), lit(")"))).cast("double")
     def guarded(c: Column): Column =
       when(col("__ocnt") > 1, dupError).otherwise(c)
-    val outLabels =
+    // "__name__ is always dropped, even if it's part of the matching
+    // labels" (compliance corpus) — it joins above, never projects below
+    val outLabels = (
       if (isCmp) many.labels ++ extras
       else if (gl || gr) many.labels ++ extras
       else if (on.nonEmpty) on
       else l.labels.filterNot(ignoring.contains)
+    ).filterNot(_ == "__name__")
     val out =
       if (isCmp) {
         if (boolMode)
@@ -653,8 +685,22 @@ object Compiler {
           .where(col("__keep").isNotNull)
       } else joined.withColumn("value", guarded(applyCol(op, a, b)))
     val df = out.select(((outLabels :+ "eval_ms" :+ "value").map(col)): _*)
-    Vec(df, outLabels, scalar = false)
+    // filter comparisons return lhs samples as-is → the name survives;
+    // arithmetic and bool-mode drop it (Prometheus shouldDropMetricName)
+    val keepName = isCmp && !boolMode
+    Vec(df, outLabels, scalar = false,
+      nameCol = if (keepName) l0.nameCol else None)
   }
+
+  /** Expose a vector's metric name as a `__name__` column for matching
+    * (no-op if already materialized); name-less vectors match as "".
+    */
+  private def materializeName(v: Vec): Vec =
+    if (v.labels.contains("__name__")) v
+    else Vec(
+      v.df.withColumn("__name__",
+        coalesce(v.nameCol.getOrElse(lit("")).cast("string"), lit(""))),
+      v.labels :+ "__name__", v.scalar, v.const, v.nameCol)
 
   private def dropTemp(df: DataFrame): DataFrame =
     df.columns.filter(_.startsWith("__")).foldLeft(df)(_.drop(_))
