@@ -57,6 +57,18 @@ object PromqlQueries {
       case "user_id" => col("user_id").cast("string")
     })
 
+  /** Per-series source whose metric NAME varies with the data
+    * (`events_<type>`), so `on(..., __name__)` matching is non-trivial:
+    * the name genuinely constrains the join (dropping it from `on` would
+    * raise the duplicate-match-group error — many types per user).
+    */
+  private def srcNamed(s: SparkSession, dir: String): PromSource =
+    PromSource(ptsBySeries(s, dir), Seq("user_id", "event_type"), {
+      case "__name__" => concat(lit("events_"), col("event_type"))
+      case "event_type" => col("event_type")
+      case "user_id" => col("user_id").cast("string")
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PromQL end-to-end: parse → compile → DataFrame plan (SURVEY §7.1.6)
     "pql1_rate_sum" -> ((s, dir) =>
@@ -206,6 +218,19 @@ object PromqlQueries {
           Seq("event_type", "eval_ms"))
         .select(col("event_type"), col("eval_ms"),
           round(col("value"), 6).as("trig"), col("at2"))),
+
+    // J4 — on(..., __name__) vector matching (compliance corpus binary-op
+    // section: "__name__ is always dropped, even if it's part of the
+    // matching labels"): the metric name is a real join column; the rhs
+    // excludes signup-named series, so only non-signup series match. The
+    // match REQUIRES __name__ in on() — on(user_id) alone has many series
+    // per user and would raise the duplicate-match-group error.
+    "pql18_name_matching" -> ((s, dir) =>
+      Compiler.compile(
+        """{__name__=~"events_.*"} * on(user_id, __name__)
+           {__name__=~"events_.*", event_type!="signup"}""",
+        srcNamed(s, dir), DayP)
+        .select(col("user_id"), col("eval_ms"), col("value"))),
 
     // §2.7 — date functions through the compiler: components of the
     // chosen sample's own timestamp (corpus dateFunc family)
@@ -469,6 +494,11 @@ object PromqlQueries {
         FROM inst WHERE event_type = 'signup' GROUP BY 1, 2)
       SELECT m.user_id, 'signup' AS event_type, m.eval_ms, m.mv * s.sv AS value
       FROM m JOIN s ON m.user_id = s.user_id AND m.eval_ms = s.eval_ms""",
+
+    "pql18_name_matching" -> s"""
+      WITH $InstSeries
+      SELECT user_id, eval_ms, value * value AS value
+      FROM inst WHERE event_type <> 'signup'""",
 
     "pql14_or_mixed" -> s"""
       WITH $InstSeries,

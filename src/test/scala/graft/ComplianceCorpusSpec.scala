@@ -81,9 +81,6 @@ class ComplianceCorpusSpec extends SparkSpec {
     // should_fail templates fail in Prometheus at EVALUATION; here the
     // invalid-label-name and invalid-regex cases are rejected at COMPILE
     // (the select-all guard is a per-deployment policy, skipped).
-    // on(..., __name__) needs name-as-column plumbing this engine does
-    // not carry.
-    val nameInOn = (q: String) => q.contains("__name__)")
     val compileRejected = (q: String) =>
       q.contains("~invalid") || q.contains("\"(.*\"")
     var parsed = 0
@@ -98,10 +95,8 @@ class ComplianceCorpusSpec extends SparkSpec {
         try {
           val ast = graft.promql.Parser.parse(q)
           parsed += 1
-          if (!nameInOn(q)) {
-            Compiler.compile(ast, src, p) // action-free
-            compiled += 1
-          }
+          Compiler.compile(ast, src, p) // action-free
+          compiled += 1
         } catch {
           case e: Exception => failures += s"$q -> ${e.getMessage}"
         }
@@ -110,7 +105,8 @@ class ComplianceCorpusSpec extends SparkSpec {
     val fs = failures.result()
     assert(fs.isEmpty, s"corpus failures (${fs.size}):\n${fs.mkString("\n")}")
     assert(parsed >= 110, s"only $parsed templates parsed")
-    assert(compiled >= 108, s"only $compiled templates compiled")
+    assert(compiled == parsed,
+      s"only $compiled of $parsed parsed templates compiled")
   }
 
   test("printer roundtrip: parse(print(parse(q))) == parse(q) over the corpus") {

@@ -90,6 +90,50 @@ class PromqlSpec extends SparkSpec {
     assert(vals.toSeq === Seq(1.0))
   }
 
+  test("compile: on(..., __name__) joins the metric name, drops it from output") {
+    // a source whose metric name varies with the data: events_<type>
+    val named = PromSource(pts, Seq("event_type"), {
+      case "__name__" => concat(lit("events_"), col("event_type"))
+      case "event_type" => col("event_type")
+    })
+    val got = Compiler.compile(
+      """{__name__=~"events_.*"} * on(__name__)
+         {__name__=~"events_.*", event_type!="signup"}""", named, p)
+    // __name__ joined but never appears in the output schema
+    assert(!got.columns.contains("__name__"))
+    // rhs excludes signup-named series → no signup rows survive; matched
+    // rows are value², so every surviving value is non-negative
+    val perName = Compiler.compile(
+      """{__name__=~"events_.*"}""", named, p)
+    val signupRows = perName.where(col("event_type") === "signup").count()
+    assert(signupRows > 0) // lhs HAS signup rows; the name join removed them
+    assert(got.count() === perName.where(col("event_type") =!= "signup").count())
+    assert(got.where(col("value") < 0).count() === 0)
+    // without __name__ in on(): many series share the (empty) match group →
+    // the one-side duplicate guard must fire
+    val dup = Compiler.compile(
+      """sum by () ({__name__=~"events_.*"}) * on()
+         {__name__=~"events_.*"}""", named, p)
+    // count() would prune the guarded value column — evaluate it
+    val e = intercept[Exception](dup.select(sum(col("value"))).collect())
+    assert(e.getMessage.contains("duplicate series")
+      || Option(e.getCause).exists(_.getMessage.contains("duplicate series")))
+  }
+
+  test("compile: and on(__name__) set op matches on the materialized name") {
+    val named = PromSource(pts, Seq("event_type"), {
+      case "__name__" => concat(lit("events_"), col("event_type"))
+      case "event_type" => col("event_type")
+    })
+    val got = Compiler.compile(
+      """{__name__=~"events_.*"} and on(__name__)
+         {__name__="events_click"}""", named, p)
+    assert(!got.columns.contains("__name__"))
+    val types = got.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set("click"))
+  }
+
   test("compile: topk keeps full labels; quantile groups") {
     val top = Compiler.compile(
       "topk(2, sum by (event_type) (rate(events[1h])))", src, p)
