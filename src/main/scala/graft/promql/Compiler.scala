@@ -217,13 +217,18 @@ object Compiler {
         }
 
       case FuncCall("absent", arg, _) =>
-        // 1 at eval steps where the inner vector has no series at all
+        // 1 at eval steps where the inner vector has no series at all;
+        // result labels derive from the selector's equality matchers
+        // (Prometheus createLabelsForAbsentFunction, promql/functions.go)
         val inner = compileVec(arg, src, p)
         val present = inner.df.select("eval_ms").distinct()
-        val df = grid(src.points.sparkSession, p)
+        val lbls = absentLabels(arg)
+        val df0 = grid(src.points.sparkSession, p)
           .join(present, Seq("eval_ms"), "left_anti")
           .withColumn("value", lit(1.0))
-        Vec(df, Seq.empty, scalar = false)
+        val df = lbls.foldLeft(df0) { case (d, (k, v)) =>
+          d.withColumn(k, lit(v)) }
+        Vec(df, lbls.map(_._1), scalar = false)
 
       // timestamp(v): the timestamp (seconds) of each sample. For a raw
       // selector that is the chosen sample's own ts (offset removed, as
@@ -423,13 +428,19 @@ object Compiler {
                 hw(col(tCol), col(vCol)).as("value"))
               .where(col("__n") >= 2 && col("value").isNotNull).drop("__n")
           case "absent_over_time" =>
-            // 1 at steps where the range window holds NO sample at all
+            // 1 at steps where the range window holds NO sample at all;
+            // labels from the range selector's equality matchers, same
+            // derivation as absent()
             val present = RangeWindows.withEvalSteps(base,
                 p.startMs, p.endMs, p.stepMs, range, tCol)
               .select("eval_ms").distinct()
-            return Vec(grid(src.points.sparkSession, p)
+            val lbls = absentLabels(arg)
+            val adf0 = grid(src.points.sparkSession, p)
               .join(present, Seq("eval_ms"), "left_anti")
-              .withColumn("value", lit(1.0)), Seq.empty, scalar = false)
+              .withColumn("value", lit(1.0))
+            val adf = lbls.foldLeft(adf0) { case (d, (k, v)) =>
+              d.withColumn(k, lit(v)) }
+            return Vec(adf, lbls.map(_._1), scalar = false)
           case over =>
             val agg: Column => Column = over match {
               case "avg_over_time" => avg
@@ -690,6 +701,30 @@ object Compiler {
     val keepName = isCmp && !boolMode
     Vec(df, outLabels, scalar = false,
       nameCol = if (keepName) l0.nameCol else None)
+  }
+
+  /** Result labels for `absent(v)` / `absent_over_time(v[r])` — the Spark
+    * rendering of Prometheus `createLabelsForAbsentFunction`
+    * (promql/functions.go): walk the selector's matchers in order; the
+    * FIRST equality matcher on a label contributes its value, but any
+    * further matcher on the same label (second equality, regex, negation)
+    * removes it — `absent(x{job="a",job="b"})` carries no `job`. Regex and
+    * negative matchers never contribute; `__name__` and empty-valued
+    * equalities are filtered (empty value == label absent). Non-selector
+    * arguments derive no labels, exactly as in Prometheus.
+    */
+  private def absentLabels(e: Expr): Seq[(String, String)] = e match {
+    case s: Selector =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val has = scala.collection.mutable.Set.empty[String]
+      s.matchers.foreach {
+        case graft.tsdb.MatchEq(n, v) if n != "__name__" && !has(n) =>
+          m(n) = v; has += n
+        case other if other.label != "__name__" => m.remove(other.label)
+        case _ => ()
+      }
+      m.toSeq.filter(_._2.nonEmpty)
+    case _ => Seq.empty
   }
 
   /** Expose a vector's metric name as a `__name__` column for matching

@@ -232,6 +232,15 @@ object PromqlQueries {
         srcNamed(s, dir), DayP)
         .select(col("user_id"), col("eval_ms"), col("value"))),
 
+    // §2.7 — absent() with label derivation from the selector's equality
+    // matchers (Prometheus createLabelsForAbsentFunction): 1 at steps
+    // where no purchase sample lies in the lookback hour, labelled
+    // {event_type="purchase"} — step-varying, not a constant grid
+    "pql19_absent" -> ((s, dir) =>
+      Compiler.compile("""absent(events{event_type="purchase"})""",
+        srcByType(s, dir), HourP)
+        .select(col("event_type"), col("eval_ms"), col("value"))),
+
     // §2.7 — date functions through the compiler: components of the
     // chosen sample's own timestamp (corpus dateFunc family)
     "pql16_date_fns" -> ((s, dir) => {
@@ -494,6 +503,12 @@ object PromqlQueries {
         FROM inst WHERE event_type = 'signup' GROUP BY 1, 2)
       SELECT m.user_id, 'signup' AS event_type, m.eval_ms, m.mv * s.sv AS value
       FROM m JOIN s ON m.user_id = s.user_id AND m.eval_ms = s.eval_ms""",
+
+    "pql19_absent" -> s"""
+      WITH $InstType
+      SELECT 'purchase' AS event_type, g.eval_ms, 1.0 AS value
+      FROM grid g WHERE NOT EXISTS (SELECT 1 FROM inst
+        WHERE inst.eval_ms = g.eval_ms AND inst.event_type = 'purchase')""",
 
     "pql18_name_matching" -> s"""
       WITH $InstSeries

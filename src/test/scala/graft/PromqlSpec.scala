@@ -296,6 +296,39 @@ class PromqlSpec extends SparkSpec {
     assert(agg.count() > 0)
   }
 
+  test("absent(): labels derive from equality matchers (createLabelsForAbsentFunction)") {
+    // single equality matcher on a never-present value → full grid with
+    // the matcher's label/value
+    val a1 = Compiler.compile("""absent(events{event_type="nosuch"})""",
+      src, p)
+    assert(a1.columns.toSeq === Seq("eval_ms", "value", "event_type"))
+    val steps = (End - Start) / Hour + 1
+    assert(a1.count() === steps)
+    assert(a1.select("event_type").distinct().head().getString(0) === "nosuch")
+    // conflicting equalities on the same label → the label is dropped
+    val a2 = Compiler.compile(
+      """absent(events{event_type="a", event_type="b"})""", src, p)
+    assert(!a2.columns.contains("event_type"))
+    assert(a2.count() === steps)
+    // regex matchers never contribute
+    val a3 = Compiler.compile("""absent(events{event_type=~"nosuch.*"})""",
+      src, p)
+    assert(!a3.columns.contains("event_type"))
+    // equality then regex on the same label → dropped too
+    val a4 = Compiler.compile(
+      """absent(events{event_type="x", event_type=~".*y"})""", src, p)
+    assert(!a4.columns.contains("event_type"))
+    // absent_over_time: same derivation from the range selector
+    val a5 = Compiler.compile(
+      """absent_over_time(events{event_type="nosuch"}[1h])""", src, p)
+    assert(a5.columns.contains("event_type"))
+    assert(a5.select("event_type").distinct().head().getString(0) === "nosuch")
+    // non-selector argument → no labels (matches Prometheus)
+    val a6 = Compiler.compile(
+      """absent(sum(events{event_type="nosuch"}))""", src, p)
+    assert(a6.columns.toSeq === Seq("eval_ms", "value"))
+  }
+
   test("holt_winters golden cases and compiler wiring") {
     import graft.tsdb.{HoltWintersAgg, TsSample}
     val agg = new HoltWintersAgg(0.5, 0.5)
