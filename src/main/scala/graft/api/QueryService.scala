@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.promql.{Compiler, EvalParams, Expr, Parser, PromSource,
@@ -18,9 +18,10 @@ import graft.tsdb.{Matcher, MatchEq, Matchers, MutableMapping, MutableProvider}
   *    matchers cannot shadow it, `filtering_index.go:31-80`);
   *  - mutable-label rewrite applied per selector BEFORE plan construction
   *    (M1), so Catalyst only ever sees real-column predicates;
-  *  - series limit (F13) enforced lazily inside the plan: a global result
-  *    count guard raising once the selected series exceed the cap — the
-  *    analogue of `limiting_index.go:48-64`'s abort, with no extra action.
+  *  - series limit (F13) and points limit (F14) enforced lazily inside
+  *    the plan: capped probe counts raising once the result exceeds the
+  *    budget — the analogues of `limiting_index.go:48-64` and
+  *    `limiting_reader.go`'s aborts, with no extra action.
   *
   * Everything composes by AST rewrite + plan wrap; compilation still runs
   * zero Spark jobs.
@@ -29,7 +30,8 @@ final case class RequestOptions(
     tenantLabel: Option[(String, String)] = None, // (label name, value)
     forced: Seq[Matcher] = Nil,
     mutable: Seq[MutableMapping] = Nil,
-    maxSeries: Option[Long] = None)
+    maxSeries: Option[Long] = None,  // F13, limiting_index.go
+    maxPoints: Option[Long] = None)  // F14, limiting_reader.go
 
 object QueryService {
 
@@ -37,10 +39,7 @@ object QueryService {
       opts: RequestOptions = RequestOptions()): DataFrame = {
     val ast = rewrite(Parser.parse(promql), opts)
     val df = Compiler.compile(ast, src, p)
-    opts.maxSeries match {
-      case Some(n) => withSeriesLimit(df, src.labelCols, n)
-      case None => df
-    }
+    withLimits(df, src.labelCols, opts)
   }
 
   /** Inject tenant + forced matchers into every selector and apply the
@@ -64,22 +63,42 @@ object QueryService {
     go(e)
   }
 
-  /** F13 as a lazy plan guard: count the distinct series of the result
-    * (result-sized, not points-sized) and raise when over the cap. The
-    * count is a scalar subquery-style cross join, evaluated once.
+  /** F13 (series) and F14 (points) as lazy plan guards — the analogue of
+    * the reference's `limiting_index.go` / `limiting_reader.go` aborts.
+    *
+    * Both use the probe-with-limit(n+1) pattern (PointOps.seriesLimit):
+    * the counting subtree is capped at n+1 rows, so the probe never
+    * materializes more than one row past the budget — at 100 TB the
+    * points probe is a CollectLimit that stops scanning after n+1 rows,
+    * not a full count. Each probe is a 1-row broadcast cross join; the
+    * guard raises lazily from the value column at evaluation.
     */
-  private def withSeriesLimit(df: DataFrame, labels: Seq[String],
-      n: Long): DataFrame = {
-    val present = labels.filter(df.columns.contains)
-    if (present.isEmpty) return df
-    val cnt = df.select(present.map(col): _*).distinct()
-      .agg(count(lit(1)).as("__n_series"))
-    df.crossJoin(broadcast(cnt))
-      .withColumn("value",
-        when(col("__n_series") > n, raise_error(concat(
-          lit(s"query selected more than $n series ("),
-          col("__n_series"), lit(")"))).cast("double"))
-          .otherwise(col("value")))
-      .drop("__n_series")
+  private def withLimits(df: DataFrame, labels: Seq[String],
+      opts: RequestOptions): DataFrame = {
+    var out = df
+    var guards = List.empty[(Column, Column)] // (over-cap condition, error)
+    opts.maxSeries.foreach { n =>
+      val present = labels.filter(df.columns.contains)
+      if (present.nonEmpty) {
+        val probeN = math.min(n + 1, Int.MaxValue.toLong - 1).toInt
+        val cnt = df.select(present.map(col): _*).distinct().limit(probeN)
+          .agg(count(lit(1)).as("__n_series"))
+        out = out.crossJoin(broadcast(cnt))
+        guards ::= (col("__n_series") > n,
+          raise_error(lit(s"query selected more than $n series")))
+      }
+    }
+    opts.maxPoints.foreach { n =>
+      val probeN = math.min(n + 1, Int.MaxValue.toLong - 1).toInt
+      val cnt = df.limit(probeN).agg(count(lit(1)).as("__n_points"))
+      out = out.crossJoin(broadcast(cnt))
+      guards ::= (col("__n_points") > n,
+        raise_error(lit(s"query would return more than $n points")))
+    }
+    if (guards.isEmpty) return df
+    val guarded = guards.foldLeft(col("value")) { case (acc, (cond, err)) =>
+      when(cond, err.cast("double")).otherwise(acc)
+    }
+    out.withColumn("value", guarded).drop("__n_series", "__n_points")
   }
 }

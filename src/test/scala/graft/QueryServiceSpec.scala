@@ -70,4 +70,22 @@ class QueryServiceSpec extends SparkSpec {
       RequestOptions(maxSeries = Some(2)))
     intercept[Exception](over.collect())
   }
+
+  test("points limit (F14) aborts through the chain; both limits compose") {
+    val under = QueryService.queryRange("events", src, p,
+      RequestOptions(maxPoints = Some(1000000)))
+    assert(under.count() > 0)
+    val over = QueryService.queryRange("events", src, p,
+      RequestOptions(maxPoints = Some(10)))
+    val e = intercept[Exception](over.collect())
+    assert(e.getMessage.contains("points")
+      || Option(e.getCause).exists(_.getMessage.contains("points")))
+    // both limits set: the tighter one fires
+    val both = QueryService.queryRange("events", src, p,
+      RequestOptions(maxSeries = Some(100), maxPoints = Some(10)))
+    intercept[Exception](both.collect())
+    val bothOk = QueryService.queryRange("sum(events)", src, p,
+      RequestOptions(maxSeries = Some(100), maxPoints = Some(1000000)))
+    assert(bothOk.count() > 0)
+  }
 }
