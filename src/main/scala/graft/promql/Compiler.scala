@@ -294,14 +294,17 @@ object Compiler {
               inner.labels, inner.scalar)
         }
 
-      // sort/sort_desc order the result rows by value (presentation only —
-      // the result set is identical)
-      case FuncCall(fn @ ("sort" | "sort_desc"), arg, _) =>
+      // sort/sort_desc are presentation-only: the result SET is identical,
+      // and Prometheus applies the ordering only when serializing an
+      // instant-query result (range queries ignore sort entirely —
+      // promql/functions.go funcSort note). A global orderBy here would
+      // put a range-partition + sort into every compiled plan for pure
+      // presentation cost, so the plan stays unsorted; the API layer
+      // (api.PromJson) orders the serialized output when the top-level
+      // expression is sort/sort_desc.
+      case FuncCall("sort" | "sort_desc", arg, _) =>
         val inner = compileVec(arg, src, p)
-        val df =
-          if (fn == "sort") inner.df.orderBy(col("value").asc_nulls_last)
-          else inner.df.orderBy(col("value").desc_nulls_last)
-        Vec(df, inner.labels, scalar = false)
+        Vec(inner.df, inner.labels, scalar = false, nameCol = inner.nameCol)
 
       // histogram_quantile(φ, v) over `le`-labelled cumulative buckets:
       // group by series-minus-le, sort buckets, interpolate inside the

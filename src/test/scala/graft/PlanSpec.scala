@@ -100,6 +100,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sort/sort_desc compile to UNSORTED plans (ordering is presentation)") {
+    // a global Sort over an instant vector is pure presentation cost at
+    // scale — ordering belongs to the API serialization layer
+    val p = plan("pql12_sort_desc")
+    // "Sort [...], true" = a GLOBAL sort (range partition + sort);
+    // "..., false" sorts are local SortAggregate requirements and fine
+    assert(!"""Sort \[[^\]]*\], true""".r.findFirstIn(p).isDefined,
+      s"sort_desc must not put a global Sort into the plan:\n$p")
+  }
+
   test("matcher queries keep whole-stage codegen in the scan path") {
     // AQE hides codegen until the final plan: execute first
     val df = SparkEntry.queries("f1_matchers")(spark, sfDir)
