@@ -141,8 +141,10 @@ object Compiler {
           case Some(cv) =>
             constVec(src.points.sparkSession, scalarMath(fn, cv, fnParams))
           case None =>
-            Vec(inner.df.withColumn("value", mathCol(fn, col("value"), fnParams)),
-              inner.labels, inner.scalar)
+            // math functions drop the metric name (shouldDropMetricName)
+            dropName(Vec(
+              inner.df.withColumn("value", mathCol(fn, col("value"), fnParams)),
+              inner.labels, inner.scalar))
         }
 
       // label manipulation over column-label sources: the destination
@@ -252,12 +254,12 @@ object Compiler {
                 (col("__ch").getField(src.tsCol) - lit(s.offsetMs))
                   .cast("double") / 1000.0)
               .drop("__ch")
-            Vec(df, src.labelCols, scalar = false)
+            dropName(Vec(df, src.labelCols, scalar = false))
           case other =>
             val inner = compileVec(other, src, p)
-            Vec(inner.df.withColumn("value",
+            dropName(Vec(inner.df.withColumn("value",
               col("eval_ms").cast("double") / 1000.0),
-              inner.labels, scalar = false)
+              inner.labels, scalar = false))
         }
 
       // date-component functions: the sample VALUE is an epoch-seconds
@@ -290,8 +292,9 @@ object Compiler {
             constVec(src.points.sparkSession, v.toDouble)
           case None =>
             val ts = timestamp_seconds(floor(col("value")).cast("long"))
-            Vec(inner.df.withColumn("value", component(ts).cast("double")),
-              inner.labels, inner.scalar)
+            dropName(Vec(
+              inner.df.withColumn("value", component(ts).cast("double")),
+              inner.labels, inner.scalar))
         }
 
       // sort/sort_desc are presentation-only: the result SET is identical,
@@ -317,7 +320,8 @@ object Compiler {
         if (!inner.labels.contains("le"))
           throw new IllegalArgumentException(
             "histogram_quantile needs an input vector with an 'le' label")
-        val groupLabels = inner.labels.filterNot(_ == "le")
+        val groupLabels = inner.labels
+          .filterNot(_ == "le").filterNot(_ == "__name__")
         val leNum = when(col("le").isin("+Inf", "Inf", "inf"),
           lit(Double.PositiveInfinity)).otherwise(col("le").cast("double"))
         val grouped = inner.df
@@ -463,12 +467,21 @@ object Compiler {
               p.startMs, p.endMs, p.stepMs, range,
               Seq("value" -> agg), tCol, vCol)
         }
-        Vec(df, labels, scalar = false)
+        // range functions compute per series (the grouping above keeps a
+        // real __name__ identity column) but drop the metric name from
+        // the OUTPUT — except last_over_time, which returns raw samples
+        // name included (Prometheus funcLastOverTime)
+        if (fn == "last_over_time") Vec(df, labels, scalar = false)
+        else dropName(Vec(df, labels, scalar = false))
 
       case Agg(op, by, without, body, param, strParam) =>
         val inner = compileVec(body, src, p)
+        // aggregations always drop the metric name; `without` keeps the
+        // complement of the listed labels MINUS __name__ (Prometheus
+        // aggregation semantics); an explicit by(__name__) keeps it
         val groupLabels =
           if (without) inner.labels.filterNot(by.contains)
+            .filterNot(_ == "__name__")
           else by.filter(inner.labels.contains)
         op match {
           case "topk" | "bottomk" =>
@@ -535,13 +548,21 @@ object Compiler {
         def pad(v: Vec): DataFrame =
           all.foldLeft(v.df)((d, c) =>
             if (v.labels.contains(c)) d else d.withColumn(c, lit("")))
+        // the default set-op signature is the full label set EXCLUDING the
+        // metric name (Prometheus signature semantics) — __name__ joins
+        // only when explicitly listed in on()
         val matchOn =
           if (on.nonEmpty) on
           else if (ignoring.nonEmpty) all.filterNot(ignoring.contains)
-          else all
+            .filterNot(_ == "__name__")
+          else all.filterNot(_ == "__name__")
         val keys = matchOn :+ "eval_ms"
-        // __name__ joins but never appears in the output label set
-        val lOut = l.labels.filterNot(_ == "__name__")
+        // a MATERIALIZED __name__ (added for on(__name__) matching) never
+        // appears in the output; a REAL name identity column survives —
+        // and/unless/or return lhs (resp. both-side) samples as-is
+        val lOut =
+          if (l0.labels.contains("__name__")) l.labels
+          else l.labels.filterNot(_ == "__name__")
         op match {
           case "and" =>
             val rKeys = pad(r).select(keys.map(col): _*).distinct()
@@ -555,7 +576,10 @@ object Compiler {
             Vec(df, lOut, scalar = false, nameCol = l0.nameCol)
           case "or" =>
             // left rows, plus right rows with no match group on the left
-            val outAll = all.filterNot(_ == "__name__")
+            val outAll =
+              if (l0.labels.contains("__name__")
+                || r0.labels.contains("__name__")) all
+              else all.filterNot(_ == "__name__")
             val outCols = (outAll :+ "eval_ms" :+ "value").map(col)
             val lp = pad(l)
             val lKeys = lp.select(keys.map(col): _*).distinct()
@@ -611,8 +635,9 @@ object Compiler {
       } else df0.withColumn("value", applyCol(op, a, b))
     // filter comparisons keep the vector's samples (and name); arithmetic
     // and bool-mode drop the metric name
-    Vec(dropTemp(out), v.labels, scalar = false,
+    val res = Vec(dropTemp(out), v.labels, scalar = false,
       nameCol = if (CmpOps(op) && !boolMode) v.nameCol else None)
+    if (CmpOps(op) && !boolMode) res else dropName(res)
   }
 
   /** scalar ◦ scalar where at least one side is per-step. */
@@ -650,9 +675,12 @@ object Compiler {
     val (l, r) =
       if (on.contains("__name__")) (materializeName(l0), materializeName(r0))
       else (l0, r0)
+    // default matching never includes the metric name — Prometheus drops
+    // it from the signature unless __name__ is EXPLICITLY listed in on()
     val matchOn =
       if (on.nonEmpty) on
       else l.labels.intersect(r.labels).filterNot(ignoring.contains)
+        .filterNot(_ == "__name__")
     val keys = matchOn :+ "eval_ms"
     // on(...) may name labels absent from a side: an absent label matches
     // as the empty string (prometheus#3575 semantics carried into vector
@@ -682,13 +710,18 @@ object Compiler {
     def guarded(c: Column): Column =
       when(col("__ocnt") > 1, dupError).otherwise(c)
     // "__name__ is always dropped, even if it's part of the matching
-    // labels" (compliance corpus) — it joins above, never projects below
+    // labels" (compliance corpus) — it joins above, never projects below.
+    // The one exception: filter-mode comparisons return the many side's
+    // samples unchanged, so a REAL __name__ identity column survives
+    // (Prometheus keeps the metric name on comparison results).
+    val keepRealName = isCmp && !boolMode &&
+      (if (gr) r0 else l0).labels.contains("__name__")
     val outLabels = (
       if (isCmp) many.labels ++ extras
       else if (gl || gr) many.labels ++ extras
       else if (on.nonEmpty) on
       else l.labels.filterNot(ignoring.contains)
-    ).filterNot(_ == "__name__")
+    ).filterNot(n => n == "__name__" && !keepRealName)
     val out =
       if (isCmp) {
         if (boolMode)
@@ -705,6 +738,16 @@ object Compiler {
     Vec(df, outLabels, scalar = false,
       nameCol = if (keepName) l0.nameCol else None)
   }
+
+  /** Drop a REAL `__name__` identity column from a vector (sources whose
+    * labelCols carry the metric name, e.g. the multi-metric HTTP store) —
+    * the plan-level rendering of Prometheus `shouldDropMetricName`. No-op
+    * for single-metric sources, whose labels never include `__name__`.
+    */
+  private def dropName(v: Vec): Vec =
+    if (!v.labels.contains("__name__")) v
+    else Vec(v.df.drop("__name__"), v.labels.filterNot(_ == "__name__"),
+      v.scalar, v.const)
 
   /** Result labels for `absent(v)` / `absent_over_time(v[r])` — the Spark
     * rendering of Prometheus `createLabelsForAbsentFunction`
