@@ -11,9 +11,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Two passes by default: pass 1 pays JVM/codegen warmup (observed 3-4×
-    // inflation on random queries); min-per-query = steady-state cost.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Three passes by default: pass 1 pays JVM/codegen warmup (observed
+    // 3-4× inflation on random queries) and min-of-3 suppresses the pass
+    // noise that produced phantom regressions in round 5; min-per-query =
+    // steady-state cost.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -37,7 +39,14 @@ object Bench {
     }
     val qs = names.map(k => "\"" + k + "\":" + results(k)).mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: stdout tails get truncated (BENCH_r05 lost
+    // its per-query dict that way); the file is the artifact of record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

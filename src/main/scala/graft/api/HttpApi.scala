@@ -4,17 +4,18 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.promql.{EvalParams, FuncCall, Parser, PromSource, Selector}
-import graft.streaming.{Ingest, Prompb, PrompbV2}
-import graft.tsdb.{MatchEq, Matcher, Matchers}
+import graft.streaming.{Ingest, Otlp, Prompb, PrompbV2}
+import graft.tsdb.{MatchEq, Matcher, Matchers, MutableMapping}
 
 /** The Prometheus HTTP API v1 facade — the reference's outward face
   * (`api/api.go:157-233` mounts `/api/v1/{query,query_range,series,labels,
-  * label/<n>/values,read,write}` around the embedded Prometheus engine).
-  * Here every endpoint composes the already-verified pieces: prompb wire
+  * label/<n>/values,read,write}` around the embedded Prometheus engine,
+  * plus the `/mutable/{names,values}` CRUD at `api/api.go:230-233`).
+  * Every endpoint composes the already-verified pieces: prompb/OTLP wire
   * decode → `Ingest.ingestLabeled` (S1) on write, and
   * `QueryService.queryRange` (the §3.1 per-request chain) → `PromJson`
   * serialization on read.
@@ -22,78 +23,192 @@ import graft.tsdb.{MatchEq, Matcher, Matchers}
   * Request semantics mirror the reference's custom headers
   * (`types/types.go:172-189`): `X-SquirrelDB-Tenant` (F11),
   * `X-SquirrelDB-Forced-Matcher` (F10), `X-SquirrelDB-Max-Evaluated-Series`
-  * (F13/W9) and `X-SquirrelDB-Max-Evaluated-Points` (F14).
+  * (F13/W9), `X-SquirrelDB-Max-Evaluated-Points` (F14) and
+  * `X-SquirrelDB-TTL` (T9, `api/remotestorage/remotestorage.go:103-114`).
   *
-  * Storage: the handle keeps the ingested set as an in-memory hot store
-  * (S10 analogue — `localCheckpoint` pins it and truncates lineage per
-  * write). The durable path at scale is `store.Store.writePoints` (S8,
-  * day-partitioned parquet); the query side is identical either way since
-  * both expose the same (labels, ts_ms, value) shape.
+  * Storage: an APPEND-ONLY hot store (S10 — the reference's temporary
+  * store appends batches per metric, `redis/temporarystore/redis.go:
+  * 156-220`). Each write pins ONLY its own batch (`localCheckpoint`), so
+  * per-write cost is O(batch); last-write-wins conflict resolution moves
+  * to the read side (the verified O2 dedup shape), and a bounded
+  * compaction every `compactEvery` batches keeps the union shallow. The
+  * durable path at scale is `store.Store.writePoints` (S8).
   *
-  * The multi-metric store carries `__name__` as a REAL series-identity
-  * column, which is what the compiler's name-aware paths (dropName /
-  * keepRealName) exist for.
+  * Remote read streams: when the client negotiates
+  * `STREAMED_XOR_CHUNKS`, series are XOR-chunk-encoded on the EXECUTORS
+  * and the driver only frames `toLocalIterator` rows into the public
+  * chunked protocol (1 MiB frames, like the reference's
+  * `remoteReadMaxBytesInFrame`, `api/api.go:58-61`) — no full-result
+  * driver materialization. The buffered SAMPLES variant also assembles
+  * its (protocol-mandated single) snappy blob incrementally from the
+  * iterator.
+  *
+  * Mutable labels (M1–M4): CRUD kept as an in-memory dimension (the
+  * Spark-side analogue is [[graft.tsdb.MutableProvider]]'s dim table);
+  * matcher rewrite rides `RequestOptions.mutable`, and the SOURCE is
+  * decorated with the reverse mapping — the analogue of the reference's
+  * `mutableMetricsSet` wrapper (`cassandra/mutable/index.go:93-122`),
+  * which decorates at the index layer so grouping by a mutable label
+  * works in PromQL.
   */
 final class HttpApi(spark: SparkSession,
     tenantLabel: String = "__account_id",
     defaultTenant: String = "default",
-    lookbackMs: Long = 300000L) {
+    lookbackMs: Long = 300000L,
+    compactEvery: Int = 64) {
 
-  import Prompb.{PromRow, PromSeries}
+  import Prompb.{ChunkMeta, PromRow, PromSeries}
 
-  // hot store: labels map + metric_id + (__seq, ts_ms, value)
+  /** "No TTL" sentinel: ~100 years in seconds. Finite so the per-series
+    * max-merge (T9: the LARGEST TTL any write supplied wins,
+    * `remotestorage.go:103-114`) is a plain `max`.
+    */
+  val DefaultTtlSec: Long = 3155760000L
+
+  private val MaxBytesInFrame = 1 << 20 // reference api.go:60 (1 MiB)
+  private val SamplesPerChunk = 120 // Prometheus chunkenc default
+
+  // hot store: append-only union of per-write batches, each
+  // (labels, metric_id, ts_ms, value, __seq, __ttl_sec)
   @volatile private var points: Option[DataFrame] = None
   @volatile private var labelNames: Seq[String] = Nil
   private var writeSeq = 0L
+  private var dirtyBatches = 0 // batches appended since last compaction
+  private var ttlSeen = false // any write with a non-default TTL?
   private var server: Option[HttpServer] = None
+
+  // mutable-label dimension (M4): (tenant, name) -> real label name;
+  // (tenant, name, value) -> associated real values
+  @volatile private var mutableNames = Map.empty[(String, String), String]
+  @volatile private var mutableValues =
+    Map.empty[(String, String, String), Seq[String]]
 
   // label names that cannot become DataFrame columns without colliding
   // with the engine's own schema
   private val Reserved =
-    Set("value", "ts_ms", "eval_ms", "labels", "metric_id", "__seq")
+    Set("value", "ts_ms", "eval_ms", "labels", "metric_id", "__seq",
+      "__ttl_sec")
 
-  /** S1 ingest: validated label-map rows merged into the hot store with
-    * last-write-wins dedup per (series, ts).
+  /** S1 ingest, append-only: validated label-map rows become ONE pinned
+    * batch unioned onto the store — O(batch) work per write; LWW conflict
+    * resolution happens at read ([[dedupedPoints]]) and at compaction.
     */
-  def write(series: Seq[PromSeries], tenant: String): Unit = synchronized {
+  def write(series: Seq[PromSeries], tenant: String,
+      ttlSec: Long = DefaultTtlSec): Unit = synchronized {
     import spark.implicits._
     val rows = series.flatMap(s =>
       s.samples.map { case (t, v) => PromRow(s.labels, t, v) })
     if (rows.isEmpty) return
     writeSeq += 1
+    if (ttlSec != DefaultTtlSec) ttlSeen = true
     val batch = Ingest.ingestLabeled(rows.toDF(), tenantLabel, tenant)
       .withColumn("__seq", lit(writeSeq))
-    val merged = points match {
-      case Some(prev) => prev.unionByName(batch)
-      case None => batch
-    }
-    // LWW per (series, ts): later writes win, ties break on value
-    val deduped = merged
-      .groupBy("metric_id", "ts_ms")
+      .withColumn("__ttl_sec", lit(ttlSec))
+      .localCheckpoint(true) // pins THIS batch only
+    points = Some(points.fold(batch)(_.unionByName(batch)))
+    dirtyBatches += 1
+    // incremental label-name union: collects over the new batch only
+    val batchNames = batch
+      .select(explode(map_keys(col("labels"))).as("n")).distinct()
+      .as[String].collect()
+    labelNames = (labelNames ++ batchNames).distinct.sorted
+    if (dirtyBatches >= compactEvery) compact()
+  }
+
+  /** Batches appended since the last compaction (test/introspection). */
+  def pendingBatches: Int = synchronized(dirtyBatches)
+
+  /** The raw appended store (tests/introspection): a union of pinned
+    * batches between compactions — never an aggregate.
+    */
+  def rawPoints: Option[DataFrame] = points
+
+  /** The LWW dedup shape shared by reads and compaction: later writes win
+    * per (series, ts); ties break on value (O2 semantics,
+    * `types/metric.go:71-95`).
+    */
+  private def lwwDedup(df: DataFrame): DataFrame =
+    df.groupBy("metric_id", "ts_ms")
       .agg(
         max_by(col("labels"), col("__seq")).as("labels"),
         max_by(col("value"), struct(col("__seq"), col("value"))).as("value"),
-        max(col("__seq")).as("__seq"))
-      .localCheckpoint(true)
-    points = Some(deduped)
-    labelNames = deduped
-      .select(explode(map_keys(col("labels"))).as("n")).distinct()
-      .as[String].collect().sorted.toSeq
+        max(col("__seq")).as("__seq"),
+        max(col("__ttl_sec")).as("__ttl_sec"))
+
+  /** Fold the accumulated batches into one deduped, pinned batch —
+    * amortized: runs every `compactEvery` writes, or on demand.
+    */
+  def compact(): Unit = synchronized {
+    points.foreach { df =>
+      points = Some(lwwDedup(df).localCheckpoint(true))
+      dirtyBatches = 0
+    }
   }
 
-  /** The multi-metric PromSource over the hot store: every stored label —
-    * including `__name__` — becomes a real identity column.
+  /** Read view: LWW-deduped (skipped when already compacted) with T9
+    * retention — a series' TTL is the max any write supplied; the tiny
+    * per-series TTL dim broadcasts (skipped entirely when no write ever
+    * set one).
     */
-  def source(): Option[PromSource] = points.map { df0 =>
-    val names = labelNames.filterNot(Reserved)
-    val df = names.foldLeft(df0)((d, n) =>
-      d.withColumn(n, element_at(col("labels"), n)))
-      .drop("labels", "metric_id", "__seq")
-    PromSource(df, names, {
-      case n if names.contains(n) => col(n)
-      case _ => lit(null).cast("string")
-    })
+  private def dedupedPoints(): Option[DataFrame] = points.map { df =>
+    val d = if (dirtyBatches == 0) df else lwwDedup(df)
+    if (!ttlSeen) d
+    else {
+      val ttlDim = d.groupBy("metric_id")
+        .agg(max(col("__ttl_sec")).as("__series_ttl"))
+      d.join(broadcast(ttlDim), Seq("metric_id"))
+        .where(col("ts_ms") + col("__series_ttl") * 1000L >
+          lit(System.currentTimeMillis()))
+        .drop("__series_ttl")
+    }
   }
+
+  // ---- mutable labels (M1-M4) ----
+
+  private def mappingsFor(tenant: String): Seq[MutableMapping] =
+    mutableNames.collect { case ((t, n), target) if t == tenant =>
+      MutableMapping(t, n, target,
+        mutableValues.collect {
+          case ((t2, n2, v), assoc) if t2 == tenant && n2 == n => v -> assoc
+        }.toMap)
+    }.toSeq.sortBy(_.name)
+
+  /** Reverse decoration: the mutable value whose associated real values
+    * contain this row's real value (first in sorted order on ties) — the
+    * `mutableMetricsSet` label-add (`cassandra/mutable/index.go:93-122`).
+    */
+  private def decorationCol(m: MutableMapping,
+      target: Column): Column =
+    m.values.toSeq.sortBy(_._1).foldRight(lit(null).cast("string"): Column) {
+      case ((mv, real), acc) => when(target.isin(real: _*), lit(mv))
+        .otherwise(acc)
+    }
+
+  /** The multi-metric PromSource over the hot store: every stored label —
+    * including `__name__` — becomes a real identity column, and the
+    * tenant's mutable labels become decorated columns so matching AND
+    * grouping on them work (reference decorates at the index layer).
+    */
+  def source(tenant: String = defaultTenant): Option[PromSource] =
+    dedupedPoints().map { df0 =>
+      val names = labelNames.filterNot(Reserved)
+      val withLabels = names.foldLeft(df0)((d, n) =>
+        d.withColumn(n, element_at(col("labels"), n)))
+      val mappings = mappingsFor(tenant)
+        .filterNot(m => names.contains(m.name) || Reserved(m.name))
+      val decorated = mappings.foldLeft(withLabels)((d, m) =>
+        d.withColumn(m.name, decorationCol(m, col(m.targetName))))
+      val all = names ++ mappings.map(_.name)
+      val df = decorated.drop("labels", "metric_id", "__seq", "__ttl_sec")
+      PromSource(df, all, {
+        case n if all.contains(n) => col(n)
+        case _ => lit(null).cast("string")
+      })
+    }
+
+  private def tenantOf(h: HttpExchange): String =
+    Option(h.getRequestHeaders.getFirst("X-SquirrelDB-Tenant"))
+      .filter(_.nonEmpty).getOrElse(defaultTenant)
 
   private def requestOptions(h: HttpExchange): RequestOptions = {
     def header(n: String): Option[String] =
@@ -108,6 +223,7 @@ final class HttpApi(spark: SparkSession,
     RequestOptions(
       tenantLabel = header("X-SquirrelDB-Tenant").map(t => (tenantLabel, t)),
       forced = forced.toSeq,
+      mutable = mappingsFor(tenantOf(h)),
       maxSeries = header("X-SquirrelDB-Max-Evaluated-Series").map(_.toLong),
       maxPoints = header("X-SquirrelDB-Max-Evaluated-Points").map(_.toLong))
   }
@@ -120,6 +236,8 @@ final class HttpApi(spark: SparkSession,
   def start(port: Int = 0): Int = synchronized {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/api/v1/", handle _)
+    s.createContext("/mutable/", handle _)
+    s.createContext("/debug/", handle _)
     s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     s.start()
     server = Some(s)
@@ -134,22 +252,30 @@ final class HttpApi(spark: SparkSession,
   private def handle(h: HttpExchange): Unit =
     try {
       val path = h.getRequestURI.getPath
-      path match {
-        case "/api/v1/write" => handleWrite(h)
-        case "/api/v1/read" => handleRead(h)
-        case "/api/v1/query_range" => handleQueryRange(h)
-        case "/api/v1/query" => handleQuery(h)
-        case "/api/v1/series" => handleSeries(h)
-        case "/api/v1/labels" => handleLabels(h)
-        case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
+      (h.getRequestMethod, path) match {
+        case (_, "/api/v1/write") => handleWrite(h)
+        case (_, "/api/v1/otlp/v1/metrics") => handleOtlpWrite(h)
+        case (_, "/api/v1/read") => handleRead(h)
+        case (_, "/api/v1/query_range") => handleQueryRange(h)
+        case (_, "/api/v1/query") => handleQuery(h)
+        case (_, "/api/v1/series") => handleSeries(h)
+        case (_, "/api/v1/labels") => handleLabels(h)
+        case (_, p) if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
           handleLabelValues(h,
             p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
+        case (_, "/debug/index_verify") => handleIndexVerify(h)
+        case ("POST", "/mutable/names") => handleMutableNames(h, delete = false)
+        case ("DELETE", "/mutable/names") => handleMutableNames(h, delete = true)
+        case ("POST", "/mutable/values") => handleMutableValues(h, delete = false)
+        case ("DELETE", "/mutable/values") => handleMutableValues(h, delete = true)
         case _ => respond(h, 404, PromJson.error("bad_data", "unknown endpoint"))
       }
     } catch {
       case e: Exception =>
-        respond(h, 422, PromJson.error("execution",
+        // streamed responses may have committed their headers already
+        try respond(h, 422, PromJson.error("execution",
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+        catch { case _: Exception => () }
     } finally h.close()
 
   private def handleWrite(h: HttpExchange): Unit = {
@@ -159,46 +285,125 @@ final class HttpApi(spark: SparkSession,
       if (ct.contains("io.prometheus.write.v2.Request"))
         PrompbV2.decodeSnappy(body)
       else Prompb.decodeSnappy(body)
-    val tenant = Option(h.getRequestHeaders.getFirst("X-SquirrelDB-Tenant"))
-      .filter(_.nonEmpty).getOrElse(defaultTenant)
-    write(series, tenant)
+    val ttl = Option(h.getRequestHeaders.getFirst("X-SquirrelDB-TTL"))
+      .filter(_.nonEmpty).map(_.toLong).getOrElse(DefaultTtlSec)
+    write(series, tenantOf(h), ttl)
     respondBytes(h, 204, Array.emptyByteArray, "application/json")
   }
 
-  /** Remote read: matcher-filtered raw series per query, snappy-framed
-    * proto response (`api/api.go:58-61`; S3).
+  /** OTLP metrics over HTTP (`api/api.go:157-196` enables the upstream
+    * OTLP-write handler at this path): plain-protobuf ExportRequest →
+    * the same validated ingest.
     */
-  private def handleRead(h: HttpExchange): Unit = {
-    val queries = Prompb.decodeReadRequest(
-      org.xerial.snappy.Snappy.uncompress(h.getRequestBody.readAllBytes()))
-    val results: Seq[Seq[PromSeries]] = queries.map { q =>
-      points match {
-        case None => Seq.empty
-        case Some(df) =>
-          val resolve: String => org.apache.spark.sql.Column =
-            n => element_at(col("labels"), n)
-          val hits = df
-            .where(col("ts_ms") >= q.startMs && col("ts_ms") <= q.endMs)
-            .where(if (q.matchers.isEmpty) lit(true)
-              else Matchers.all(resolve, q.matchers))
-            .groupBy("metric_id")
-            .agg(max_by(col("labels"), col("__seq")).as("labels"),
-              sort_array(collect_list(
-                struct(col("ts_ms"), col("value")))).as("samples"))
-            .collect()
-          hits.toSeq.map { r =>
-            val labels = r.getAs[Map[String, String]]("labels")
-            val samples = r
-              .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("samples")
-              .map(s => (s.getLong(0), s.getDouble(1))).toSeq
-            PromSeries(labels, samples)
-          }.sortBy(_.labels.toSeq.sorted.mkString(","))
-      }
+  private def handleOtlpWrite(h: HttpExchange): Unit = {
+    val body = h.getRequestBody.readAllBytes()
+    val ttl = Option(h.getRequestHeaders.getFirst("X-SquirrelDB-TTL"))
+      .filter(_.nonEmpty).map(_.toLong).getOrElse(DefaultTtlSec)
+    write(Otlp.decodeExportRequest(body), tenantOf(h), ttl)
+    respondBytes(h, 204, Array.emptyByteArray, "application/json")
+  }
+
+  // ---- remote read (S3) ----
+
+  /** Per-query matched series: LWW-deduped rows grouped per series with
+    * time-sorted samples, metric_id-ordered for a deterministic stream.
+    */
+  private def readSeriesFrame(q: Prompb.ReadQuery): Option[DataFrame] =
+    dedupedPoints().map { df =>
+      val resolve: String => Column = n => element_at(col("labels"), n)
+      df.where(col("ts_ms") >= q.startMs && col("ts_ms") <= q.endMs)
+        .where(if (q.matchers.isEmpty) lit(true)
+          else Matchers.all(resolve, q.matchers))
+        .groupBy("metric_id")
+        .agg(max_by(col("labels"), col("__seq")).as("labels"),
+          sort_array(collect_list(
+            struct(col("ts_ms"), col("value")))).as("samples"))
+        .orderBy("metric_id")
     }
-    respondBytes(h, 200,
-      org.xerial.snappy.Snappy.compress(Prompb.encodeReadResponse(results)),
+
+  private def handleRead(h: HttpExchange): Unit = {
+    val req = Prompb.decodeReadRequestFull(
+      org.xerial.snappy.Snappy.uncompress(h.getRequestBody.readAllBytes()))
+    if (req.acceptedResponseTypes.contains(Prompb.ResponseTypeStreamedXorChunks))
+      handleReadStreamed(h, req.queries)
+    else handleReadSamples(h, req.queries)
+  }
+
+  /** Buffered SAMPLES response (the protocol is one snappy blob — same as
+    * the reference's non-streamed path): assembled INCREMENTALLY from
+    * `toLocalIterator`, so peak driver memory is the encoded response,
+    * never the collected row set.
+    */
+  private def handleReadSamples(h: HttpExchange,
+      queries: Seq[Prompb.ReadQuery]): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    queries.foreach { q =>
+      val qr = new java.io.ByteArrayOutputStream()
+      readSeriesFrame(q).foreach { df =>
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          Prompb.appendMessage(qr, 1, Prompb.encodeTimeSeries(rowSeries(it.next())))
+        }
+      }
+      Prompb.appendMessage(out, 1, qr.toByteArray)
+    }
+    respondBytes(h, 200, org.xerial.snappy.Snappy.compress(out.toByteArray),
       "application/x-protobuf")
   }
+
+  /** Streamed XOR-chunks response: chunk encoding runs on the EXECUTORS
+    * (a per-series kernel over the already-grouped samples), the driver
+    * streams `toLocalIterator` rows into ≈1 MiB CRC-framed
+    * ChunkedReadResponse frames over chunked HTTP transfer — S3 without a
+    * driver-sized buffer.
+    */
+  private def handleReadStreamed(h: HttpExchange,
+      queries: Seq[Prompb.ReadQuery]): Unit = {
+    h.getResponseHeaders.set("Content-Type", Prompb.StreamedChunksContentType)
+    h.sendResponseHeaders(200, 0) // chunked transfer
+    val os = h.getResponseBody
+    queries.zipWithIndex.foreach { case (q, qi) =>
+      readSeriesFrame(q).foreach { df =>
+        val it = df
+          .withColumn("chunks", HttpApi.xorChunksUdf(
+            col("samples.ts_ms"), col("samples.value")))
+          .select("labels", "chunks")
+          .toLocalIterator()
+        var frame = Vector.empty[Array[Byte]]
+        var frameBytes = 0
+        def flush(): Unit = if (frame.nonEmpty) {
+          Prompb.writeChunkedFrame(os,
+            Prompb.encodeChunkedReadResponse(frame, qi.toLong))
+          os.flush()
+          frame = Vector.empty
+          frameBytes = 0
+        }
+        while (it.hasNext) {
+          val r = it.next()
+          val labels = r.getAs[Map[String, String]]("labels")
+          val chunks = r.getAs[scala.collection.Seq[Row]]("chunks")
+            .map(c => ChunkMeta(c.getLong(0), c.getLong(1),
+              c.getAs[Array[Byte]](2))).toSeq
+          val sb = Prompb.encodeChunkedSeries(labels, chunks)
+          frame :+= sb
+          frameBytes += sb.length
+          if (frameBytes >= MaxBytesInFrame) flush()
+        }
+        flush()
+      }
+    }
+    os.close()
+  }
+
+  private def rowSeries(r: Row): PromSeries = {
+    val labels = r.getAs[Map[String, String]]("labels")
+    val samples = r
+      .getAs[scala.collection.Seq[Row]]("samples")
+      .map(s => (s.getLong(0), s.getDouble(1))).toSeq
+    PromSeries(labels, samples)
+  }
+
+  // ---- PromQL endpoints ----
 
   private def handleQueryRange(h: HttpExchange): Unit = {
     val ps = params(h)
@@ -206,7 +411,7 @@ final class HttpApi(spark: SparkSession,
     val start = parseTime(required(ps, "start"))
     val end = parseTime(required(ps, "end"))
     val step = parseDuration(required(ps, "step"))
-    source() match {
+    source(tenantOf(h)) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"matrix","result":[]}"""))
       case Some(src) =>
@@ -222,7 +427,7 @@ final class HttpApi(spark: SparkSession,
     val q = required(ps, "query")
     val t = ps.get("time").flatMap(_.headOption).map(parseTime)
       .getOrElse(System.currentTimeMillis())
-    source() match {
+    source(tenantOf(h)) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"vector","result":[]}"""))
       case Some(src) =>
@@ -253,26 +458,43 @@ final class HttpApi(spark: SparkSession,
     ps.get("start").flatMap(_.headOption).map(parseTime).getOrElse(Long.MinValue),
     ps.get("end").flatMap(_.headOption).map(parseTime).getOrElse(Long.MaxValue))
 
+  /** Points restricted by optional match[] + start/end (the filtering the
+    * reference's label APIs do via matcher+shard intersection,
+    * `cassandra/index/index.go:1265-1325`).
+    */
+  private def matchedPoints(ps: Map[String, Seq[String]]): Option[DataFrame] = {
+    val sels = ps.getOrElse("match[]", Seq.empty)
+    val (startMs, endMs) = timeBounds(ps)
+    dedupedPoints().map { df =>
+      val resolve: String => Column = n => element_at(col("labels"), n)
+      val timed = df.where(col("ts_ms") >= startMs && col("ts_ms") <= endMs)
+      if (sels.isEmpty) timed
+      else timed.where(sels.map(s => Matchers.all(resolve, selectorMatchers(s)))
+        .reduce(_ || _))
+    }
+  }
+
   private def handleSeries(h: HttpExchange): Unit = {
     val ps = params(h)
-    val sels = ps.getOrElse("match[]", Seq.empty)
-    if (sels.isEmpty)
+    if (ps.getOrElse("match[]", Seq.empty).isEmpty)
       return respond(h, 400, PromJson.error("bad_data",
         "no match[] parameter provided"))
-    val (startMs, endMs) = timeBounds(ps)
-    points match {
+    val mappings = mappingsFor(tenantOf(h))
+    matchedPoints(ps) match {
       case None => respond(h, 200, PromJson.success("[]"))
       case Some(df) =>
-        val resolve: String => org.apache.spark.sql.Column =
-          n => element_at(col("labels"), n)
-        val pred = sels.map(s => Matchers.all(resolve, selectorMatchers(s)))
-          .reduce(_ || _)
+        // decorate each series' label map with its mutable labels (M2)
+        val decorated = mappings.foldLeft(
+          df.groupBy("metric_id")
+            .agg(max_by(col("labels"), col("__seq")).as("labels"))) {
+          (d, m) =>
+            val mv = decorationCol(m, element_at(col("labels"), m.targetName))
+            d.withColumn("labels", when(mv.isNotNull,
+              map_concat(col("labels"), map(lit(m.name), mv)))
+              .otherwise(col("labels")))
+        }
         // set-ops can't key on MAP columns — dedup per series id instead
-        val sets = df
-          .where(col("ts_ms") >= startMs && col("ts_ms") <= endMs)
-          .where(pred)
-          .groupBy("metric_id")
-          .agg(max_by(col("labels"), col("__seq")).as("labels"))
+        val sets = decorated
           .collect().toSeq
           .map(_.getAs[Map[String, String]]("labels").toSeq.sortBy(_._1))
           .distinct
@@ -280,12 +502,38 @@ final class HttpApi(spark: SparkSession,
     }
   }
 
-  private def handleLabels(h: HttpExchange): Unit =
-    respond(h, 200, PromJson.strings(labelNames))
+  /** Label names: physical names on matching series (all stored names
+    * when unfiltered) plus the tenant's mutable names (M3,
+    * `cassandra/mutable/index.go:127-185`).
+    */
+  private def handleLabels(h: HttpExchange): Unit = {
+    import spark.implicits._
+    val ps = params(h)
+    val mutables = mutableNames.keysIterator
+      .collect { case (t, n) if t == tenantOf(h) => n }.toSeq
+    val physical =
+      if (!ps.contains("match[]") && !ps.contains("start") &&
+        !ps.contains("end")) labelNames
+      else matchedPoints(ps).fold(Seq.empty[String]) { df =>
+        df.select(explode(map_keys(col("labels"))).as("n")).distinct()
+          .as[String].collect().toSeq
+      }
+    respond(h, 200, PromJson.strings((physical ++ mutables).distinct))
+  }
 
+  /** Label values: a mutable name lists its configured values (reference
+    * skips matcher checks there, `mutable/index.go:127-150`); physical
+    * names scan matching series in the requested range.
+    */
   private def handleLabelValues(h: HttpExchange, name: String): Unit = {
     import spark.implicits._
-    points match {
+    val tenant = tenantOf(h)
+    if (mutableNames.contains((tenant, name))) {
+      val vals = mutableValues.keysIterator
+        .collect { case (t, n, v) if t == tenant && n == name => v }.toSeq
+      return respond(h, 200, PromJson.strings(vals.distinct))
+    }
+    matchedPoints(params(h)) match {
       case None => respond(h, 200, PromJson.success("[]"))
       case Some(df) =>
         val values = df
@@ -295,6 +543,82 @@ final class HttpApi(spark: SparkSession,
         respond(h, 200, PromJson.strings(values))
     }
   }
+
+  /** `/debug/index_verify` (reference `api/api.go:216` →
+    * `cassandra/index/verify.go`): hot-store identity invariants — every
+    * stored row's metric_id must re-derive from its label map (canonical
+    * round-trip), and no id may serve two label sets.
+    */
+  private def handleIndexVerify(h: HttpExchange): Unit = {
+    val (badIds, collisions) = dedupedPoints() match {
+      case None => (0L, 0L)
+      case Some(df) =>
+        val bad = df.where(col("metric_id") =!=
+          xxhash64(graft.tsdb.SeriesDim.canonicalMap(col("labels")))).count()
+        val coll = df
+          .groupBy("metric_id")
+          .agg(countDistinct(
+            graft.tsdb.SeriesDim.canonicalMap(col("labels"))).as("n"))
+          .where(col("n") > 1).count()
+        (bad, coll)
+    }
+    val healthy = badIds == 0 && collisions == 0
+    respond(h, if (healthy) 200 else 500,
+      s"""{"healthy":$healthy,"badIds":$badIds,"idCollisions":$collisions}""")
+  }
+
+  // ---- mutable-label CRUD (reference api/api.go:954-1080) ----
+
+  private def jsonArray(h: HttpExchange): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(h.getRequestBody.readAllBytes())
+    require(root != null && root.isArray, "body must be a JSON array")
+    (0 until root.size()).map(root.get)
+  }
+
+  private def field(n: com.fasterxml.jackson.databind.JsonNode,
+      name: String): String = {
+    val v = n.get(name)
+    require(v != null && v.isTextual && v.asText.nonEmpty,
+      s"missing or empty field '$name'")
+    v.asText
+  }
+
+  /** POST: `[{"tenant","name","associated_name"}]`; DELETE:
+    * `[{"tenant","name"}]` — mirrors `mutable.LabelWithName`/`LabelKey`.
+    */
+  private def handleMutableNames(h: HttpExchange, delete: Boolean): Unit =
+    synchronized {
+      jsonArray(h).foreach { n =>
+        val key = (field(n, "tenant"), field(n, "name"))
+        if (delete) {
+          mutableNames -= key
+          mutableValues = mutableValues.filter { case ((t, nm, _), _) =>
+            (t, nm) != key }
+        } else mutableNames += key -> field(n, "associated_name")
+      }
+      respondBytes(h, 200, "ok".getBytes(UTF_8), "text/plain")
+    }
+
+  /** POST: `[{"tenant","name","value","associated_values":[…]}]`; DELETE:
+    * `[{"tenant","name","value"}]` — mirrors
+    * `mutable.LabelWithValues`/`Label`.
+    */
+  private def handleMutableValues(h: HttpExchange, delete: Boolean): Unit =
+    synchronized {
+      jsonArray(h).foreach { n =>
+        val key = (field(n, "tenant"), field(n, "name"), field(n, "value"))
+        if (delete) mutableValues -= key
+        else {
+          val av = n.get("associated_values")
+          require(av != null && av.isArray && av.size() > 0,
+            "missing or empty field 'associated_values'")
+          mutableValues += key ->
+            (0 until av.size()).map(av.get(_).asText).toSeq
+        }
+      }
+      respondBytes(h, 200, "ok".getBytes(UTF_8), "text/plain")
+    }
 
   // ---- request parsing ----
 
@@ -355,4 +679,21 @@ final class HttpApi(spark: SparkSession,
       h.getResponseBody.write(body)
     }
   }
+}
+
+object HttpApi {
+
+  /** Executor-side XOR chunk encoding: sorted (ts, value) samples →
+    * ≤120-sample chunkenc-layout chunks with their time bounds. A
+    * serialization-boundary kernel (the samples are already grouped per
+    * series), so a udf is the right tool — the hot path upstream stays
+    * codegen'd.
+    */
+  private[api] val xorChunksUdf =
+    udf { (ts: scala.collection.Seq[Long], vs: scala.collection.Seq[Double]) =>
+      ts.zip(vs).grouped(120).map { grp =>
+        (grp.head._1, grp.last._1,
+          graft.functions.XorChunk.encode(grp.toSeq))
+      }.toSeq
+    }
 }

@@ -103,10 +103,20 @@ object Store {
   final case class IndexReport(
       orphanPoints: Long, // points whose label-set is absent from the dim
       duplicateLabelSets: Long, // same labels registered twice
-      idCollisions: Long) // one metric_id for two different label-sets
+      idCollisions: Long, // one metric_id for two different label-sets
+      badIds: Long = 0L, // metric_id ≠ hash(canonical(labels)) round-trip
+      expiredButPresent: Long = 0L) { // past-expiration series still live
+    def healthy: Boolean = orphanPoints == 0 && duplicateLabelSets == 0 &&
+      idCollisions == 0 && badIds == 0 && expiredButPresent == 0
+  }
 
+  /** Pass `nowMs` to also check expiration consistency (the reference's
+    * `WithStrictExpiration`): series whose refreshed expiration already
+    * passed but are still registered (requires an `expiration_ms` dim
+    * column, the [[refreshSeriesExpiry]] shape).
+    */
   def verifyIndex(points: DataFrame, dim: DataFrame,
-      labelCols: Seq[String]): IndexReport = {
+      labelCols: Seq[String], nowMs: Option[Long] = None): IndexReport = {
     val orphan = points
       .select(labelCols.map(col): _*).distinct()
       .join(dim.select(labelCols.map(col): _*), labelCols, "left_anti")
@@ -116,8 +126,35 @@ object Store {
     val collisions = dim.groupBy("metric_id")
       .agg(countDistinct(struct(labelCols.map(col): _*)).as("n"))
       .where(col("n") > 1).count()
-    IndexReport(orphan, dups, collisions)
+    // canonical round-trip: every registration must re-derive its own id
+    // (catches bit-rot / hand-edited dims; the reference re-checks
+    // labels2id↔id2labels both ways, `verify.go:382-586`)
+    val badIds = dim.where(col("metric_id") =!=
+      xxhash64(graft.tsdb.SeriesDim.canonical(labelCols))).count()
+    val expired = nowMs match {
+      case Some(now) if dim.columns.contains("expiration_ms") =>
+        dim.groupBy("metric_id")
+          .agg(max(col("expiration_ms")).as("__e"))
+          .where(col("__e") <= now).count()
+      case _ => 0L
+    }
+    IndexReport(orphan, dups, collisions, badIds, expired)
   }
+
+  /** The `--fix` path (reference `WithDoFix`, `verify.go:82-94`): rebuild
+    * a consistent dim from the union of registered and observed label
+    * sets — duplicates collapse, corrupt ids are re-derived from the
+    * canonical encoding, orphaned points get registered. Expiration
+    * repair is [[expireSeries]]'s job (it compacts to per-series max
+    * expiration); compose both for a full repair.
+    */
+  def fixIndex(points: DataFrame, dim: DataFrame,
+      labelCols: Seq[String]): DataFrame =
+    dim.select(labelCols.map(col): _*)
+      .unionByName(points.select(labelCols.map(col): _*))
+      .distinct()
+      .withColumn("metric_id",
+        xxhash64(graft.tsdb.SeriesDim.canonical(labelCols)))
 
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {

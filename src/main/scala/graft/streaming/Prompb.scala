@@ -115,7 +115,7 @@ object Prompb {
   def encodeSnappy(series: Seq[PromSeries]): Array[Byte] =
     org.xerial.snappy.Snappy.compress(encodeWriteRequest(series))
 
-  private def encodeTimeSeries(ts: PromSeries): Array[Byte] = {
+  def encodeTimeSeries(ts: PromSeries): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     ts.labels.foreach { case (n, v) =>
       val l = new java.io.ByteArrayOutputStream()
@@ -155,18 +155,46 @@ object Prompb {
   final case class ReadQuery(startMs: Long, endMs: Long,
       matchers: Seq[graft.tsdb.Matcher])
 
-  def decodeReadRequest(bytes: Array[Byte]): Seq[ReadQuery] = {
-    val out = Seq.newBuilder[ReadQuery]
+  /** ReadRequest.ResponseType (public prompb/remote.proto): SAMPLES buffers
+    * one snappy blob; STREAMED_XOR_CHUNKS streams framed chunk batches.
+    */
+  val ResponseTypeSamples = 0L
+  val ResponseTypeStreamedXorChunks = 1L
+
+  final case class ReadRequest(queries: Seq[ReadQuery],
+      acceptedResponseTypes: Seq[Long])
+
+  def decodeReadRequest(bytes: Array[Byte]): Seq[ReadQuery] =
+    decodeReadRequestFull(bytes).queries
+
+  /** Full ReadRequest decode including `accepted_response_types` (field 2,
+    * packed or unpacked repeated enum) — the negotiation the reference's
+    * remote-read handler performs (`api/api.go:58-61` passes Prometheus'
+    * 1 MiB frame size to the streamed path).
+    */
+  def decodeReadRequestFull(bytes: Array[Byte]): ReadRequest = {
+    val qs = Seq.newBuilder[ReadQuery]
+    val accepted = Seq.newBuilder[Long]
     var pos = 0
     while (pos < bytes.length) {
       val (tag, p1) = varint(bytes, pos)
-      if ((tag >> 3) == 1 && (tag & 7) == 2) {
-        val (len, p2) = varint(bytes, p1)
-        out += decodeQuery(bytes, p2, p2 + len.toInt)
-        pos = p2 + len.toInt
-      } else pos = skip(bytes, p1, (tag & 7).toInt)
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = varint(bytes, p1)
+          qs += decodeQuery(bytes, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case (2, 0) =>
+          val (v, p2) = varint(bytes, p1); accepted += v; pos = p2
+        case (2, 2) => // packed
+          val (len, p2) = varint(bytes, p1)
+          var q = p2
+          val end = p2 + len.toInt
+          while (q < end) { val (v, q2) = varint(bytes, q); accepted += v; q = q2 }
+          pos = end
+        case (_, w) => pos = skip(bytes, p1, w.toInt)
+      }
     }
-    out.result()
+    ReadRequest(qs.result(), accepted.result())
   }
 
   private def decodeQuery(b: Array[Byte], from: Int, to: Int): ReadQuery = {
@@ -218,6 +246,13 @@ object Prompb {
     }
   }
 
+  /** Append one length-delimited field — streamed/incremental response
+    * assembly for callers outside this package.
+    */
+  def appendMessage(out: java.io.ByteArrayOutputStream, field: Int,
+      payload: Array[Byte]): Unit =
+    writeLenDelim(out, field, payload)
+
   /** One QueryResult per query, each carrying its matched series. */
   def encodeReadResponse(results: Seq[Seq[PromSeries]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -266,7 +301,8 @@ object Prompb {
     out.toByteArray
   }
 
-  def encodeReadRequest(queries: Seq[ReadQuery]): Array[Byte] = {
+  def encodeReadRequest(queries: Seq[ReadQuery],
+      acceptedResponseTypes: Seq[Long] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     queries.foreach { q =>
       val qb = new java.io.ByteArrayOutputStream()
@@ -275,7 +311,167 @@ object Prompb {
       q.matchers.foreach(m => writeLenDelim(qb, 3, encodeMatcher(m)))
       writeLenDelim(out, 1, qb.toByteArray)
     }
+    acceptedResponseTypes.foreach { t =>
+      out.write(2 << 3); writeVarint(out, t)
+    }
     out.toByteArray
+  }
+
+  // --- streamed chunked remote read (S3 at scale) ----------------------
+  //
+  // The public Prometheus streamed remote-read protocol
+  // (prompb/remote.proto + storage/remote/chunked.go): the response is a
+  // sequence of FRAMES, each `uvarint(len(payload))` + 4-byte big-endian
+  // CRC32-Castagnoli of the payload + the payload (a marshaled
+  // ChunkedReadResponse — NOT snappy-compressed; the XOR chunk data is
+  // already compact). The reference serves this with Prometheus' default
+  // 1 MiB frame budget (`api/api.go:58-61`).
+  //
+  // ChunkedReadResponse { repeated ChunkedSeries chunked_series = 1;
+  //                       int64 query_index = 2; }
+  // ChunkedSeries       { repeated Label labels = 1;
+  //                       repeated Chunk chunks = 2; }
+  // Chunk               { int64 min_time_ms = 1; int64 max_time_ms = 2;
+  //                       Encoding type = 3 (XOR = 1); bytes data = 4; }
+
+  val StreamedChunksContentType =
+    "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse"
+
+  /** One XOR chunk of a series: time bounds + chunkenc-layout bytes
+    * ([[graft.functions.XorChunk]]).
+    */
+  final case class ChunkMeta(minTimeMs: Long, maxTimeMs: Long,
+      data: Array[Byte])
+
+  def encodeChunkedSeries(labels: Map[String, String],
+      chunks: Seq[ChunkMeta]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      val l = new java.io.ByteArrayOutputStream()
+      writeLenDelim(l, 1, n.getBytes("UTF-8"))
+      writeLenDelim(l, 2, v.getBytes("UTF-8"))
+      writeLenDelim(out, 1, l.toByteArray)
+    }
+    chunks.foreach { c =>
+      val cb = new java.io.ByteArrayOutputStream()
+      cb.write(1 << 3); writeVarint(cb, c.minTimeMs)
+      cb.write(2 << 3); writeVarint(cb, c.maxTimeMs)
+      cb.write(3 << 3); writeVarint(cb, 1L) // Encoding.XOR
+      writeLenDelim(cb, 4, c.data)
+      writeLenDelim(out, 2, cb.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** Assemble one frame payload from pre-encoded ChunkedSeries bytes. */
+  def encodeChunkedReadResponse(seriesBytes: Seq[Array[Byte]],
+      queryIndex: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    seriesBytes.foreach(sb => writeLenDelim(out, 1, sb))
+    out.write(2 << 3); writeVarint(out, queryIndex)
+    out.toByteArray
+  }
+
+  /** Write one streamed frame: uvarint length + big-endian CRC32C +
+    * payload.
+    */
+  def writeChunkedFrame(os: java.io.OutputStream,
+      payload: Array[Byte]): Unit = {
+    var v = payload.length.toLong
+    while ((v & ~0x7FL) != 0) { os.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    os.write(v.toInt)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(payload)
+    val c = crc.getValue.toInt
+    os.write(c >>> 24); os.write((c >>> 16) & 0xFF)
+    os.write((c >>> 8) & 0xFF); os.write(c & 0xFF)
+    os.write(payload)
+  }
+
+  /** Split a framed response body back into CRC-verified payloads (client
+    * side / tests).
+    */
+  def readChunkedFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (len, p1) = varint(bytes, pos)
+      val expect =
+        ((bytes(p1) & 0xFFL) << 24) | ((bytes(p1 + 1) & 0xFFL) << 16) |
+          ((bytes(p1 + 2) & 0xFFL) << 8) | (bytes(p1 + 3) & 0xFFL)
+      val start = p1 + 4
+      val payload =
+        java.util.Arrays.copyOfRange(bytes, start, start + len.toInt)
+      val crc = new java.util.zip.CRC32C()
+      crc.update(payload)
+      require((crc.getValue & 0xFFFFFFFFL) == expect,
+        s"chunked frame CRC mismatch at offset $pos")
+      out += payload
+      pos = start + len.toInt
+    }
+    out.result()
+  }
+
+  /** Decode one frame payload: (query index, series with their chunks). */
+  def decodeChunkedReadResponse(payload: Array[Byte])
+      : (Long, Seq[(Map[String, String], Seq[ChunkMeta])]) = {
+    var qi = 0L
+    val series = Seq.newBuilder[(Map[String, String], Seq[ChunkMeta])]
+    var pos = 0
+    while (pos < payload.length) {
+      val (tag, p1) = varint(payload, pos)
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = varint(payload, p1)
+          series += decodeChunkedSeries(payload, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case (2, 0) => val (v, p2) = varint(payload, p1); qi = v; pos = p2
+        case (_, w) => pos = skip(payload, p1, w.toInt)
+      }
+    }
+    (qi, series.result())
+  }
+
+  private def decodeChunkedSeries(b: Array[Byte], from: Int,
+      to: Int): (Map[String, String], Seq[ChunkMeta]) = {
+    var pos = from
+    val labels = Map.newBuilder[String, String]
+    val chunks = Seq.newBuilder[ChunkMeta]
+    while (pos < to) {
+      val (tag, p1) = varint(b, pos)
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = varint(b, p1)
+          labels += decodeLabel(b, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case (2, 2) =>
+          val (len, p2) = varint(b, p1)
+          chunks += decodeChunk(b, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case (_, w) => pos = skip(b, p1, w.toInt)
+      }
+    }
+    (labels.result(), chunks.result())
+  }
+
+  private def decodeChunk(b: Array[Byte], from: Int, to: Int): ChunkMeta = {
+    var pos = from
+    var minT = 0L
+    var maxT = 0L
+    var data = Array.emptyByteArray
+    while (pos < to) {
+      val (tag, p1) = varint(b, pos)
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => val (v, p2) = varint(b, p1); minT = v; pos = p2
+        case (2, 0) => val (v, p2) = varint(b, p1); maxT = v; pos = p2
+        case (4, 2) =>
+          val (len, p2) = varint(b, p1)
+          data = java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case (_, w) => pos = skip(b, p1, w.toInt)
+      }
+    }
+    ChunkMeta(minT, maxT, data)
   }
 
   // --- Spark plumbing ---

@@ -188,4 +188,166 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       s"&time=${T9 / 1000}").body()
     assert(resp.contains(""""__name__":"v2_metric""""), resp)
   }
+
+  test("append-only hot store: per-write work pins one batch, LWW at read, " +
+    "bounded compaction") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.functions.col
+    val api2 = new HttpApi(spark, compactEvery = 3)
+    api2.write(Seq(series("m", "a", i => 1.0 + i)), "default")
+    api2.write(Seq(series("m", "a", i => 100.0 + i)), "default") // overwrite
+    assert(api2.pendingBatches === 2)
+    // the STORED plan is a union of pinned batches — proof no write ran a
+    // global groupBy (the old per-write O(total) rebuild)
+    val stored = api2.rawPoints.get
+    assert(stored.queryExecution.analyzed.collect {
+      case a: Aggregate => a }.isEmpty, "write path must not aggregate")
+    // read side resolves LWW: the second write's values win
+    val src = api2.source().get
+    val v = src.points.where(col("__name__") === "m")
+      .where(col("ts_ms") === T0).select("value").collect().map(_.getDouble(0))
+    assert(v.toSeq === Seq(100.0))
+    // third write crosses compactEvery → store folds to one deduped batch
+    api2.write(Seq(series("m", "b", i => 2.0)), "default")
+    assert(api2.pendingBatches === 0)
+    val compacted = api2.rawPoints.get
+    assert(compacted.count() ===
+      compacted.select("metric_id", "ts_ms").distinct().count())
+    // and the LWW winner survived compaction
+    val v2 = api2.source().get.points.where(col("__name__") === "m")
+      .where(col("instance") === "a" && col("ts_ms") === T0)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v2.toSeq === Seq(100.0))
+  }
+
+  test("remote read streams CRC-framed XOR chunks when negotiated") {
+    val req = org.xerial.snappy.Snappy.compress(Prompb.encodeReadRequest(
+      Seq(Prompb.ReadQuery(T0, T9, Seq(MatchEq("__name__", "node_load"),
+        MatchEq("instance", "i1")))),
+      Seq(Prompb.ResponseTypeStreamedXorChunks)))
+    val resp = post("/api/v1/read", req, "application/x-protobuf")
+    assert(resp.statusCode() === 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("")
+      .startsWith("application/x-streamed-protobuf"))
+    val frames = Prompb.readChunkedFrames(resp.body()) // CRC-verified
+    assert(frames.nonEmpty)
+    val decoded = frames.map(Prompb.decodeChunkedReadResponse)
+    assert(decoded.forall(_._1 === 0L)) // single query → index 0
+    val series = decoded.flatMap(_._2)
+    assert(series.size === 1)
+    val (labels, chunks) = series.head
+    assert(labels("__name__") === "node_load" && labels("instance") === "i1")
+    val samples = chunks.flatMap { c =>
+      val pts = graft.functions.XorChunk.decode(c.data)
+      assert(pts.head._1 === c.minTimeMs && pts.last._1 === c.maxTimeMs)
+      pts
+    }
+    assert(samples === (0 until 10).map(i => (T0 + i * 60000L, 1.0 + i)))
+  }
+
+  test("X-SquirrelDB-TTL header: expired series hidden; TTLs max-merge (T9)") {
+    // samples at T0 (≈2024) with a 60 s TTL are long expired at read time
+    post("/api/v1/write", Prompb.encodeSnappy(Seq(
+      series("ttl_metric", "i1", i => 1.0))), "application/x-protobuf",
+      Seq("X-SquirrelDB-Tenant" -> "ttlt", "X-SquirrelDB-TTL" -> "60"))
+    val hidden = get(s"/api/v1/query?query=${enc("ttl_metric")}" +
+      s"&time=${T9 / 1000}", Seq("X-SquirrelDB-Tenant" -> "ttlt")).body()
+    assert(!hidden.contains("ttl_metric"), hidden)
+    // a later write without the header supplies the (huge) default TTL;
+    // the reference keeps the LARGEST TTL any write supplied per series
+    post("/api/v1/write", Prompb.encodeSnappy(Seq(
+      series("ttl_metric", "i1", i => 1.0))), "application/x-protobuf",
+      Seq("X-SquirrelDB-Tenant" -> "ttlt"))
+    val visible = get(s"/api/v1/query?query=${enc("ttl_metric")}" +
+      s"&time=${T9 / 1000}", Seq("X-SquirrelDB-Tenant" -> "ttlt")).body()
+    assert(visible.contains(""""__name__":"ttl_metric""""), visible)
+  }
+
+  test("OTLP write route decodes ExportMetricsServiceRequest") {
+    import graft.streaming.Otlp
+    val payload = Otlp.encodeExportRequest("svc1", "oi1",
+      (0 until 5).map(i =>
+        Otlp.OtlpPoint("otlp_metric", Map.empty,
+          (T0 + i * 60000L) * 1000000L, 40.0 + i)))
+    val r = post("/api/v1/otlp/v1/metrics", payload, "application/x-protobuf")
+    assert(r.statusCode() === 204)
+    val resp = get(s"/api/v1/query?query=${enc("otlp_metric")}" +
+      s"&time=${(T0 + 4 * 60000L) / 1000}").body()
+    assert(resp.contains(""""__name__":"otlp_metric""""), resp)
+    assert(resp.contains(""""job":"svc1"""") &&
+      resp.contains(""""instance":"oi1""""), resp)
+  }
+
+  test("mutable labels: CRUD + matcher rewrite + decoration + label APIs") {
+    val mt = Seq("X-SquirrelDB-Tenant" -> "mt")
+    post("/api/v1/write", Prompb.encodeSnappy(Seq(
+      series("mt_load", "i1", i => 1.0 + i),
+      series("mt_load", "i2", i => 10.0 + i),
+      series("mt_load", "i3", i => 100.0 + i))), "application/x-protobuf", mt)
+    // CRUD: group → instance, g1 = {i1, i2}
+    val n = post("/mutable/names",
+      """[{"tenant":"mt","name":"group","associated_name":"instance"}]"""
+        .getBytes("UTF-8"), "application/json")
+    assert(n.statusCode() === 200 && new String(n.body(), "UTF-8") === "ok")
+    post("/mutable/values",
+      ("""[{"tenant":"mt","name":"group","value":"g1",""" +
+        """"associated_values":["i1","i2"]}]""").getBytes("UTF-8"),
+      "application/json")
+    // M1 rewrite: group="g1" selects exactly i1+i2
+    val q1 = get(s"/api/v1/query?query=${enc("""mt_load{group="g1"}""")}" +
+      s"&time=${T9 / 1000}", mt).body()
+    assert(q1.contains(""""instance":"i1"""") &&
+      q1.contains(""""instance":"i2"""") && !q1.contains("i3"), q1)
+    // M2 decoration: matched series carry the mutable label
+    assert(q1.contains(""""group":"g1""""), q1)
+    // grouping BY the mutable label works (decoration at the source, like
+    // the reference's index-level mutableMetricsSet)
+    val q2 = get(s"/api/v1/query?query=${
+      enc("""sum by (group) (mt_load{group="g1"})""")}" +
+      s"&time=${T9 / 1000}", mt).body()
+    // at T9: (1+9) + (10+9) = 29
+    assert(q2.contains(""""group":"g1"""") && q2.contains(""""29""""), q2)
+    // M3 label-API override: names include the mutable name; its values
+    // are the configured ones
+    assert(get("/api/v1/labels", mt).body().contains(""""group""""))
+    assert(get("/api/v1/label/group/values", mt).body()
+      .contains(""""g1""""))
+    // series endpoint decorates too
+    val se = get(s"/api/v1/series?match[]=${
+      enc("""mt_load{instance="i1"}""")}", mt).body()
+    assert(se.contains(""""group":"g1""""), se)
+    // other tenants see none of it
+    assert(!get("/api/v1/labels").body().contains(""""group""""))
+    // DELETE removes the name and its values
+    val d = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/mutable/names"))
+        .header("Content-Type", "application/json")
+        .method("DELETE", HttpRequest.BodyPublishers.ofString(
+          """[{"tenant":"mt","name":"group"}]"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+    assert(d.statusCode() === 200)
+    assert(!get("/api/v1/labels", mt).body().contains(""""group""""))
+  }
+
+  test("debug/index_verify reports hot-store identity invariants") {
+    val r = get("/debug/index_verify")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains(""""healthy":true"""), r.body())
+    assert(r.body().contains(""""badIds":0"""), r.body())
+  }
+
+  test("labels APIs honor match[] and time bounds") {
+    // matcher restriction: instance values of node_load{instance="i1"}
+    val vals = get(s"/api/v1/label/instance/values?match[]=${
+      enc("""node_load{instance="i1"}""")}").body()
+    assert(vals.contains(""""i1"""") && !vals.contains(""""i2""""), vals)
+    // time restriction: a window before any sample matches nothing
+    val none = get(s"/api/v1/label/instance/values?match[]=${
+      enc("node_load")}&start=0&end=1000").body()
+    assert(!none.contains(""""i1""""), none)
+    // labels endpoint with match[] returns the matching series' names only
+    val ls = get(s"/api/v1/labels?match[]=${enc("node_load")}").body()
+    assert(ls.contains(""""instance"""") && ls.contains(""""job""""), ls)
+  }
 }

@@ -142,4 +142,46 @@ class PrompbSpec extends SparkSpec {
       Seq((1L, -0.0), (2L, Double.MaxValue), (3L, 1e-308))))
     assert(Prompb.decodeSnappy(Prompb.encodeSnappy(weird)) === weird)
   }
+
+  test("ReadRequest accepted_response_types round-trips (packed + unpacked)") {
+    val q = Prompb.ReadQuery(1000L, 2000L,
+      Seq(graft.tsdb.MatchEq("__name__", "up")))
+    val req = Prompb.decodeReadRequestFull(
+      Prompb.encodeReadRequest(Seq(q),
+        Seq(Prompb.ResponseTypeStreamedXorChunks)))
+    assert(req.queries === Seq(q))
+    assert(req.acceptedResponseTypes ===
+      Seq(Prompb.ResponseTypeStreamedXorChunks))
+    // packed form (wire type 2 on field 2): bytes 12 02 00 01
+    val packed = Prompb.encodeReadRequest(Seq(q)) ++
+      Array[Byte](0x12, 0x02, 0x00, 0x01)
+    assert(Prompb.decodeReadRequestFull(packed).acceptedResponseTypes ===
+      Seq(0L, 1L))
+  }
+
+  test("chunked read frames: CRC-verified round-trip; corruption detected") {
+    val samples = (0 until 250).map(i => (1000L + i * 15000L, i * 1.5))
+    val chunks = samples.grouped(120).map(g =>
+      Prompb.ChunkMeta(g.head._1, g.last._1,
+        graft.functions.XorChunk.encode(g.toSeq))).toSeq
+    val labels = Map("__name__" -> "up", "job" -> "api")
+    val payload = Prompb.encodeChunkedReadResponse(
+      Seq(Prompb.encodeChunkedSeries(labels, chunks)), 3L)
+    val os = new java.io.ByteArrayOutputStream()
+    Prompb.writeChunkedFrame(os, payload)
+    Prompb.writeChunkedFrame(os, payload) // two frames in one body
+    val frames = Prompb.readChunkedFrames(os.toByteArray)
+    assert(frames.size === 2)
+    val (qi, series) = Prompb.decodeChunkedReadResponse(frames.head)
+    assert(qi === 3L)
+    assert(series.size === 1)
+    assert(series.head._1 === labels)
+    val roundTripped = series.head._2.flatMap(c =>
+      graft.functions.XorChunk.decode(c.data))
+    assert(roundTripped === samples)
+    // flipping one payload byte must fail the CRC check
+    val corrupt = os.toByteArray
+    corrupt(10) = (corrupt(10) ^ 0xFF).toByte
+    assertThrows[IllegalArgumentException](Prompb.readChunkedFrames(corrupt))
+  }
 }

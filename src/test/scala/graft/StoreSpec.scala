@@ -114,6 +114,41 @@ class StoreSpec extends SparkSpec {
     val r = Store.verifyIndex(points, broken, Seq("user_id", "event_type"))
     assert(r.orphanPoints > 0L)
     assert(r.idCollisions === 1L)
+    // the aliased row also fails the canonical round-trip (its stored id
+    // no longer derives from its labels)
+    assert(r.badIds === 1L)
+    assert(!r.healthy)
+    // a duplicated registration is counted
+    val dup = Store.verifyIndex(points,
+      dim.unionByName(dim.limit(1)), Seq("user_id", "event_type"))
+    assert(dup.duplicateLabelSets === 1L)
+    // --fix rebuilds a dim that verifies clean: dups collapsed, ids
+    // re-derived, orphans re-registered
+    val fixed = Store.fixIndex(points, broken.unionByName(dim.limit(1)),
+      Seq("user_id", "event_type"))
+    val after = Store.verifyIndex(points, fixed, Seq("user_id", "event_type"))
+    assert(after.healthy, after.toString)
+  }
+
+  test("index verifier: strict expiration flags past-due series") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dimPath = s"$tmp/verify_exp_dim"
+    val batch = Seq((5L, "click", 1000L), (6L, "view", 2000L))
+      .toDF("user_id", "event_type", "ts_ms")
+    Store.refreshSeriesExpiry(spark, dimPath, batch,
+      Seq("user_id", "event_type"), ttlSec = 60L)
+    val dim = spark.read.parquet(dimPath)
+    val pts = batch
+    // before the TTL horizon: consistent
+    assert(Store.verifyIndex(pts, dim, Seq("user_id", "event_type"),
+      nowMs = Some(1000L)).expiredButPresent === 0L)
+    // after: both series are past-due but still registered — the exact
+    // drift the reference's cassandraExpire sweep + strict verify catch
+    val late = Store.verifyIndex(pts, dim, Seq("user_id", "event_type"),
+      nowMs = Some(10_000_000L))
+    assert(late.expiredButPresent === 2L)
+    assert(!late.healthy)
   }
 
   test("T9: retention drops whole day partitions, keeps the rest") {
