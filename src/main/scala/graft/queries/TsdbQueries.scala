@@ -407,7 +407,90 @@ object TsdbQueries {
       pts(s, dir).select("user_id", "event_type").distinct()
         .withColumn("ord", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .orderBy(col("user_id"), col("event_type"))).cast("long")))
+            .orderBy(col("user_id"), col("event_type"))).cast("long"))),
+
+    // §3.2 end-to-end streaming slice: remote-write BYTES → wire decode →
+    // S1 validated ingest → T4 hot-buffer flush → J3 hot∪cold merge →
+    // the §3.1 query chain. Two write generations (batch 2 re-sends
+    // corrected samples) prove LWW through every stage; the oracle
+    // reproduces the full pipeline in SQL.
+    "e2e_stream_slice" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import graft.streaming.{HotBuffer, Prompb}
+      import graft.promql.{EvalParams, PromSource}
+      val SixH = 6 * Hour
+      // 0. one sample per (series, ts) — PromQL precondition, LWW on
+      //    event_id; the winning row keeps its event_id
+      val base = pts(s, dir)
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(max_by(struct(col("value"), col("event_id")),
+          col("event_id")).as("m"))
+        .select(col("user_id"), col("event_type"), col("ts_ms"),
+          col("m.value").as("value"), col("m.event_id").as("event_id"))
+      // 1. remote-write payloads, one per series, ENCODED ON EXECUTORS;
+      //    batch 2 is a later correction write (doubled values) that must
+      //    win last-write-wins end-to-end
+      def payloads(df: DataFrame, batch: Int) =
+        df.groupBy("user_id", "event_type")
+          .agg(collect_list(struct(col("ts_ms"), col("value"))).as("samples"))
+          .map { r =>
+            val labels = Map(
+              "__name__" -> "events_value",
+              "user_id" -> r.getAs[Long]("user_id").toString,
+              "event_type" -> r.getAs[String]("event_type"),
+              "__batch" -> batch.toString)
+            val samples = r.getAs[scala.collection.Seq[Row]]("samples")
+              .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+            Prompb.encodeSnappy(Seq(Prompb.PromSeries(labels, samples)))
+          }(Encoders.BINARY)
+      val wire = payloads(base, 1).union(payloads(
+        base.where(pmod(col("event_id"), lit(7)) === 0)
+          .withColumn("value", col("value") * 2), 2))
+      // 2. distributed wire decode → S1 ingest; the batch tag becomes the
+      //    write sequence and leaves the series identity
+      val ingested = graft.streaming.Ingest.ingestLabeled(
+          Prompb.decodeDataset(wire)
+            .withColumn("__seq",
+              element_at(col("labels"), "__batch").cast("long"))
+            .withColumn("labels",
+              map_filter(col("labels"), (k, _) => k =!= "__batch")),
+          "__account_id", "t-e2e")
+        .withColumn("user_id",
+          element_at(col("labels"), "user_id").cast("long"))
+        .withColumn("event_type", element_at(col("labels"), "event_type"))
+      // 3. cold store: persisted (LWW-deduped) points strictly below Jan20
+      val cold = ingested.where(col("ts_ms") < Jan20)
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(max_by(col("value"), col("__seq")).as("value"))
+      // 4. hot side: everything ≥ Jan15 through the T4 buffer — only
+      //    samples older than the 1 h horizon behind a series' newest
+      //    FLUSH (sorted, LWW per ts); the tail stays buffered. The
+      //    buffer key carries the series identity, so no dim join back.
+      val flushed = HotBuffer(
+        ingested.where(col("ts_ms") >= Jan15)
+          .select(concat_ws("\u0001", col("user_id"), col("event_type"))
+            .as("series"),
+            col("ts_ms").as("tsMs"), col("value"), col("__seq").as("seq"))
+          .as(Encoders.product[HotBuffer.Sample]),
+        horizonMs = Hour).toDF()
+      val hot = flushed
+        .select(split(col("series"), "\u0001").as("k"),
+          col("tsMs").as("ts_ms"), col("value"))
+        .select(col("k").getItem(0).cast("long").as("user_id"),
+          col("k").getItem(1).as("event_type"), col("ts_ms"), col("value"))
+      // 5. J3 merge, then the §3.1 chain over the merged store
+      val merged = PointOps.hotColdMerge(cold, hot,
+        Seq("user_id", "event_type"))
+      val src = PromSource(
+        merged.withColumn("__name__", lit("events_value"))
+          .withColumn("user_id", col("user_id").cast("string")),
+        Seq("__name__", "user_id", "event_type"), n => col(n))
+      graft.api.QueryService.queryRange(
+          "sum by (event_type) (events_value)", src,
+          EvalParams(Jan10, Jan25, Hour, lookbackMs = SixH))
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("value"))
+    })
   )
 
   // DuckDB oracle — `events` is the parquet table registered by the driver.
@@ -746,6 +829,41 @@ object TsdbQueries {
       SELECT user_id, event_type, row_number() OVER (
         ORDER BY user_id, event_type) AS ord
       FROM (SELECT DISTINCT user_id, event_type FROM events)""",
+
+    "e2e_stream_slice" -> s"""
+      WITH pts AS ($P),
+      base AS (
+        SELECT user_id, event_type, ts_ms,
+          arg_max(value, event_id) AS value, max(event_id) AS event_id
+        FROM pts GROUP BY 1, 2, 3),
+      corrected AS ( -- batch-2 correction write wins LWW
+        SELECT user_id, event_type, ts_ms,
+          CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+        FROM base),
+      cold AS (SELECT * FROM corrected WHERE ts_ms < ${Jan20}),
+      hot_raw AS (SELECT * FROM corrected WHERE ts_ms >= ${Jan15}),
+      hot_max AS (SELECT user_id, event_type, max(ts_ms) AS mx
+        FROM hot_raw GROUP BY 1, 2),
+      flushed AS ( -- hot-buffer flush: older than horizon behind newest
+        SELECT h.* FROM hot_raw h JOIN hot_max m
+        USING (user_id, event_type) WHERE h.ts_ms < m.mx - ${Hour}),
+      bnd AS (SELECT user_id, event_type, min(ts_ms) AS first_hot
+        FROM flushed GROUP BY 1, 2),
+      merged AS ( -- cold strictly before the series' first hot sample
+        SELECT c.user_id, c.event_type, c.ts_ms, c.value
+        FROM cold c LEFT JOIN bnd b USING (user_id, event_type)
+        WHERE b.first_hot IS NULL OR c.ts_ms < b.first_hot
+        UNION ALL
+        SELECT user_id, event_type, ts_ms, value FROM flushed),
+      grid AS (SELECT unnest(generate_series(
+        ${Jan10}, ${Jan25}, ${Hour})) AS eval_ms),
+      inst AS (SELECT user_id, event_type, eval_ms,
+        (max(struct_pack(t := ts_ms, v := value))).v AS value
+        FROM merged JOIN grid
+          ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${6 * Hour}
+        GROUP BY 1, 2, 3)
+      SELECT event_type, eval_ms, round(sum(value), 6) AS value
+      FROM inst GROUP BY 1, 2""",
 
     "j2_series_expiry" -> s"""
       WITH pts AS ($P),
