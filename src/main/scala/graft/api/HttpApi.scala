@@ -238,6 +238,7 @@ final class HttpApi(spark: SparkSession,
     s.createContext("/api/v1/", handle _)
     s.createContext("/mutable/", handle _)
     s.createContext("/debug/", handle _)
+    s.createContext("/ready", handle _)
     s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     s.start()
     server = Some(s)
@@ -263,7 +264,18 @@ final class HttpApi(spark: SparkSession,
         case (_, p) if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
           handleLabelValues(h,
             p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
+        case (_, "/ready") =>
+          respondBytes(h, 200, "SquirrelDB-compatible API ready\n"
+            .getBytes(UTF_8), "text/plain")
+        case (_, "/debug/flush") =>
+          compact()
+          respondBytes(h, 200,
+            "Flushed hot batches (compacted append-only store)\n"
+              .getBytes(UTF_8), "text/plain")
+        case (_, "/debug/index_info") => handleIndexInfo(h)
         case (_, "/debug/index_verify") => handleIndexVerify(h)
+        case ("GET", "/debug/mutable_dump") => handleMutableDump(h)
+        case ("POST", "/debug/mutable_import") => handleMutableImport(h)
         case ("POST", "/mutable/names") => handleMutableNames(h, delete = false)
         case ("DELETE", "/mutable/names") => handleMutableNames(h, delete = true)
         case ("POST", "/mutable/values") => handleMutableValues(h, delete = false)
@@ -565,6 +577,74 @@ final class HttpApi(spark: SparkSession,
     val healthy = badIds == 0 && collisions == 0
     respond(h, if (healthy) 200 else 500,
       s"""{"healthy":$healthy,"badIds":$badIds,"idCollisions":$collisions}""")
+  }
+
+  /** `/debug/index_info` (reference `api/api.go:213` → index info dump):
+    * store-level counts for operators.
+    */
+  private def handleIndexInfo(h: HttpExchange): Unit = {
+    val (nPoints, nSeries) = points match {
+      case None => (0L, 0L)
+      case Some(df) =>
+        (df.count(), df.select("metric_id").distinct().count())
+    }
+    respond(h, 200, s"""{"points":$nPoints,"series":$nSeries,""" +
+      s""""labelNames":${labelNames.size},""" +
+      s""""pendingBatches":$pendingBatches,""" +
+      s""""mutableNames":${mutableNames.size}}""")
+  }
+
+  /** `/debug/mutable_dump` CSV (reference `api/api.go:226` →
+    * `cassandra/mutable/provider.go:423-487`): one row per association —
+    * tenant,name,associated_name,value,associated_value; names without
+    * values still print one row (significant for re-import).
+    */
+  private def handleMutableDump(h: HttpExchange): Unit = {
+    val sb = new StringBuilder
+    mutableNames.toSeq.sortBy(k => (k._1._1, k._1._2)).foreach {
+      case ((tenant, name), assocName) =>
+        val values = mutableValues.toSeq.collect {
+          case ((t, n, v), assoc) if t == tenant && n == name => (v, assoc)
+        }.sortBy(_._1)
+        if (values.isEmpty)
+          sb.append(s"$tenant,$name,$assocName,,\n")
+        else values.foreach { case (v, assoc) =>
+          if (assoc.isEmpty) sb.append(s"$tenant,$name,$assocName,$v,\n")
+          else assoc.foreach(av =>
+            sb.append(s"$tenant,$name,$assocName,$v,$av\n"))
+        }
+    }
+    respondBytes(h, 200, sb.result().getBytes(UTF_8), "text/csv")
+  }
+
+  /** `/debug/mutable_import` (reference `api/api.go:640-656`): replace ALL
+    * mutable labels with the posted CSV; a dry-run without `?force`
+    * (values with commas/quotes are out of scope — label values).
+    */
+  private def handleMutableImport(h: HttpExchange): Unit = synchronized {
+    val force = Option(h.getRequestURI.getRawQuery).exists(
+      _.split("&").contains("force"))
+    val body = new String(h.getRequestBody.readAllBytes(), UTF_8)
+    val rows = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val f = line.split(",", -1)
+        require(f.length == 5, s"expected 5 CSV fields, got '$line'")
+        f
+      }
+    val names = rows.map(f => (f(0), f(1)) -> f(2)).distinct.toMap
+    val values = rows.filter(f => f(3).nonEmpty && f(4).nonEmpty)
+      .groupBy(f => (f(0), f(1), f(3)))
+      .map { case (k, fs) => k -> fs.map(_(4)).distinct }
+    if (force) {
+      mutableNames = names
+      mutableValues = values
+    }
+    val msg = s"Would import ${names.size} mutable names and " +
+      s"${values.size} value mappings (replacing all existing)\n" +
+      (if (force) "Import applied\n"
+      else "To apply change, add \"force\" parameter " +
+        "(e.g. /debug/mutable_import?force)\n")
+    respondBytes(h, 200, msg.getBytes(UTF_8), "text/plain")
   }
 
   // ---- mutable-label CRUD (reference api/api.go:954-1080) ----

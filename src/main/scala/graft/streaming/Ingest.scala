@@ -111,6 +111,9 @@ object Ingest {
     // unload state-store providers + their maintenance thread — the last
     // streaming residue that can tax later batch queries in the session
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    // the symlink dir was only needed while the source listed it
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
     out
   }
 }

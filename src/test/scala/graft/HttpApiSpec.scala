@@ -337,6 +337,37 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.body().contains(""""badIds":0"""), r.body())
   }
 
+  test("ready, debug/flush, debug/index_info, mutable dump/import") {
+    assert(get("/ready").statusCode() === 200)
+    val info = get("/debug/index_info")
+    assert(info.statusCode() === 200)
+    assert(info.body().contains(""""points":"""), info.body())
+    // flush compacts the append-only store
+    post("/api/v1/write", Prompb.encodeSnappy(Seq(
+      series("flush_metric", "i1", i => 1.0))), "application/x-protobuf")
+    assert(api.pendingBatches > 0)
+    assert(get("/debug/flush").statusCode() === 200)
+    assert(api.pendingBatches === 0)
+    // dump → import round-trip under a dedicated tenant
+    post("/mutable/names",
+      """[{"tenant":"dt","name":"envgrp","associated_name":"instance"}]"""
+        .getBytes("UTF-8"), "application/json")
+    post("/mutable/values",
+      ("""[{"tenant":"dt","name":"envgrp","value":"e1",""" +
+        """"associated_values":["i1"]}]""").getBytes("UTF-8"),
+      "application/json")
+    val dump = get("/debug/mutable_dump").body()
+    assert(dump.contains("dt,envgrp,instance,e1,i1"), dump)
+    // dry-run does not change state; force re-imports the dump verbatim
+    val dry = post("/debug/mutable_import", dump.getBytes("UTF-8"), "text/csv")
+    assert(new String(dry.body(), "UTF-8").contains("force"))
+    val forced = post("/debug/mutable_import?force",
+      dump.getBytes("UTF-8"), "text/csv")
+    assert(forced.statusCode() === 200)
+    assert(get("/debug/mutable_dump").body().contains(
+      "dt,envgrp,instance,e1,i1"))
+  }
+
   test("labels APIs honor match[] and time bounds") {
     // matcher restriction: instance values of node_load{instance="i1"}
     val vals = get(s"/api/v1/label/instance/values?match[]=${
