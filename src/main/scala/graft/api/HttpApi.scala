@@ -55,7 +55,8 @@ final class HttpApi(spark: SparkSession,
     tenantLabel: String = "__account_id",
     defaultTenant: String = "default",
     lookbackMs: Long = 300000L,
-    compactEvery: Int = 64) {
+    compactEvery: Int = 64,
+    maxBytesInFrame: Int = 1 << 20) { // reference api.go:60 (1 MiB)
 
   import Prompb.{ChunkMeta, PromRow, PromSeries}
 
@@ -65,8 +66,6 @@ final class HttpApi(spark: SparkSession,
     */
   val DefaultTtlSec: Long = 3155760000L
 
-  private val MaxBytesInFrame = 1 << 20 // reference api.go:60 (1 MiB)
-  private val SamplesPerChunk = 120 // Prometheus chunkenc default
 
   // hot store: append-only union of per-write batches, each
   // (labels, metric_id, ts_ms, value, __seq, __ttl_sec)
@@ -76,6 +75,13 @@ final class HttpApi(spark: SparkSession,
   private var dirtyBatches = 0 // batches appended since last compaction
   private var ttlSeen = false // any write with a non-default TTL?
   private var server: Option[HttpServer] = None
+
+  // internal telemetry (the reference serves promhttp at /metrics,
+  // `api/api.go:210`)
+  private val writesTotal = new java.util.concurrent.atomic.AtomicLong
+  private val pointsWrittenTotal = new java.util.concurrent.atomic.AtomicLong
+  private val queriesTotal = new java.util.concurrent.atomic.AtomicLong
+  private val readRequestsTotal = new java.util.concurrent.atomic.AtomicLong
 
   // mutable-label dimension (M4): (tenant, name) -> real label name;
   // (tenant, name, value) -> associated real values
@@ -99,6 +105,8 @@ final class HttpApi(spark: SparkSession,
     val rows = series.flatMap(s =>
       s.samples.map { case (t, v) => PromRow(s.labels, t, v) })
     if (rows.isEmpty) return
+    writesTotal.incrementAndGet()
+    pointsWrittenTotal.addAndGet(rows.size.toLong)
     writeSeq += 1
     if (ttlSec != DefaultTtlSec) ttlSeen = true
     val batch = Ingest.ingestLabeled(rows.toDF(), tenantLabel, tenant)
@@ -239,6 +247,7 @@ final class HttpApi(spark: SparkSession,
     s.createContext("/mutable/", handle _)
     s.createContext("/debug/", handle _)
     s.createContext("/ready", handle _)
+    s.createContext("/metrics", handle _)
     s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     s.start()
     server = Some(s)
@@ -267,6 +276,11 @@ final class HttpApi(spark: SparkSession,
         case (_, "/ready") =>
           respondBytes(h, 200, "SquirrelDB-compatible API ready\n"
             .getBytes(UTF_8), "text/plain")
+        case (_, "/metrics") => handleMetrics(h)
+        case (_, "/debug/index_dump") => handleIndexDump(h, None)
+        case (_, "/debug/index_dump_by_labels") =>
+          handleIndexDump(h,
+            params(h).get("query").flatMap(_.headOption))
         case (_, "/debug/flush") =>
           compact()
           respondBytes(h, 200,
@@ -334,6 +348,7 @@ final class HttpApi(spark: SparkSession,
     }
 
   private def handleRead(h: HttpExchange): Unit = {
+    readRequestsTotal.incrementAndGet()
     val req = Prompb.decodeReadRequestFull(
       org.xerial.snappy.Snappy.uncompress(h.getRequestBody.readAllBytes()))
     if (req.acceptedResponseTypes.contains(Prompb.ResponseTypeStreamedXorChunks))
@@ -399,7 +414,7 @@ final class HttpApi(spark: SparkSession,
           val sb = Prompb.encodeChunkedSeries(labels, chunks)
           frame :+= sb
           frameBytes += sb.length
-          if (frameBytes >= MaxBytesInFrame) flush()
+          if (frameBytes >= maxBytesInFrame) flush()
         }
         flush()
       }
@@ -418,6 +433,7 @@ final class HttpApi(spark: SparkSession,
   // ---- PromQL endpoints ----
 
   private def handleQueryRange(h: HttpExchange): Unit = {
+    queriesTotal.incrementAndGet()
     val ps = params(h)
     val q = required(ps, "query")
     val start = parseTime(required(ps, "start"))
@@ -435,6 +451,7 @@ final class HttpApi(spark: SparkSession,
   }
 
   private def handleQuery(h: HttpExchange): Unit = {
+    queriesTotal.incrementAndGet()
     val ps = params(h)
     val q = required(ps, "query")
     val t = ps.get("time").flatMap(_.headOption).map(parseTime)
@@ -577,6 +594,57 @@ final class HttpApi(spark: SparkSession,
     val healthy = badIds == 0 && collisions == 0
     respond(h, if (healthy) 200 else 500,
       s"""{"healthy":$healthy,"badIds":$badIds,"idCollisions":$collisions}""")
+  }
+
+  /** `/metrics` — internal telemetry in the Prometheus text exposition
+    * format (the reference serves promhttp here, `api/api.go:210`).
+    */
+  private def handleMetrics(h: HttpExchange): Unit = {
+    def c(name: String, help: String, v: Long): String =
+      s"# HELP $name $help\n# TYPE $name counter\n$name $v\n"
+    val body =
+      c("graft_writes_total", "Write requests accepted",
+        writesTotal.get) +
+        c("graft_points_written_total", "Samples ingested",
+          pointsWrittenTotal.get) +
+        c("graft_queries_total", "PromQL query/query_range requests",
+          queriesTotal.get) +
+        c("graft_read_requests_total", "Remote-read requests",
+          readRequestsTotal.get)
+    respondBytes(h, 200, body.getBytes(UTF_8),
+      "text/plain; version=0.0.4")
+  }
+
+  /** `/debug/index_dump` (+ `_by_labels` with `query=<selector>`) —
+    * reference `api/api.go:214,218`: one `metric_id labels…` line per
+    * series, streamed via `toLocalIterator`.
+    */
+  private def handleIndexDump(h: HttpExchange,
+      selector: Option[String]): Unit = {
+    val df0 = dedupedPoints() match {
+      case None =>
+        return respondBytes(h, 200, Array.emptyByteArray, "text/plain")
+      case Some(df) => df
+    }
+    val resolve: Column => String => Column =
+      labels => n => element_at(labels, n)
+    val filtered = selector.fold(df0)(sel => df0.where(
+      Matchers.all(resolve(col("labels")), selectorMatchers(sel))))
+    val series = filtered
+      .groupBy("metric_id")
+      .agg(max_by(col("labels"), col("__seq")).as("labels"))
+      .orderBy("metric_id")
+    h.getResponseHeaders.set("Content-Type", "text/plain")
+    h.sendResponseHeaders(200, 0)
+    val os = h.getResponseBody
+    val it = series.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val lbls = r.getAs[Map[String, String]]("labels").toSeq.sorted
+        .map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
+      os.write(s"${r.getAs[Long]("metric_id")} $lbls\n".getBytes(UTF_8))
+    }
+    os.close()
   }
 
   /** `/debug/index_info` (reference `api/api.go:213` → index info dump):

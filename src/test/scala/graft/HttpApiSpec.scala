@@ -337,6 +337,43 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.body().contains(""""badIds":0"""), r.body())
   }
 
+  test("streamed read splits into multiple frames under the frame budget") {
+    // tiny frame budget → every series becomes its own frame
+    val api2 = new HttpApi(spark, maxBytesInFrame = 64)
+    val port2 = api2.start(0)
+    try {
+      api2.write(Seq(
+        series("fm", "a", i => 1.0), series("fm", "b", i => 2.0),
+        series("fm", "c", i => 3.0)), "default")
+      val req = org.xerial.snappy.Snappy.compress(Prompb.encodeReadRequest(
+        Seq(Prompb.ReadQuery(T0, T9, Seq(MatchEq("__name__", "fm")))),
+        Seq(Prompb.ResponseTypeStreamedXorChunks)))
+      val resp = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port2/api/v1/read"))
+          .header("Content-Type", "application/x-protobuf")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val frames = Prompb.readChunkedFrames(resp.body())
+      assert(frames.size === 3, s"expected one frame per series")
+      val all = frames.flatMap(f => Prompb.decodeChunkedReadResponse(f)._2)
+      assert(all.map(_._1("instance")).sorted === Seq("a", "b", "c"))
+    } finally api2.stop()
+  }
+
+  test("metrics exposition and index dump endpoints") {
+    val m = get("/metrics")
+    assert(m.statusCode() === 200)
+    assert(m.body().contains("graft_points_written_total"), m.body())
+    assert(m.body().contains("# TYPE graft_writes_total counter"))
+    val dump = get("/debug/index_dump").body()
+    assert(dump.contains("""__name__="node_load""""), dump.take(300))
+    val byLabels = get(s"/debug/index_dump_by_labels?query=${
+      enc("""node_load{instance="i1"}""")}").body()
+    assert(byLabels.contains("""instance="i1""""), byLabels)
+    assert(!byLabels.contains("""instance="i2""""), byLabels)
+  }
+
   test("ready, debug/flush, debug/index_info, mutable dump/import") {
     assert(get("/ready").statusCode() === 200)
     val info = get("/debug/index_info")
