@@ -27,12 +27,15 @@ import graft.tsdb.{MatchEq, Matcher, Matchers, MutableMapping}
   * `X-SquirrelDB-TTL` (T9, `api/remotestorage/remotestorage.go:103-114`).
   *
   * Storage: an APPEND-ONLY hot store (S10 — the reference's temporary
-  * store appends batches per metric, `redis/temporarystore/redis.go:
-  * 156-220`). Each write pins ONLY its own batch (`localCheckpoint`), so
-  * per-write cost is O(batch); last-write-wins conflict resolution moves
-  * to the read side (the verified O2 dedup shape), and a bounded
-  * compaction every `compactEvery` batches keeps the union shallow. The
-  * durable path at scale is `store.Store.writePoints` (S8).
+  * store appends batches per metric while background goroutines flush,
+  * `redis/temporarystore/redis.go:156-220`, `batch/batch.go:368-503`).
+  * Each write pins ONLY its own batch (`localCheckpoint`), so per-write
+  * cost is O(batch) — including the p99: the every-`compactEvery`-batches
+  * fold runs on a BACKGROUND thread over a copy-on-write snapshot prefix
+  * and is swapped in atomically, so no write ever waits on it.
+  * Last-write-wins conflict resolution moves to the read side (the
+  * verified O2 dedup shape). The durable path at scale is
+  * `store.Store.writePoints` (S8).
   *
   * Remote read streams: when the client negotiates
   * `STREAMED_XOR_CHUNKS`, series are XOR-chunk-encoded on the EXECUTORS
@@ -67,14 +70,24 @@ final class HttpApi(spark: SparkSession,
   val DefaultTtlSec: Long = 3155760000L
 
 
-  // hot store: append-only union of per-write batches, each
-  // (labels, metric_id, ts_ms, value, __seq, __ttl_sec)
-  @volatile private var points: Option[DataFrame] = None
+  // hot store: append-only vector of per-write pinned batches, each
+  // (labels, metric_id, ts_ms, value, __seq, __ttl_sec). Element 0 may be
+  // a compacted fold (headCompacted) — compaction swaps a folded prefix
+  // COPY-ON-WRITE, so writes never wait on it (the reference's temp store
+  // appends while background goroutines flush, `batch/batch.go:368-503`).
+  @volatile private var batches: Vector[DataFrame] = Vector.empty
+  @volatile private var headCompacted = false
   @volatile private var labelNames: Seq[String] = Nil
   private var writeSeq = 0L
-  private var dirtyBatches = 0 // batches appended since last compaction
   private var ttlSeen = false // any write with a non-default TTL?
   private var server: Option[HttpServer] = None
+  private val compacting = new java.util.concurrent.atomic.AtomicBoolean
+  private val compactExec =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-hot-compact")
+      t.setDaemon(true)
+      t
+    })
 
   // internal telemetry (the reference serves promhttp at /metrics,
   // `api/api.go:210`)
@@ -113,23 +126,32 @@ final class HttpApi(spark: SparkSession,
       .withColumn("__seq", lit(writeSeq))
       .withColumn("__ttl_sec", lit(ttlSec))
       .localCheckpoint(true) // pins THIS batch only
-    points = Some(points.fold(batch)(_.unionByName(batch)))
-    dirtyBatches += 1
+    batches :+= batch
     // incremental label-name union: collects over the new batch only
     val batchNames = batch
       .select(explode(map_keys(col("labels"))).as("n")).distinct()
       .as[String].collect()
     labelNames = (labelNames ++ batchNames).distinct.sorted
-    if (dirtyBatches >= compactEvery) compact()
+    // bounded union depth, OFF the write path: the fold runs in the
+    // background over a snapshot prefix and is swapped in copy-on-write
+    if (pendingBatches >= compactEvery && compacting.compareAndSet(false, true))
+      compactExec.execute(() =>
+        try compactNow() finally compacting.set(false))
   }
 
-  /** Batches appended since the last compaction (test/introspection). */
-  def pendingBatches: Int = synchronized(dirtyBatches)
+  /** Batches appended since the last completed compaction. */
+  def pendingBatches: Int = {
+    val (b, hc) = (batches, headCompacted)
+    b.size - (if (hc && b.nonEmpty) 1 else 0)
+  }
 
   /** The raw appended store (tests/introspection): a union of pinned
     * batches between compactions — never an aggregate.
     */
-  def rawPoints: Option[DataFrame] = points
+  def rawPoints: Option[DataFrame] = unionAll(batches)
+
+  private def unionAll(bs: Vector[DataFrame]): Option[DataFrame] =
+    bs.reduceOption(_.unionByName(_))
 
   /** The LWW dedup shape shared by reads and compaction: later writes win
     * per (series, ts); ties break on value (O2 semantics,
@@ -143,13 +165,26 @@ final class HttpApi(spark: SparkSession,
         max(col("__seq")).as("__seq"),
         max(col("__ttl_sec")).as("__ttl_sec"))
 
-  /** Fold the accumulated batches into one deduped, pinned batch —
-    * amortized: runs every `compactEvery` writes, or on demand.
+  /** Fold the accumulated batches into one deduped, pinned batch.
+    * Copy-on-write: the Spark job runs over a SNAPSHOT prefix outside the
+    * write lock; the swap keeps any batches appended meanwhile (their
+    * higher `__seq` still wins read-side LWW). Synchronous — the write
+    * path schedules it on `compactExec` instead of calling it inline.
     */
-  def compact(): Unit = synchronized {
-    points.foreach { df =>
-      points = Some(lwwDedup(df).localCheckpoint(true))
-      dirtyBatches = 0
+  def compact(): Unit = compactNow()
+
+  // serializes folds against each other (the prefix-swap arithmetic needs
+  // one compaction at a time) WITHOUT blocking writes, which append under
+  // `this`-lock only
+  private val compactLock = new Object
+
+  private def compactNow(): Unit = compactLock.synchronized {
+    val snap = batches // volatile read; appends only ever extend the tail
+    if (snap.isEmpty || (snap.size == 1 && headCompacted)) return
+    val folded = lwwDedup(unionAll(snap).get).localCheckpoint(true)
+    synchronized {
+      batches = folded +: batches.drop(snap.size)
+      headCompacted = true
     }
   }
 
@@ -158,16 +193,19 @@ final class HttpApi(spark: SparkSession,
     * per-series TTL dim broadcasts (skipped entirely when no write ever
     * set one).
     */
-  private def dedupedPoints(): Option[DataFrame] = points.map { df =>
-    val d = if (dirtyBatches == 0) df else lwwDedup(df)
-    if (!ttlSeen) d
-    else {
-      val ttlDim = d.groupBy("metric_id")
-        .agg(max(col("__ttl_sec")).as("__series_ttl"))
-      d.join(broadcast(ttlDim), Seq("metric_id"))
-        .where(col("ts_ms") + col("__series_ttl") * 1000L >
-          lit(System.currentTimeMillis()))
-        .drop("__series_ttl")
+  private def dedupedPoints(): Option[DataFrame] = {
+    val (bs, hc) = (batches, headCompacted)
+    unionAll(bs).map { df =>
+      val d = if (bs.size == 1 && hc) df else lwwDedup(df)
+      if (!ttlSeen) d
+      else {
+        val ttlDim = d.groupBy("metric_id")
+          .agg(max(col("__ttl_sec")).as("__series_ttl"))
+        d.join(broadcast(ttlDim), Seq("metric_id"))
+          .where(col("ts_ms") + col("__series_ttl") * 1000L >
+            lit(System.currentTimeMillis()))
+          .drop("__series_ttl")
+      }
     }
   }
 
@@ -651,7 +689,7 @@ final class HttpApi(spark: SparkSession,
     * store-level counts for operators.
     */
   private def handleIndexInfo(h: HttpExchange): Unit = {
-    val (nPoints, nSeries) = points match {
+    val (nPoints, nSeries) = rawPoints match {
       case None => (0L, 0L)
       case Some(df) =>
         (df.count(), df.select("metric_id").distinct().count())

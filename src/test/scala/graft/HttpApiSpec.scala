@@ -207,8 +207,13 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     val v = src.points.where(col("__name__") === "m")
       .where(col("ts_ms") === T0).select("value").collect().map(_.getDouble(0))
     assert(v.toSeq === Seq(100.0))
-    // third write crosses compactEvery → store folds to one deduped batch
+    // third write crosses compactEvery → the BACKGROUND fold swaps in a
+    // single deduped batch (copy-on-write; the write itself returns
+    // without paying for it)
     api2.write(Seq(series("m", "b", i => 2.0)), "default")
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (api2.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
     assert(api2.pendingBatches === 0)
     val compacted = api2.rawPoints.get
     assert(compacted.count() ===
