@@ -59,7 +59,9 @@ final class HttpApi(spark: SparkSession,
     defaultTenant: String = "default",
     lookbackMs: Long = 300000L,
     compactEvery: Int = 64,
-    maxBytesInFrame: Int = 1 << 20) { // reference api.go:60 (1 MiB)
+    maxBytesInFrame: Int = 1 << 20, // reference api.go:60 (1 MiB)
+    durablePath: Option[String] = None, // S8 cold tier (parquet)
+    hotRetainMs: Long = 2 * 3600000L) {
 
   import Prompb.{ChunkMeta, PromRow, PromSeries}
 
@@ -107,6 +109,20 @@ final class HttpApi(spark: SparkSession,
   private val Reserved =
     Set("value", "ts_ms", "eval_ms", "labels", "metric_id", "__seq",
       "__ttl_sec")
+
+  // restart bootstrap: a pre-existing durable tier restores the label
+  // names and the TTL flag (mutable-label definitions live outside the
+  // point store, as in the reference's Cassandra tables)
+  locally {
+    coldPoints().foreach { c =>
+      import spark.implicits._
+      labelNames = c.select(explode(map_keys(col("labels"))).as("n"))
+        .distinct().as[String].collect().sorted.toSeq
+      val bounds = c.agg(max(col("__ttl_sec")), max(col("__seq"))).head
+      ttlSeen = bounds.getLong(0) != DefaultTtlSec
+      writeSeq = bounds.getLong(1) // new writes must outrank restored data
+    }
+  }
 
   /** S1 ingest, append-only: validated label-map rows become ONE pinned
     * batch unioned onto the store — O(batch) work per write; LWW conflict
@@ -181,12 +197,35 @@ final class HttpApi(spark: SparkSession,
   private def compactNow(): Unit = compactLock.synchronized {
     val snap = batches // volatile read; appends only ever extend the tail
     if (snap.isEmpty || (snap.size == 1 && headCompacted)) return
-    val folded = lwwDedup(unionAll(snap).get).localCheckpoint(true)
+    val folded0 = lwwDedup(unionAll(snap).get).localCheckpoint(true)
+    // S8 tiering: points older than the hot horizon spill to the durable
+    // day-partitioned parquet store (APPEND — late duplicates resolve
+    // read-side by __seq); the spill lands BEFORE the swap so a write
+    // failure loses nothing
+    val folded = durablePath match {
+      case Some(path) =>
+        val cutoff = System.currentTimeMillis() - hotRetainMs
+        val spill = folded0.where(col("ts_ms") < cutoff)
+        if (spill.limit(1).count() == 0) folded0
+        else {
+          graft.store.Store.writePoints(spill, path, Seq("metric_id"),
+            org.apache.spark.sql.SaveMode.Append)
+          folded0.where(col("ts_ms") >= cutoff).localCheckpoint(true)
+        }
+      case None => folded0
+    }
     synchronized {
       batches = folded +: batches.drop(snap.size)
       headCompacted = true
     }
   }
+
+  /** The durable cold tier, when configured and non-empty. */
+  private def coldPoints(): Option[DataFrame] =
+    durablePath
+      .filter(p => java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(p)))
+      .map(p => spark.read.parquet(p).drop("day"))
 
   /** Read view: LWW-deduped (skipped when already compacted) with T9
     * retention — a series' TTL is the max any write supplied; the tiny
@@ -195,8 +234,14 @@ final class HttpApi(spark: SparkSession,
     */
   private def dedupedPoints(): Option[DataFrame] = {
     val (bs, hc) = (batches, headCompacted)
-    unionAll(bs).map { df =>
-      val d = if (bs.size == 1 && hc) df else lwwDedup(df)
+    val deduped = (coldPoints(), unionAll(bs)) match {
+      case (Some(c), Some(h)) => Some(lwwDedup(c.unionByName(h)))
+      case (Some(c), None) => Some(lwwDedup(c)) // dedup across spills
+      case (None, Some(h)) =>
+        Some(if (bs.size == 1 && hc) h else lwwDedup(h))
+      case (None, None) => None
+    }
+    deduped.map { d =>
       if (!ttlSeen) d
       else {
         val ttlDim = d.groupBy("metric_id")

@@ -32,14 +32,18 @@ import graft.tsdb.Downsample
   */
 object Store {
 
-  /** S8 — persist points date-partitioned, series-clustered. */
+  /** S8 — persist points date-partitioned, series-clustered. Append mode
+    * supports incremental spills (e.g. the HTTP facade's hot→cold
+    * tiering); duplicate (series, ts) across appends resolve read-side by
+    * `__seq` LWW.
+    */
   def writePoints(points: DataFrame, path: String,
-      series: Seq[String]): Unit =
+      series: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit =
     points
       .withColumn("day", to_date(timestamp_millis(col("ts_ms"))))
       .repartition(col("day"))
       .sortWithinPartitions((series.map(col) :+ col("ts_ms")): _*)
-      .write.partitionBy("day").mode(SaveMode.Overwrite).parquet(path)
+      .write.partitionBy("day").mode(mode).parquet(path)
 
   /** Read back with partition pruning for a time range. */
   def readPoints(spark: SparkSession, path: String,

@@ -366,6 +366,40 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     } finally api2.stop()
   }
 
+  test("durable tier: compaction spills old points to parquet; a restart " +
+    "serves them") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_durable")
+      .resolve("cold").toString
+    val api3 = new HttpApi(spark, compactEvery = 2,
+      durablePath = Some(dir))
+    api3.write(Seq(series("dm", "a", i => 1.0 + i)), "default")
+    api3.write(Seq(series("dm", "b", i => 5.0)), "default") // → compact+spill
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (api3.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    // fixture timestamps (2024) are far beyond the hot horizon → all 20
+    // samples are on disk, none left in memory
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    assert(api3.rawPoints.get.count() === 0)
+    // reads still see the full history through the cold tier
+    val src = api3.source().get
+    assert(src.points.where(col("__name__") === "dm").count() === 20)
+    // a FRESH facade over the same path restores label names and data —
+    // the durability the in-memory-only store lacked
+    val api4 = new HttpApi(spark, durablePath = Some(dir))
+    val src4 = api4.source().get
+    assert(src4.labelCols.contains("instance"))
+    assert(src4.points.where(col("__name__") === "dm").count() === 20)
+    // and writes keep working on top of the restored tier (LWW intact)
+    api4.write(Seq(series("dm", "a", i => 100.0 + i)), "default")
+    val v = api4.source().get.points
+      .where(col("__name__") === "dm" && col("instance") === "a" &&
+        col("ts_ms") === T0)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v.toSeq === Seq(100.0))
+  }
+
   test("metrics exposition and index dump endpoints") {
     val m = get("/metrics")
     assert(m.statusCode() === 200)
