@@ -220,33 +220,63 @@ final class HttpApi(spark: SparkSession,
     }
   }
 
-  /** The durable cold tier, when configured and non-empty. */
-  private def coldPoints(): Option[DataFrame] =
+  /** The durable cold tier, when configured and non-empty. Finite time
+    * bounds become a `day` predicate so parquet PARTITION PRUNING kicks
+    * in before the row-group ts stats do (the bulk-export path must not
+    * scan the whole history for a bounded read).
+    */
+  private def coldPoints(fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[DataFrame] =
     durablePath
       .filter(p => java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(p)))
-      .map(p => spark.read.parquet(p).drop("day"))
+      .map { p =>
+        val df = spark.read.parquet(p)
+        val pruned =
+          if (fromMs == Long.MinValue || toMs == Long.MaxValue) df
+          else df.where(col("day").between(
+            to_date(timestamp_millis(lit(fromMs))),
+            to_date(timestamp_millis(lit(toMs)))))
+        pruned.drop("day")
+      }
 
   /** Read view: LWW-deduped (skipped when already compacted) with T9
     * retention — a series' TTL is the max any write supplied; the tiny
     * per-series TTL dim broadcasts (skipped entirely when no write ever
     * set one).
     */
-  private def dedupedPoints(): Option[DataFrame] = {
+  private def dedupedPoints(fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[DataFrame] = {
     val (bs, hc) = (batches, headCompacted)
-    val deduped = (coldPoints(), unionAll(bs)) match {
-      case (Some(c), Some(h)) => Some(lwwDedup(c.unionByName(h)))
-      case (Some(c), None) => Some(lwwDedup(c)) // dedup across spills
-      case (None, Some(h)) =>
-        Some(if (bs.size == 1 && hc) h else lwwDedup(h))
-      case (None, None) => None
-    }
+    // time bounds apply BELOW the dedup aggregate (ts_ms is a grouping
+    // key, so this is where the scan-level pruning comes from)
+    def bounded(df: DataFrame): DataFrame =
+      if (fromMs == Long.MinValue && toMs == Long.MaxValue) df
+      else df.where(col("ts_ms") >= fromMs && col("ts_ms") <= toMs)
+    val deduped =
+      (coldPoints(fromMs, toMs).map(bounded),
+        unionAll(bs).map(bounded)) match {
+        case (Some(c), Some(h)) => Some(lwwDedup(c.unionByName(h)))
+        case (Some(c), None) => Some(lwwDedup(c)) // dedup across spills
+        case (None, Some(h)) =>
+          Some(if (bs.size == 1 && hc) h else lwwDedup(h))
+        case (None, None) => None
+      }
     deduped.map { d =>
       if (!ttlSeen) d
       else {
-        val ttlDim = d.groupBy("metric_id")
+        // the per-series TTL is max-merged over the WHOLE history (a
+        // bounded read must not shrink a series' TTL — T9); the dim scan
+        // is column-pruned to (metric_id, __ttl_sec)
+        val ttlDim = (coldPoints(), unionAll(batches)) match {
+          case (Some(c), Some(h)) => c.unionByName(h)
+          case (Some(c), None) => c
+          case (None, Some(h)) => h
+          case (None, None) => d
+        }
+        val ttls = ttlDim.groupBy("metric_id")
           .agg(max(col("__ttl_sec")).as("__series_ttl"))
-        d.join(broadcast(ttlDim), Seq("metric_id"))
+        d.join(broadcast(ttls), Seq("metric_id"))
           .where(col("ts_ms") + col("__series_ttl") * 1000L >
             lit(System.currentTimeMillis()))
           .drop("__series_ttl")
@@ -418,10 +448,9 @@ final class HttpApi(spark: SparkSession,
     * time-sorted samples, metric_id-ordered for a deterministic stream.
     */
   private def readSeriesFrame(q: Prompb.ReadQuery): Option[DataFrame] =
-    dedupedPoints().map { df =>
+    dedupedPoints(q.startMs, q.endMs).map { df =>
       val resolve: String => Column = n => element_at(col("labels"), n)
-      df.where(col("ts_ms") >= q.startMs && col("ts_ms") <= q.endMs)
-        .where(if (q.matchers.isEmpty) lit(true)
+      df.where(if (q.matchers.isEmpty) lit(true)
           else Matchers.all(resolve, q.matchers))
         .groupBy("metric_id")
         .agg(max_by(col("labels"), col("__seq")).as("labels"),
@@ -577,11 +606,10 @@ final class HttpApi(spark: SparkSession,
   private def matchedPoints(ps: Map[String, Seq[String]]): Option[DataFrame] = {
     val sels = ps.getOrElse("match[]", Seq.empty)
     val (startMs, endMs) = timeBounds(ps)
-    dedupedPoints().map { df =>
+    dedupedPoints(startMs, endMs).map { df =>
       val resolve: String => Column = n => element_at(col("labels"), n)
-      val timed = df.where(col("ts_ms") >= startMs && col("ts_ms") <= endMs)
-      if (sels.isEmpty) timed
-      else timed.where(sels.map(s => Matchers.all(resolve, selectorMatchers(s)))
+      if (sels.isEmpty) df
+      else df.where(sels.map(s => Matchers.all(resolve, selectorMatchers(s)))
         .reduce(_ || _))
     }
   }
