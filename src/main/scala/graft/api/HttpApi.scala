@@ -447,7 +447,7 @@ final class HttpApi(spark: SparkSession,
   /** Per-query matched series: LWW-deduped rows grouped per series with
     * time-sorted samples, metric_id-ordered for a deterministic stream.
     */
-  private def readSeriesFrame(q: Prompb.ReadQuery): Option[DataFrame] =
+  private[graft] def readSeriesFrame(q: Prompb.ReadQuery): Option[DataFrame] =
     dedupedPoints(q.startMs, q.endMs).map { df =>
       val resolve: String => Column = n => element_at(col("labels"), n)
       df.where(if (q.matchers.isEmpty) lit(true)

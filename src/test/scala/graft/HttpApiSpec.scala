@@ -400,6 +400,25 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(v.toSeq === Seq(100.0))
   }
 
+  test("durable tier plan: bounded reads prune day partitions and push " +
+    "ts filters to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune")
+      .resolve("cold").toString
+    val api5 = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    api5.write(Seq(series("pm", "a", i => 1.0)), "default")
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (api5.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val frame = api5.readSeriesFrame(
+      Prompb.ReadQuery(T0, T0 + 60000L, Seq(MatchEq("__name__", "pm")))).get
+    val plan = frame.queryExecution.executedPlan.toString
+    // day partition pruning + ts_ms pushed below the LWW aggregate
+    assert(plan.contains("PartitionFilters") && plan.contains("day"), plan)
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ").contains("GreaterThanOrEqual(ts_ms"),
+      plan)
+  }
+
   test("metrics exposition and index dump endpoints") {
     val m = get("/metrics")
     assert(m.statusCode() === 200)
