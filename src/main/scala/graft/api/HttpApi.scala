@@ -310,8 +310,10 @@ final class HttpApi(spark: SparkSession,
     * tenant's mutable labels become decorated columns so matching AND
     * grouping on them work (reference decorates at the index layer).
     */
-  def source(tenant: String = defaultTenant): Option[PromSource] =
-    dedupedPoints().map { df0 =>
+  def source(tenant: String = defaultTenant,
+      fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[PromSource] =
+    dedupedPoints(fromMs, toMs).map { df0 =>
       val names = labelNames.filterNot(Reserved)
       val withLabels = names.foldLeft(df0)((d, n) =>
         d.withColumn(n, element_at(col("labels"), n)))
@@ -551,11 +553,13 @@ final class HttpApi(spark: SparkSession,
     val start = parseTime(required(ps, "start"))
     val end = parseTime(required(ps, "end"))
     val step = parseDuration(required(ps, "step"))
-    source(tenantOf(h)) match {
+    val p = EvalParams(start, end, step, lookbackMs)
+    // per-query [mint, maxt] from the AST → cold-tier partition pruning
+    val (mint, maxt) = QueryService.timeBounds(Parser.parse(q), p)
+    source(tenantOf(h), mint, maxt) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"matrix","result":[]}"""))
       case Some(src) =>
-        val p = EvalParams(start, end, step, lookbackMs)
         val df = QueryService.queryRange(q, src, p, requestOptions(h))
         val labels = df.columns.filterNot(Set("eval_ms", "value")).toSeq
         respond(h, 200, PromJson.matrix(df, labels))
@@ -568,16 +572,18 @@ final class HttpApi(spark: SparkSession,
     val q = required(ps, "query")
     val t = ps.get("time").flatMap(_.headOption).map(parseTime)
       .getOrElse(System.currentTimeMillis())
-    source(tenantOf(h)) match {
+    val p = EvalParams(t, t, 1000L, lookbackMs)
+    val ast = Parser.parse(q)
+    val (mint, maxt) = QueryService.timeBounds(ast, p)
+    source(tenantOf(h), mint, maxt) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"vector","result":[]}"""))
       case Some(src) =>
-        val p = EvalParams(t, t, 1000L, lookbackMs)
         val df = QueryService.queryRange(q, src, p, requestOptions(h))
         val labels = df.columns.filterNot(Set("eval_ms", "value")).toSeq
         // presentation ordering for a top-level sort/sort_desc — applied
         // HERE, not in the plan
-        val order = Parser.parse(q) match {
+        val order = ast match {
           case FuncCall("sort", _, _) => Some(false)
           case FuncCall("sort_desc", _, _) => Some(true)
           case _ => None

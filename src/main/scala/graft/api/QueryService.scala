@@ -42,6 +42,47 @@ object QueryService {
     withLimits(df, src.labelCols, opts)
   }
 
+  /** Conservative [mint, maxt] of the raw points a query can touch — the
+    * Prometheus engine computes the same per-query bounds to clamp its
+    * select (`promql/engine.go` findMinMaxTime): each selector reaches
+    * back `range-or-lookback` plus its accumulated offsets (and any
+    * enclosing subquery windows) from its evaluation grid; negative
+    * offsets extend the future side; `@` pins the grid to one instant
+    * (start()/end() resolve against the request range). Storage uses the
+    * result for partition pruning; an expression with no selectors
+    * returns the unbounded interval.
+    */
+  def timeBounds(e: Expr, p: EvalParams): (Long, Long) = {
+    var mint = Long.MaxValue
+    var maxt = Long.MinValue
+    def resolveAt(at: Long): Long = at match {
+      case Selector.AtStart => p.startMs
+      case Selector.AtEnd => p.endMs
+      case t => t
+    }
+    def go(e: Expr, ctxOffset: Long, ctxBack: Long): Unit = e match {
+      case s: Selector =>
+        val back = s.rangeMs.getOrElse(p.lookbackMs) + ctxBack
+        val off = s.offsetMs + ctxOffset
+        val (evalMin, evalMax) = s.atMs match {
+          case Some(at) => val t = resolveAt(at); (t, t)
+          case None => (p.startMs, p.endMs)
+        }
+        mint = math.min(mint, evalMin - off - back)
+        maxt = math.max(maxt, evalMax - off)
+      case Subquery(b, r, _, off) => go(b, ctxOffset + off, ctxBack + r)
+      case FuncCall(_, a, _) => go(a, ctxOffset, ctxBack)
+      case LabelCall(_, a, _) => go(a, ctxOffset, ctxBack)
+      case a: Agg => go(a.body, ctxOffset, ctxBack)
+      case b: BinOp =>
+        go(b.lhs, ctxOffset, ctxBack); go(b.rhs, ctxOffset, ctxBack)
+      case _ => ()
+    }
+    go(e, 0L, 0L)
+    if (mint == Long.MaxValue) (Long.MinValue, Long.MaxValue)
+    else (mint, maxt)
+  }
+
   /** Inject tenant + forced matchers into every selector and apply the
     * mutable-label rewrite — the whole wrapper chain is one AST pass.
     */

@@ -398,6 +398,17 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
         col("ts_ms") === T0)
       .select("value").collect().map(_.getDouble(0))
     assert(v.toSeq === Seq(100.0))
+    // offset-aware bounds: an `offset 1d` query whose naive window lies a
+    // day PAST the data must still reach it through the pruned cold tier
+    import graft.api.QueryService
+    import graft.promql.{EvalParams, Parser}
+    val day = 86400000L
+    val pOff = EvalParams(T0 + day, T9 + day, 60000L, 300000L)
+    val (mint, maxt) = QueryService.timeBounds(
+      Parser.parse("dm offset 1d"), pOff)
+    val shifted = QueryService.queryRange("dm offset 1d",
+      api4.source("default", mint, maxt).get, pOff)
+    assert(shifted.count() > 0)
   }
 
   test("durable tier plan: bounded reads prune day partitions and push " +

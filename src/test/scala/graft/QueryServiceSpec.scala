@@ -88,4 +88,30 @@ class QueryServiceSpec extends SparkSpec {
       RequestOptions(maxSeries = Some(100), maxPoints = Some(1000000)))
     assert(bothOk.count() > 0)
   }
+
+  test("timeBounds: per-query [mint, maxt] like the Prometheus engine") {
+    import graft.promql.{EvalParams, Parser}
+    val S = 1000000L
+    val E = 2000000L
+    val L = 300000L // lookback
+    val p = EvalParams(S, E, 60000L, lookbackMs = L)
+    def b(q: String) = QueryService.timeBounds(Parser.parse(q), p)
+    // instant selector: lookback behind the grid
+    assert(b("m") === (S - L, E))
+    // range selector: the range replaces the lookback
+    assert(b("rate(m[1h])") === (S - 3600000L, E))
+    // offset shifts both ends
+    assert(b("m offset 1m") === (S - 60000L - L, E - 60000L))
+    // negative offset extends the future side
+    assert(b("m offset -1m") === (S + 60000L - L, E + 60000L))
+    // subquery: window widens the lookbehind, its offset accumulates
+    assert(b("max_over_time(m[10m:1m] offset 2m)") ===
+      (S - 120000L - 600000L - L, E - 120000L))
+    // binop takes the union of both sides
+    assert(b("m / rate(n[30m])") === (S - 1800000L, E))
+    // @ pins the grid to one instant (here: end())
+    assert(b("m @ end()") === (E - L, E))
+    // no selectors → unbounded (nothing to clamp)
+    assert(b("time()") === (Long.MinValue, Long.MaxValue))
+  }
 }
