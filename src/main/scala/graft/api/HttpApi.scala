@@ -78,7 +78,13 @@ final class HttpApi(spark: SparkSession,
   // COPY-ON-WRITE, so writes never wait on it (the reference's temp store
   // appends while background goroutines flush, `batch/batch.go:368-503`).
   @volatile private var batches: Vector[DataFrame] = Vector.empty
+  @volatile private var batchMins: Vector[Long] = Vector.empty // min ts_ms
   @volatile private var headCompacted = false
+  // monotone spill frontier + overlap tracking: a write whose oldest
+  // sample falls behind an earlier spill MAY duplicate keys already on
+  // disk; only then do reads pay the LWW dedup shuffle over the cold tier
+  @volatile private var lastSpillCutoff = Long.MinValue
+  @volatile private var coldDirty = false
   @volatile private var labelNames: Seq[String] = Nil
   private var writeSeq = 0L
   private var ttlSeen = false // any write with a non-default TTL?
@@ -121,6 +127,7 @@ final class HttpApi(spark: SparkSession,
       val bounds = c.agg(max(col("__ttl_sec")), max(col("__seq"))).head
       ttlSeen = bounds.getLong(0) != DefaultTtlSec
       writeSeq = bounds.getLong(1) // new writes must outrank restored data
+      coldDirty = true // spill overlap history unknown across restarts
     }
   }
 
@@ -142,12 +149,19 @@ final class HttpApi(spark: SparkSession,
       .withColumn("__seq", lit(writeSeq))
       .withColumn("__ttl_sec", lit(ttlSec))
       .localCheckpoint(true) // pins THIS batch only
-    batches :+= batch
-    // incremental label-name union: collects over the new batch only
-    val batchNames = batch
-      .select(explode(map_keys(col("labels"))).as("n")).distinct()
-      .as[String].collect()
+    // incremental label-name union + oldest-sample probe: one pass over
+    // the new batch only
+    val stats = batch.agg(
+      collect_set(map_keys(col("labels"))).as("names"),
+      min(col("ts_ms")).as("min_ts")).head
+    val batchNames = stats
+      .getAs[scala.collection.Seq[scala.collection.Seq[String]]]("names")
+      .flatten.distinct
     labelNames = (labelNames ++ batchNames).distinct.sorted
+    val minTs = stats.getAs[Long]("min_ts")
+    batches :+= batch
+    batchMins :+= minTs
+    if (minTs < lastSpillCutoff) coldDirty = true
     // bounded union depth, OFF the write path: the fold runs in the
     // background over a snapshot prefix and is swapped in copy-on-write
     if (pendingBatches >= compactEvery && compacting.compareAndSet(false, true))
@@ -197,26 +211,54 @@ final class HttpApi(spark: SparkSession,
   private def compactNow(): Unit = compactLock.synchronized {
     val snap = batches // volatile read; appends only ever extend the tail
     if (snap.isEmpty || (snap.size == 1 && headCompacted)) return
+    val snapMin = batchMins.take(snap.size).min
     val folded0 = lwwDedup(unionAll(snap).get).localCheckpoint(true)
     // S8 tiering: points older than the hot horizon spill to the durable
     // day-partitioned parquet store (APPEND — late duplicates resolve
     // read-side by __seq); the spill lands BEFORE the swap so a write
     // failure loses nothing
-    val folded = durablePath match {
+    val (folded, foldedMin, spilledTo) = durablePath match {
       case Some(path) =>
         val cutoff = System.currentTimeMillis() - hotRetainMs
         val spill = folded0.where(col("ts_ms") < cutoff)
-        if (spill.limit(1).count() == 0) folded0
+        if (spill.limit(1).count() == 0) (folded0, snapMin, Long.MinValue)
         else {
           graft.store.Store.writePoints(spill, path, Seq("metric_id"),
             org.apache.spark.sql.SaveMode.Append)
-          folded0.where(col("ts_ms") >= cutoff).localCheckpoint(true)
+          (folded0.where(col("ts_ms") >= cutoff).localCheckpoint(true),
+            cutoff, cutoff)
         }
-      case None => folded0
+      case None => (folded0, snapMin, Long.MinValue)
     }
     synchronized {
+      val tailMins = batchMins.drop(snap.size)
+      if (spilledTo != Long.MinValue) {
+        // keys below the PREVIOUS frontier may already be on disk, and
+        // batches appended DURING the fold may now sit below the new one
+        if (snapMin < lastSpillCutoff) coldDirty = true
+        if (tailMins.exists(_ < spilledTo)) coldDirty = true
+        lastSpillCutoff = spilledTo
+      }
       batches = folded +: batches.drop(snap.size)
+      batchMins = foldedMin +: tailMins
       headCompacted = true
+    }
+  }
+
+  /** Out-of-band cold-tier compaction: rewrite the durable store deduped
+    * (clears the overlap flag so reads go back to pure scans). The
+    * result is materialized BEFORE the overwrite.
+    */
+  def compactCold(): Unit = compactLock.synchronized {
+    durablePath.foreach { path =>
+      // fold + spill the hot side first, so no backfilled key lingers in
+      // memory after the flag clears (locks are reentrant here)
+      compactNow()
+      coldPoints().foreach { c =>
+        val cleaned = lwwDedup(c).localCheckpoint(true)
+        graft.store.Store.writePoints(cleaned, path, Seq("metric_id"))
+        coldDirty = false
+      }
     }
   }
 
@@ -253,13 +295,21 @@ final class HttpApi(spark: SparkSession,
     def bounded(df: DataFrame): DataFrame =
       if (fromMs == Long.MinValue && toMs == Long.MaxValue) df
       else df.where(col("ts_ms") >= fromMs && col("ts_ms") <= toMs)
+    // the dedup SHUFFLE is paid only where duplicate keys can exist: a
+    // compacted single hot batch is clean, and the cold tier is clean
+    // unless a backfill crossed the spill frontier (coldDirty) — for
+    // append-mostly workloads reads are pure scans
+    def hotDeduped(h: DataFrame): DataFrame =
+      if (bs.size == 1 && hc) h else lwwDedup(h)
     val deduped =
       (coldPoints(fromMs, toMs).map(bounded),
         unionAll(bs).map(bounded)) match {
-        case (Some(c), Some(h)) => Some(lwwDedup(c.unionByName(h)))
-        case (Some(c), None) => Some(lwwDedup(c)) // dedup across spills
-        case (None, Some(h)) =>
-          Some(if (bs.size == 1 && hc) h else lwwDedup(h))
+        case (Some(c), Some(h)) =>
+          Some(if (coldDirty) lwwDedup(c.unionByName(h))
+          else c.unionByName(hotDeduped(h)))
+        case (Some(c), None) =>
+          Some(if (coldDirty) lwwDedup(c) else c)
+        case (None, Some(h)) => Some(hotDeduped(h))
         case (None, None) => None
       }
     deduped.map { d =>

@@ -411,6 +411,44 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(shifted.count() > 0)
   }
 
+  test("clean append-only reads skip the dedup shuffle; backfill flips " +
+    "it on; compactCold restores pure scans") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.functions.col
+    def aggs(api: HttpApi): Int = api.source().get.points
+      .queryExecution.analyzed.collect { case a: Aggregate => a }.size
+    val dir = java.nio.file.Files.createTempDirectory("graft_clean")
+      .resolve("cold").toString
+    val api6 = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    api6.write(Seq(series("cm", "a", i => 1.0 + i)), "default")
+    var deadline = System.nanoTime() + 30L * 1000000000L
+    while (api6.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    // sequential ingest + spill: the read plan is a pure scan — zero
+    // aggregates, zero shuffles
+    assert(aggs(api6) === 0)
+    assert(api6.source().get.points.where(col("__name__") === "cm")
+      .count() === 10)
+    // a backfill behind the spill frontier may duplicate disk keys →
+    // reads pay the LWW dedup again, and values resolve to the rewrite
+    api6.write(Seq(series("cm", "a", i => 50.0 + i)), "default")
+    deadline = System.nanoTime() + 30L * 1000000000L
+    while (api6.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(aggs(api6) > 0)
+    val v = api6.source().get.points
+      .where(col("__name__") === "cm" && col("ts_ms") === T0)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v.toSeq === Seq(50.0))
+    // out-of-band cold compaction dedups the tier and clears the flag
+    api6.compactCold()
+    assert(aggs(api6) === 0)
+    val v2 = api6.source().get.points
+      .where(col("__name__") === "cm" && col("ts_ms") === T0)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v2.toSeq === Seq(50.0))
+  }
+
   test("durable tier plan: bounded reads prune day partitions and push " +
     "ts filters to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune")
