@@ -262,24 +262,36 @@ final class HttpApi(spark: SparkSession,
     }
   }
 
+  /** T9 at the cold tier: drop whole day partitions strictly older than
+    * the cutoff — a metadata-only delete, no rewrite (the analogue of
+    * Cassandra's TTL'd SSTables aging out). Returns the dropped
+    * partition names.
+    */
+  def applyColdRetention(cutoffMs: Long): Seq[String] =
+    durablePath.toSeq.flatMap(p =>
+      graft.store.Store.applyRetention(p, cutoffMs))
+
   /** The durable cold tier, when configured and non-empty. Finite time
     * bounds become a `day` predicate so parquet PARTITION PRUNING kicks
     * in before the row-group ts stats do (the bulk-export path must not
-    * scan the whole history for a bounded read).
+    * scan the whole history for a bounded read). Retention can leave the
+    * directory without any partition — treated as empty.
     */
   private def coldPoints(fromMs: Long = Long.MinValue,
       toMs: Long = Long.MaxValue): Option[DataFrame] =
     durablePath
       .filter(p => java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(p)))
-      .map { p =>
-        val df = spark.read.parquet(p)
-        val pruned =
-          if (fromMs == Long.MinValue || toMs == Long.MaxValue) df
-          else df.where(col("day").between(
-            to_date(timestamp_millis(lit(fromMs))),
-            to_date(timestamp_millis(lit(toMs)))))
-        pruned.drop("day")
+      .flatMap { p =>
+        scala.util.Try {
+          val df = spark.read.parquet(p)
+          val pruned =
+            if (fromMs == Long.MinValue || toMs == Long.MaxValue) df
+            else df.where(col("day").between(
+              to_date(timestamp_millis(lit(fromMs))),
+              to_date(timestamp_millis(lit(toMs)))))
+          pruned.drop("day")
+        }.toOption
       }
 
   /** Read view: LWW-deduped (skipped when already compacted) with T9

@@ -468,6 +468,23 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       plan)
   }
 
+  test("cold-tier retention drops aged day partitions without a rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retain")
+      .resolve("cold").toString
+    val api7 = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    api7.write(Seq(series("rm", "a", i => 1.0)), "default")
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (api7.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    // everything spilled to the T0 day partition; retire it
+    val dropped = api7.applyColdRetention(T9 + 86400000L)
+    assert(dropped.nonEmpty, "expected a dropped day partition")
+    // the facade keeps serving (empty store, not an error)
+    assert(api7.source().forall(
+      _.points.where(org.apache.spark.sql.functions.col("__name__") === "rm")
+        .count() === 0))
+  }
+
   test("metrics exposition and index dump endpoints") {
     val m = get("/metrics")
     assert(m.statusCode() === 200)
