@@ -148,17 +148,21 @@ final class HttpApi(spark: SparkSession,
     val batch = Ingest.ingestLabeled(rows.toDF(), tenantLabel, tenant)
       .withColumn("__seq", lit(writeSeq))
       .withColumn("__ttl_sec", lit(ttlSec))
-      .localCheckpoint(true) // pins THIS batch only
-    // incremental label-name union + oldest-sample probe: one pass over
-    // the new batch only
-    val stats = batch.agg(
-      collect_set(map_keys(col("labels"))).as("names"),
-      min(col("ts_ms")).as("min_ts")).head
-    val batchNames = stats
-      .getAs[scala.collection.Seq[scala.collection.Seq[String]]]("names")
-      .flatten.distinct
+      .localCheckpoint(true) // pins THIS batch only — the write's ONE job
+    // label-name union + oldest-sample probe in plain Scala over the
+    // request rows (they are already on the driver; mirroring
+    // ingestLabeled's validation costs no extra Spark job per write)
+    val NameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+    val valid = rows.filter(r =>
+      r.labels.keysIterator.forall(k => NameRe.pattern.matcher(k).matches())
+        && r.labels.get("__name__").exists(v => v != null && v.nonEmpty))
+    val batchNames = valid.iterator
+      .flatMap(_.labels.collect {
+        case (k, v) if v != null && v.nonEmpty && k != tenantLabel => k
+      }).toSeq.distinct :+ tenantLabel
     labelNames = (labelNames ++ batchNames).distinct.sorted
-    val minTs = stats.getAs[Long]("min_ts")
+    val minTs =
+      if (valid.isEmpty) Long.MaxValue else valid.iterator.map(_.ts_ms).min
     batches :+= batch
     batchMins :+= minTs
     if (minTs < lastSpillCutoff) coldDirty = true
@@ -418,6 +422,8 @@ final class HttpApi(spark: SparkSession,
   /** Bind and start; `port` 0 picks an ephemeral port. Returns the bound
     * port.
     */
+  private var serverPool: Option[java.util.concurrent.ExecutorService] = None
+
   def start(port: Int = 0): Int = synchronized {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/api/v1/", handle _)
@@ -425,15 +431,21 @@ final class HttpApi(spark: SparkSession,
     s.createContext("/debug/", handle _)
     s.createContext("/ready", handle _)
     s.createContext("/metrics", handle _)
-    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    s.setExecutor(pool)
     s.start()
     server = Some(s)
+    serverPool = Some(pool)
     s.getAddress.getPort
   }
 
   def stop(): Unit = synchronized {
     server.foreach(_.stop(0))
     server = None
+    // the handler pool's threads are non-daemon — without this the JVM
+    // never exits after stop()
+    serverPool.foreach(_.shutdown())
+    serverPool = None
   }
 
   private def handle(h: HttpExchange): Unit =

@@ -1,0 +1,115 @@
+package graft.tools
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.api.HttpApi
+import graft.streaming.Prompb
+
+/** Facade throughput bench shaped after the reference's own
+  * `remote-storage-bench` workload (10 tenants × 10 agents × 20 metrics
+  * at a 10 s scrape interval, logging pts/s —
+  * `tests/remote-storage-bench/main.go:40-45`): snappy prompb POSTs over
+  * a real socket into the append-only hot store, then query_range and a
+  * streamed remote read over what was written.
+  *
+  * Env knobs: SPARK_GRAFT_CPUS (default 32), FB_TENANTS/FB_AGENTS/
+  * FB_METRICS/FB_SCRAPES (default 10/10/20/30). One JSON line to stdout
+  * and FACADE_BENCH.json.
+  */
+object FacadeBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val tenants = sys.env.getOrElse("FB_TENANTS", "10").toInt
+    val agents = sys.env.getOrElse("FB_AGENTS", "10").toInt
+    val metrics = sys.env.getOrElse("FB_METRICS", "20").toInt
+    val scrapes = sys.env.getOrElse("FB_SCRAPES", "30").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val api = new HttpApi(spark)
+    val port = api.start(0)
+    val client = HttpClient.newHttpClient()
+    val t0ms = 1704067200000L // fixed epoch; scrape interval 10 s
+
+    def post(path: String, body: Array[Byte],
+        headers: Seq[(String, String)]): HttpResponse[Array[Byte]] = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/x-protobuf")
+      headers.foreach { case (k, v) => b.header(k, v) }
+      client.send(b.POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    }
+
+    // ---- ingest: one POST per (tenant, scrape), all agents' metrics ----
+    val nPoints = tenants.toLong * agents * metrics * scrapes
+    val w0 = System.nanoTime()
+    for (s <- 0 until scrapes; t <- 0 until tenants) {
+      val series = for (a <- 0 until agents; m <- 0 until metrics) yield
+        Prompb.PromSeries(
+          Map("__name__" -> s"fb_metric_$m", "instance" -> s"agent$a",
+            "job" -> "fb"),
+          Seq((t0ms + s * 10000L, (s + a + m).toDouble)))
+      val rc = post("/api/v1/write", Prompb.encodeSnappy(series),
+        Seq("X-SquirrelDB-Tenant" -> s"tenant$t")).statusCode()
+      require(rc == 204, s"write failed: $rc")
+    }
+    val ingestSec = (System.nanoTime() - w0) / 1e9
+
+    // steady state: fold the append vector before the query phase (the
+    // background compactor does this every compactEvery batches anyway)
+    client.send(HttpRequest.newBuilder(URI.create(
+      s"http://127.0.0.1:$port/debug/flush")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+    // ---- query_range per tenant over the written window ----
+    val q0 = System.nanoTime()
+    for (t <- 0 until tenants) {
+      val q = java.net.URLEncoder.encode(
+        "sum by (instance) (fb_metric_1)", "UTF-8")
+      val resp = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/api/v1/query_range?query=$q" +
+          s"&start=${t0ms / 1000}&end=${t0ms / 1000 + scrapes * 10}&step=10"))
+        .header("X-SquirrelDB-Tenant", s"tenant$t").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200 && resp.body().contains("agent1"),
+        resp.body().take(200))
+    }
+    val querySec = (System.nanoTime() - q0) / 1e9
+
+    // ---- streamed remote read of one tenant's full window ----
+    val r0 = System.nanoTime()
+    val readReq = org.xerial.snappy.Snappy.compress(Prompb.encodeReadRequest(
+      Seq(Prompb.ReadQuery(t0ms, t0ms + scrapes * 10000L,
+        Seq(graft.tsdb.MatchEq("job", "fb")))),
+      Seq(Prompb.ResponseTypeStreamedXorChunks)))
+    val readResp = post("/api/v1/read", readReq, Nil)
+    require(readResp.statusCode() == 200)
+    val readSamples = Prompb.readChunkedFrames(readResp.body())
+      .map(Prompb.decodeChunkedReadResponse)
+      .flatMap(_._2).flatMap(_._2)
+      .map(c => graft.functions.XorChunk.decode(c.data).size.toLong).sum
+    val readSec = (System.nanoTime() - r0) / 1e9
+
+    api.stop()
+    val json =
+      s"""{"metric":"facade_ingest_pts_per_s","value":${nPoints / ingestSec},""" +
+        s""""unit":"pts/s","points":$nPoints,"ingest_sec":$ingestSec,""" +
+        s""""writes":${scrapes * tenants},""" +
+        s""""query_range_sec_per_tenant":${querySec / tenants},""" +
+        s""""streamed_read_samples":$readSamples,"read_sec":$readSec,""" +
+        s""""workload":"${tenants}t x ${agents}a x ${metrics}m x ${scrapes}s @10s"}"""
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("FB_OUT", "FACADE_BENCH.json")),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
