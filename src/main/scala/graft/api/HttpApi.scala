@@ -462,6 +462,21 @@ final class HttpApi(spark: SparkSession,
         case (_, p) if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
           handleLabelValues(h,
             p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
+        // the rest of the upstream v1 surface a dashboard client probes —
+        // served empty/static, like the reference's engine-less deployment
+        case (_, "/api/v1/metadata") => respond(h, 200, PromJson.success("{}"))
+        case (_, "/api/v1/rules") =>
+          respond(h, 200, PromJson.success("""{"groups":[]}"""))
+        case (_, "/api/v1/alerts") =>
+          respond(h, 200, PromJson.success("""{"alerts":[]}"""))
+        case (_, "/api/v1/targets") =>
+          respond(h, 200, PromJson.success(
+            """{"activeTargets":[],"droppedTargets":[]}"""))
+        case (_, "/api/v1/status/buildinfo") =>
+          respond(h, 200, PromJson.success(
+            """{"version":"2.x-compat","application":"graft"}"""))
+        case (_, "/api/v1/status/config") =>
+          respond(h, 200, PromJson.success("""{"yaml":""}"""))
         case (_, "/ready") =>
           respondBytes(h, 200, "SquirrelDB-compatible API ready\n"
             .getBytes(UTF_8), "text/plain")

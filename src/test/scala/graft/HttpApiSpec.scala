@@ -468,6 +468,52 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       plan)
   }
 
+  test("dashboard probe endpoints answer with the upstream v1 shapes") {
+    for ((p, frag) <- Seq(
+      "/api/v1/metadata" -> "{}",
+      "/api/v1/rules" -> """"groups":[]""",
+      "/api/v1/alerts" -> """"alerts":[]""",
+      "/api/v1/targets" -> """"activeTargets":[]""",
+      "/api/v1/status/buildinfo" -> """"application":"graft"""",
+      "/api/v1/status/config" -> """"yaml":"""")) {
+      val r = get(p)
+      assert(r.statusCode() === 200, p)
+      assert(r.body().contains(frag), s"$p → ${r.body()}")
+    }
+  }
+
+  test("concurrent writes and reads race the copy-on-write compaction " +
+    "safely") {
+    import org.apache.spark.sql.functions.col
+    val api8 = new HttpApi(spark, compactEvery = 3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writes = (0 until 4).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          for (i <- 0 until 5)
+            api8.write(Seq(series(s"cc_$w", s"i$i", j => w * 100.0 + j)),
+              "default")
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    val reads = (0 until 2).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          for (_ <- 0 until 6) api8.source().foreach(_.points.count())
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    (writes ++ reads).foreach(_.get())
+    pool.shutdown()
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    // every write visible exactly once after the dust settles
+    api8.compact()
+    val n = api8.source().get.points
+      .where(col("__name__").startsWith("cc_")).count()
+    assert(n === 4L * 5 * 10) // 4 writers × 5 series × 10 samples
+  }
+
   test("cold-tier retention drops aged day partitions without a rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_retain")
       .resolve("cold").toString
