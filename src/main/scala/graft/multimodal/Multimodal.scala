@@ -75,4 +75,127 @@ object Multimodal {
       (16 + n % 64, 16 + (n / 64) % 64, luma)
     }
   }
+
+  // --- REAL decoders for the two public uncompressed containers a
+  // JVM can parse without native codecs: BMP (24bpp BITMAPINFOHEADER)
+  // and WAV (RIFF 16-bit PCM). Compressed formats (JPEG/Opus/H.264)
+  // still route to the documented stub — the point is that the
+  // partition-at-a-time decode stage does REAL container parsing with
+  // the same batch shape a JNI codec would use.
+
+  final case class MediaFeature(
+      asset_id: Long,
+      kind: String, // "bmp" | "wav" | "opaque"
+      width: Int, height: Int, // image dims (0 for audio)
+      channels: Int, sampleRate: Int, // audio props (0 for image)
+      durationMs: Double, // audio length (0 for image)
+      meanLevel: Double) // mean luma (image) / RMS amplitude (audio)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    le16(b, i) | (le16(b, i + 2) << 16)
+
+  /** 24bpp uncompressed BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, rows
+    * bottom-up and padded to 4 bytes, BGR order (the public format
+    * layout). Mean level = mean Rec.601 luma over all pixels, in [0,1].
+    */
+  object BmpCodec {
+    def matches(b: Array[Byte]): Boolean =
+      b.length > 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+    def decode(id: Long, b: Array[Byte]): MediaFeature = {
+      val off = le32(b, 10)
+      val width = le32(b, 18)
+      val height = le32(b, 22)
+      val bpp = le16(b, 28)
+      require(bpp == 24 && le32(b, 30) == 0,
+        s"only 24bpp uncompressed BMP supported (bpp=$bpp)")
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      var acc = 0.0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        val base = off + y * rowBytes
+        while (x < width) {
+          val i = base + x * 3
+          val luma = 0.114 * (b(i) & 0xFF) + 0.587 * (b(i + 1) & 0xFF) +
+            0.299 * (b(i + 2) & 0xFF)
+          acc += luma / 255.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      MediaFeature(id, "bmp", width, height, 0, 0, 0.0,
+        if (n == 0) 0.0 else acc / n)
+    }
+  }
+
+  /** RIFF/WAVE with a PCM `fmt ` chunk and 16-bit samples: channels,
+    * rate and duration from the headers; mean level = RMS amplitude of
+    * all samples normalized to [0,1].
+    */
+  object WavCodec {
+    def matches(b: Array[Byte]): Boolean =
+      b.length > 44 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def decode(id: Long, b: Array[Byte]): MediaFeature = {
+      var pos = 12
+      var channels = 0
+      var rate = 0
+      var bits = 0
+      var dataFrom = -1
+      var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val tag = new String(b, pos, 4, "US-ASCII")
+        val len = le32(b, pos + 4)
+        tag match {
+          case "fmt " =>
+            require(le16(b, pos + 8) == 1, "only PCM WAV supported")
+            channels = le16(b, pos + 10)
+            rate = le32(b, pos + 12)
+            bits = le16(b, pos + 22)
+          case "data" => dataFrom = pos + 8; dataLen = len
+          case _ => ()
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(dataFrom >= 0 && bits == 16 && channels > 0 && rate > 0,
+        "missing fmt/data chunk or non-16-bit samples")
+      val nSamples = dataLen / 2
+      var acc = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val s = le16(b, dataFrom + 2 * i).toShort.toDouble / 32768.0
+        acc += s * s
+        i += 1
+      }
+      val frames = nSamples / channels
+      MediaFeature(id, "wav", 0, 0, channels, rate,
+        frames.toDouble / rate * 1000.0,
+        if (nSamples == 0) 0.0 else math.sqrt(acc / nSamples))
+    }
+  }
+
+  /** Partition-at-a-time media decode routing by container magic — BMP
+    * and WAV are parsed FOR REAL; anything else gets the documented
+    * stub features under kind "opaque". Same `mapInPandas`-style batch
+    * shape as [[decodeFeatures]].
+    */
+  def decodeMedia(assets: Dataset[Asset]): Dataset[MediaFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (BmpCodec.matches(a.payload)) BmpCodec.decode(a.asset_id, a.payload)
+        else if (WavCodec.matches(a.payload)) WavCodec.decode(a.asset_id, a.payload)
+        else {
+          val (w, h, l) = StubCodec.decode(a.payload)
+          MediaFeature(a.asset_id, "opaque", w, h, 0, 0, 0.0, l)
+        }
+      }
+    }
+  }
 }

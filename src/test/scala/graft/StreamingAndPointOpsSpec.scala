@@ -138,6 +138,54 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.width === 16 + 4 % 64 && f1.meanLuma > 0)
     assert(out(2L).meanLuma === 0.0)
   }
+
+  /** Little-endian byte helpers for hand-assembled containers. */
+  private def le16(v: Int): Seq[Byte] =
+    Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Seq[Byte] = le16(v & 0xFFFF) ++ le16(v >>> 16)
+
+  /** 2×2 24bpp BMP: top row white, bottom row black → mean luma 0.5. */
+  private def bmp2x2: Array[Byte] = {
+    val rowUp = Seq.fill(2)(Seq[Byte](0, 0, 0)).flatten ++ Seq[Byte](0, 0)
+    val rowTop = Seq.fill(2)(Seq[Byte](-1, -1, -1)).flatten ++ Seq[Byte](0, 0)
+    val pixels = rowUp ++ rowTop // bottom-up storage
+    (Seq('B'.toByte, 'M'.toByte) ++ le32(54 + pixels.size) ++ le32(0) ++
+      le32(54) ++ // pixel offset
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(pixels.size) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      pixels).toArray
+  }
+
+  /** Mono 8 kHz 16-bit PCM WAV, 8 samples at ±0.5 → RMS 0.5, 1 ms. */
+  private def wavMono: Array[Byte] = {
+    val samples = (0 until 8).flatMap(i =>
+      le16(if (i % 2 == 0) 16384 else -16384 & 0xFFFF))
+    val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16)
+    val body = "WAVE".getBytes("US-ASCII").toSeq ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(samples.size) ++ samples
+    ("RIFF".getBytes("US-ASCII").toSeq ++ le32(body.size) ++ body).toArray
+  }
+
+  test("decodeMedia parses real BMP and WAV containers; opaque falls back") {
+    val spark0 = spark
+    import spark0.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, bmp2x2),
+      Multimodal.Asset(2L, wavMono),
+      Multimodal.Asset(3L, Array[Byte](9, 9, 9, 9))).toDS()
+    val out = Multimodal.decodeMedia(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    val img = out(1L)
+    assert(img.kind === "bmp" && img.width === 2 && img.height === 2)
+    assert(math.abs(img.meanLevel - 0.5) < 1e-9) // half white, half black
+    val snd = out(2L)
+    assert(snd.kind === "wav" && snd.channels === 1 && snd.sampleRate === 8000)
+    assert(math.abs(snd.durationMs - 1.0) < 1e-9) // 8 frames @ 8 kHz
+    assert(math.abs(snd.meanLevel - 0.5) < 1e-9) // constant ±0.5 → RMS 0.5
+    assert(out(3L).kind === "opaque")
+  }
 }
 
 class PointOpsSpec extends SparkSpec {
