@@ -137,6 +137,25 @@ object Multimodal {
     * all samples normalized to [0,1].
     */
   object WavCodec {
+
+    /** Assemble a 16-bit PCM WAV container (the export direction — and
+      * the fixture builder for the decode oracle).
+      */
+    def encode(sampleRate: Int, samples: Seq[Int],
+        channels: Int = 1): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def w32(v: Int): Unit = { w16(v & 0xFFFF); w16(v >>> 16) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val dataLen = samples.size * 2
+      tag("RIFF"); w32(36 + dataLen); tag("WAVE")
+      tag("fmt "); w32(16)
+      w16(1); w16(channels); w32(sampleRate)
+      w32(sampleRate * channels * 2); w16(channels * 2); w16(16)
+      tag("data"); w32(dataLen)
+      samples.foreach(w16)
+      out.toByteArray
+    }
     def matches(b: Array[Byte]): Boolean =
       b.length > 44 &&
         b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&

@@ -154,7 +154,29 @@ object PipelineQueries {
     "mm2_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir))
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
-          col("frame_digest")))
+          col("frame_digest"))),
+
+    // multimodal: REAL container decode, hash-gated — deterministic PCM
+    // per doc is packed into an actual RIFF/WAVE byte container on the
+    // executors and decoded back by the real WavCodec; the oracle
+    // computes the same features analytically (the bytes round-trip
+    // exactly, so decode correctness is what the hash checks)
+    "mm3_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 64 + (id % 64).toInt
+          val samples = (0 until n)
+            .map(i => (((id * 31 + i * 7) % 65536) - 32768).toInt)
+          Multimodal.Asset(id, Multimodal.WavCodec.encode(8000, samples))
+        })
+      Multimodal.decodeMedia(assets)
+        .select(col("asset_id").as("doc_id"),
+          col("channels").cast("long").as("channels"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          round(col("durationMs"), 6).as("duration_ms"),
+          round(col("meanLevel"), 6).as("rms"))
+    })
   )
 
   // --- DuckDB oracle ---------------------------------------------------
@@ -473,6 +495,17 @@ object PipelineQueries {
         FROM documents)
       SELECT doc_id AS asset_id, i AS frame_idx,
         md5(substr(text, i * 256 + 1, 64)) AS frame_digest
-      FROM idx"""
+      FROM idx""",
+
+    "mm3_wav_decode" -> """
+      WITH par AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+      s AS (SELECT doc_id, n,
+        unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM par),
+      vals AS (SELECT doc_id, n,
+        ((doc_id * 31 + i * 7) % 65536) - 32768 AS v FROM s)
+      SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
+        round(n / 8000.0 * 1000.0, 6) AS duration_ms,
+        round(sqrt(sum((v / 32768.0) * (v / 32768.0)) / n), 6) AS rms
+      FROM vals GROUP BY doc_id, n"""
   )
 }
