@@ -104,6 +104,36 @@ object Multimodal {
     def matches(b: Array[Byte]): Boolean =
       b.length > 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
 
+    /** Assemble a 24bpp uncompressed BMP from a row-major (top-down)
+      * (r, g, b) pixel function — the fixture builder for the decode
+      * oracle; rows are stored bottom-up and padded per the format.
+      */
+    def encode(width: Int, height: Int,
+        px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def w32(v: Int): Unit = { w16(v & 0xFFFF); w16(v >>> 16) }
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      val dataLen = rowBytes * height
+      out.write('B'); out.write('M')
+      w32(54 + dataLen); w32(0); w32(54)
+      w32(40); w32(width); w32(height); w16(1); w16(24); w32(0)
+      w32(dataLen); w32(2835); w32(2835); w32(0); w32(0)
+      var y = height - 1 // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = px(x, y)
+          out.write(b & 0xFF); out.write(g & 0xFF); out.write(r & 0xFF)
+          x += 1
+        }
+        var pad = rowBytes - width * 3
+        while (pad > 0) { out.write(0); pad -= 1 }
+        y -= 1
+      }
+      out.toByteArray
+    }
+
     def decode(id: Long, b: Array[Byte]): MediaFeature = {
       val off = le32(b, 10)
       val width = le32(b, 18)

@@ -176,6 +176,27 @@ object PipelineQueries {
           col("sampleRate").cast("long").as("sample_rate"),
           round(col("durationMs"), 6).as("duration_ms"),
           round(col("meanLevel"), 6).as("rms"))
+    }),
+
+    // multimodal: the image side of the same proof — deterministic pixels
+    // packed into a real 24bpp BMP container, decoded by the real codec,
+    // mean Rec.601 luma checked analytically by the oracle
+    "mm4_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 4 + (id % 4).toInt
+          Multimodal.Asset(id, Multimodal.BmpCodec.encode(w, h, (x, y) => (
+            ((id * 3 + 11 * x + y) % 256).toInt,
+            ((id * 2 + x + 7 * y) % 256).toInt,
+            ((id + 3 * x + 5 * y) % 256).toInt)))
+        })
+      Multimodal.decodeMedia(assets)
+        .select(col("asset_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("meanLevel"), 6).as("mean_luma"))
     })
   )
 
@@ -506,6 +527,21 @@ object PipelineQueries {
       SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
         round(n / 8000.0 * 1000.0, 6) AS duration_ms,
         round(sqrt(sum((v / 32768.0) * (v / 32768.0)) / n), 6) AS rms
-      FROM vals GROUP BY doc_id, n"""
+      FROM vals GROUP BY doc_id, n""",
+
+    "mm4_bmp_decode" -> """
+      WITH par AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, xs.x, ys.y FROM par,
+        LATERAL (SELECT unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x) xs,
+        LATERAL (SELECT unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y) ys),
+      lum AS (SELECT doc_id, w, h,
+        (0.299 * ((doc_id * 3 + 11 * x + y) % 256)
+          + 0.587 * ((doc_id * 2 + x + 7 * y) % 256)
+          + 0.114 * ((doc_id + 3 * x + 5 * y) % 256)) / 255.0 AS l
+        FROM px)
+      SELECT doc_id, w AS width, h AS height,
+        round(sum(l) / (w * h), 6) AS mean_luma
+      FROM lum GROUP BY doc_id, w, h"""
   )
 }
