@@ -462,6 +462,11 @@ final class HttpApi(spark: SparkSession,
         case (_, p) if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
           handleLabelValues(h,
             p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
+        case (_, "/api/v1/format_query") =>
+          val formatted = graft.promql.Printer.print(
+            Parser.parse(required(params(h), "query")))
+          respond(h, 200,
+            PromJson.success("\"" + PromJson.escape(formatted) + "\""))
         // the rest of the upstream v1 surface a dashboard client probes —
         // served empty/static, like the reference's engine-less deployment
         case (_, "/api/v1/metadata") => respond(h, 200, PromJson.success("{}"))

@@ -109,6 +109,34 @@ class ComplianceCorpusSpec extends SparkSpec {
       s"only $compiled of $parsed parsed templates compiled")
   }
 
+  test("printer round-trip: parse(print(ast)) == ast over the corpus") {
+    assume(new java.io.File(CorpusPath).exists())
+    import graft.promql.{Parser, Printer}
+    var checked = 0
+    val failures = Seq.newBuilder[String]
+    templates.foreach { case (tpl, shouldFail) =>
+      if (!shouldFail) {
+        val q = substitute(tpl)
+        try {
+          val ast = Parser.parse(q)
+          val printed = Printer.print(ast)
+          val reparsed = Parser.parse(printed)
+          // NaN breaks Double-field case-class equality; a second print
+          // is a faithful structural comparison (print is deterministic)
+          if (reparsed != ast && Printer.print(reparsed) != printed)
+            failures += s"$q\n  printed: $printed\n  got:     $reparsed\n  want:    $ast"
+          else checked += 1
+        } catch {
+          case e: Exception =>
+            failures += s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, s"round-trip failures (${fs.size}):\n${fs.take(5).mkString("\n")}")
+    assert(checked >= 110, s"only $checked templates round-tripped")
+  }
+
   test("printer roundtrip: parse(print(parse(q))) == parse(q) over the corpus") {
     assume(new java.io.File(CorpusPath).exists())
     val bad = Seq.newBuilder[String]

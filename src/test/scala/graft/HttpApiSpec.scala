@@ -468,6 +468,16 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       plan)
   }
 
+  test("format_query pretty-prints through the Printer") {
+    val r = get(s"/api/v1/format_query?query=${
+      enc("sum by(job)(rate(x{a=\"1\"}[300s]))")}")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains(
+      """sum by (job) (rate(x{a=\"1\"}[5m]))"""), r.body())
+    assert(get(s"/api/v1/format_query?query=${enc("sum by (")}")
+      .statusCode() === 422)
+  }
+
   test("dashboard probe endpoints answer with the upstream v1 shapes") {
     for ((p, frag) <- Seq(
       "/api/v1/metadata" -> "{}",
