@@ -468,6 +468,57 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       plan)
   }
 
+  test("randomized write → remote-read round-trip, both response forms, " +
+    "bit-exact values") {
+    val rnd = new scala.util.Random(42) // seeded: deterministic
+    val stale = java.lang.Double.longBitsToDouble(0x7ff0000000000002L)
+    val specials = Array(Double.PositiveInfinity, Double.NegativeInfinity,
+      -0.0, stale, Double.MaxValue, java.lang.Double.MIN_VALUE)
+    val written = (0 until 5).map { s =>
+      val samples = (0 until 20).map { i =>
+        val v = if (rnd.nextDouble() < 0.3) specials(rnd.nextInt(specials.length))
+        else rnd.nextDouble() * 1e6 - 5e5
+        (T0 + i * 15000L, v) // unique ts per series
+      }
+      PromSeries(Map("__name__" -> "rr_metric", "instance" -> s"r$s",
+        "job" -> "rr"), samples)
+    }
+    val api9 = new HttpApi(spark)
+    val port9 = api9.start(0)
+    try {
+      api9.write(written, "default")
+      def bits(ps: Seq[(Long, Double)]): Seq[(Long, Long)] =
+        ps.map { case (t, v) =>
+          (t, java.lang.Double.doubleToRawLongBits(v)) }
+      val expected = written.map(s =>
+        s.labels("instance") -> bits(s.samples)).toMap
+      def doRead(streamed: Boolean): Map[String, Seq[(Long, Long)]] = {
+        val req = org.xerial.snappy.Snappy.compress(Prompb.encodeReadRequest(
+          Seq(Prompb.ReadQuery(T0, T0 + 20 * 15000L,
+            Seq(MatchEq("__name__", "rr_metric")))),
+          if (streamed) Seq(Prompb.ResponseTypeStreamedXorChunks) else Nil))
+        val resp = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port9/api/v1/read"))
+          .header("Content-Type", "application/x-protobuf")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        assert(resp.statusCode() === 200)
+        if (streamed)
+          Prompb.readChunkedFrames(resp.body())
+            .flatMap(f => Prompb.decodeChunkedReadResponse(f)._2)
+            .map { case (labels, chunks) => labels("instance") ->
+              bits(chunks.flatMap(c =>
+                graft.functions.XorChunk.decode(c.data))) }.toMap
+        else
+          Prompb.decodeReadResponse(
+            org.xerial.snappy.Snappy.uncompress(resp.body())).flatten
+            .map(s => s.labels("instance") -> bits(s.samples)).toMap
+      }
+      assert(doRead(streamed = false) === expected)
+      assert(doRead(streamed = true) === expected)
+    } finally api9.stop()
+  }
+
   test("format_query pretty-prints through the Printer") {
     val r = get(s"/api/v1/format_query?query=${
       enc("sum by(job)(rate(x{a=\"1\"}[300s]))")}")
