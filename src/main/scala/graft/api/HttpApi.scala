@@ -61,7 +61,14 @@ final class HttpApi(spark: SparkSession,
     compactEvery: Int = 64,
     maxBytesInFrame: Int = 1 << 20, // reference api.go:60 (1 MiB)
     durablePath: Option[String] = None, // S8 cold tier (parquet)
-    hotRetainMs: Long = 2 * 3600000L) {
+    hotRetainMs: Long = 2 * 3600000L,
+    // driver-side micro-batching (the reference's T1 batch semantics,
+    // `batch/batch.go:17-37`): posts buffer as LAZY plans and ONE batch
+    // pins per `flushEveryPosts` posts / `flushEveryRows` rows — lifting
+    // the job-scheduling floor off small posts. Any read flushes first
+    // (read-your-writes); 1 = pin every post (the pre-r7 behavior).
+    flushEveryPosts: Int = 1,
+    flushEveryRows: Long = 50000L) {
 
   import Prompb.{ChunkMeta, PromRow, PromSeries}
 
@@ -87,7 +94,14 @@ final class HttpApi(spark: SparkSession,
   @volatile private var coldDirty = false
   @volatile private var labelNames: Seq[String] = Nil
   private var writeSeq = 0L
-  private var ttlSeen = false // any write with a non-default TTL?
+  @volatile private var ttlSeen = false // any write with a non-default TTL?
+  // T9 dim: per-series max-merged TTL over COMPACTED history, pinned and
+  // tiny (only series whose effective TTL is non-default — a series with
+  // any default-TTL write max-merges back to the sentinel and drops out).
+  // Maintained incrementally at compaction; reads union the hot tail in,
+  // so no read ever rescans the full cold history for TTLs, and the join
+  // carries NO broadcast hint (AQE decides from runtime size).
+  @volatile private var ttlDim: Option[DataFrame] = None
   private var server: Option[HttpServer] = None
   private val compacting = new java.util.concurrent.atomic.AtomicBoolean
   private val compactExec =
@@ -124,16 +138,30 @@ final class HttpApi(spark: SparkSession,
       import spark.implicits._
       labelNames = c.select(explode(map_keys(col("labels"))).as("n"))
         .distinct().as[String].collect().sorted.toSeq
-      val bounds = c.agg(max(col("__ttl_sec")), max(col("__seq"))).head
-      ttlSeen = bounds.getLong(0) != DefaultTtlSec
-      writeSeq = bounds.getLong(1) // new writes must outrank restored data
+      writeSeq = c.agg(max(col("__seq"))).head
+        .getLong(0) // new writes must outrank restored data
+      // one-time full scan (restart only): per-series max-merged TTLs
+      val dim = c.groupBy("metric_id")
+        .agg(max(col("__ttl_sec")).as("__ttl_sec"))
+        .where(col("__ttl_sec") =!= DefaultTtlSec)
+        .localCheckpoint(true)
+      if (dim.limit(1).count() > 0) {
+        ttlDim = Some(dim)
+        ttlSeen = true
+      }
       coldDirty = true // spill overlap history unknown across restarts
     }
   }
 
-  /** S1 ingest, append-only: validated label-map rows become ONE pinned
-    * batch unioned onto the store — O(batch) work per write; LWW conflict
-    * resolution happens at read ([[dedupedPoints]]) and at compaction.
+  // micro-batch buffer: per-post LAZY plans (LocalRelations — the rows
+  // live on the driver, zero Spark jobs until flush)
+  private var pendingLazy: Vector[(DataFrame, Long)] = Vector.empty
+  private var pendingRowCount = 0L
+
+  /** S1 ingest, append-only: validated label-map rows become a LAZY plan
+    * in the micro-batch buffer; [[flushPending]] pins buffered posts as
+    * ONE batch — O(buffered) work per flush; LWW conflict resolution
+    * happens at read ([[dedupedPoints]]) and at compaction.
     */
   def write(series: Seq[PromSeries], tenant: String,
       ttlSec: Long = DefaultTtlSec): Unit = synchronized {
@@ -145,10 +173,9 @@ final class HttpApi(spark: SparkSession,
     pointsWrittenTotal.addAndGet(rows.size.toLong)
     writeSeq += 1
     if (ttlSec != DefaultTtlSec) ttlSeen = true
-    val batch = Ingest.ingestLabeled(rows.toDF(), tenantLabel, tenant)
-      .withColumn("__seq", lit(writeSeq))
-      .withColumn("__ttl_sec", lit(ttlSec))
-      .localCheckpoint(true) // pins THIS batch only — the write's ONE job
+    val lazyBatch = Ingest.ingestLabeled(rows.toDF(), tenantLabel, tenant)
+      .withColumn("__seq", lit(writeSeq)) // per-POST seq: LWW across
+      .withColumn("__ttl_sec", lit(ttlSec)) // posts sharing one flush
     // label-name union + oldest-sample probe in plain Scala over the
     // request rows (they are already on the driver; mirroring
     // ingestLabeled's validation costs no extra Spark job per write)
@@ -163,6 +190,28 @@ final class HttpApi(spark: SparkSession,
     labelNames = (labelNames ++ batchNames).distinct.sorted
     val minTs =
       if (valid.isEmpty) Long.MaxValue else valid.iterator.map(_.ts_ms).min
+    pendingLazy :+= (lazyBatch, minTs)
+    pendingRowCount += rows.size
+    if (pendingLazy.size >= flushEveryPosts ||
+      pendingRowCount >= flushEveryRows) flushPending()
+  }
+
+  /** Posts buffered but not yet pinned (tests/introspection). */
+  def bufferedPosts: Int = synchronized(pendingLazy.size)
+
+  /** Pin every buffered post as ONE batch — the flush's single Spark job.
+    * Called from reads (read-your-writes), compaction, and stop; without
+    * reads, staleness is bounded by `flushEveryPosts`/`flushEveryRows`
+    * (buffered rows are driver memory either way — durability starts at
+    * the cold spill, exactly as before).
+    */
+  private def flushPending(): Unit = synchronized {
+    if (pendingLazy.isEmpty) return
+    val batch = pendingLazy.map(_._1).reduce(_.unionByName(_))
+      .localCheckpoint(true)
+    val minTs = pendingLazy.map(_._2).min
+    pendingLazy = Vector.empty
+    pendingRowCount = 0L
     batches :+= batch
     batchMins :+= minTs
     if (minTs < lastSpillCutoff) coldDirty = true
@@ -182,7 +231,10 @@ final class HttpApi(spark: SparkSession,
   /** The raw appended store (tests/introspection): a union of pinned
     * batches between compactions — never an aggregate.
     */
-  def rawPoints: Option[DataFrame] = unionAll(batches)
+  def rawPoints: Option[DataFrame] = {
+    flushPending()
+    unionAll(batches)
+  }
 
   private def unionAll(bs: Vector[DataFrame]): Option[DataFrame] =
     bs.reduceOption(_.unionByName(_))
@@ -205,7 +257,10 @@ final class HttpApi(spark: SparkSession,
     * higher `__seq` still wins read-side LWW). Synchronous — the write
     * path schedules it on `compactExec` instead of calling it inline.
     */
-  def compact(): Unit = compactNow()
+  def compact(): Unit = {
+    flushPending()
+    compactNow()
+  }
 
   // serializes folds against each other (the prefix-swap arithmetic needs
   // one compaction at a time) WITHOUT blocking writes, which append under
@@ -213,9 +268,11 @@ final class HttpApi(spark: SparkSession,
   private val compactLock = new Object
 
   private def compactNow(): Unit = compactLock.synchronized {
-    val snap = batches // volatile read; appends only ever extend the tail
+    // (batches, batchMins) snapshot under the write lock — a concurrent
+    // write could otherwise publish the new vector before its mins entry
+    val (snap, snapMins) = synchronized((batches, batchMins))
     if (snap.isEmpty || (snap.size == 1 && headCompacted)) return
-    val snapMin = batchMins.take(snap.size).min
+    val snapMin = snapMins.min
     val folded0 = lwwDedup(unionAll(snap).get).localCheckpoint(true)
     // S8 tiering: points older than the hot horizon spill to the durable
     // day-partitioned parquet store (APPEND — late duplicates resolve
@@ -234,6 +291,18 @@ final class HttpApi(spark: SparkSession,
         }
       case None => (folded0, snapMin, Long.MinValue)
     }
+    // T9 dim upkeep: fold the snapshot's per-series TTLs into the pinned
+    // dim BEFORE the swap (spilled rows leave memory here, so this is the
+    // last cheap look at them). Series that max-merge back to the default
+    // sentinel drop out of the dim.
+    val newDim = if (!ttlSeen) None else {
+      val delta = unionAll(snap).get
+        .groupBy("metric_id").agg(max(col("__ttl_sec")).as("__ttl_sec"))
+      val merged = ttlDim.fold(delta)(_.unionByName(delta))
+        .groupBy("metric_id").agg(max(col("__ttl_sec")).as("__ttl_sec"))
+        .where(col("__ttl_sec") =!= DefaultTtlSec)
+      Some(merged.localCheckpoint(true))
+    }
     synchronized {
       val tailMins = batchMins.drop(snap.size)
       if (spilledTo != Long.MinValue) {
@@ -243,6 +312,7 @@ final class HttpApi(spark: SparkSession,
         if (tailMins.exists(_ < spilledTo)) coldDirty = true
         lastSpillCutoff = spilledTo
       }
+      newDim.foreach(d => ttlDim = Some(d))
       batches = folded +: batches.drop(snap.size)
       batchMins = foldedMin +: tailMins
       headCompacted = true
@@ -305,6 +375,7 @@ final class HttpApi(spark: SparkSession,
     */
   private def dedupedPoints(fromMs: Long = Long.MinValue,
       toMs: Long = Long.MaxValue): Option[DataFrame] = {
+    flushPending() // read-your-writes across the micro-batch buffer
     val (bs, hc) = (batches, headCompacted)
     // time bounds apply BELOW the dedup aggregate (ts_ms is a grouping
     // key, so this is where the scan-level pruning comes from)
@@ -332,20 +403,31 @@ final class HttpApi(spark: SparkSession,
       if (!ttlSeen) d
       else {
         // the per-series TTL is max-merged over the WHOLE history (a
-        // bounded read must not shrink a series' TTL — T9); the dim scan
-        // is column-pruned to (metric_id, __ttl_sec)
-        val ttlDim = (coldPoints(), unionAll(batches)) match {
-          case (Some(c), Some(h)) => c.unionByName(h)
-          case (Some(c), None) => c
-          case (None, Some(h)) => h
-          case (None, None) => d
+        // bounded read must not shrink a series' TTL — T9). History =
+        // the pinned compacted dim ∪ the hot tail's (metric_id, ttl)
+        // pairs — never a cold-tier rescan. Left join with NO broadcast
+        // hint: the dim holds only non-default-TTL series (tiny in
+        // practice; AQE broadcasts it from runtime size, and a
+        // pathological 10⁸-series dim degrades to a shuffle join instead
+        // of a driver OOM). Absent row = default TTL = survives.
+        val hotTtls = unionAll(bs)
+          .map(_.select(col("metric_id"), col("__ttl_sec")))
+        val dims = (ttlDim, hotTtls) match {
+          case (Some(t), Some(ht)) => Some(t.unionByName(ht))
+          case (Some(t), None) => Some(t)
+          case (None, Some(ht)) => Some(ht)
+          case (None, None) => None
         }
-        val ttls = ttlDim.groupBy("metric_id")
-          .agg(max(col("__ttl_sec")).as("__series_ttl"))
-        d.join(broadcast(ttls), Seq("metric_id"))
-          .where(col("ts_ms") + col("__series_ttl") * 1000L >
-            lit(System.currentTimeMillis()))
-          .drop("__series_ttl")
+        dims.fold(d) { all =>
+          val ttls = all.groupBy("metric_id")
+            .agg(max(col("__ttl_sec")).as("__series_ttl"))
+            .where(col("__series_ttl") =!= DefaultTtlSec)
+          d.join(ttls, Seq("metric_id"), "left")
+            .where(col("__series_ttl").isNull ||
+              col("ts_ms") + col("__series_ttl") * 1000L >
+                lit(System.currentTimeMillis()))
+            .drop("__series_ttl")
+        }
       }
     }
   }
@@ -385,8 +467,13 @@ final class HttpApi(spark: SparkSession,
         d.withColumn(n, element_at(col("labels"), n)))
       val mappings = mappingsFor(tenant)
         .filterNot(m => names.contains(m.name) || Reserved(m.name))
+      // a mapping whose associated real label has no stored column yet
+      // decorates to null instead of failing analysis (the column appears
+      // once data with that label arrives)
       val decorated = mappings.foldLeft(withLabels)((d, m) =>
-        d.withColumn(m.name, decorationCol(m, col(m.targetName))))
+        d.withColumn(m.name, decorationCol(m,
+          if (names.contains(m.targetName)) col(m.targetName)
+          else lit(null).cast("string"))))
       val all = names ++ mappings.map(_.name)
       val df = decorated.drop("labels", "metric_id", "__seq", "__ttl_sec")
       PromSource(df, all, {
@@ -440,6 +527,7 @@ final class HttpApi(spark: SparkSession,
   }
 
   def stop(): Unit = synchronized {
+    flushPending()
     server.foreach(_.stop(0))
     server = None
     // the handler pool's threads are non-daemon — without this the JVM
@@ -540,14 +628,26 @@ final class HttpApi(spark: SparkSession,
 
   // ---- remote read (S3) ----
 
+  /** Tenant (F11, when the header names one) + forced matchers (F10),
+    * applied at the index layer like the reference
+    * (`api/promql/queryable.go:153-166`) — remote read and the
+    * label/series APIs are tenant-scoped too, not only the PromQL
+    * endpoints.
+    */
+  private def headerMatchers(h: HttpExchange): Seq[Matcher] = {
+    val opts = requestOptions(h)
+    opts.tenantLabel.map { case (l, v) => MatchEq(l, v) }.toSeq ++ opts.forced
+  }
+
   /** Per-query matched series: LWW-deduped rows grouped per series with
     * time-sorted samples, metric_id-ordered for a deterministic stream.
     */
-  private[graft] def readSeriesFrame(q: Prompb.ReadQuery): Option[DataFrame] =
+  private[graft] def readSeriesFrame(q: Prompb.ReadQuery,
+      extra: Seq[Matcher] = Nil): Option[DataFrame] =
     dedupedPoints(q.startMs, q.endMs).map { df =>
       val resolve: String => Column = n => element_at(col("labels"), n)
-      df.where(if (q.matchers.isEmpty) lit(true)
-          else Matchers.all(resolve, q.matchers))
+      val ms = extra ++ q.matchers
+      df.where(if (ms.isEmpty) lit(true) else Matchers.all(resolve, ms))
         .groupBy("metric_id")
         .agg(max_by(col("labels"), col("__seq")).as("labels"),
           sort_array(collect_list(
@@ -559,9 +659,10 @@ final class HttpApi(spark: SparkSession,
     readRequestsTotal.incrementAndGet()
     val req = Prompb.decodeReadRequestFull(
       org.xerial.snappy.Snappy.uncompress(h.getRequestBody.readAllBytes()))
+    val extra = headerMatchers(h)
     if (req.acceptedResponseTypes.contains(Prompb.ResponseTypeStreamedXorChunks))
-      handleReadStreamed(h, req.queries)
-    else handleReadSamples(h, req.queries)
+      handleReadStreamed(h, req.queries, extra)
+    else handleReadSamples(h, req.queries, extra)
   }
 
   /** Buffered SAMPLES response (the protocol is one snappy blob — same as
@@ -570,11 +671,11 @@ final class HttpApi(spark: SparkSession,
     * never the collected row set.
     */
   private def handleReadSamples(h: HttpExchange,
-      queries: Seq[Prompb.ReadQuery]): Unit = {
+      queries: Seq[Prompb.ReadQuery], extra: Seq[Matcher] = Nil): Unit = {
     val out = new java.io.ByteArrayOutputStream()
     queries.foreach { q =>
       val qr = new java.io.ByteArrayOutputStream()
-      readSeriesFrame(q).foreach { df =>
+      readSeriesFrame(q, extra).foreach { df =>
         val it = df.toLocalIterator()
         while (it.hasNext) {
           Prompb.appendMessage(qr, 1, Prompb.encodeTimeSeries(rowSeries(it.next())))
@@ -593,12 +694,12 @@ final class HttpApi(spark: SparkSession,
     * driver-sized buffer.
     */
   private def handleReadStreamed(h: HttpExchange,
-      queries: Seq[Prompb.ReadQuery]): Unit = {
+      queries: Seq[Prompb.ReadQuery], extra: Seq[Matcher] = Nil): Unit = {
     h.getResponseHeaders.set("Content-Type", Prompb.StreamedChunksContentType)
     h.sendResponseHeaders(200, 0) // chunked transfer
     val os = h.getResponseBody
     queries.zipWithIndex.foreach { case (q, qi) =>
-      readSeriesFrame(q).foreach { df =>
+      readSeriesFrame(q, extra).foreach { df =>
         val it = df
           .withColumn("chunks", HttpApi.xorChunksUdf(
             col("samples.ts_ms"), col("samples.value")))
@@ -613,16 +714,45 @@ final class HttpApi(spark: SparkSession,
           frame = Vector.empty
           frameBytes = 0
         }
+        // flush BEFORE appending when the budget would be exceeded, so no
+        // frame carries a series past the limit unless that series alone
+        // exceeds it (reference flushes per-series,
+        // `storage/remote/codec.go`)
+        def emit(sb: Array[Byte]): Unit = {
+          if (frame.nonEmpty && frameBytes + sb.length > maxBytesInFrame)
+            flush()
+          frame :+= sb
+          frameBytes += sb.length
+          if (frameBytes >= maxBytesInFrame) flush()
+        }
         while (it.hasNext) {
           val r = it.next()
           val labels = r.getAs[Map[String, String]]("labels")
           val chunks = r.getAs[scala.collection.Seq[Row]]("chunks")
             .map(c => ChunkMeta(c.getLong(0), c.getLong(1),
               c.getAs[Array[Byte]](2))).toSeq
-          val sb = Prompb.encodeChunkedSeries(labels, chunks)
-          frame :+= sb
-          frameBytes += sb.length
-          if (frameBytes >= maxBytesInFrame) flush()
+          val whole = Prompb.encodeChunkedSeries(labels, chunks)
+          if (whole.length > maxBytesInFrame && chunks.length > 1) {
+            // a single series larger than the frame budget splits its
+            // chunk list across frames, each group its own ChunkedSeries
+            // (the protocol allows one series in many frames — the
+            // reference splits the same way to honor
+            // remoteReadMaxBytesInFrame)
+            var grp = Vector.empty[ChunkMeta]
+            var gBytes = 0
+            def emitGrp(): Unit = if (grp.nonEmpty) {
+              emit(Prompb.encodeChunkedSeries(labels, grp))
+              grp = Vector.empty
+              gBytes = 0
+            }
+            chunks.foreach { c =>
+              val sz = c.data.length + 24 // chunk framing overhead bound
+              if (grp.nonEmpty && gBytes + sz > maxBytesInFrame) emitGrp()
+              grp :+= c
+              gBytes += sz
+            }
+            emitGrp()
+          } else emit(whole)
         }
         flush()
       }
@@ -703,14 +833,18 @@ final class HttpApi(spark: SparkSession,
     * reference's label APIs do via matcher+shard intersection,
     * `cassandra/index/index.go:1265-1325`).
     */
-  private def matchedPoints(ps: Map[String, Seq[String]]): Option[DataFrame] = {
+  private def matchedPoints(ps: Map[String, Seq[String]],
+      extra: Seq[Matcher] = Nil): Option[DataFrame] = {
     val sels = ps.getOrElse("match[]", Seq.empty)
     val (startMs, endMs) = timeBounds(ps)
     dedupedPoints(startMs, endMs).map { df =>
       val resolve: String => Column = n => element_at(col("labels"), n)
-      if (sels.isEmpty) df
-      else df.where(sels.map(s => Matchers.all(resolve, selectorMatchers(s)))
-        .reduce(_ || _))
+      val matched =
+        if (sels.isEmpty) df
+        else df.where(sels.map(s => Matchers.all(resolve, selectorMatchers(s)))
+          .reduce(_ || _))
+      if (extra.isEmpty) matched
+      else matched.where(Matchers.all(resolve, extra))
     }
   }
 
@@ -720,7 +854,7 @@ final class HttpApi(spark: SparkSession,
       return respond(h, 400, PromJson.error("bad_data",
         "no match[] parameter provided"))
     val mappings = mappingsFor(tenantOf(h))
-    matchedPoints(ps) match {
+    matchedPoints(ps, headerMatchers(h)) match {
       case None => respond(h, 200, PromJson.success("[]"))
       case Some(df) =>
         // decorate each series' label map with its mutable labels (M2)
@@ -733,12 +867,27 @@ final class HttpApi(spark: SparkSession,
               map_concat(col("labels"), map(lit(m.name), mv)))
               .otherwise(col("labels")))
         }
-        // set-ops can't key on MAP columns — dedup per series id instead
-        val sets = decorated
-          .collect().toSeq
-          .map(_.getAs[Map[String, String]]("labels").toSeq.sortBy(_._1))
-          .distinct
-        respond(h, 200, PromJson.seriesList(sets))
+        // set-ops can't key on MAP columns — dedup + order on the
+        // canonical label encoding IN THE PLAN (the JSON body is
+        // inherently driver-sized, but peak memory stays one row via
+        // toLocalIterator, like the other streamed endpoints)
+        val distinctSorted = decorated
+          .withColumn("__k",
+            graft.tsdb.SeriesDim.canonicalMap(col("labels")))
+          .dropDuplicates("__k")
+          .orderBy("__k")
+          .select("labels")
+        val sb = new StringBuilder("""{"status":"success","data":[""")
+        val it = distinctSorted.toLocalIterator()
+        var first = true
+        while (it.hasNext) {
+          if (!first) sb.append(',')
+          first = false
+          sb.append(PromJson.metricJson(
+            it.next().getAs[Map[String, String]]("labels").toSeq))
+        }
+        sb.append("]}")
+        respond(h, 200, sb.result())
     }
   }
 
@@ -749,12 +898,13 @@ final class HttpApi(spark: SparkSession,
   private def handleLabels(h: HttpExchange): Unit = {
     import spark.implicits._
     val ps = params(h)
+    val extra = headerMatchers(h)
     val mutables = mutableNames.keysIterator
       .collect { case (t, n) if t == tenantOf(h) => n }.toSeq
     val physical =
       if (!ps.contains("match[]") && !ps.contains("start") &&
-        !ps.contains("end")) labelNames
-      else matchedPoints(ps).fold(Seq.empty[String]) { df =>
+        !ps.contains("end") && extra.isEmpty) labelNames
+      else matchedPoints(ps, extra).fold(Seq.empty[String]) { df =>
         df.select(explode(map_keys(col("labels"))).as("n")).distinct()
           .as[String].collect().toSeq
       }
@@ -773,7 +923,7 @@ final class HttpApi(spark: SparkSession,
         .collect { case (t, n, v) if t == tenant && n == name => v }.toSeq
       return respond(h, 200, PromJson.strings(vals.distinct))
     }
-    matchedPoints(params(h)) match {
+    matchedPoints(params(h), headerMatchers(h)) match {
       case None => respond(h, 200, PromJson.success("[]"))
       case Some(df) =>
         val values = df

@@ -47,7 +47,7 @@ object PromJson {
       s"${math.floorDiv(ms, 1000)}.$frac"
     }
 
-  private def metricJson(labels: Seq[(String, String)]): String =
+  def metricJson(labels: Seq[(String, String)]): String =
     labels.sortBy(_._1)
       .map { case (n, v) => s""""${escape(n)}":"${escape(v)}"""" }
       .mkString("{", ",", "}")

@@ -33,7 +33,10 @@ object FacadeBench {
         .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val api = new HttpApi(spark)
+    // micro-batching lifts the per-POST job-scheduling floor (r6 Wrong
+    // #3): FB_FLUSH_POSTS posts share one pinned batch (1 = old behavior)
+    val flushPosts = sys.env.getOrElse("FB_FLUSH_POSTS", "8").toInt
+    val api = new HttpApi(spark, flushEveryPosts = flushPosts)
     val port = api.start(0)
     val client = HttpClient.newHttpClient()
     val t0ms = 1704067200000L // fixed epoch; scrape interval 10 s
@@ -102,6 +105,7 @@ object FacadeBench {
       s"""{"metric":"facade_ingest_pts_per_s","value":${nPoints / ingestSec},""" +
         s""""unit":"pts/s","points":$nPoints,"ingest_sec":$ingestSec,""" +
         s""""writes":${scrapes * tenants},""" +
+        s""""flush_every_posts":$flushPosts,""" +
         s""""query_range_sec_per_tenant":${querySec / tenants},""" +
         s""""streamed_read_samples":$readSamples,"read_sec":$readSec,""" +
         s""""workload":"${tenants}t x ${agents}a x ${metrics}m x ${scrapes}s @10s"}"""

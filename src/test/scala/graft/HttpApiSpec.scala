@@ -636,6 +636,124 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       "dt,envgrp,instance,e1,i1"))
   }
 
+  test("remote read and label APIs are tenant-scoped (F11 at the index " +
+    "layer, not only PromQL)") {
+    // two tenants, same metric name, different instance values
+    post("/api/v1/write", Prompb.encodeSnappy(Seq(
+      series("iso_metric", "ia", i => 1.0))), "application/x-protobuf",
+      Seq("X-SquirrelDB-Tenant" -> "isoA"))
+    post("/api/v1/write", Prompb.encodeSnappy(Seq(
+      series("iso_metric", "ib", i => 2.0))), "application/x-protobuf",
+      Seq("X-SquirrelDB-Tenant" -> "isoB"))
+    // remote read with tenant A's header must not see B's series
+    val req = org.xerial.snappy.Snappy.compress(Prompb.encodeReadRequest(Seq(
+      Prompb.ReadQuery(T0, T9, Seq(MatchEq("__name__", "iso_metric"))))))
+    val resp = post("/api/v1/read", req, "application/x-protobuf",
+      Seq("X-SquirrelDB-Tenant" -> "isoA"))
+    val got = Prompb.decodeReadResponse(
+      org.xerial.snappy.Snappy.uncompress(resp.body())).flatten
+    assert(got.map(_.labels("instance")) === Seq("ia"), got)
+    // label values + series + labels endpoints scope the same way
+    val vals = get("/api/v1/label/instance/values?" +
+      s"match[]=${enc("iso_metric")}",
+      Seq("X-SquirrelDB-Tenant" -> "isoA")).body()
+    assert(vals.contains(""""ia"""") && !vals.contains(""""ib""""), vals)
+    val se = get(s"/api/v1/series?match[]=${enc("iso_metric")}",
+      Seq("X-SquirrelDB-Tenant" -> "isoB")).body()
+    assert(se.contains(""""instance":"ib"""") && !se.contains(""""ia""""), se)
+    // a forced matcher narrows remote read too (F10)
+    val respF = post("/api/v1/read", req, "application/x-protobuf",
+      Seq("X-SquirrelDB-Tenant" -> "isoA",
+        "X-SquirrelDB-Forced-Matcher" -> "instance=nope"))
+    assert(Prompb.decodeReadResponse(org.xerial.snappy.Snappy.uncompress(
+      respF.body())).flatten.isEmpty)
+  }
+
+  test("micro-batching: posts buffer lazily, one pinned batch per flush, " +
+    "read-your-writes and LWW intact") {
+    import org.apache.spark.sql.functions.col
+    val apiMb = new HttpApi(spark, flushEveryPosts = 4)
+    apiMb.write(Seq(series("mb", "a", i => 1.0 + i)), "default")
+    apiMb.write(Seq(series("mb", "a", i => 50.0 + i)), "default") // LWW rewrite
+    apiMb.write(Seq(series("mb", "b", i => 2.0)), "default")
+    // three posts buffered: ZERO pinned batches, zero Spark jobs so far
+    assert(apiMb.bufferedPosts === 3)
+    assert(apiMb.pendingBatches === 0)
+    // a read flushes the buffer (read-your-writes) as ONE batch, and the
+    // LATER post wins per (series, ts) even inside the shared batch
+    val v = apiMb.source().get.points
+      .where(col("__name__") === "mb" && col("instance") === "a" &&
+        col("ts_ms") === T0)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v.toSeq === Seq(50.0))
+    assert(apiMb.bufferedPosts === 0)
+    assert(apiMb.pendingBatches === 1)
+    // the fourth post would have flushed by count
+    apiMb.write(Seq(series("mb", "c", i => 3.0)), "default")
+    assert(apiMb.bufferedPosts === 1)
+    for (i <- 0 until 3)
+      apiMb.write(Seq(series("mb", s"d$i", j => 4.0)), "default")
+    assert(apiMb.bufferedPosts === 0) // count threshold flushed
+    assert(apiMb.pendingBatches === 2)
+    assert(apiMb.source().get.points
+      .where(col("__name__") === "mb").count() === 60) // 6 series × 10
+  }
+
+  test("TTL read path carries no forced broadcast hint and no cold-tier " +
+    "rescan (scale-safe T9)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttlplan")
+      .resolve("cold").toString
+    val apiT = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    apiT.write(Seq(series("tp", "a", i => 1.0)), "default", ttlSec = 60L)
+    apiT.write(Seq(series("tp_live", "b", i => 2.0)), "default")
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (apiT.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val pts = apiT.source().get.points
+    // no broadcast() hint anywhere in the TTL join — AQE decides
+    assert(!pts.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "TTL dim must not be force-broadcast")
+    // the cold tier is scanned ONCE (the data read) — the TTL dim is the
+    // pinned incremental one, not a second full-history parquet scan
+    val scans = "Scan parquet".r.findAllMatchIn(
+      pts.queryExecution.executedPlan.toString).length
+    assert(scans <= 1, s"expected at most one parquet scan, got $scans")
+    // behavior: the 60 s TTL on 2024 samples expires tp; tp_live survives
+    assert(pts.where(col("__name__") === "tp").count() === 0)
+    assert(pts.where(col("__name__") === "tp_live").count() === 10)
+  }
+
+  test("a single series larger than the frame budget splits its chunks " +
+    "across frames") {
+    val api10 = new HttpApi(spark, maxBytesInFrame = 256)
+    val port10 = api10.start(0)
+    try {
+      // 300 samples → 3 XOR chunks (120 each); whole series ≫ 256 bytes
+      api10.write(Seq(PromSeries(
+        Map("__name__" -> "big", "instance" -> "x", "job" -> "node"),
+        (0 until 300).map(i => (T0 + i * 1000L, i.toDouble)))), "default")
+      val req = org.xerial.snappy.Snappy.compress(Prompb.encodeReadRequest(
+        Seq(Prompb.ReadQuery(T0, T0 + 300000L,
+          Seq(MatchEq("__name__", "big")))),
+        Seq(Prompb.ResponseTypeStreamedXorChunks)))
+      val resp = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port10/api/v1/read"))
+          .header("Content-Type", "application/x-protobuf")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val frames = Prompb.readChunkedFrames(resp.body())
+      assert(frames.size > 1, "oversized series must split across frames")
+      val entries = frames.flatMap(f => Prompb.decodeChunkedReadResponse(f)._2)
+      // every frame entry repeats the series labels; samples reassemble
+      assert(entries.forall(_._1("__name__") == "big"))
+      val samples = entries.flatMap(_._2).flatMap(c =>
+        graft.functions.XorChunk.decode(c.data))
+      assert(samples === (0 until 300).map(i => (T0 + i * 1000L, i.toDouble)))
+    } finally api10.stop()
+  }
+
   test("labels APIs honor match[] and time bounds") {
     // matcher restriction: instance values of node_load{instance="i1"}
     val vals = get(s"/api/v1/label/instance/values?match[]=${
