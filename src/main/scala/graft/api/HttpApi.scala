@@ -117,6 +117,7 @@ final class HttpApi(spark: SparkSession,
   private val pointsWrittenTotal = new java.util.concurrent.atomic.AtomicLong
   private val queriesTotal = new java.util.concurrent.atomic.AtomicLong
   private val readRequestsTotal = new java.util.concurrent.atomic.AtomicLong
+  private val preAggRoutedTotal = new java.util.concurrent.atomic.AtomicLong
 
   // mutable-label dimension (M4): (tenant, name) -> real label name;
   // (tenant, name, value) -> associated real values
@@ -138,7 +139,7 @@ final class HttpApi(spark: SparkSession,
       import spark.implicits._
       labelNames = c.select(explode(map_keys(col("labels"))).as("n"))
         .distinct().as[String].collect().sorted.toSeq
-      writeSeq = c.agg(max(col("__seq"))).head
+      writeSeq = c.agg(max(col("__seq"))).head()
         .getLong(0) // new writes must outrank restored data
       // one-time full scan (restart only): per-series max-merged TTLs
       val dim = c.groupBy("metric_id")
@@ -317,6 +318,9 @@ final class HttpApi(spark: SparkSession,
       batchMins = foldedMin +: tailMins
       headCompacted = true
     }
+    // A5 at compaction: data behind the spill frontier is final (modulo
+    // explicit backfill repair) — extend agg_5m up to it, incrementally
+    if (spilledTo != Long.MinValue) preAggregate(spilledTo)
   }
 
   /** Out-of-band cold-tier compaction: rewrite the durable store deduped
@@ -399,38 +403,40 @@ final class HttpApi(spark: SparkSession,
         case (None, Some(h)) => Some(hotDeduped(h))
         case (None, None) => None
       }
-    deduped.map { d =>
-      if (!ttlSeen) d
-      else {
-        // the per-series TTL is max-merged over the WHOLE history (a
-        // bounded read must not shrink a series' TTL — T9). History =
-        // the pinned compacted dim ∪ the hot tail's (metric_id, ttl)
-        // pairs — never a cold-tier rescan. Left join with NO broadcast
-        // hint: the dim holds only non-default-TTL series (tiny in
-        // practice; AQE broadcasts it from runtime size, and a
-        // pathological 10⁸-series dim degrades to a shuffle join instead
-        // of a driver OOM). Absent row = default TTL = survives.
-        val hotTtls = unionAll(bs)
-          .map(_.select(col("metric_id"), col("__ttl_sec")))
-        val dims = (ttlDim, hotTtls) match {
-          case (Some(t), Some(ht)) => Some(t.unionByName(ht))
-          case (Some(t), None) => Some(t)
-          case (None, Some(ht)) => Some(ht)
-          case (None, None) => None
-        }
-        dims.fold(d) { all =>
-          val ttls = all.groupBy("metric_id")
-            .agg(max(col("__ttl_sec")).as("__series_ttl"))
-            .where(col("__series_ttl") =!= DefaultTtlSec)
-          d.join(ttls, Seq("metric_id"), "left")
-            .where(col("__series_ttl").isNull ||
-              col("ts_ms") + col("__series_ttl") * 1000L >
-                lit(System.currentTimeMillis()))
-            .drop("__series_ttl")
-        }
+    deduped.map(applyTtl(_, bs))
+  }
+
+  /** T9 read filter: the per-series TTL is max-merged over the WHOLE
+    * history (a bounded read must not shrink a series' TTL). History =
+    * the pinned compacted dim ∪ the hot tail's (metric_id, ttl) pairs —
+    * never a cold-tier rescan. Left join with NO broadcast hint: the dim
+    * holds only non-default-TTL series (tiny in practice; AQE broadcasts
+    * it from runtime size, and a pathological 10⁸-series dim degrades to
+    * a shuffle join instead of a driver OOM). Absent row = default TTL =
+    * survives.
+    */
+  private def applyTtl(d: DataFrame, bs: Vector[DataFrame]): DataFrame =
+    if (!ttlSeen) d
+    else {
+      val hotTtls = unionAll(bs)
+        .map(_.select(col("metric_id"), col("__ttl_sec")))
+      val dims = (ttlDim, hotTtls) match {
+        case (Some(t), Some(ht)) => Some(t.unionByName(ht))
+        case (Some(t), None) => Some(t)
+        case (None, Some(ht)) => Some(ht)
+        case (None, None) => None
+      }
+      dims.fold(d) { all =>
+        val ttls = all.groupBy("metric_id")
+          .agg(max(col("__ttl_sec")).as("__series_ttl"))
+          .where(col("__series_ttl") =!= DefaultTtlSec)
+        d.join(ttls, Seq("metric_id"), "left")
+          .where(col("__series_ttl").isNull ||
+            col("ts_ms") + col("__series_ttl") * 1000L >
+              lit(System.currentTimeMillis()))
+          .drop("__series_ttl")
       }
     }
-  }
 
   // ---- mutable labels (M1-M4) ----
 
@@ -461,7 +467,9 @@ final class HttpApi(spark: SparkSession,
   def source(tenant: String = defaultTenant,
       fromMs: Long = Long.MinValue,
       toMs: Long = Long.MaxValue): Option[PromSource] =
-    dedupedPoints(fromMs, toMs).map { df0 =>
+    dedupedPoints(fromMs, toMs).map(sourceFrom(_, tenant))
+
+  private def sourceFrom(df0: DataFrame, tenant: String): PromSource = {
       val names = labelNames.filterNot(Reserved)
       val withLabels = names.foldLeft(df0)((d, n) =>
         d.withColumn(n, element_at(col("labels"), n)))
@@ -480,7 +488,149 @@ final class HttpApi(spark: SparkSession,
         case n if all.contains(n) => col(n)
         case _ => lit(null).cast("string")
       })
+  }
+
+  // ---- A4: pre-aggregated routing (reference cassandra/tsdb/read.go:
+  // 57-72,111-134,229-237) ----
+
+  /** 5-min pre-agg resolution (`cassandra/tsdb/tsdb.go:41`). */
+  val PreAggResolutionMs: Long = graft.tsdb.Downsample.DefaultResolutionMs
+
+  private def aggPath: Option[String] = durablePath.map(_ + "_agg5m")
+
+  /** `fullyAggregatedAt` — buckets ending at or before this are served
+    * from the agg table; later data re-aggregates from raw at query time.
+    */
+  def preAggWatermark: Long =
+    aggPath.fold(0L)(graft.store.Store.readWatermark)
+
+  /** Downsample a deduped point slice into the agg-table row shape:
+    * (metric_id, labels, bucket_ms, min, max, avg, count, __ttl_sec),
+    * month-partitioned. The stats reuse the verified [[graft.tsdb
+    * .Downsample]] kernel (StaleNaN/NaN semantics); labels ride a
+    * co-partitioned per-series dim join.
+    */
+  private def aggSlice(slice: DataFrame): DataFrame = {
+    val stats = graft.tsdb.Downsample(slice, Seq(col("metric_id")),
+      col("ts_ms"), col("value"), PreAggResolutionMs)
+    val dim = slice.groupBy("metric_id")
+      .agg(max_by(col("labels"), col("__seq")).as("labels"),
+        max(col("__ttl_sec")).as("__ttl_sec"))
+    stats.join(dim, Seq("metric_id"))
+      .withColumn("month", date_format(
+        timestamp_millis(col("bucket_ms")), "yyyy-MM"))
+  }
+
+  /** A5 incremental pre-aggregation over the COLD tier: downsample
+    * [watermark, endMs) into agg_5m and advance the watermark — run from
+    * compaction after each spill (the spill frontier is exactly the
+    * "data below this is final" boundary) or on demand. Returns the new
+    * watermark.
+    */
+  def preAggregate(endMs: Long): Long = aggPath.fold(0L) { ap =>
+    val wm = graft.store.Store.readWatermark(ap)
+    val end = endMs - math.floorMod(endMs, PreAggResolutionMs)
+    if (end <= wm) wm
+    else coldPoints(wm, end - 1) match {
+      case None => wm
+      case Some(c) =>
+        val bounded = c.where(col("ts_ms") >= wm && col("ts_ms") < end)
+        val slice = if (coldDirty) lwwDedup(bounded) else bounded
+        if (slice.limit(1).count() > 0)
+          aggSlice(slice)
+            .repartition(col("month"))
+            .write.partitionBy("month")
+            .mode(org.apache.spark.sql.SaveMode.Append).parquet(ap)
+        graft.store.Store.writeWatermark(ap, end)
+        end
     }
+  }
+
+  /** Forced re-aggregation (`/debug/preaggregate?from&to`, reference
+    * `api/api.go:225` → `cassandra/tsdb/aggregate.go:173-304`): recompute
+    * the agg rows for a PAST window after late backfill. Whole covered
+    * months rebuild from the merged hot ∪ cold view (so un-spilled
+    * backfill counts too) and land via DYNAMIC partition overwrite — the
+    * watermark is untouched, exactly like the reference's debug endpoint.
+    * Returns the rebuilt month partitions.
+    */
+  def forcePreAggregate(fromMs: Long, toMs: Long): Seq[String] =
+    compactLock.synchronized { aggPath.toSeq.flatMap { ap =>
+      val wm = graft.store.Store.readWatermark(ap)
+      val hi = math.min(toMs, wm) // beyond wm the raw tail serves anyway
+      if (hi <= fromMs) Seq.empty
+      else rebuildAggWindow(ap, fromMs, hi, wm)
+    } }
+
+  private def rebuildAggWindow(ap: String, fromMs: Long, hi: Long,
+      wm: Long): Seq[String] = {
+      val utc = java.time.ZoneOffset.UTC
+      val mStart = java.time.Instant.ofEpochMilli(fromMs).atZone(utc)
+        .toLocalDate.withDayOfMonth(1)
+      val mEnd = java.time.Instant.ofEpochMilli(hi - 1).atZone(utc)
+        .toLocalDate.withDayOfMonth(1).plusMonths(1)
+      val loMs = mStart.atStartOfDay(utc).toInstant.toEpochMilli
+      val hiMs = math.min(
+        mEnd.atStartOfDay(utc).toInstant.toEpochMilli, wm)
+      dedupedPoints(loMs, hiMs - 1).toSeq.flatMap { d =>
+        val slice = d.where(col("ts_ms") >= loMs && col("ts_ms") < hiMs)
+        val months = Iterator.iterate(mStart)(_.plusMonths(1))
+          .takeWhile(_.isBefore(mEnd))
+          .map(_.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM"))).toSeq
+        aggSlice(slice)
+          .repartition(col("month"))
+          .write.partitionBy("month")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ap)
+        months
+      }
+  }
+
+  /** The routed point view (A2/A4): agg rows for buckets fully below the
+    * watermark — month-pruned, the chosen column as `value`, bucket start
+    * as `ts_ms` — unioned with the raw tail re-aggregated at query time
+    * (`read.go:229-237`), so rates don't jump at the boundary. None when
+    * no agg table exists yet (callers fall back to raw).
+    */
+  private def routedPoints(fromMs: Long, toMs: Long,
+      column: String): Option[DataFrame] = aggPath.flatMap { ap =>
+    val wm = graft.store.Store.readWatermark(ap)
+    if (wm <= 0L || !java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(ap))) None
+    else {
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+        .withZone(java.time.ZoneOffset.UTC)
+      val agg0 = spark.read.parquet(ap)
+      val monthPruned =
+        if (fromMs == Long.MinValue || toMs == Long.MaxValue) agg0
+        else agg0.where(col("month").between(
+          fmt.format(java.time.Instant.ofEpochMilli(fromMs)),
+          fmt.format(java.time.Instant.ofEpochMilli(toMs))))
+      // a bucket at b covers [b, b+res): keep overlaps with [from, to]
+      val old = monthPruned
+        .where(col("bucket_ms") + PreAggResolutionMs <= wm)
+        .where(col("bucket_ms") + PreAggResolutionMs > fromMs &&
+          col("bucket_ms") <= toMs)
+      val tail = dedupedPoints(math.max(fromMs, wm), toMs)
+        .map(d => aggSlice(d.where(col("ts_ms") >= wm)).drop("month"))
+      val routed = tail.fold(old.drop("month"))(t =>
+        old.drop("month").unionByName(t))
+      val bs = batches
+      Some(applyTtl(
+        routed.select(col("labels"), col("metric_id"),
+          col("bucket_ms").as("ts_ms"), col(column).as("value"),
+          lit(0L).as("__seq"), col("__ttl_sec")), bs))
+    }
+  }
+
+  /** The pre-aggregated PromSource, when the agg table can serve the
+    * requested column — same label columns + mutable decoration as the
+    * raw source.
+    */
+  private[graft] def routedSource(tenant: String, fromMs: Long, toMs: Long,
+      column: String): Option[PromSource] =
+    routedPoints(fromMs, toMs, column).map(sourceFrom(_, tenant))
 
   private def tenantOf(h: HttpExchange): String =
     Option(h.getRequestHeaders.getFirst("X-SquirrelDB-Tenant"))
@@ -583,6 +733,13 @@ final class HttpApi(spark: SparkSession,
           respondBytes(h, 200,
             "Flushed hot batches (compacted append-only store)\n"
               .getBytes(UTF_8), "text/plain")
+        case (_, "/debug/preaggregate") =>
+          val ps = params(h)
+          val months = forcePreAggregate(
+            parseTime(required(ps, "from")), parseTime(required(ps, "to")))
+          respondBytes(h, 200,
+            s"Re-aggregated ${months.size} month partition(s): ${
+              months.mkString(", ")}\n".getBytes(UTF_8), "text/plain")
         case (_, "/debug/index_info") => handleIndexInfo(h)
         case (_, "/debug/index_verify") => handleIndexVerify(h)
         case ("GET", "/debug/mutable_dump") => handleMutableDump(h)
@@ -770,6 +927,28 @@ final class HttpApi(spark: SparkSession,
 
   // ---- PromQL endpoints ----
 
+  /** A4 route decision (reference `api/promql/queryable.go:213-231` reads
+    * the forced headers from `types/types.go:180-186`; `cassandra/tsdb/
+    * read.go:57-72` serves any query with step ≥ the agg resolution from
+    * pre-aggregated data): ForceRaw wins, ForcePreAggregated routes
+    * regardless of step, otherwise step ≥ 5 min routes — IF one agg
+    * column serves every selector and the agg table exists.
+    */
+  private def pickSource(h: HttpExchange, ast: graft.promql.Expr,
+      stepMs: Long, mint: Long, maxt: Long): Option[PromSource] = {
+    def flag(n: String): Boolean =
+      Option(h.getRequestHeaders.getFirst(n)).exists(v =>
+        v.equalsIgnoreCase("true") || v == "1")
+    val forceRaw = flag("X-SquirrelDB-ForceRaw")
+    val forcePre = flag("X-SquirrelDB-ForcePreAggregated")
+    val routed =
+      if (forceRaw || (!forcePre && stepMs < PreAggResolutionMs)) None
+      else QueryService.preAggColumn(ast)
+        .flatMap(c => routedSource(tenantOf(h), mint, maxt, c))
+    routed.foreach(_ => preAggRoutedTotal.incrementAndGet())
+    routed.orElse(source(tenantOf(h), mint, maxt))
+  }
+
   private def handleQueryRange(h: HttpExchange): Unit = {
     queriesTotal.incrementAndGet()
     val ps = params(h)
@@ -779,8 +958,9 @@ final class HttpApi(spark: SparkSession,
     val step = parseDuration(required(ps, "step"))
     val p = EvalParams(start, end, step, lookbackMs)
     // per-query [mint, maxt] from the AST → cold-tier partition pruning
-    val (mint, maxt) = QueryService.timeBounds(Parser.parse(q), p)
-    source(tenantOf(h), mint, maxt) match {
+    val ast = Parser.parse(q)
+    val (mint, maxt) = QueryService.timeBounds(ast, p)
+    pickSource(h, ast, step, mint, maxt) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"matrix","result":[]}"""))
       case Some(src) =>
@@ -799,7 +979,7 @@ final class HttpApi(spark: SparkSession,
     val p = EvalParams(t, t, 1000L, lookbackMs)
     val ast = Parser.parse(q)
     val (mint, maxt) = QueryService.timeBounds(ast, p)
-    source(tenantOf(h), mint, maxt) match {
+    pickSource(h, ast, p.stepMs, mint, maxt) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"vector","result":[]}"""))
       case Some(src) =>
@@ -971,7 +1151,10 @@ final class HttpApi(spark: SparkSession,
         c("graft_queries_total", "PromQL query/query_range requests",
           queriesTotal.get) +
         c("graft_read_requests_total", "Remote-read requests",
-          readRequestsTotal.get)
+          readRequestsTotal.get) +
+        c("graft_preagg_routed_total",
+          "Queries served from pre-aggregated data",
+          preAggRoutedTotal.get)
     respondBytes(h, 200, body.getBytes(UTF_8),
       "text/plain; version=0.0.4")
   }

@@ -83,6 +83,33 @@ object QueryService {
     else (mint, maxt)
   }
 
+  /** A4 routing: which pre-aggregated column the query's selectors must
+    * read, if ONE choice serves them all. The reference passes the
+    * PromQL engine's per-select function hint to the reader and maps it
+    * counter-safely (`cassandra/tsdb/read.go:57-72,594-613` — the rate
+    * family reads `max` so averaging can't fake counter resets); here the
+    * innermost enclosing function of each selector picks via
+    * [[graft.tsdb.PreAgg.columnFor]]. Selectors that disagree (or an
+    * expression with no selector) return None — the caller falls back to
+    * raw data rather than serving one selector the wrong column.
+    */
+  def preAggColumn(e: Expr): Option[String] = {
+    def go(e: Expr, enclosing: Option[String]): Seq[String] = e match {
+      case _: Selector =>
+        Seq(enclosing.fold("avg")(graft.tsdb.PreAgg.columnFor))
+      case FuncCall(fn, a, _) => go(a, Some(fn))
+      case LabelCall(_, a, _) => go(a, enclosing)
+      case Subquery(b, _, _, _) => go(b, enclosing)
+      case a: Agg => go(a.body, enclosing)
+      case b: BinOp => go(b.lhs, enclosing) ++ go(b.rhs, enclosing)
+      case _ => Seq.empty
+    }
+    go(e, None).distinct match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+  }
+
   /** Inject tenant + forced matchers into every selector and apply the
     * mutable-label rewrite — the whole wrapper chain is one AST pass.
     */

@@ -295,7 +295,7 @@ object Store {
     if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
   }
 
-  private def writeWatermark(aggPath: String, wm: Long): Unit = {
+  def writeWatermark(aggPath: String, wm: Long): Unit = {
     Files.createDirectories(Paths.get(aggPath))
     Files.writeString(Paths.get(aggPath, "_watermark"), wm.toString)
   }

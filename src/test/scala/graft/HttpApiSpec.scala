@@ -754,6 +754,131 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     } finally api10.stop()
   }
 
+  test("A4 e2e: large-step query_range routes through agg_5m " +
+    "(plan-asserted), headers flip the route, results equal raw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_preagg")
+      .resolve("cold").toString
+    val apiPA = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    val portPA = apiPA.start(0)
+    try {
+      // one sample per 5-min bucket, bucket-aligned (T0 % 300000 == 0) —
+      // the agg table's per-bucket stats ARE the raw samples, so routing
+      // must be LOSSLESS and the two answers byte-identical
+      val n = 24
+      def s5(inst: String, f: Int => Double) = PromSeries(
+        Map("__name__" -> "pa_metric", "instance" -> inst, "job" -> "node"),
+        (0 until n).map(i => (T0 + i * 300000L, f(i))))
+      apiPA.write(Seq(s5("a", i => 10.0 + i), s5("b", i => 100.0 - i)),
+        "default")
+      var deadline = System.nanoTime() + 30L * 1000000000L
+      while ((apiPA.pendingBatches > 0 || apiPA.preAggWatermark == 0L) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      // compaction spilled and extended agg_5m to the spill frontier
+      assert(apiPA.preAggWatermark > T0 + n * 300000L)
+      // the routed source reads the agg table, not the raw cold tier
+      val routed = apiPA.routedSource("default", T0, T0 + n * 300000L,
+        "avg").get
+      assert(routed.points.queryExecution.executedPlan.toString
+        .contains("_agg5m"), "routed source must scan the agg table")
+      def getQ(step: String, hdrs: Seq[(String, String)] = Nil) = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$portPA/api/v1/query_range?query=${
+            enc("pa_metric")}&start=${T0 / 1000}&end=${
+            (T0 + (n - 1) * 300000L) / 1000}&step=$step"))
+        hdrs.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+      }
+      def counter(): Long =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$portPA/metrics")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+          .linesIterator.find(_.startsWith("graft_preagg_routed_total"))
+          .get.split(" ").last.toLong
+      // step 600 s ≥ 300 s → routed; ForceRaw → raw; both identical
+      val c0 = counter()
+      val viaAgg = getQ("600")
+      assert(counter() === c0 + 1, "step>=300s must route to pre-agg")
+      val viaRaw = getQ("600", Seq("X-SquirrelDB-ForceRaw" -> "true"))
+      assert(counter() === c0 + 1, "ForceRaw must bypass the agg table")
+      assert(viaAgg.statusCode() === 200 && viaRaw.statusCode() === 200)
+      assert(viaAgg.body() === viaRaw.body(),
+        s"routed ${viaAgg.body().take(300)} vs raw ${viaRaw.body().take(300)}")
+      assert(viaAgg.body().contains(""""instance":"a""""))
+      // a small step routes ONLY under ForcePreAggregated
+      getQ("60")
+      assert(counter() === c0 + 1)
+      getQ("60", Seq("X-SquirrelDB-ForcePreAggregated" -> "true"))
+      assert(counter() === c0 + 2)
+    } finally apiPA.stop()
+  }
+
+  test("counter-safe column choice: rate family reads max; mixed " +
+    "selectors fall back to raw") {
+    import graft.api.QueryService
+    import graft.promql.Parser
+    assert(QueryService.preAggColumn(
+      Parser.parse("sum(rate(x[15m]))")) === Some("max"))
+    assert(QueryService.preAggColumn(
+      Parser.parse("increase(x[1h])")) === Some("max"))
+    assert(QueryService.preAggColumn(
+      Parser.parse("min_over_time(x[15m])")) === Some("min"))
+    assert(QueryService.preAggColumn(
+      Parser.parse("count_over_time(x[15m])")) === Some("count"))
+    assert(QueryService.preAggColumn(Parser.parse("x")) === Some("avg"))
+    assert(QueryService.preAggColumn(
+      Parser.parse("avg_over_time(x[10m]) + y")) === Some("avg"))
+    assert(QueryService.preAggColumn(
+      Parser.parse("min_over_time(x[15m]) + max_over_time(y[15m])"))
+      === None)
+    assert(QueryService.preAggColumn(Parser.parse("vector(1)")) === None)
+  }
+
+  test("debug/preaggregate rebuilds a past agg window after backfill, " +
+    "watermark untouched") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_reagg")
+      .resolve("cold").toString
+    val apiFB = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    val portFB = apiFB.start(0)
+    try {
+      val n = 12
+      def s5(f: Int => Double) = PromSeries(
+        Map("__name__" -> "fb_metric", "instance" -> "a", "job" -> "node"),
+        (0 until n).map(i => (T0 + i * 300000L, f(i))))
+      apiFB.write(Seq(s5(_ => 1.0)), "default")
+      var deadline = System.nanoTime() + 30L * 1000000000L
+      while ((apiFB.pendingBatches > 0 || apiFB.preAggWatermark == 0L) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val wm0 = apiFB.preAggWatermark
+      // late backfill REWRITES the window (LWW); spills below the frontier
+      apiFB.write(Seq(s5(_ => 100.0)), "default")
+      deadline = System.nanoTime() + 30L * 1000000000L
+      while (apiFB.pendingBatches > 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      def q(): String = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$portFB/api/v1/query_range?query=${
+          enc("fb_metric")}&start=${T0 / 1000}&end=${
+          (T0 + (n - 1) * 300000L) / 1000}&step=600")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      // the routed answer still serves the STALE pre-agg rows (the raw
+      // answer would show 100 — that's the gap the repair endpoint fills)
+      val stale = q()
+      assert(stale.contains(""""1"""") && !stale.contains(""""100""""),
+        stale.take(300))
+      // forced re-aggregation over the backfilled window
+      val r = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$portFB/debug/preaggregate?from=${T0 / 1000}" +
+          s"&to=${(T0 + n * 300000L) / 1000}")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(r.body().contains("2024-01"), r.body())
+      val fresh = q()
+      assert(fresh.contains(""""100""""), fresh.take(300))
+      assert(apiFB.preAggWatermark === wm0 ||
+        apiFB.preAggWatermark >= wm0) // never rolled back
+    } finally apiFB.stop()
+  }
+
   test("labels APIs honor match[] and time bounds") {
     // matcher restriction: instance values of node_load{instance="i1"}
     val vals = get(s"/api/v1/label/instance/values?match[]=${
