@@ -120,10 +120,53 @@ final class HttpApi(spark: SparkSession,
   private val preAggRoutedTotal = new java.util.concurrent.atomic.AtomicLong
 
   // mutable-label dimension (M4): (tenant, name) -> real label name;
-  // (tenant, name, value) -> associated real values
+  // (tenant, name, value) -> associated real values. Durable-backed when
+  // a durablePath is configured (the reference persists these in
+  // Cassandra, `cassandra/mutable/provider.go` — here the
+  // [[graft.tsdb.MutableProvider]] dim-table parquet).
   @volatile private var mutableNames = Map.empty[(String, String), String]
   @volatile private var mutableValues =
     Map.empty[(String, String, String), Seq[String]]
+
+  private def mutablePath: Option[String] = durablePath.map(_ + "_mutable")
+  private def expiryPath: Option[String] = durablePath.map(_ + "_expiry")
+
+  private def isDir(p: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
+
+  /** Persist the CRUD maps as the MutableProvider dim shape — one row per
+    * association, names without values keep a blank row (significant for
+    * re-import, like the CSV dump). Called after every mutation; the dim
+    * is tenant-scoped and tiny by construction.
+    */
+  private def persistMutable(): Unit = mutablePath.foreach { mp =>
+    import spark.implicits._
+    val rows = mutableNames.toSeq.flatMap { case ((t, n), target) =>
+      val vals = mutableValues.toSeq.collect {
+        case ((t2, n2, v), assoc) if t2 == t && n2 == n =>
+          assoc.map(av => (t, n, target, v, av))
+      }.flatten
+      if (vals.isEmpty) Seq((t, n, target, "", "")) else vals
+    }
+    rows.toDF("tenant", "name", "target_name", "value", "associated_value")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mp)
+  }
+
+  private def restoreMutable(): Unit =
+    mutablePath.filter(isDir).foreach { mp =>
+      scala.util.Try(spark.read.parquet(mp)
+        .select("tenant", "name", "target_name", "value",
+          "associated_value").collect()).foreach { rows =>
+        mutableNames = rows.map(r =>
+          (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+        mutableValues = rows.toSeq
+          .filter(r => r.getString(3) != null && r.getString(3).nonEmpty &&
+            r.getString(4) != null && r.getString(4).nonEmpty)
+          .groupBy(r => (r.getString(0), r.getString(1), r.getString(3)))
+          .map { case (k, rs) => k -> rs.map(_.getString(4)).distinct }
+      }
+    }
 
   // label names that cannot become DataFrame columns without colliding
   // with the engine's own schema
@@ -152,6 +195,7 @@ final class HttpApi(spark: SparkSession,
       }
       coldDirty = true // spill overlap history unknown across restarts
     }
+    restoreMutable()
   }
 
   // micro-batch buffer: per-post LAZY plans (LocalRelations — the rows
@@ -321,7 +365,39 @@ final class HttpApi(spark: SparkSession,
     // A5 at compaction: data behind the spill frontier is final (modulo
     // explicit backfill repair) — extend agg_5m up to it, incrementally
     if (spilledTo != Long.MinValue) preAggregate(spilledTo)
+    // series-expiry refresh (the reference refreshes each written series'
+    // expiration day, `cassandra/index/index.go:1516-1531`): each fold
+    // APPENDS per-series (max ts + ttl) refresh rows — appends ARE the
+    // refresh, [[sweepExpiredSeries]] compacts them out of band
+    expiryPath.foreach { ep =>
+      folded0.groupBy("metric_id")
+        .agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
+          .as("expiration_ms"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ep)
+    }
   }
+
+  /** The expiration sweep (reference `cassandra/index/index.go:2138-2291`
+    * runs it as a background purge): compact the expiry dim to per-series
+    * max expiration, drop entries whose refreshed expiration passed, and
+    * re-derive the label-name list from LIVE (TTL-filtered) points so
+    * expired series fall out of the label APIs. Returns dropped count.
+    */
+  def sweepExpiredSeries(
+      nowMs: Long = System.currentTimeMillis()): Long =
+    compactLock.synchronized {
+      expiryPath.filter(isDir).fold(0L) { ep =>
+        val dropped =
+          graft.store.Store.expireSeries(spark, ep, nowMs, Seq.empty)
+        import spark.implicits._
+        labelNames = dedupedPoints() match {
+          case Some(d) => d.select(explode(map_keys(col("labels"))).as("n"))
+            .distinct().as[String].collect().sorted.toSeq
+          case None => Nil
+        }
+        dropped
+      }
+    }
 
   /** Out-of-band cold-tier compaction: rewrite the durable store deduped
     * (clears the overlap flag so reads go back to pure scans). The
@@ -407,7 +483,18 @@ final class HttpApi(spark: SparkSession,
   }
 
   /** T9 read filter: the per-series TTL is max-merged over the WHOLE
-    * history (a bounded read must not shrink a series' TTL). History =
+    * history (a bounded read must not shrink a series' TTL).
+    *
+    * Expiry is computed from the SAMPLE timestamp (`ts + ttl > now`), not
+    * the write time — intentional: the reference hands the TTL to
+    * Cassandra per insert (write-time decay), but a set-oriented store
+    * has no per-cell clock, and sample-time decay is the semantics the
+    * `t9_ttl_expiry` oracle pins. Consequence: backfilling data older
+    * than its own TTL is a no-op unless a later write max-merges a
+    * larger TTL (which the reference's per-series max rule provides,
+    * `api/remotestorage/remotestorage.go:103-114`).
+    *
+    * History =
     * the pinned compacted dim ∪ the hot tail's (metric_id, ttl) pairs —
     * never a cold-tier rescan. Left join with NO broadcast hint: the dim
     * holds only non-default-TTL series (tiny in practice; AQE broadcasts
@@ -742,6 +829,12 @@ final class HttpApi(spark: SparkSession,
               months.mkString(", ")}\n".getBytes(UTF_8), "text/plain")
         case (_, "/debug/index_info") => handleIndexInfo(h)
         case (_, "/debug/index_verify") => handleIndexVerify(h)
+        case (_, "/debug/expire_series") =>
+          val now = params(h).get("now").flatMap(_.headOption)
+            .map(parseTime).getOrElse(System.currentTimeMillis())
+          respondBytes(h, 200,
+            s"Expired ${sweepExpiredSeries(now)} series\n".getBytes(UTF_8),
+            "text/plain")
         case ("GET", "/debug/mutable_dump") => handleMutableDump(h)
         case ("POST", "/debug/mutable_import") => handleMutableImport(h)
         case ("POST", "/mutable/names") => handleMutableNames(h, delete = false)
@@ -1132,9 +1225,23 @@ final class HttpApi(spark: SparkSession,
           .where(col("n") > 1).count()
         (bad, coll)
     }
-    val healthy = badIds == 0 && collisions == 0
+    // strict expiration (reference `WithStrictExpiration`): registered
+    // series whose refreshed expiration already passed — zero after a
+    // [[sweepExpiredSeries]]
+    val strict = params(h).contains("strict")
+    val expiredRegistered = compactLock.synchronized {
+      expiryPath.filter(isDir).fold(0L) { ep =>
+        spark.read.parquet(ep).groupBy("metric_id")
+          .agg(max(col("expiration_ms")).as("__e"))
+          .where(col("__e") <= System.currentTimeMillis()).count()
+      }
+    }
+    val healthy = badIds == 0 && collisions == 0 &&
+      (!strict || expiredRegistered == 0)
     respond(h, if (healthy) 200 else 500,
-      s"""{"healthy":$healthy,"badIds":$badIds,"idCollisions":$collisions}""")
+      s"""{"healthy":$healthy,"badIds":$badIds,""" +
+        s""""idCollisions":$collisions,""" +
+        s""""expiredRegistered":$expiredRegistered}""")
   }
 
   /** `/metrics` — internal telemetry in the Prometheus text exposition
@@ -1250,6 +1357,7 @@ final class HttpApi(spark: SparkSession,
     if (force) {
       mutableNames = names
       mutableValues = values
+      persistMutable()
     }
     val msg = s"Would import ${names.size} mutable names and " +
       s"${values.size} value mappings (replacing all existing)\n" +
@@ -1289,6 +1397,7 @@ final class HttpApi(spark: SparkSession,
             (t, nm) != key }
         } else mutableNames += key -> field(n, "associated_name")
       }
+      persistMutable()
       respondBytes(h, 200, "ok".getBytes(UTF_8), "text/plain")
     }
 
@@ -1309,6 +1418,7 @@ final class HttpApi(spark: SparkSession,
             (0 until av.size()).map(av.get(_).asText).toSeq
         }
       }
+      persistMutable()
       respondBytes(h, 200, "ok".getBytes(UTF_8), "text/plain")
     }
 

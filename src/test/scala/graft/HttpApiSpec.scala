@@ -879,6 +879,96 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     } finally apiFB.stop()
   }
 
+  test("mutable-label definitions survive a facade restart (durable dim)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mutdur")
+      .resolve("cold").toString
+    val apiM1 = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    val portM1 = apiM1.start(0)
+    try {
+      apiM1.write(Seq(
+        series("md_load", "i1", i => 1.0 + i),
+        series("md_load", "i2", i => 10.0 + i)), "default",
+        ttlSec = apiM1.DefaultTtlSec)
+      def postM1(path: String, body: String) = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$portM1$path"))
+          .header("Content-Type", "application/json")
+        client.send(b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      assert(postM1("/mutable/names",
+        """[{"tenant":"default","name":"grp","associated_name":"instance"}]""")
+        .statusCode() === 200)
+      assert(postM1("/mutable/values",
+        """[{"tenant":"default","name":"grp","value":"g1",""" +
+          """"associated_values":["i1"]}]""").statusCode() === 200)
+      // let the background compaction land the cold spill before restart
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (apiM1.pendingBatches > 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally apiM1.stop()
+    // a FRESH facade over the same durablePath restores the definitions
+    val apiM2 = new HttpApi(spark, durablePath = Some(dir))
+    val portM2 = apiM2.start(0)
+    try {
+      val q = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$portM2/api/v1/query?query=${
+          enc("""md_load{grp="g1"}""")}&time=${T9 / 1000}")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      // M1 rewrite + M2 decoration still apply after restart
+      assert(q.contains(""""instance":"i1"""") && !q.contains("i2"), q)
+      assert(q.contains(""""grp":"g1""""), q)
+      // M3: the mutable name still lists on the label APIs
+      val ls = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$portM2/api/v1/labels")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(ls.contains(""""grp""""), ls)
+    } finally apiM2.stop()
+  }
+
+  test("series expiry: refresh at compaction, sweep drops expired series " +
+    "from label APIs and strict index_verify goes green") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_expiry")
+      .resolve("cold").toString
+    val apiEx = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    val portEx = apiEx.start(0)
+    try {
+      def getEx(p: String) = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$portEx$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      // a 60 s TTL on 2024 samples → expired long before "now"; the dead
+      // series carries a label name no live series has
+      apiEx.write(Seq(PromSeries(
+        Map("__name__" -> "ex_dead", "deadlabel" -> "x", "job" -> "node"),
+        (0 until 5).map(i => (T0 + i * 60000L, 1.0)))), "default",
+        ttlSec = 60L)
+      apiEx.write(Seq(series("ex_live", "b", i => 2.0)), "default")
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (apiEx.pendingBatches > 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // the expired series' points are already TTL-hidden from /series
+      val se = getEx(s"/api/v1/series?match[]=${enc("ex_dead")}").body()
+      assert(!se.contains("ex_dead"), se)
+      // …but the index still REGISTERS it: strict verify fails pre-sweep
+      val v1 = getEx("/debug/index_verify?strict")
+      assert(v1.statusCode() === 500, v1.body())
+      assert(v1.body().contains(""""expiredRegistered":1"""), v1.body())
+      // label APIs still list the dead series' label name pre-sweep
+      assert(getEx("/api/v1/labels").body().contains(""""deadlabel""""))
+      // sweep (reference's background expiration purge, as an endpoint)
+      val sw = getEx("/debug/expire_series")
+      assert(sw.statusCode() === 200)
+      assert(sw.body().startsWith("Expired 1"), sw.body())
+      // strict verify green; dead label name gone; live series intact
+      val v2 = getEx("/debug/index_verify?strict")
+      assert(v2.statusCode() === 200, v2.body())
+      assert(v2.body().contains(""""expiredRegistered":0"""), v2.body())
+      assert(!getEx("/api/v1/labels").body().contains(""""deadlabel""""))
+      assert(getEx(s"/api/v1/query?query=${enc("ex_live")}" +
+        s"&time=${T9 / 1000}").body().contains(""""__name__":"ex_live""""))
+    } finally apiEx.stop()
+  }
+
   test("labels APIs honor match[] and time bounds") {
     // matcher restriction: instance values of node_load{instance="i1"}
     val vals = get(s"/api/v1/label/instance/values?match[]=${
