@@ -92,6 +92,12 @@ final class HttpApi(spark: SparkSession,
   // disk; only then do reads pay the LWW dedup shuffle over the cold tier
   @volatile private var lastSpillCutoff = Long.MinValue
   @volatile private var coldDirty = false
+  // cold-tier SNAPSHOT GENERATION: the data lives in `$durablePath/g<N>`
+  // and [[compactCold]] rewrites into g<N+1> then flips — never in place,
+  // so readers holding plans over the old generation keep scanning it
+  // (one retired generation is kept as the grace window; the soak spec
+  // proved in-place overwrite loses races against in-flight scans)
+  @volatile private var coldGen: Int = 0
   @volatile private var labelNames: Seq[String] = Nil
   private var writeSeq = 0L
   @volatile private var ttlSeen = false // any write with a non-default TTL?
@@ -177,7 +183,22 @@ final class HttpApi(spark: SparkSession,
   // restart bootstrap: a pre-existing durable tier restores the label
   // names and the TTL flag (mutable-label definitions live outside the
   // point store, as in the reference's Cassandra tables)
+  /** The CURRENT cold-tier generation directory, when configured. */
+  private def coldPath: Option[String] =
+    durablePath.map(p => s"$p/g$coldGen")
+
   locally {
+    // restart: adopt the highest generation on disk
+    durablePath.filter(isDir).foreach { p =>
+      val gens = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        .iterator()
+      var maxGen = -1
+      while (gens.hasNext) {
+        val n = gens.next().getFileName.toString
+        if (n.matches("g\\d+")) maxGen = math.max(maxGen, n.drop(1).toInt)
+      }
+      if (maxGen >= 0) coldGen = maxGen
+    }
     coldPoints().foreach { c =>
       import spark.implicits._
       labelNames = c.select(explode(map_keys(col("labels"))).as("n"))
@@ -323,7 +344,7 @@ final class HttpApi(spark: SparkSession,
     // day-partitioned parquet store (APPEND — late duplicates resolve
     // read-side by __seq); the spill lands BEFORE the swap so a write
     // failure loses nothing
-    val (folded, foldedMin, spilledTo) = durablePath match {
+    val (folded, foldedMin, spilledTo) = coldPath match {
       case Some(path) =>
         val cutoff = System.currentTimeMillis() - hotRetainMs
         val spill = folded0.where(col("ts_ms") < cutoff)
@@ -400,19 +421,35 @@ final class HttpApi(spark: SparkSession,
     }
 
   /** Out-of-band cold-tier compaction: rewrite the durable store deduped
-    * (clears the overlap flag so reads go back to pure scans). The
-    * result is materialized BEFORE the overwrite.
+    * into the NEXT snapshot generation, then flip (clears the overlap
+    * flag so reads go back to pure scans). Readers holding plans over
+    * the previous generation keep scanning it — one retired generation
+    * stays on disk as the grace window, the one before it is removed.
     */
   def compactCold(): Unit = compactLock.synchronized {
-    durablePath.foreach { path =>
+    durablePath.foreach { p =>
       // fold + spill the hot side first, so no backfilled key lingers in
       // memory after the flag clears (locks are reentrant here)
       compactNow()
       coldPoints().foreach { c =>
         val cleaned = lwwDedup(c).localCheckpoint(true)
-        graft.store.Store.writePoints(cleaned, path, Seq("metric_id"))
+        val nextGen = coldGen + 1
+        graft.store.Store.writePoints(cleaned, s"$p/g$nextGen",
+          Seq("metric_id"))
+        val retire = java.nio.file.Paths.get(s"$p/g${coldGen - 1}")
+        coldGen = nextGen // flip: new reads plan against the new snapshot
         coldDirty = false
+        if (java.nio.file.Files.isDirectory(retire))
+          java.nio.file.Files.walk(retire).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
       }
+    }
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
     }
   }
 
@@ -422,7 +459,7 @@ final class HttpApi(spark: SparkSession,
     * partition names.
     */
   def applyColdRetention(cutoffMs: Long): Seq[String] =
-    durablePath.toSeq.flatMap(p =>
+    coldPath.toSeq.flatMap(p =>
       graft.store.Store.applyRetention(p, cutoffMs))
 
   /** The durable cold tier, when configured and non-empty. Finite time
@@ -433,9 +470,8 @@ final class HttpApi(spark: SparkSession,
     */
   private def coldPoints(fromMs: Long = Long.MinValue,
       toMs: Long = Long.MaxValue): Option[DataFrame] =
-    durablePath
-      .filter(p => java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(p)))
+    coldPath
+      .filter(isDir)
       .flatMap { p =>
         scala.util.Try {
           val df = spark.read.parquet(p)

@@ -969,6 +969,68 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     } finally apiEx.stop()
   }
 
+  test("soak: concurrent writers + readers race background compaction, " +
+    "cold spill and frontier crossings — nothing lost, nothing duplicated") {
+    // the reference's remote-storage-test2 churn shape
+    // (tests/remote-storage-test2/main.go:29-40): 500 ms resolution,
+    // every compaction spills EVERYTHING (hotRetainMs=0) so each new
+    // write lands behind the frontier and reads constantly cross it
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_soak")
+      .resolve("cold").toString
+    val apiS = new HttpApi(spark, compactEvery = 2,
+      durablePath = Some(dir), hotRetainMs = 0L)
+    val writers = 4
+    val rounds = 3
+    val samples = 40 // 500 ms apart
+    def batch(w: Int, r: Int) = Seq(PromSeries(
+      Map("__name__" -> s"sk_$w", "job" -> "soak"),
+      (0 until samples).map(i => (T0 + i * 500L, r * 1000.0 + w * 100 + i))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ws = (0 until writers).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          // each round REWRITES the writer's series (LWW churn)
+          for (r <- 0 until rounds) apiS.write(batch(w, r), "default")
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    val rs = (0 until 2).map { k =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          for (i <- 0 until 6) {
+            // reads race the fold, the spill and the dirty-flag flips
+            apiS.source().foreach(
+              _.points.where(col("__name__").startsWith("sk_")).count())
+            apiS.readSeriesFrame(Prompb.ReadQuery(T0,
+              T0 + samples * 500L, Seq(MatchEq("job", "soak"))))
+              .foreach(_.count())
+            if (k == 0 && i == 3) apiS.compactCold() // mid-churn rewrite
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    (ws ++ rs).foreach(_.get())
+    pool.shutdown()
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    apiS.compact()
+    val pts = apiS.source().get.points
+      .where(col("__name__").startsWith("sk_"))
+      .select("__name__", "ts_ms", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exactly once per (series, ts) — collect() to a Map would hide
+    // dupes, so count the plan-side rows too
+    assert(apiS.source().get.points
+      .where(col("__name__").startsWith("sk_")).count()
+      === writers.toLong * samples, "lost or duplicated points")
+    // every surviving value is the LAST round's rewrite (per-writer
+    // sequential rounds → highest __seq wins through every churn path)
+    for (w <- 0 until writers; i <- 0 until samples)
+      assert(pts((s"sk_$w", T0 + i * 500L))
+        === (rounds - 1) * 1000.0 + w * 100 + i)
+  }
+
   test("labels APIs honor match[] and time bounds") {
     // matcher restriction: instance values of node_load{instance="i1"}
     val vals = get(s"/api/v1/label/instance/values?match[]=${
