@@ -109,6 +109,14 @@ final class HttpApi(spark: SparkSession,
   // carries NO broadcast hint (AQE decides from runtime size).
   @volatile private var ttlDim: Option[DataFrame] = None
   private var server: Option[HttpServer] = None
+  // /debug/index_block — the reference's BlockCassandraWrite pauses index
+  // writes to Cassandra during maintenance while ingest keeps flowing;
+  // the analogue blocks every durable-tier writer (spill, cold rewrite,
+  // pre-aggregation) while the hot store keeps accepting data
+  @volatile private var coldWritesBlocked = false
+  // /debug/toggle_debug_query — the reference's defaultDebugRequest logs
+  // per-query details
+  @volatile private var debugQueries = false
   private val compacting = new java.util.concurrent.atomic.AtomicBoolean
   private val compactExec =
     java.util.concurrent.Executors.newSingleThreadExecutor(r => {
@@ -173,6 +181,26 @@ final class HttpApi(spark: SparkSession,
           .map { case (k, rs) => k -> rs.map(_.getString(4)).distinct }
       }
     }
+
+  // /debug/ help text (reference api/api.go:439 debugHelpHandler)
+  private val DebugHelp: String =
+    """Available debug endpoints:
+      |/debug/index_info                index + store counters
+      |/debug/index_verify[?strict]     identity + expiration invariants
+      |/debug/index_dump                all series
+      |/debug/index_dump_by_labels?query=<selector>
+      |/debug/index_dump_by_expiration?date=YYYY-MM-DD
+      |/debug/index_dump_by_shard?shard_time=YYYY-MM-DD
+      |/debug/index_dump_by_posting?name=<label>[&value=][&shard_time=]
+      |/debug/index_block               pause durable-tier writes
+      |/debug/index_unblock             resume durable-tier writes
+      |/debug/toggle_debug_query        per-query plan logging
+      |/debug/flush                     fold the append-only hot store
+      |/debug/preaggregate?from&to      forced re-aggregation
+      |/debug/expire_series[?now=]      series-expiration sweep
+      |/debug/mutable_dump              mutable labels as CSV
+      |/debug/mutable_import[?force]    replace mutable labels from CSV
+      |""".stripMargin
 
   // label names that cannot become DataFrame columns without colliding
   // with the engine's own schema
@@ -337,7 +365,14 @@ final class HttpApi(spark: SparkSession,
     // (batches, batchMins) snapshot under the write lock — a concurrent
     // write could otherwise publish the new vector before its mins entry
     val (snap, snapMins) = synchronized((batches, batchMins))
-    if (snap.isEmpty || (snap.size == 1 && headCompacted)) return
+    // an already-compacted head is only skippable when it has nothing to
+    // spill — data ages past the horizon (or a lifted write block leaves
+    // aged data behind), and the fold below is what tiers it out
+    val spillable = coldPath.nonEmpty && !coldWritesBlocked &&
+      snapMins.nonEmpty &&
+      snapMins.min < System.currentTimeMillis() - hotRetainMs
+    if (snap.isEmpty || (snap.size == 1 && headCompacted && !spillable))
+      return
     val snapMin = snapMins.min
     val folded0 = lwwDedup(unionAll(snap).get).localCheckpoint(true)
     // S8 tiering: points older than the hot horizon spill to the durable
@@ -345,6 +380,7 @@ final class HttpApi(spark: SparkSession,
     // read-side by __seq); the spill lands BEFORE the swap so a write
     // failure loses nothing
     val (folded, foldedMin, spilledTo) = coldPath match {
+      case Some(_) if coldWritesBlocked => (folded0, snapMin, Long.MinValue)
       case Some(path) =>
         val cutoff = System.currentTimeMillis() - hotRetainMs
         val spill = folded0.where(col("ts_ms") < cutoff)
@@ -427,7 +463,7 @@ final class HttpApi(spark: SparkSession,
     * stays on disk as the grace window, the one before it is removed.
     */
   def compactCold(): Unit = compactLock.synchronized {
-    durablePath.foreach { p =>
+    durablePath.filter(_ => !coldWritesBlocked).foreach { p =>
       // fold + spill the hot side first, so no backfilled key lingers in
       // memory after the flag clears (locks are reentrant here)
       compactNow()
@@ -490,6 +526,13 @@ final class HttpApi(spark: SparkSession,
     * set one).
     */
   private def dedupedPoints(fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[DataFrame] =
+    mergedDeduped(fromMs, toMs).map(applyTtl(_, batches))
+
+  /** The merged hot ∪ cold LWW view WITHOUT the T9 filter (debug dumps
+    * need to show expired-but-registered series too).
+    */
+  private def mergedDeduped(fromMs: Long = Long.MinValue,
       toMs: Long = Long.MaxValue): Option[DataFrame] = {
     flushPending() // read-your-writes across the micro-batch buffer
     val (bs, hc) = (batches, headCompacted)
@@ -515,7 +558,7 @@ final class HttpApi(spark: SparkSession,
         case (None, Some(h)) => Some(hotDeduped(h))
         case (None, None) => None
       }
-    deduped.map(applyTtl(_, bs))
+    deduped
   }
 
   /** T9 read filter: the per-series TTL is max-merged over the WHOLE
@@ -653,7 +696,7 @@ final class HttpApi(spark: SparkSession,
   def preAggregate(endMs: Long): Long = aggPath.fold(0L) { ap =>
     val wm = graft.store.Store.readWatermark(ap)
     val end = endMs - math.floorMod(endMs, PreAggResolutionMs)
-    if (end <= wm) wm
+    if (end <= wm || coldWritesBlocked) wm
     else coldPoints(wm, end - 1) match {
       case None => wm
       case Some(c) =>
@@ -681,7 +724,7 @@ final class HttpApi(spark: SparkSession,
     compactLock.synchronized { aggPath.toSeq.flatMap { ap =>
       val wm = graft.store.Store.readWatermark(ap)
       val hi = math.min(toMs, wm) // beyond wm the raw tail serves anyway
-      if (hi <= fromMs) Seq.empty
+      if (hi <= fromMs || coldWritesBlocked) Seq.empty
       else rebuildAggWindow(ap, fromMs, hi, wm)
     } }
 
@@ -851,6 +894,27 @@ final class HttpApi(spark: SparkSession,
         case (_, "/debug/index_dump_by_labels") =>
           handleIndexDump(h,
             params(h).get("query").flatMap(_.headOption))
+        case (_, "/debug/index_dump_by_expiration") =>
+          handleDumpByExpiration(h, required(params(h), "date"))
+        case (_, "/debug/index_dump_by_shard") =>
+          handleDumpByShard(h, required(params(h), "shard_time"))
+        case (_, "/debug/index_dump_by_posting") =>
+          handleDumpByPosting(h)
+        case (_, "/debug/index_block") =>
+          coldWritesBlocked = true
+          respondBytes(h, 200, "Write to durable tier blocked\n"
+            .getBytes(UTF_8), "text/plain")
+        case (_, "/debug/index_unblock") =>
+          coldWritesBlocked = false
+          respondBytes(h, 200, "Write to durable tier unblocked\n"
+            .getBytes(UTF_8), "text/plain")
+        case (_, "/debug/toggle_debug_query") =>
+          debugQueries = !debugQueries
+          respondBytes(h, 200,
+            s"defaultDebugRequest is now $debugQueries\n".getBytes(UTF_8),
+            "text/plain")
+        case (_, "/debug/") | (_, "/debug") =>
+          respondBytes(h, 200, DebugHelp.getBytes(UTF_8), "text/plain")
         case (_, "/debug/flush") =>
           compact()
           respondBytes(h, 200,
@@ -1089,6 +1153,11 @@ final class HttpApi(spark: SparkSession,
     // per-query [mint, maxt] from the AST → cold-tier partition pruning
     val ast = Parser.parse(q)
     val (mint, maxt) = QueryService.timeBounds(ast, p)
+    if (debugQueries) {
+      h.getResponseHeaders.set("X-SquirrelDB-Debug", "true")
+      println(s"[graft debug-query] query_range query=$q start=$start " +
+        s"end=$end step=$step bounds=[$mint,$maxt]")
+    }
     pickSource(h, ast, step, mint, maxt) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"matrix","result":[]}"""))
@@ -1108,6 +1177,11 @@ final class HttpApi(spark: SparkSession,
     val p = EvalParams(t, t, 1000L, lookbackMs)
     val ast = Parser.parse(q)
     val (mint, maxt) = QueryService.timeBounds(ast, p)
+    if (debugQueries) {
+      h.getResponseHeaders.set("X-SquirrelDB-Debug", "true")
+      println(s"[graft debug-query] query query=$q time=$t " +
+        s"bounds=[$mint,$maxt]")
+    }
     pickSource(h, ast, p.stepMs, mint, maxt) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"vector","result":[]}"""))
@@ -1317,21 +1391,102 @@ final class HttpApi(spark: SparkSession,
       labels => n => element_at(labels, n)
     val filtered = selector.fold(df0)(sel => df0.where(
       Matchers.all(resolve(col("labels")), selectorMatchers(sel))))
-    val series = filtered
+    streamDump(h, filtered
       .groupBy("metric_id")
       .agg(max_by(col("labels"), col("__seq")).as("labels"))
-      .orderBy("metric_id")
+      .orderBy("metric_id"))
+  }
+
+  /** Shared dump streamer: one `metric_id labels… [extra]` line per
+    * series row, via `toLocalIterator`.
+    */
+  private def streamDump(h: HttpExchange, series: DataFrame,
+      extraCol: Option[String] = None): Unit = {
     h.getResponseHeaders.set("Content-Type", "text/plain")
     h.sendResponseHeaders(200, 0)
     val os = h.getResponseBody
     val it = series.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
-      val lbls = r.getAs[Map[String, String]]("labels").toSeq.sorted
+      val lbls = Option(r.getAs[Map[String, String]]("labels"))
+        .getOrElse(Map.empty).toSeq.sorted
         .map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
-      os.write(s"${r.getAs[Long]("metric_id")} $lbls\n".getBytes(UTF_8))
+      val extra = extraCol.fold("")(c => " " + r.getAs[Any](c))
+      os.write(s"${r.getAs[Long]("metric_id")} $lbls$extra\n".getBytes(UTF_8))
     }
     os.close()
+  }
+
+  /** `/debug/index_dump_by_expiration?date=YYYY-MM-DD` (reference
+    * `api/api.go:711-739` → `DumpByExpirationDate`): series whose
+    * refreshed expiration falls on that UTC day, labels joined from the
+    * (un-TTL-filtered) store so expired series still print.
+    */
+  private def handleDumpByExpiration(h: HttpExchange, date: String): Unit =
+    expiryPath.filter(isDir) match {
+      case None => respond(h, 501, PromJson.error("unavailable",
+        "no expiry dim (configure durablePath)"))
+      case Some(ep) =>
+        val day = java.sql.Date.valueOf(java.time.LocalDate.parse(date))
+        val dim = compactLock.synchronized {
+          spark.read.parquet(ep).groupBy("metric_id")
+            .agg(max(col("expiration_ms")).as("expiration_ms"))
+            .localCheckpoint(true) // pin: the dump outlives the lock
+        }
+        val onDay = dim.where(
+          to_date(timestamp_millis(col("expiration_ms"))) === lit(day))
+        val series = mergedDeduped()
+          .map(_.groupBy("metric_id")
+            .agg(max_by(col("labels"), col("__seq")).as("labels")))
+          .fold(onDay.withColumn("labels",
+            map().cast("map<string,string>")))(ld =>
+            onDay.join(ld, Seq("metric_id"), "left"))
+        streamDump(h, series.orderBy("metric_id"), Some("expiration_ms"))
+    }
+
+  /** `/debug/index_dump_by_shard?shard_time=YYYY-MM-DD` (reference
+    * `api/api.go:741-769` → `DumpByShard`): the reference's index shards
+    * postings by time block; the layout analogue is the day partition —
+    * series with any point on that UTC day.
+    */
+  private def handleDumpByShard(h: HttpExchange, date: String): Unit = {
+    val lo = java.time.LocalDate.parse(date)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    mergedDeduped(lo, lo + 86400000L - 1) match {
+      case None => respondBytes(h, 200, Array.emptyByteArray, "text/plain")
+      case Some(df) => streamDump(h, df
+        .groupBy("metric_id")
+        .agg(max_by(col("labels"), col("__seq")).as("labels"))
+        .orderBy("metric_id"))
+    }
+  }
+
+  /** `/debug/index_dump_by_posting?name=&value=[&shard_time=]` (reference
+    * `api/api.go:772-827` → `DumpByPosting`): series in one posting —
+    * label `name` present (any value) or equal to `value`, optionally
+    * restricted to a day shard.
+    */
+  private def handleDumpByPosting(h: HttpExchange): Unit = {
+    val ps = params(h)
+    val name = required(ps, "name")
+    val value = ps.get("value").flatMap(_.headOption)
+    val (lo, hi) = ps.get("shard_time").flatMap(_.headOption) match {
+      case Some(d) =>
+        val l = java.time.LocalDate.parse(d)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        (l, l + 86400000L - 1)
+      case None => (Long.MinValue, Long.MaxValue)
+    }
+    mergedDeduped(lo, hi) match {
+      case None => respondBytes(h, 200, Array.emptyByteArray, "text/plain")
+      case Some(df) =>
+        val v = element_at(col("labels"), name)
+        val cond = value.fold(v.isNotNull && v =!= "")(x => v === x)
+        streamDump(h, df.where(cond)
+          .groupBy("metric_id")
+          .agg(max_by(col("labels"), col("__seq")).as("labels"))
+          .orderBy("metric_id"))
+    }
   }
 
   /** `/debug/index_info` (reference `api/api.go:213` → index info dump):

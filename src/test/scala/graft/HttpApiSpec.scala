@@ -1031,6 +1031,57 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
         === (rounds - 1) * 1000.0 + w * 100 + i)
   }
 
+  test("debug tooling: dump by expiration/shard/posting, index " +
+    "block/unblock, toggle_debug_query, help") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbg")
+      .resolve("cold").toString
+    val apiD = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    val portD = apiD.start(0)
+    try {
+      def getD(p: String) = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$portD$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      apiD.write(Seq(series("dbg_m", "i1", i => 1.0)), "default",
+        ttlSec = 60L)
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (apiD.pendingBatches > 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // by_posting: presence and equality forms
+      val byPost = getD("/debug/index_dump_by_posting?name=instance").body()
+      assert(byPost.contains("""instance="i1""""), byPost)
+      assert(getD("/debug/index_dump_by_posting?name=instance&value=nope")
+        .body().isEmpty)
+      // by_shard: the fixture day has the series; the day after has none
+      assert(getD("/debug/index_dump_by_shard?shard_time=2024-01-01")
+        .body().contains("dbg_m"))
+      assert(getD("/debug/index_dump_by_shard?shard_time=2024-01-03")
+        .body().isEmpty)
+      // by_expiration: ts 2024 + 60 s TTL expires on 2024-01-01
+      val byExp = getD(
+        "/debug/index_dump_by_expiration?date=2024-01-01").body()
+      assert(byExp.contains("dbg_m"), byExp)
+      assert(getD("/debug/index_dump_by_expiration?date=2030-06-06")
+        .body().isEmpty)
+      // block: writes keep landing in the hot store, nothing spills
+      assert(getD("/debug/index_block").body().contains("blocked"))
+      apiD.write(Seq(series("dbg_b", "i2", i => 2.0)), "default")
+      apiD.compact()
+      assert(apiD.rawPoints.get.count() > 0,
+        "blocked spill must keep data hot")
+      assert(getD("/debug/index_unblock").body().contains("unblocked"))
+      apiD.compact()
+      assert(apiD.rawPoints.get.count() === 0, "unblock resumes the spill")
+      // toggle_debug_query flips the flag and marks responses
+      assert(getD("/debug/toggle_debug_query").body().contains("true"))
+      val dq = getD(s"/api/v1/query?query=${enc("dbg_b")}&time=${T9 / 1000}")
+      assert(dq.headers().firstValue("X-SquirrelDB-Debug").orElse("")
+        === "true")
+      assert(getD("/debug/toggle_debug_query").body().contains("false"))
+      // help index
+      assert(getD("/debug/").body().contains("index_dump_by_posting"))
+    } finally apiD.stop()
+  }
+
   test("labels APIs honor match[] and time bounds") {
     // matcher restriction: instance values of node_load{instance="i1"}
     val vals = get(s"/api/v1/label/instance/values?match[]=${
