@@ -227,6 +227,16 @@ final class HttpApi(spark: SparkSession,
       }
       if (maxGen >= 0) coldGen = maxGen
     }
+    aggPath.filter(isDir).foreach { p =>
+      val gens = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        .iterator()
+      var maxGen = -1
+      while (gens.hasNext) {
+        val n = gens.next().getFileName.toString
+        if (n.matches("g\\d+")) maxGen = math.max(maxGen, n.drop(1).toInt)
+      }
+      if (maxGen >= 0) aggGen = maxGen
+    }
     coldPoints().foreach { c =>
       import spark.implicits._
       labelNames = c.select(explode(map_keys(col("labels"))).as("n"))
@@ -662,7 +672,15 @@ final class HttpApi(spark: SparkSession,
   /** 5-min pre-agg resolution (`cassandra/tsdb/tsdb.go:41`). */
   val PreAggResolutionMs: Long = graft.tsdb.Downsample.DefaultResolutionMs
 
+  // agg-table snapshot generation (same isolation as the cold tier): the
+  // ROOT holds the watermark; the data lives in g<N>. Incremental runs
+  // APPEND to the current generation (append never breaks an in-flight
+  // reader); the forced REBUILD writes g<N+1> — unchanged months carried
+  // forward — and flips, so routed readers never race a file overwrite
+  @volatile private var aggGen: Int = 0
+
   private def aggPath: Option[String] = durablePath.map(_ + "_agg5m")
+  private def aggDataPath: Option[String] = aggPath.map(p => s"$p/g$aggGen")
 
   /** `fullyAggregatedAt` — buckets ending at or before this are served
     * from the agg table; later data re-aggregates from raw at query time.
@@ -706,7 +724,8 @@ final class HttpApi(spark: SparkSession,
           aggSlice(slice)
             .repartition(col("month"))
             .write.partitionBy("month")
-            .mode(org.apache.spark.sql.SaveMode.Append).parquet(ap)
+            .mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(aggDataPath.get)
         graft.store.Store.writeWatermark(ap, end)
         end
     }
@@ -744,11 +763,27 @@ final class HttpApi(spark: SparkSession,
           .takeWhile(_.isBefore(mEnd))
           .map(_.format(java.time.format.DateTimeFormatter
             .ofPattern("yyyy-MM"))).toSeq
-        aggSlice(slice)
-          .repartition(col("month"))
+        // generational rebuild: recomputed months + every untouched month
+        // carried forward land in g<N+1>, then the pointer flips — routed
+        // readers holding plans over g<N> keep scanning it (an in-place
+        // dynamic overwrite would hand them FILE_NOT_EXIST mid-scan, the
+        // race the cold tier's soak exposed). The agg table is ~1/300th
+        // of raw, so the carry-forward is cheap for a repair endpoint.
+        val rebuilt = aggSlice(slice)
+        val current = aggDataPath.filter(isDir)
+          .map(spark.read.parquet(_))
+        val next = current.fold(rebuilt)(c =>
+          c.where(!col("month").isin(months: _*)).unionByName(rebuilt))
+        val nextGen = aggGen + 1
+        next.repartition(col("month"))
           .write.partitionBy("month")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ap)
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$ap/g$nextGen")
+        val retire = java.nio.file.Paths.get(s"$ap/g${aggGen - 1}")
+        aggGen = nextGen
+        if (java.nio.file.Files.isDirectory(retire))
+          java.nio.file.Files.walk(retire).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
         months
       }
   }
@@ -762,12 +797,11 @@ final class HttpApi(spark: SparkSession,
   private def routedPoints(fromMs: Long, toMs: Long,
       column: String): Option[DataFrame] = aggPath.flatMap { ap =>
     val wm = graft.store.Store.readWatermark(ap)
-    if (wm <= 0L || !java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(ap))) None
+    if (wm <= 0L || !aggDataPath.exists(isDir)) None
     else {
       val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
         .withZone(java.time.ZoneOffset.UTC)
-      val agg0 = spark.read.parquet(ap)
+      val agg0 = spark.read.parquet(aggDataPath.get)
       val monthPruned =
         if (fromMs == Long.MinValue || toMs == Long.MaxValue) agg0
         else agg0.where(col("month").between(

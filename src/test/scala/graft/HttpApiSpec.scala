@@ -1006,7 +1006,12 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
             apiS.readSeriesFrame(Prompb.ReadQuery(T0,
               T0 + samples * 500L, Seq(MatchEq("job", "soak"))))
               .foreach(_.count())
+            // routed reads race the agg table's generational rebuilds
+            apiS.routedSource("default", T0, T0 + samples * 500L, "avg")
+              .foreach(_.points.count())
             if (k == 0 && i == 3) apiS.compactCold() // mid-churn rewrite
+            if (k == 1 && i >= 2) // repeated re-agg flips generations
+              apiS.forcePreAggregate(T0, T0 + samples * 500L)
           }
         } catch { case t: Throwable => errs.add(t) }
       })
