@@ -812,8 +812,13 @@ final class HttpApi(spark: SparkSession,
         .where(col("bucket_ms") + PreAggResolutionMs <= wm)
         .where(col("bucket_ms") + PreAggResolutionMs > fromMs &&
           col("bucket_ms") <= toMs)
-      val tail = dedupedPoints(math.max(fromMs, wm), toMs)
-        .map(d => aggSlice(d.where(col("ts_ms") >= wm)).drop("month"))
+      // the raw tail only exists when the window reaches past the
+      // watermark — a historical dashboard query (the common routed
+      // shape) is a pure agg scan with no tail subplan at all
+      val tail =
+        if (math.max(fromMs, wm) > toMs) None
+        else dedupedPoints(math.max(fromMs, wm), toMs)
+          .map(d => aggSlice(d.where(col("ts_ms") >= wm)).drop("month"))
       val routed = tail.fold(old.drop("month"))(t =>
         old.drop("month").unionByName(t))
       val bs = batches

@@ -36,7 +36,15 @@ object FacadeBench {
     // micro-batching lifts the per-POST job-scheduling floor (r6 Wrong
     // #3): FB_FLUSH_POSTS posts share one pinned batch (1 = old behavior)
     val flushPosts = sys.env.getOrElse("FB_FLUSH_POSTS", "8").toInt
-    val api = new HttpApi(spark, flushEveryPosts = flushPosts)
+    // durable tier on by default (FB_DURABLE=0 disables): the flush
+    // spills to the cold tier and builds agg_5m, so the routed (A4)
+    // query phase below can measure pre-agg vs raw
+    val durable =
+      if (sys.env.getOrElse("FB_DURABLE", "1") == "0") None
+      else Some(java.nio.file.Files.createTempDirectory("fb_cold")
+        .resolve("cold").toString)
+    val api = new HttpApi(spark, flushEveryPosts = flushPosts,
+      durablePath = durable)
     val port = api.start(0)
     val client = HttpClient.newHttpClient()
     val t0ms = 1704067200000L // fixed epoch; scrape interval 10 s
@@ -86,6 +94,34 @@ object FacadeBench {
     }
     val querySec = (System.nanoTime() - q0) / 1e9
 
+    // ---- A4: routed (pre-agg) vs forced-raw query_range ----
+    // step ≥ 5 min routes through agg_5m; same query forced raw scans
+    // the cold tier — the year-long-dashboard shape the routing exists
+    // for (reference cassandra/tsdb/read.go:57-72)
+    var routedSec = 0.0
+    var rawSec = 0.0
+    if (durable.isDefined && api.preAggWatermark > 0) {
+      def timedQ(hdrs: Seq[(String, String)]): Double = {
+        val t0 = System.nanoTime()
+        for (t <- 0 until tenants) {
+          val q = java.net.URLEncoder.encode(
+            "avg_over_time(fb_metric_1[10m])", "UTF-8")
+          val b = HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/api/v1/query_range?query=$q" +
+              s"&start=${t0ms / 1000}&end=${t0ms / 1000 + scrapes * 10}" +
+              "&step=600"))
+            .header("X-SquirrelDB-Tenant", s"tenant$t")
+          hdrs.foreach { case (k, v) => b.header(k, v) }
+          val resp = client.send(b.GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200, resp.body().take(200))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      rawSec = timedQ(Seq("X-SquirrelDB-ForceRaw" -> "true"))
+      routedSec = timedQ(Nil)
+    }
+
     // ---- streamed remote read of one tenant's full window ----
     val r0 = System.nanoTime()
     val readReq = org.xerial.snappy.Snappy.compress(Prompb.encodeReadRequest(
@@ -107,6 +143,8 @@ object FacadeBench {
         s""""writes":${scrapes * tenants},""" +
         s""""flush_every_posts":$flushPosts,""" +
         s""""query_range_sec_per_tenant":${querySec / tenants},""" +
+        s""""routed_query_sec_per_tenant":${routedSec / tenants},""" +
+        s""""raw_query_sec_per_tenant":${rawSec / tenants},""" +
         s""""streamed_read_samples":$readSamples,"read_sec":$readSec,""" +
         s""""workload":"${tenants}t x ${agents}a x ${metrics}m x ${scrapes}s @10s"}"""
     println(json)
