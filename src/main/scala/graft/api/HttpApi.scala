@@ -215,6 +215,28 @@ final class HttpApi(spark: SparkSession,
   private def coldPath: Option[String] =
     durablePath.map(p => s"$p/g$coldGen")
 
+  // restart metadata sidecar: (writeSeq, labelNames) as one tiny JSON,
+  // plus the TTL dim as parquet — written at each compaction AFTER the
+  // spill, so its content is exactly consistent with what a restart can
+  // see (unspilled hot data dies with the process either way). With it,
+  // restart is O(1); without it (pre-r7 layouts) bootstrap falls back to
+  // the full-history scan — at 100 TB that scan is 3 passes over the
+  // cold tier, which is why the sidecar exists.
+  private def metaPath: Option[java.nio.file.Path] =
+    durablePath.map(p => java.nio.file.Paths.get(p + "_meta.json"))
+  private def ttlDimPath: Option[String] = durablePath.map(_ + "_ttl")
+
+  private def persistMeta(): Unit = metaPath.foreach { mp =>
+    val names = labelNames.map(n => "\"" + PromJson.escape(n) + "\"")
+    val json = s"""{"writeSeq":${synchronized(writeSeq)},""" +
+      s""""ttlSeen":$ttlSeen,"labelNames":[${names.mkString(",")}]}"""
+    val tmp = mp.resolveSibling(mp.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, mp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   locally {
     // restart: adopt the highest generation on disk
     durablePath.filter(isDir).foreach { p =>
@@ -237,20 +259,45 @@ final class HttpApi(spark: SparkSession,
       }
       if (maxGen >= 0) aggGen = maxGen
     }
+    val metaLoaded = metaPath
+      .filter(java.nio.file.Files.exists(_)).exists { mp =>
+        scala.util.Try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = mapper.readTree(java.nio.file.Files.readString(mp))
+          val seq = root.get("writeSeq").asLong()
+          val seen = root.get("ttlSeen").asBoolean()
+          val ln = root.get("labelNames")
+          labelNames =
+            (0 until ln.size()).map(ln.get(_).asText()).sorted
+          writeSeq = seq
+          ttlSeen = seen
+          ttlDimPath.filter(isDir).foreach(tp =>
+            ttlDim = Some(spark.read.parquet(tp).localCheckpoint(true)))
+          true
+        }.getOrElse(false)
+      }
     coldPoints().foreach { c =>
-      import spark.implicits._
-      labelNames = c.select(explode(map_keys(col("labels"))).as("n"))
-        .distinct().as[String].collect().sorted.toSeq
-      writeSeq = c.agg(max(col("__seq"))).head()
-        .getLong(0) // new writes must outrank restored data
-      // one-time full scan (restart only): per-series max-merged TTLs
-      val dim = c.groupBy("metric_id")
-        .agg(max(col("__ttl_sec")).as("__ttl_sec"))
-        .where(col("__ttl_sec") =!= DefaultTtlSec)
-        .localCheckpoint(true)
-      if (dim.limit(1).count() > 0) {
-        ttlDim = Some(dim)
-        ttlSeen = true
+      // without the sidecar (pre-r7 layout or torn write): the one-time
+      // full-history fallback scan
+      if (!metaLoaded) {
+        import spark.implicits._
+        labelNames = c.select(explode(map_keys(col("labels"))).as("n"))
+          .distinct().as[String].collect().sorted.toSeq
+        writeSeq = c.agg(max(col("__seq"))).head()
+          .getLong(0) // new writes must outrank restored data
+      }
+      // the TTL dim must exist whenever TTLs are in play — recompute if
+      // the sidecar lacked it (an absent dim would silently un-expire
+      // every cold series)
+      if (!metaLoaded || (ttlSeen && ttlDim.isEmpty)) {
+        val dim = c.groupBy("metric_id")
+          .agg(max(col("__ttl_sec")).as("__ttl_sec"))
+          .where(col("__ttl_sec") =!= DefaultTtlSec)
+          .localCheckpoint(true)
+        if (dim.limit(1).count() > 0) {
+          ttlDim = Some(dim)
+          ttlSeen = true
+        }
       }
       coldDirty = true // spill overlap history unknown across restarts
     }
@@ -321,10 +368,22 @@ final class HttpApi(spark: SparkSession,
     if (minTs < lastSpillCutoff) coldDirty = true
     // bounded union depth, OFF the write path: the fold runs in the
     // background over a snapshot prefix and is swapped in copy-on-write
-    if (pendingBatches >= compactEvery && compacting.compareAndSet(false, true))
-      compactExec.execute(() =>
-        try compactNow() finally compacting.set(false))
+    maybeScheduleCompact()
   }
+
+  /** Schedule a background fold when the append depth crosses the
+    * threshold — and RE-CHECK after each fold completes: batches
+    * appended while a fold was running would otherwise wait for the
+    * next write to cross the threshold again (a batch could sit
+    * unfolded and unspilled indefinitely on an idle store).
+    */
+  private def maybeScheduleCompact(): Unit =
+    if (pendingBatches >= compactEvery &&
+      compacting.compareAndSet(false, true))
+      compactExec.execute { () =>
+        try compactNow() finally compacting.set(false)
+        maybeScheduleCompact()
+      }
 
   /** Batches appended since the last completed compaction. */
   def pendingBatches: Int = {
@@ -428,6 +487,13 @@ final class HttpApi(spark: SparkSession,
       batches = folded +: batches.drop(snap.size)
       batchMins = foldedMin +: tailMins
       headCompacted = true
+    }
+    // restart sidecars: TTL dim + (writeSeq, labelNames) land after the
+    // swap so a restart reads state consistent with what was spilled
+    if (!coldWritesBlocked) {
+      newDim.foreach(d => ttlDimPath.foreach(tp =>
+        d.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tp)))
+      persistMeta()
     }
     // A5 at compaction: data behind the spill frontier is final (modulo
     // explicit backfill repair) — extend agg_5m up to it, incrementally

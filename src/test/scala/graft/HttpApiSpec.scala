@@ -722,6 +722,17 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     // behavior: the 60 s TTL on 2024 samples expires tp; tp_live survives
     assert(pts.where(col("__name__") === "tp").count() === 0)
     assert(pts.where(col("__name__") === "tp_live").count() === 10)
+    // restart sidecar: meta + TTL dim persisted at compaction, so a new
+    // facade restores expiry state WITHOUT the full-history scan
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "_meta.json")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir + "_ttl")))
+    val apiT2 = new HttpApi(spark, durablePath = Some(dir))
+    val pts2 = apiT2.source().get.points
+    assert(pts2.where(col("__name__") === "tp").count() === 0,
+      "restored TTL dim must keep expired series hidden")
+    assert(pts2.where(col("__name__") === "tp_live").count() === 10)
   }
 
   test("a single series larger than the frame budget splits its chunks " +
