@@ -166,6 +166,52 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** Near-dup CLUSTERING: connected components over the verified pair
+    * graph (`jaccard >= threshold`) by iterative min-label propagation —
+    * every doc in a duplicate component converges to the smallest doc id
+    * reachable from it, the canonical representative a dedup pipeline
+    * keeps (`keep = doc_id == cluster`). The loop is the standard
+    * large-scale CC shape: O(component diameter) rounds, each ONE
+    * edge–label equi-join + a min aggregate, labels pinned per round so
+    * lineage stays flat — no graph library, no driver-side adjacency.
+    * At 100 TB the edge list is candidate-pair-sized (LSH-bounded),
+    * orders below the corpus.
+    *
+    * @param verified output of [[jaccard]]: (doc_a, doc_b, …, jaccard)
+    */
+  def dupClusters(verified: DataFrame, threshold: Double,
+      maxIters: Int = 50): DataFrame = {
+    val e = verified.where(col("jaccard") >= threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster").as("nc")), Seq("dst"))
+        .groupBy("src").agg(min(col("nc")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"),
+            coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
+            .cast("long").as("__chg"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head()
+        .getLong(0)
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    labels.withColumn("keep", col("doc_id") === col("cluster"))
+  }
+
   /** SimHash (60-bit, from the first 15 hex chars of each token's md5):
     * bit j of the signature is the sign of Σ_tokens (2·bit_j(h(token)) − 1).
     */

@@ -30,6 +30,8 @@ object PipelineQueries {
   private val ShingleLen = 3
   private val RowsPerBand = 3
   private val MaxBucket = 32
+  // near-dup clustering keeps pairs at/above this verified similarity
+  private val ClusterThreshold = 0.5
 
   /** documents ∪ exact re-crawl ∪ near-dup re-crawl. */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -73,6 +75,14 @@ object PipelineQueries {
     // SimHash (60-bit) per document
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
+
+    // near-dup clusters: connected components over the verified pairs —
+    // min-label propagation picks the canonical doc per dup component
+    "d7_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.jaccard(corpus(s, dir),
+          candidates(s, dir).localCheckpoint(true), ShingleLen),
+        ClusterThreshold)),
 
     // embedding-cosine near-dup: SRP-bucketed pair generation + exact
     // cosine filter; planted re-ingested vectors guarantee positives
@@ -288,6 +298,35 @@ object PipelineQueries {
       LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
       LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
       LEFT JOIN sizes sb ON sb.doc_id = c.doc_b""",
+
+    "d7_dup_clusters" -> s"""
+      WITH RECURSIVE $SigSql, $CandSql,
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+        GROUP BY 1, 2),
+      ver AS (SELECT c.doc_a, c.doc_b,
+          round(coalesce(i.n_inter, 0)::DOUBLE /
+            nullif(coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+              - coalesce(i.n_inter, 0), 0)::DOUBLE, 6) AS j
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+        LEFT JOIN sizes sb ON sb.doc_id = c.doc_b),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver
+        WHERE j >= $ClusterThreshold
+        UNION
+        SELECT doc_b, doc_a FROM ver WHERE j >= $ClusterThreshold),
+      reach AS (
+        SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.src = e.dst)
+      SELECT src AS doc_id, min(lbl) AS cluster,
+        (min(lbl) = src) AS keep
+      FROM reach GROUP BY 1""",
 
     "d5_simhash" -> s"""
       WITH tok AS (SELECT DISTINCT doc_id,

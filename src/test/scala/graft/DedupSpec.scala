@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
     assert(rows === Set((2L, 2L), (9L, 1L))) // (keep_id, n_docs)
   }
 
+  test("dupClusters: transitive components converge to the min doc id; " +
+    "below-threshold edges are ignored") {
+    // chain 1-2, 2-3 (one component) + isolated pair 7-9 + a weak edge
+    // 9-20 below threshold that must NOT merge
+    val verified = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.8), (7L, 9L, 1.0), (9L, 20L, 0.2))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.dupClusters(verified, 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      7L -> ((7L, true)), 9L -> ((7L, false))))
+  }
+
   test("jaccard: pairs with sub-shingle-length docs are not dropped") {
     // doc 2 has <3 tokens → empty shingle set; pair (1,2) must still
     // surface with jaccard 0/2 = 0. Pair (2,3): both empty → union empty
