@@ -237,28 +237,26 @@ final class HttpApi(spark: SparkSession,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Highest `g<N>` snapshot generation under `p`, or -1 when none. */
+  private def maxGenIn(p: String): Int = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+    try {
+      val gens = s.iterator()
+      var maxGen = -1
+      while (gens.hasNext) {
+        val n = gens.next().getFileName.toString
+        if (n.matches("g\\d+")) maxGen = math.max(maxGen, n.drop(1).toInt)
+      }
+      maxGen
+    } finally s.close()
+  }
+
   locally {
     // restart: adopt the highest generation on disk
-    durablePath.filter(isDir).foreach { p =>
-      val gens = java.nio.file.Files.list(java.nio.file.Paths.get(p))
-        .iterator()
-      var maxGen = -1
-      while (gens.hasNext) {
-        val n = gens.next().getFileName.toString
-        if (n.matches("g\\d+")) maxGen = math.max(maxGen, n.drop(1).toInt)
-      }
-      if (maxGen >= 0) coldGen = maxGen
-    }
-    aggPath.filter(isDir).foreach { p =>
-      val gens = java.nio.file.Files.list(java.nio.file.Paths.get(p))
-        .iterator()
-      var maxGen = -1
-      while (gens.hasNext) {
-        val n = gens.next().getFileName.toString
-        if (n.matches("g\\d+")) maxGen = math.max(maxGen, n.drop(1).toInt)
-      }
-      if (maxGen >= 0) aggGen = maxGen
-    }
+    durablePath.filter(isDir).map(maxGenIn).filter(_ >= 0)
+      .foreach(coldGen = _)
+    aggPath.filter(isDir).map(maxGenIn).filter(_ >= 0)
+      .foreach(aggGen = _)
     val metaLoaded = metaPath
       .filter(java.nio.file.Files.exists(_)).exists { mp =>
         scala.util.Try {
