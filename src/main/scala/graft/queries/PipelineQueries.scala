@@ -122,6 +122,27 @@ object PipelineQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
 
+    // deterministic stratified sampling: k docs per language in md5(id)
+    // order — seedless and engine-portable, so audits reproduce it
+    "x5_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang"), "lang", 25)
+        .select("doc_id", "lang", "rnk")),
+
+    // composed curation pipeline over the re-crawled corpus: quality
+    // gate ∧ language gate ∧ exact-dedup keep-list — the end-to-end
+    // filter chain a training-data run executes before tokenization
+    "p1_curation_pipeline" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val q = TextOps.quality(c).select(col("doc_id"), col("quality_score"))
+      val l = TextOps.langId(c).select(col("doc_id"), col("lang_pred"))
+      val keepers = Dedup.exact(c).select(col("keep_id").as("doc_id"))
+      q.join(l, "doc_id")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .where(col("quality_score") >= 0.3 && col("lang_pred") =!= "und")
+        .select("doc_id", "lang_pred", "quality_score")
+    }),
+
     // exact brute-force cosine top-k (broadcast queries, stream corpus)
     "v1_ann_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -428,6 +449,63 @@ object PipelineQueries {
             score_zh) > 0 THEN 'zh'
           ELSE 'und' END AS lang_pred
       FROM scored""",
+
+    "x5_stratified_sample" -> """
+      SELECT doc_id, lang, rnk FROM (
+        SELECT doc_id, lang, row_number() OVER (
+          PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+        FROM documents) WHERE rnk <= 25""",
+
+    "p1_curation_pipeline" -> s"""
+      WITH corpus AS ($CorpusSql),
+      qf AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        len(regexp_extract_all(lower(text),
+            '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE /
+          greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+            1)::DOUBLE AS stopword_ratio,
+        len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE /
+          greatest(length(text), 1)::DOUBLE AS punct_ratio
+        FROM corpus),
+      q AS (SELECT doc_id,
+        least(n_tokens::DOUBLE / 64.0, 1.0) * 0.5 +
+          least(stopword_ratio * 5.0, 1.0) * 0.3 +
+          (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score
+        FROM qf),
+      lscore AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text),
+          '\\b(the|and|of|to|is|in|that|it|was|for)\\b')) AS score_en,
+        len(regexp_extract_all(lower(text),
+          '\\b(le|la|les|et|de|des|un|une|est|que)\\b')) AS score_fr,
+        len(regexp_extract_all(lower(text),
+          '\\b(el|los|las|y|de|que|un|una|es|en)\\b')) AS score_es,
+        len(regexp_extract_all(lower(text),
+          '\\b(der|die|das|und|ist|von|ein|eine|zu|den)\\b')) AS score_de,
+        len(regexp_extract_all(lower(text),
+          '[一-鿿]')) AS score_zh
+        FROM corpus),
+      lang AS (SELECT doc_id, CASE
+          WHEN score_en = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'en'
+          WHEN score_fr = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'fr'
+          WHEN score_es = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'es'
+          WHEN score_de = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'de'
+          WHEN score_zh = greatest(score_en, score_fr, score_es, score_de,
+            score_zh) AND greatest(score_en, score_fr, score_es, score_de,
+            score_zh) > 0 THEN 'zh'
+          ELSE 'und' END AS lang_pred
+        FROM lscore),
+      keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+      SELECT q.doc_id, lang.lang_pred, q.quality_score
+      FROM q JOIN lang USING (doc_id) JOIN keep USING (doc_id)
+      WHERE q.quality_score >= 0.3 AND lang.lang_pred <> 'und'""",
 
     "x3_text_fingerprint" -> """
       WITH n AS (SELECT doc_id,

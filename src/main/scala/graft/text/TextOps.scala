@@ -25,6 +25,22 @@ object TextOps {
       (acc, r) => acc + ceil(length(r) / 4.0).cast("int")) + sym
   }
 
+  /** Deterministic stratified sampling for corpus curation: the k docs
+    * per stratum with the smallest `md5(id)` — a seedless,
+    * engine-portable "random" order (any engine computes the identical
+    * sample, so a re-run or an audit reproduces it exactly). One window
+    * shuffle on the stratum key; at 100 TB each stratum ranks
+    * independently and the cap bounds the output to k × |strata| rows.
+    */
+  def stratifiedSample(docs: DataFrame, stratum: String, k: Int,
+      id: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(md5(col(id).cast("string")), col(id))
+    docs.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Quality features + a composite score in [0, 1]. */
   def quality(docs: DataFrame, text: String = "text"): DataFrame = {
     val t = col(text)
