@@ -1094,10 +1094,23 @@ final class HttpApi(spark: SparkSession,
 
   /** Per-query matched series: LWW-deduped rows grouped per series with
     * time-sorted samples, metric_id-ordered for a deterministic stream.
+    *
+    * A4 applies to remote read too: the reference routes every select
+    * from the ReadHints the client sends with it
+    * (`api/promql/queryable.go:372` copies `hints.Step`/`hints.Func`
+    * into the request; `cassandra/tsdb/read.go:61` reads aggregated
+    * data when `StepMs ≥` the 5-min resolution, with the counter-safe
+    * column for the hinted function). Force headers override both ways.
     */
   private[graft] def readSeriesFrame(q: Prompb.ReadQuery,
-      extra: Seq[Matcher] = Nil): Option[DataFrame] =
-    dedupedPoints(q.startMs, q.endMs).map { df =>
+      extra: Seq[Matcher] = Nil, forcePre: Boolean = false,
+      forceRaw: Boolean = false): Option[DataFrame] = {
+    val routed =
+      if (forceRaw || (!forcePre && q.stepMs < PreAggResolutionMs)) None
+      else routedPoints(q.startMs, q.endMs,
+        graft.tsdb.PreAgg.columnFor(q.func))
+    routed.foreach(_ => preAggRoutedTotal.incrementAndGet())
+    routed.orElse(dedupedPoints(q.startMs, q.endMs)).map { df =>
       val resolve: String => Column = n => element_at(col("labels"), n)
       val ms = extra ++ q.matchers
       df.where(if (ms.isEmpty) lit(true) else Matchers.all(resolve, ms))
@@ -1107,15 +1120,21 @@ final class HttpApi(spark: SparkSession,
             struct(col("ts_ms"), col("value")))).as("samples"))
         .orderBy("metric_id")
     }
+  }
 
   private def handleRead(h: HttpExchange): Unit = {
     readRequestsTotal.incrementAndGet()
     val req = Prompb.decodeReadRequestFull(
       org.xerial.snappy.Snappy.uncompress(h.getRequestBody.readAllBytes()))
     val extra = headerMatchers(h)
+    def flag(n: String): Boolean =
+      Option(h.getRequestHeaders.getFirst(n)).exists(v =>
+        v.equalsIgnoreCase("true") || v == "1")
+    val fp = flag("X-SquirrelDB-ForcePreAggregated")
+    val fr = flag("X-SquirrelDB-ForceRaw")
     if (req.acceptedResponseTypes.contains(Prompb.ResponseTypeStreamedXorChunks))
-      handleReadStreamed(h, req.queries, extra)
-    else handleReadSamples(h, req.queries, extra)
+      handleReadStreamed(h, req.queries, extra, fp, fr)
+    else handleReadSamples(h, req.queries, extra, fp, fr)
   }
 
   /** Buffered SAMPLES response (the protocol is one snappy blob — same as
@@ -1124,11 +1143,12 @@ final class HttpApi(spark: SparkSession,
     * never the collected row set.
     */
   private def handleReadSamples(h: HttpExchange,
-      queries: Seq[Prompb.ReadQuery], extra: Seq[Matcher] = Nil): Unit = {
+      queries: Seq[Prompb.ReadQuery], extra: Seq[Matcher] = Nil,
+      forcePre: Boolean = false, forceRaw: Boolean = false): Unit = {
     val out = new java.io.ByteArrayOutputStream()
     queries.foreach { q =>
       val qr = new java.io.ByteArrayOutputStream()
-      readSeriesFrame(q, extra).foreach { df =>
+      readSeriesFrame(q, extra, forcePre, forceRaw).foreach { df =>
         val it = df.toLocalIterator()
         while (it.hasNext) {
           Prompb.appendMessage(qr, 1, Prompb.encodeTimeSeries(rowSeries(it.next())))
@@ -1147,12 +1167,13 @@ final class HttpApi(spark: SparkSession,
     * driver-sized buffer.
     */
   private def handleReadStreamed(h: HttpExchange,
-      queries: Seq[Prompb.ReadQuery], extra: Seq[Matcher] = Nil): Unit = {
+      queries: Seq[Prompb.ReadQuery], extra: Seq[Matcher] = Nil,
+      forcePre: Boolean = false, forceRaw: Boolean = false): Unit = {
     h.getResponseHeaders.set("Content-Type", Prompb.StreamedChunksContentType)
     h.sendResponseHeaders(200, 0) // chunked transfer
     val os = h.getResponseBody
     queries.zipWithIndex.foreach { case (q, qi) =>
-      readSeriesFrame(q, extra).foreach { df =>
+      readSeriesFrame(q, extra, forcePre, forceRaw).foreach { df =>
         val it = df
           .withColumn("chunks", HttpApi.xorChunksUdf(
             col("samples.ts_ms"), col("samples.value")))

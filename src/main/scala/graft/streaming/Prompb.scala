@@ -152,8 +152,15 @@ object Prompb {
   // (reference serves this framing at `api/api.go:58-61`; the selection
   // underneath is the same Search path as every query)
 
+  /** One remote-read Query (prompb/remote.proto). `stepMs`/`func` carry
+    * the ReadHints (field 4, prompb/types.proto) Prometheus sends with
+    * every select — the reference routes remote reads to pre-aggregated
+    * data from exactly these (`api/promql/queryable.go:372`,
+    * `cassandra/tsdb/read.go:61`).
+    */
   final case class ReadQuery(startMs: Long, endMs: Long,
-      matchers: Seq[graft.tsdb.Matcher])
+      matchers: Seq[graft.tsdb.Matcher],
+      stepMs: Long = 0L, func: String = "")
 
   /** ReadRequest.ResponseType (public prompb/remote.proto): SAMPLES buffers
     * one snappy blob; STREAMED_XOR_CHUNKS streams framed chunk batches.
@@ -201,6 +208,8 @@ object Prompb {
     var pos = from
     var start = 0L
     var end = 0L
+    var stepMs = 0L
+    var func = ""
     val ms = Seq.newBuilder[graft.tsdb.Matcher]
     while (pos < to) {
       val (tag, p1) = varint(b, pos)
@@ -211,10 +220,26 @@ object Prompb {
           val (len, p2) = varint(b, p1)
           ms += decodeMatcher(b, p2, p2 + len.toInt)
           pos = p2 + len.toInt
+        case (4, 2) => // ReadHints { step_ms=1, func=2, ... }
+          val (len, p2) = varint(b, p1)
+          var q = p2
+          val hEnd = p2 + len.toInt
+          while (q < hEnd) {
+            val (htag, q1) = varint(b, q)
+            (htag >> 3, htag & 7) match {
+              case (1, 0) => val (v, q2) = varint(b, q1); stepMs = v; q = q2
+              case (2, 2) =>
+                val (flen, q2) = varint(b, q1)
+                func = new String(b, q2, flen.toInt, "UTF-8")
+                q = q2 + flen.toInt
+              case (_, w) => q = skip(b, q1, w.toInt)
+            }
+          }
+          pos = hEnd
         case (_, w) => pos = skip(b, p1, w.toInt)
       }
     }
-    ReadQuery(start, end, ms.result())
+    ReadQuery(start, end, ms.result(), stepMs, func)
   }
 
   private def decodeMatcher(b: Array[Byte], from: Int,
@@ -309,6 +334,13 @@ object Prompb {
       qb.write(1 << 3); writeVarint(qb, q.startMs)
       qb.write(2 << 3); writeVarint(qb, q.endMs)
       q.matchers.foreach(m => writeLenDelim(qb, 3, encodeMatcher(m)))
+      if (q.stepMs != 0L || q.func.nonEmpty) { // ReadHints
+        val hb = new java.io.ByteArrayOutputStream()
+        if (q.stepMs != 0L) { hb.write(1 << 3); writeVarint(hb, q.stepMs) }
+        if (q.func.nonEmpty)
+          writeLenDelim(hb, 2, q.func.getBytes("UTF-8"))
+        writeLenDelim(qb, 4, hb.toByteArray)
+      }
       writeLenDelim(out, 1, qb.toByteArray)
     }
     acceptedResponseTypes.foreach { t =>

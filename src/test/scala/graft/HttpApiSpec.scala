@@ -823,6 +823,61 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     } finally apiPA.stop()
   }
 
+  test("remote read routes through agg_5m from the client's ReadHints " +
+    "(step/func), ForceRaw overrides") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_readhints")
+      .resolve("cold").toString
+    val apiRH = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    val portRH = apiRH.start(0)
+    try {
+      // one sample per bucket → routed samples ARE the raw samples
+      val n = 12
+      apiRH.write(Seq(PromSeries(
+        Map("__name__" -> "rh_m", "instance" -> "a", "job" -> "node"),
+        (0 until n).map(i => (T0 + i * 300000L, 5.0 + i)))), "default")
+      var deadline = System.nanoTime() + 30L * 1000000000L
+      while ((apiRH.pendingBatches > 0 || apiRH.preAggWatermark == 0L) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      def counter(): Long = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$portRH/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+        .linesIterator.find(_.startsWith("graft_preagg_routed_total"))
+        .get.split(" ").last.toLong
+      def doRead(stepMs: Long, func: String,
+          hdrs: Seq[(String, String)] = Nil) = {
+        val req = org.xerial.snappy.Snappy.compress(
+          Prompb.encodeReadRequest(Seq(Prompb.ReadQuery(
+            T0, T0 + n * 300000L, Seq(MatchEq("__name__", "rh_m")),
+            stepMs, func))))
+        val b = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$portRH/api/v1/read"))
+          .header("Content-Type", "application/x-protobuf")
+        hdrs.foreach { case (k, v) => b.header(k, v) }
+        val resp = client.send(
+          b.POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        assert(resp.statusCode() === 200)
+        Prompb.decodeReadResponse(
+          org.xerial.snappy.Snappy.uncompress(resp.body())).flatten
+      }
+      val expect = (0 until n).map(i => (T0 + i * 300000L, 5.0 + i))
+      // hinted large step routes (counter moves) and stays lossless
+      val c0 = counter()
+      assert(doRead(600000L, "").head.samples === expect)
+      assert(counter() === c0 + 1, "hinted step must route to pre-agg")
+      // counter-safe: a rate-family hint reads the max column (equal
+      // here — one sample per bucket — but the route still fires)
+      assert(doRead(900000L, "rate").head.samples === expect)
+      assert(counter() === c0 + 2)
+      // small-step hints and ForceRaw stay on the raw path
+      assert(doRead(60000L, "").head.samples === expect)
+      assert(counter() === c0 + 2)
+      assert(doRead(600000L, "",
+        Seq("X-SquirrelDB-ForceRaw" -> "true")).head.samples === expect)
+      assert(counter() === c0 + 2)
+    } finally apiRH.stop()
+  }
+
   test("counter-safe column choice: rate family reads max; mixed " +
     "selectors fall back to raw") {
     import graft.api.QueryService
