@@ -1277,7 +1277,8 @@ final class HttpApi(spark: SparkSession,
     // per-query [mint, maxt] from the AST → cold-tier partition pruning
     val ast = Parser.parse(q)
     val (mint, maxt) = QueryService.timeBounds(ast, p)
-    if (debugQueries) {
+    val (dbg, verbose) = debugFlags(h)
+    if (dbg) {
       h.getResponseHeaders.set("X-SquirrelDB-Debug", "true")
       println(s"[graft debug-query] query_range query=$q start=$start " +
         s"end=$end step=$step bounds=[$mint,$maxt]")
@@ -1287,9 +1288,23 @@ final class HttpApi(spark: SparkSession,
         PromJson.success("""{"resultType":"matrix","result":[]}"""))
       case Some(src) =>
         val df = QueryService.queryRange(q, src, p, requestOptions(h))
+        if (verbose) println(df.queryExecution.optimizedPlan.toString)
         val labels = df.columns.filterNot(Set("eval_ms", "value")).toSeq
         respond(h, 200, PromJson.matrix(df, labels))
     }
+  }
+
+  /** Per-request debug (reference `types/types.go:192-194`
+    * `X-SquirrelDB-Query-Debug` / `-Query-Verbose-Debug`); the global
+    * toggle is the reference's `defaultDebugRequest`. Verbose also logs
+    * the compiled optimized plan.
+    */
+  private def debugFlags(h: HttpExchange): (Boolean, Boolean) = {
+    def flag(n: String): Boolean =
+      Option(h.getRequestHeaders.getFirst(n)).exists(v =>
+        v.equalsIgnoreCase("true") || v == "1")
+    val verbose = flag("X-SquirrelDB-Query-Verbose-Debug")
+    (debugQueries || verbose || flag("X-SquirrelDB-Query-Debug"), verbose)
   }
 
   private def handleQuery(h: HttpExchange): Unit = {
@@ -1301,7 +1316,8 @@ final class HttpApi(spark: SparkSession,
     val p = EvalParams(t, t, 1000L, lookbackMs)
     val ast = Parser.parse(q)
     val (mint, maxt) = QueryService.timeBounds(ast, p)
-    if (debugQueries) {
+    val (dbg, _) = debugFlags(h)
+    if (dbg) {
       h.getResponseHeaders.set("X-SquirrelDB-Debug", "true")
       println(s"[graft debug-query] query query=$q time=$t " +
         s"bounds=[$mint,$maxt]")

@@ -1148,6 +1148,16 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       assert(dq.headers().firstValue("X-SquirrelDB-Debug").orElse("")
         === "true")
       assert(getD("/debug/toggle_debug_query").body().contains("false"))
+      // per-request debug headers work with the global toggle off
+      val perReq = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$portD/api/v1/query?query=${enc("dbg_b")}" +
+          s"&time=${T9 / 1000}"))
+        .header("X-SquirrelDB-Query-Debug", "true").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(perReq.headers().firstValue("X-SquirrelDB-Debug").orElse("")
+        === "true")
+      val noDbg = getD(s"/api/v1/query?query=${enc("dbg_b")}&time=${T9 / 1000}")
+      assert(noDbg.headers().firstValue("X-SquirrelDB-Debug").isEmpty)
       // help index
       assert(getD("/debug/").body().contains("index_dump_by_posting"))
     } finally apiD.stop()
