@@ -328,10 +328,11 @@ final class HttpApi(spark: SparkSession,
     // label-name union + oldest-sample probe in plain Scala over the
     // request rows (they are already on the driver; mirroring
     // ingestLabeled's validation costs no extra Spark job per write)
-    val NameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+    val NameRe = "^[^|\\x00-\\x1F]+$".r
     val valid = rows.filter(r =>
       r.labels.keysIterator.forall(k => NameRe.pattern.matcher(k).matches())
-        && r.labels.get("__name__").exists(v => v != null && v.nonEmpty))
+        && r.labels.get("__name__").exists(v =>
+          v != null && NameRe.pattern.matcher(v).matches()))
     val batchNames = valid.iterator
       .flatMap(_.labels.collect {
         case (k, v) if v != null && v.nonEmpty && k != tenantLabel => k
@@ -710,7 +711,13 @@ final class HttpApi(spark: SparkSession,
     dedupedPoints(fromMs, toMs).map(sourceFrom(_, tenant))
 
   private def sourceFrom(df0: DataFrame, tenant: String): PromSource = {
+      // only PromQL-expressible names (legacy charset — the text language
+      // cannot reference the rest without quoting syntax) join the PromQL
+      // identity set; UTF-8-only names (accepted since the reference's
+      // UTF8Validation) are served in full fidelity by the MAP-based
+      // layers: remote read and the series/labels APIs
       val names = labelNames.filterNot(Reserved)
+        .filter(_.matches("^[a-zA-Z_][a-zA-Z0-9_]*$"))
       val withLabels = names.foldLeft(df0)((d, n) =>
         d.withColumn(n, element_at(col("labels"), n)))
       val mappings = mappingsFor(tenant)

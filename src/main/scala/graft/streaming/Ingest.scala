@@ -22,29 +22,36 @@ object Ingest {
       .where(col("event_type").isNotNull && col("event_type") =!= "")
 
   /** The ingest projection for label-MAP rows (the wire-decode output
-    * shape): reference validation (`api/remotestorage/write.go:185-231`) —
-    * label names must be `[a-zA-Z_][a-zA-Z0-9_]*` and must not contain
-    * `'|'`, empty-valued labels are dropped from the set, samples without
-    * a `__name__` are rejected — then the tenant label is injected
-    * (overwriting any client-supplied value, `write.go:80-109`), and the
-    * series key is the canonical-map hash, identical to what
-    * column-labeled tables produce for the same label set.
+    * shape): reference validation (`api/remotestorage/write.go:182-216`
+    * with `types.PrometheusValidationScheme = model.UTF8Validation`,
+    * `types/types.go:197`) — label names and the metric-name VALUE may be
+    * ANY valid UTF-8 without `'|'`; empty-valued labels are dropped from
+    * the set, samples without a `__name__` are rejected — then the tenant
+    * label is injected (overwriting any client-supplied value,
+    * `write.go:80-109`), and the series key is the canonical-map hash,
+    * identical to what column-labeled tables produce for the same label
+    * set.
+    *
+    * C0 control characters are additionally rejected: the canonical
+    * series encoding uses them as separators, so a name embedding one
+    * could forge another series' identity (the reference's
+    * `labels.String()` quoting makes the same byte sequences
+    * unambiguous).
     */
   def ingestLabeled(df: DataFrame, tenantLabel: String,
       tenant: String): DataFrame = {
     val cleaned = map_filter(col("labels"),
       (_, v) => v.isNotNull && v =!= "")
-    // label NAMES are [a-zA-Z_][a-zA-Z0-9_]* (write.go:185-231); colons are
-    // only legal inside metric names, i.e. the __name__ VALUE, never a key
+    val NameRule = "^[^|\\x00-\\x1F]+$"
     val validNames = forall(map_keys(col("labels")),
-      k => k.rlike("^[a-zA-Z_][a-zA-Z0-9_]*$"))
+      k => k.rlike(NameRule))
     df
       .where(validNames)
       .withColumn("labels",
         map_concat(
           map_filter(cleaned, (k, _) => k =!= tenantLabel),
           map(lit(tenantLabel), lit(tenant))))
-      .where(element_at(col("labels"), "__name__").isNotNull)
+      .where(element_at(col("labels"), "__name__").rlike(NameRule))
       .withColumn("metric_id",
         xxhash64(graft.tsdb.SeriesDim.canonicalMap(col("labels"))))
   }

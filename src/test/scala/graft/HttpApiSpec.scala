@@ -1163,6 +1163,69 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     } finally apiD.stop()
   }
 
+  test("UTF-8 label names (reference UTF8Validation): accepted on write, " +
+    "full fidelity on remote read and label APIs; '|' rejected") {
+    val api11 = new HttpApi(spark)
+    val port11 = api11.start(0)
+    try {
+      def post11(body: Array[Byte]) = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port11/api/v1/write"))
+          .header("Content-Type", "application/x-protobuf")
+        client.send(b.POST(
+          HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      }
+      // a dotted non-ASCII label name + a UTF-8 metric name: both legal
+      // under the reference's model.UTF8Validation (types.go:197)
+      assert(post11(Prompb.encodeSnappy(Seq(
+        PromSeries(Map("__name__" -> "utf8_m", "läbel.x" -> "v1",
+          "job" -> "node"),
+          (0 until 5).map(i => (T0 + i * 60000L, 1.0 + i))),
+        PromSeries(Map("__name__" -> "métric.name", "job" -> "node"),
+          Seq((T0, 9.0)))))).statusCode() === 204)
+      // '|' in a label name or the metric name is rejected row-wise
+      post11(Prompb.encodeSnappy(Seq(
+        PromSeries(Map("__name__" -> "bad|name", "job" -> "node"),
+          Seq((T0, 1.0))),
+        PromSeries(Map("__name__" -> "ok_m", "bad|label" -> "x"),
+          Seq((T0, 1.0))))))
+      def read11(name: String) = {
+        val req = org.xerial.snappy.Snappy.compress(
+          Prompb.encodeReadRequest(Seq(Prompb.ReadQuery(T0, T9,
+            Seq(MatchEq("__name__", name))))))
+        val b = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port11/api/v1/read"))
+          .header("Content-Type", "application/x-protobuf")
+        Prompb.decodeReadResponse(org.xerial.snappy.Snappy.uncompress(
+          client.send(b.POST(HttpRequest.BodyPublishers.ofByteArray(req))
+            .build(), HttpResponse.BodyHandlers.ofByteArray()).body()))
+          .flatten
+      }
+      // remote read serves the UTF-8 names with exact labels
+      val got = read11("utf8_m")
+      assert(got.size === 1)
+      assert(got.head.labels("läbel.x") === "v1", got.head.labels)
+      assert(read11("métric.name").size === 1)
+      // the rejected rows never landed
+      assert(read11("bad|name").isEmpty)
+      assert(read11("ok_m").isEmpty)
+      // label APIs list the UTF-8 name; series endpoint carries it
+      def get11(p: String) = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port11$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(get11("/api/v1/labels").contains("läbel.x"))
+      assert(get11(s"/api/v1/series?match[]=${enc("utf8_m")}")
+        .contains(""""läbel.x":"v1""""))
+      // PromQL still reaches the series through its expressible labels
+      // (the UTF-8-only label is invisible to the text language until
+      // quoting syntax exists — documented)
+      val q = get11(s"/api/v1/query?query=${enc("utf8_m")}" +
+        s"&time=${(T0 + 4 * 60000L) / 1000}")
+      assert(q.contains(""""__name__":"utf8_m""""), q)
+    } finally api11.stop()
+  }
+
   test("labels APIs honor match[] and time bounds") {
     // matcher restriction: instance values of node_load{instance="i1"}
     val vals = get(s"/api/v1/label/instance/values?match[]=${

@@ -58,22 +58,26 @@ class IngestLabeledSpec extends SparkSpec {
       (Map("__name__" -> "up", "job" -> "api", "env" -> ""), 2000L, 2.0),
       // no __name__ → rejected
       (Map("job" -> "api"), 3000L, 3.0),
-      // invalid label name → rejected
+      // '|' in a label name → rejected (the one character the
+      // reference's UTF8Validation forbids, write.go:182-216)
       (Map("__name__" -> "up", "bad|name" -> "x"), 4000L, 4.0),
-      // colon is only legal in metric names, never label names
-      // (write.go label-name validation) → rejected
+      // any other UTF-8 name is legal since UTF8Validation
+      // (types/types.go:197) — colons included
       (Map("__name__" -> "up", "name:space" -> "x"), 5000L, 5.0))
       .toDF("labels", "ts_ms", "value")
     val out = graft.streaming.Ingest
       .ingestLabeled(rows, "__account_id__", "acme")
     val got = out.select("ts_ms", "labels").collect()
       .map(r => r.getLong(0) -> r.getAs[Map[String, String]]("labels")).toMap
-    assert(got.keySet === Set(1000L, 2000L))
+    assert(got.keySet === Set(1000L, 2000L, 5000L))
     assert(got(1000L)("__account_id__") === "acme")
     assert(!got(2000L).contains("env"))
-    // both survivors normalize to the SAME label set → same metric_id,
-    // and it matches the column-path canonical hash of the same labels
-    val ids = out.select("metric_id").distinct().collect().map(_.getLong(0))
+    assert(got(5000L)("name:space") === "x")
+    // the first two survivors normalize to the SAME label set → same
+    // metric_id (the colon-labeled one is its own series), and it matches
+    // the column-path canonical hash of the same labels
+    val ids = out.where(col("ts_ms") < 5000L)
+      .select("metric_id").distinct().collect().map(_.getLong(0))
     assert(ids.length === 1)
     val colPath = Seq(("up", "api", "acme"))
       .toDF("__name__", "job", "__account_id__")
