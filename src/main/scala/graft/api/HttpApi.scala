@@ -730,10 +730,14 @@ final class HttpApi(spark: SparkSession,
           if (names.contains(m.targetName)) col(m.targetName)
           else lit(null).cast("string"))))
       val all = names ++ mappings.map(_.name)
-      val df = decorated.drop("labels", "metric_id", "__seq", "__ttl_sec")
+      // the raw label map rides along (it never joins the identity set,
+      // and grid evaluation projects it away) so QUOTED UTF-8 matchers —
+      // {"läbel.x"="v"} — can still filter series the column set can't
+      // express
+      val df = decorated.drop("metric_id", "__seq", "__ttl_sec")
       PromSource(df, all, {
         case n if all.contains(n) => col(n)
-        case _ => lit(null).cast("string")
+        case n => element_at(col("labels"), n)
       })
   }
 

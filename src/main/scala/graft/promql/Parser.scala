@@ -390,13 +390,20 @@ private final class Parser(input: String) {
       pos += 1
       ws()
       while (peek != '}') {
-        val label = ident()
+        // modern UTF-8 PromQL (the quoting the reference's embedded
+        // engine enables via model.UTF8Validation): a quoted label name
+        // before the operator — {"läbel.x"="v"} — or a bare quoted
+        // string as metric-name shorthand — {"metric.name", ...}
+        val wasQuoted = peek == '"' || peek == '\''
+        val label = if (wasQuoted) quoted() else ident()
         ws()
         val m: Matcher =
           if (tryEat("=~")) MatchRe(label, quoted())
           else if (tryEat("!~")) MatchNre(label, quoted())
           else if (tryEat("!=")) MatchNeq(label, quoted())
           else if (tryEat("=")) MatchEq(label, quoted())
+          else if (wasQuoted && (peek == ',' || peek == '}'))
+            MatchEq("__name__", label)
           else fail("expected matcher operator")
         ms += m
         ws()

@@ -67,15 +67,22 @@ object Printer {
   }
 
   private def matcher(m: Matcher): String = m match {
-    case MatchEq(n, v) => s"$n=${q(v)}"
-    case MatchNeq(n, v) => s"$n!=${q(v)}"
-    case MatchRe(n, p) => s"$n=~${q(p)}"
-    case MatchNre(n, p) => s"$n!~${q(p)}"
+    case MatchEq(n, v) => s"${ln(n)}=${q(v)}"
+    case MatchNeq(n, v) => s"${ln(n)}!=${q(v)}"
+    case MatchRe(n, p) => s"${ln(n)}=~${q(p)}"
+    case MatchNre(n, p) => s"${ln(n)}!~${q(p)}"
     // post-rewrite forms (mutable labels / regex simplification): an
     // anchored alternation of quoted literals is semantically identical
-    case MatchIn(n, vs) => s"$n=~${q(vs.map(reQuote).mkString("|"))}"
-    case MatchNotIn(n, vs) => s"$n!~${q(vs.map(reQuote).mkString("|"))}"
+    case MatchIn(n, vs) => s"${ln(n)}=~${q(vs.map(reQuote).mkString("|"))}"
+    case MatchNotIn(n, vs) => s"${ln(n)}!~${q(vs.map(reQuote).mkString("|"))}"
   }
+
+  /** Label NAME position: legacy-charset names print bare; UTF-8 names
+    * (legal since the reference's `model.UTF8Validation`) print quoted —
+    * the modern PromQL form the parser round-trips.
+    */
+  private def ln(n: String): String =
+    if (n.matches("^[a-zA-Z_][a-zA-Z0-9_:]*$")) n else q(n)
 
   private def reQuote(v: String): String =
     v.flatMap(c =>

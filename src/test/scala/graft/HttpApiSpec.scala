@@ -1217,12 +1217,28 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       assert(get11("/api/v1/labels").contains("läbel.x"))
       assert(get11(s"/api/v1/series?match[]=${enc("utf8_m")}")
         .contains(""""läbel.x":"v1""""))
-      // PromQL still reaches the series through its expressible labels
-      // (the UTF-8-only label is invisible to the text language until
-      // quoting syntax exists — documented)
-      val q = get11(s"/api/v1/query?query=${enc("utf8_m")}" +
-        s"&time=${(T0 + 4 * 60000L) / 1000}")
+      // PromQL still reaches the series through its expressible labels,
+      // and the serialized output carries no internal columns
+      val t4 = (T0 + 4 * 60000L) / 1000
+      val q = get11(s"/api/v1/query?query=${enc("utf8_m")}&time=$t4")
       assert(q.contains(""""__name__":"utf8_m""""), q)
+      assert(!q.contains(""""labels":"""), q)
+      // modern QUOTED selector syntax (the reference's embedded engine
+      // enables it via UTF8Validation): filter on the UTF-8 label…
+      val q2 = get11(s"/api/v1/query?query=${
+        enc("""{"utf8_m", "läbel.x"="v1"}""")}&time=$t4")
+      assert(q2.contains(""""__name__":"utf8_m""""), q2)
+      val q3 = get11(s"/api/v1/query?query=${
+        enc("""{"utf8_m", "läbel.x"="nope"}""")}&time=$t4")
+      assert(!q3.contains("utf8_m"), q3)
+      // …and the bare quoted string is metric-name shorthand
+      val q4 = get11(s"/api/v1/query?query=${
+        enc("""{"métric.name"}""")}&time=${T0 / 1000}")
+      assert(q4.contains(""""__name__":"métric.name""""), q4)
+      // the pretty-printer round-trips the quoted forms
+      val fq = get11(s"/api/v1/format_query?query=${
+        enc("""{"utf8_m", "läbel.x"="v1"}""")}")
+      assert(fq.contains("""läbel.x"""), fq)
     } finally api11.stop()
   }
 
