@@ -710,16 +710,31 @@ final class HttpApi(spark: SparkSession,
       toMs: Long = Long.MaxValue): Option[PromSource] =
     dedupedPoints(fromMs, toMs).map(sourceFrom(_, tenant))
 
+  private val LegacyName = "^[a-zA-Z_][a-zA-Z0-9_]*$"
+
+  /** UTF-8-only label name → its deterministic sanitized identity-column
+    * alias (a plain identifier, so every `col(...)` in the compiler stays
+    * safe). The facade renames back before serialization.
+    */
+  private[graft] def labelAliases: Map[String, String] =
+    labelNames.filterNot(Reserved)
+      .filterNot(_.matches(LegacyName))
+      .map(n => n -> HttpApi.utf8Alias(n)).toMap
+
   private def sourceFrom(df0: DataFrame, tenant: String): PromSource = {
-      // only PromQL-expressible names (legacy charset — the text language
-      // cannot reference the rest without quoting syntax) join the PromQL
-      // identity set; UTF-8-only names (accepted since the reference's
-      // UTF8Validation) are served in full fidelity by the MAP-based
-      // layers: remote read and the series/labels APIs
+      // legacy-charset names become columns under their own name; UTF-8
+      // names (accepted since the reference's UTF8Validation) become
+      // SANITIZED alias columns so they join the PromQL identity set —
+      // grouping by them works after the AST rewrite, and two series
+      // differing only in a UTF-8 label stay distinct in results
       val names = labelNames.filterNot(Reserved)
-        .filter(_.matches("^[a-zA-Z_][a-zA-Z0-9_]*$"))
-      val withLabels = names.foldLeft(df0)((d, n) =>
+        .filter(_.matches(LegacyName))
+      val aliases = labelAliases
+      val withLegacy = names.foldLeft(df0)((d, n) =>
         d.withColumn(n, element_at(col("labels"), n)))
+      val withLabels = aliases.foldLeft(withLegacy) { case (d, (n, a)) =>
+        d.withColumn(a, element_at(col("labels"), n))
+      }
       val mappings = mappingsFor(tenant)
         .filterNot(m => names.contains(m.name) || Reserved(m.name))
       // a mapping whose associated real label has no stored column yet
@@ -729,14 +744,14 @@ final class HttpApi(spark: SparkSession,
         d.withColumn(m.name, decorationCol(m,
           if (names.contains(m.targetName)) col(m.targetName)
           else lit(null).cast("string"))))
-      val all = names ++ mappings.map(_.name)
+      val all = names ++ mappings.map(_.name) ++ aliases.values.toSeq
       // the raw label map rides along (it never joins the identity set,
       // and grid evaluation projects it away) so QUOTED UTF-8 matchers —
-      // {"läbel.x"="v"} — can still filter series the column set can't
-      // express
+      // {"läbel.x"="v"} — can still filter on anything
       val df = decorated.drop("metric_id", "__seq", "__ttl_sec")
       PromSource(df, all, {
         case n if all.contains(n) => col(n)
+        case n if aliases.contains(n) => col(aliases(n))
         case n => element_at(col("labels"), n)
       })
   }
@@ -931,8 +946,17 @@ final class HttpApi(spark: SparkSession,
       forced = forced.toSeq,
       mutable = mappingsFor(tenantOf(h)),
       maxSeries = header("X-SquirrelDB-Max-Evaluated-Series").map(_.toLong),
-      maxPoints = header("X-SquirrelDB-Max-Evaluated-Points").map(_.toLong))
+      maxPoints = header("X-SquirrelDB-Max-Evaluated-Points").map(_.toLong),
+      labelAliases = labelAliases)
   }
+
+  /** Sanitized alias columns rename back to their UTF-8 label names at
+    * the serialization boundary.
+    */
+  private def unalias(df: DataFrame): DataFrame =
+    labelAliases.foldLeft(df) { case (d, (orig, alias)) =>
+      if (d.columns.contains(alias)) d.withColumnRenamed(alias, orig) else d
+    }
 
   // ---- HTTP plumbing ----
 
@@ -1298,7 +1322,8 @@ final class HttpApi(spark: SparkSession,
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"matrix","result":[]}"""))
       case Some(src) =>
-        val df = QueryService.queryRange(q, src, p, requestOptions(h))
+        val df = unalias(QueryService.queryRange(q, src, p,
+          requestOptions(h)))
         if (verbose) println(df.queryExecution.optimizedPlan.toString)
         val labels = df.columns.filterNot(Set("eval_ms", "value")).toSeq
         respond(h, 200, PromJson.matrix(df, labels))
@@ -1337,7 +1362,8 @@ final class HttpApi(spark: SparkSession,
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"vector","result":[]}"""))
       case Some(src) =>
-        val df = QueryService.queryRange(q, src, p, requestOptions(h))
+        val df = unalias(QueryService.queryRange(q, src, p,
+          requestOptions(h)))
         val labels = df.columns.filterNot(Set("eval_ms", "value")).toSeq
         // presentation ordering for a top-level sort/sort_desc — applied
         // HERE, not in the plan
@@ -1826,6 +1852,12 @@ final class HttpApi(spark: SparkSession,
 }
 
 object HttpApi {
+
+  /** Deterministic plain-identifier alias for a UTF-8 label name. */
+  private[graft] def utf8Alias(n: String): String =
+    "__u8_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(n.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
 
   /** Executor-side XOR chunk encoding: sorted (ts, value) samples →
     * ≤120-sample chunkenc-layout chunks with their time bounds. A

@@ -31,7 +31,12 @@ final case class RequestOptions(
     forced: Seq[Matcher] = Nil,
     mutable: Seq[MutableMapping] = Nil,
     maxSeries: Option[Long] = None,  // F13, limiting_index.go
-    maxPoints: Option[Long] = None)  // F14, limiting_reader.go
+    maxPoints: Option[Long] = None,  // F14, limiting_reader.go
+    // UTF-8 label name -> its sanitized identity-column alias in the
+    // source (grouping positions rewrite through this so the compiler
+    // only ever sees plain-identifier columns; the facade renames back
+    // at serialization)
+    labelAliases: Map[String, String] = Map.empty)
 
 object QueryService {
 
@@ -117,6 +122,9 @@ object QueryService {
     val injected: Seq[Matcher] =
       opts.tenantLabel.map { case (l, v) => MatchEq(l, v) }.toSeq ++
         opts.forced
+    // UTF-8 grouping labels rewrite to their sanitized source columns
+    def alias(ls: Seq[String]): Seq[String] =
+      ls.map(l => opts.labelAliases.getOrElse(l, l))
     def go(e: Expr): Expr = e match {
       case s: Selector =>
         val rewritten = MutableProvider.rewriteAll(s.matchers, opts.mutable)
@@ -124,8 +132,10 @@ object QueryService {
       case FuncCall(fn, a, ps) => FuncCall(fn, go(a), ps)
       case LabelCall(fn, a, ss) => LabelCall(fn, go(a), ss)
       case Subquery(b, r, st, off) => Subquery(go(b), r, st, off)
-      case a: Agg => a.copy(body = go(a.body))
-      case b: BinOp => b.copy(lhs = go(b.lhs), rhs = go(b.rhs))
+      case a: Agg => a.copy(by = alias(a.by), body = go(a.body))
+      case b: BinOp => b.copy(lhs = go(b.lhs), rhs = go(b.rhs),
+        on = alias(b.on), ignoring = alias(b.ignoring),
+        groupLabels = alias(b.groupLabels))
       case other => other
     }
     go(e)

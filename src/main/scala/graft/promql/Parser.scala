@@ -167,10 +167,16 @@ private final class Parser(input: String) {
   private def labelList(): Seq[String] = {
     eat('(')
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def entry(): String = {
+      ws()
+      // quoted UTF-8 label names are legal in grouping positions too
+      // (modern PromQL under UTF8Validation)
+      if (peek == '"' || peek == '\'') quoted() else ident()
+    }
     ws()
     if (peek != ')') {
-      out += ident()
-      while (tryEat(",")) out += ident()
+      out += entry()
+      while (tryEat(",")) out += entry()
     }
     eat(')')
     out.toSeq

@@ -32,8 +32,8 @@ object Printer {
       (s"$fn(${print(arg)}" +: strs.map(q)).mkString(", ") + ")"
     case Agg(op, by, without, body, param, strParam) =>
       val grouping =
-        if (without) s" without (${by.mkString(", ")}) "
-        else if (by.nonEmpty) s" by (${by.mkString(", ")}) "
+        if (without) s" without (${by.map(ln).mkString(", ")}) "
+        else if (by.nonEmpty) s" by (${by.map(ln).mkString(", ")}) "
         else ""
       val lead = param.map(p => s"${num(p)}, ").getOrElse("") +
         strParam.map(s => s"${q(s)}, ").getOrElse("")
@@ -42,11 +42,11 @@ object Printer {
         groupRight, groupLabels) =>
       val mods = new StringBuilder
       if (boolMode) mods.append(" bool")
-      if (on.nonEmpty) mods.append(s" on (${on.mkString(", ")})")
+      if (on.nonEmpty) mods.append(s" on (${on.map(ln).mkString(", ")})")
       if (ignoring.nonEmpty)
-        mods.append(s" ignoring (${ignoring.mkString(", ")})")
-      if (groupLeft) mods.append(s" group_left (${groupLabels.mkString(", ")})")
-      if (groupRight) mods.append(s" group_right (${groupLabels.mkString(", ")})")
+        mods.append(s" ignoring (${ignoring.map(ln).mkString(", ")})")
+      if (groupLeft) mods.append(s" group_left (${groupLabels.map(ln).mkString(", ")})")
+      if (groupRight) mods.append(s" group_right (${groupLabels.map(ln).mkString(", ")})")
       s"(${print(lhs)}) $op${mods.result()} (${print(rhs)})"
   }
 

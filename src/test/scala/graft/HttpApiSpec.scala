@@ -1239,6 +1239,23 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       val fq = get11(s"/api/v1/format_query?query=${
         enc("""{"utf8_m", "läbel.x"="v1"}""")}")
       assert(fq.contains("""läbel.x"""), fq)
+      // a second series differing ONLY in the UTF-8 label stays distinct
+      // (the sanitized alias column joins the identity set)
+      post11(Prompb.encodeSnappy(Seq(
+        PromSeries(Map("__name__" -> "utf8_m", "läbel.x" -> "v2",
+          "job" -> "node"),
+          (0 until 5).map(i => (T0 + i * 60000L, 100.0 + i))))))
+      val qd = get11(s"/api/v1/query?query=${enc("utf8_m")}&time=$t4")
+      assert(qd.contains(""""läbel.x":"v1"""") &&
+        qd.contains(""""läbel.x":"v2""""), qd)
+      // grouping BY the quoted UTF-8 label works end-to-end: per-group
+      // sums at t4 are 5 (v1 series) and 104 (v2 series)
+      val qg = get11(s"/api/v1/query?query=${
+        enc("""sum by ("läbel.x") (utf8_m)""")}&time=$t4")
+      assert(qg.contains(""""läbel.x":"v1"""") &&
+        qg.contains(""""läbel.x":"v2""""), qg)
+      assert(qg.contains(""""5"""") && qg.contains(""""104""""), qg)
+      assert(!qg.contains("__u8_"), qg) // aliases never leak
     } finally api11.stop()
   }
 
