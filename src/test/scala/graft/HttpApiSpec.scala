@@ -786,11 +786,15 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
         System.nanoTime() < deadline) Thread.sleep(50)
       // compaction spilled and extended agg_5m to the spill frontier
       assert(apiPA.preAggWatermark > T0 + n * 300000L)
-      // the routed source reads the agg table, not the raw cold tier
+      // the routed source reads the agg table, not the raw cold tier —
+      // with MONTH partition pruning reaching the scan (a year-long
+      // dashboard must not list every month's files)
       val routed = apiPA.routedSource("default", T0, T0 + n * 300000L,
         "avg").get
-      assert(routed.points.queryExecution.executedPlan.toString
-        .contains("_agg5m"), "routed source must scan the agg table")
+      val rplan = routed.points.queryExecution.executedPlan.toString
+      assert(rplan.contains("_agg5m"), "routed source must scan the agg table")
+      assert(rplan.contains("PartitionFilters") && rplan.contains("month"),
+        s"month pruning must reach the agg scan:\n${rplan.take(800)}")
       def getQ(step: String, hdrs: Seq[(String, String)] = Nil) = {
         val b = HttpRequest.newBuilder(URI.create(
           s"http://127.0.0.1:$portPA/api/v1/query_range?query=${
