@@ -98,6 +98,11 @@ final class HttpApi(spark: SparkSession,
   // (one retired generation is kept as the grace window; the soak spec
   // proved in-place overwrite loses races against in-flight scans)
   @volatile private var coldGen: Int = 0
+  // agg-table generation pointer — MUST be declared BEFORE the bootstrap
+  // `locally` block below: Scala runs constructor statements in
+  // declaration order, so a later `= 0` initializer would clobber the
+  // generation the bootstrap restored from disk
+  @volatile private var aggGen: Int = 0
   @volatile private var labelNames: Seq[String] = Nil
   private var writeSeq = 0L
   @volatile private var ttlSeen = false // any write with a non-default TTL?
@@ -237,15 +242,22 @@ final class HttpApi(spark: SparkSession,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Highest `g<N>` snapshot generation under `p`, or -1 when none. */
+  /** Highest COMPLETE `g<N>` snapshot generation under `p`, or -1 when
+    * none. Completeness = the Hadoop committer's `_SUCCESS` marker — a
+    * crash mid-generation-write leaves a torn directory that restart
+    * must skip in favor of the intact previous generation.
+    */
   private def maxGenIn(p: String): Int = {
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
     try {
       val gens = s.iterator()
       var maxGen = -1
       while (gens.hasNext) {
-        val n = gens.next().getFileName.toString
-        if (n.matches("g\\d+")) maxGen = math.max(maxGen, n.drop(1).toInt)
+        val d = gens.next()
+        val n = d.getFileName.toString
+        if (n.matches("g\\d+") &&
+          java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+          maxGen = math.max(maxGen, n.drop(1).toInt)
       }
       maxGen
     } finally s.close()
@@ -328,11 +340,11 @@ final class HttpApi(spark: SparkSession,
     // label-name union + oldest-sample probe in plain Scala over the
     // request rows (they are already on the driver; mirroring
     // ingestLabeled's validation costs no extra Spark job per write)
-    val NameRe = "^[^|\\x00-\\x1F]+$".r
     val valid = rows.filter(r =>
-      r.labels.keysIterator.forall(k => NameRe.pattern.matcher(k).matches())
+      r.labels.keysIterator.forall(k =>
+        HttpApi.NameRe.pattern.matcher(k).matches())
         && r.labels.get("__name__").exists(v =>
-          v != null && NameRe.pattern.matcher(v).matches()))
+          v != null && HttpApi.NameRe.pattern.matcher(v).matches()))
     val batchNames = valid.iterator
       .flatMap(_.labels.collect {
         case (k, v) if v != null && v.nonEmpty && k != tenantLabel => k
@@ -501,7 +513,7 @@ final class HttpApi(spark: SparkSession,
     // expiration day, `cassandra/index/index.go:1516-1531`): each fold
     // APPENDS per-series (max ts + ttl) refresh rows — appends ARE the
     // refresh, [[sweepExpiredSeries]] compacts them out of band
-    expiryPath.foreach { ep =>
+    if (!coldWritesBlocked) expiryPath.foreach { ep =>
       folded0.groupBy("metric_id")
         .agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
           .as("expiration_ms"))
@@ -763,11 +775,11 @@ final class HttpApi(spark: SparkSession,
   val PreAggResolutionMs: Long = graft.tsdb.Downsample.DefaultResolutionMs
 
   // agg-table snapshot generation (same isolation as the cold tier): the
-  // ROOT holds the watermark; the data lives in g<N>. Incremental runs
-  // APPEND to the current generation (append never breaks an in-flight
-  // reader); the forced REBUILD writes g<N+1> — unchanged months carried
-  // forward — and flips, so routed readers never race a file overwrite
-  @volatile private var aggGen: Int = 0
+  // ROOT holds the watermark; the data lives in g<N> (`aggGen`, declared
+  // above the bootstrap block). Incremental runs APPEND to the current
+  // generation (append never breaks an in-flight reader); the forced
+  // REBUILD writes g<N+1> — unchanged months carried forward — and
+  // flips, so routed readers never race a file overwrite
 
   private def aggPath: Option[String] = durablePath.map(_ + "_agg5m")
   private def aggDataPath: Option[String] = aggPath.map(p => s"$p/g$aggGen")
@@ -801,7 +813,8 @@ final class HttpApi(spark: SparkSession,
     * "data below this is final" boundary) or on demand. Returns the new
     * watermark.
     */
-  def preAggregate(endMs: Long): Long = aggPath.fold(0L) { ap =>
+  def preAggregate(endMs: Long): Long = compactLock.synchronized {
+    aggPath.fold(0L) { ap =>
     val wm = graft.store.Store.readWatermark(ap)
     val end = endMs - math.floorMod(endMs, PreAggResolutionMs)
     if (end <= wm || coldWritesBlocked) wm
@@ -819,7 +832,7 @@ final class HttpApi(spark: SparkSession,
         graft.store.Store.writeWatermark(ap, end)
         end
     }
-  }
+  } }
 
   /** Forced re-aggregation (`/debug/preaggregate?from&to`, reference
     * `api/api.go:225` → `cassandra/tsdb/aggregate.go:173-304`): recompute
@@ -930,6 +943,11 @@ final class HttpApi(spark: SparkSession,
   private def tenantOf(h: HttpExchange): String =
     Option(h.getRequestHeaders.getFirst("X-SquirrelDB-Tenant"))
       .filter(_.nonEmpty).getOrElse(defaultTenant)
+
+  /** Truthy custom-header flag ("true"/"1", case-insensitive). */
+  private def headerFlag(h: HttpExchange, n: String): Boolean =
+    Option(h.getRequestHeaders.getFirst(n)).exists(v =>
+      v.equalsIgnoreCase("true") || v == "1")
 
   private def requestOptions(h: HttpExchange): RequestOptions = {
     def header(n: String): Option[String] =
@@ -1162,11 +1180,8 @@ final class HttpApi(spark: SparkSession,
     val req = Prompb.decodeReadRequestFull(
       org.xerial.snappy.Snappy.uncompress(h.getRequestBody.readAllBytes()))
     val extra = headerMatchers(h)
-    def flag(n: String): Boolean =
-      Option(h.getRequestHeaders.getFirst(n)).exists(v =>
-        v.equalsIgnoreCase("true") || v == "1")
-    val fp = flag("X-SquirrelDB-ForcePreAggregated")
-    val fr = flag("X-SquirrelDB-ForceRaw")
+    val fp = headerFlag(h, "X-SquirrelDB-ForcePreAggregated")
+    val fr = headerFlag(h, "X-SquirrelDB-ForceRaw")
     if (req.acceptedResponseTypes.contains(Prompb.ResponseTypeStreamedXorChunks))
       handleReadStreamed(h, req.queries, extra, fp, fr)
     else handleReadSamples(h, req.queries, extra, fp, fr)
@@ -1288,11 +1303,8 @@ final class HttpApi(spark: SparkSession,
     */
   private def pickSource(h: HttpExchange, ast: graft.promql.Expr,
       stepMs: Long, mint: Long, maxt: Long): Option[PromSource] = {
-    def flag(n: String): Boolean =
-      Option(h.getRequestHeaders.getFirst(n)).exists(v =>
-        v.equalsIgnoreCase("true") || v == "1")
-    val forceRaw = flag("X-SquirrelDB-ForceRaw")
-    val forcePre = flag("X-SquirrelDB-ForcePreAggregated")
+    val forceRaw = headerFlag(h, "X-SquirrelDB-ForceRaw")
+    val forcePre = headerFlag(h, "X-SquirrelDB-ForcePreAggregated")
     val routed =
       if (forceRaw || (!forcePre && stepMs < PreAggResolutionMs)) None
       else QueryService.preAggColumn(ast)
@@ -1336,11 +1348,9 @@ final class HttpApi(spark: SparkSession,
     * the compiled optimized plan.
     */
   private def debugFlags(h: HttpExchange): (Boolean, Boolean) = {
-    def flag(n: String): Boolean =
-      Option(h.getRequestHeaders.getFirst(n)).exists(v =>
-        v.equalsIgnoreCase("true") || v == "1")
-    val verbose = flag("X-SquirrelDB-Query-Verbose-Debug")
-    (debugQueries || verbose || flag("X-SquirrelDB-Query-Debug"), verbose)
+    val verbose = headerFlag(h, "X-SquirrelDB-Query-Verbose-Debug")
+    (debugQueries || verbose || headerFlag(h, "X-SquirrelDB-Query-Debug"),
+      verbose)
   }
 
   private def handleQuery(h: HttpExchange): Unit = {
@@ -1512,23 +1522,28 @@ final class HttpApi(spark: SparkSession,
           .where(col("n") > 1).count()
         (bad, coll)
     }
-    // strict expiration (reference `WithStrictExpiration`): registered
-    // series whose refreshed expiration already passed — zero after a
-    // [[sweepExpiredSeries]]
+    // strict expiration (reference `WithStrictExpiration`, an opt-in):
+    // registered series whose refreshed expiration already passed — zero
+    // after a [[sweepExpiredSeries]]. Computed (and reported) ONLY under
+    // ?strict: the dim scan + lock acquisition has no business on a
+    // routine liveness poll.
     val strict = params(h).contains("strict")
-    val expiredRegistered = compactLock.synchronized {
-      expiryPath.filter(isDir).fold(0L) { ep =>
-        spark.read.parquet(ep).groupBy("metric_id")
-          .agg(max(col("expiration_ms")).as("__e"))
-          .where(col("__e") <= System.currentTimeMillis()).count()
+    val expiredRegistered =
+      if (!strict) 0L
+      else compactLock.synchronized {
+        expiryPath.filter(isDir).fold(0L) { ep =>
+          spark.read.parquet(ep).groupBy("metric_id")
+            .agg(max(col("expiration_ms")).as("__e"))
+            .where(col("__e") <= System.currentTimeMillis()).count()
+        }
       }
-    }
     val healthy = badIds == 0 && collisions == 0 &&
       (!strict || expiredRegistered == 0)
     respond(h, if (healthy) 200 else 500,
       s"""{"healthy":$healthy,"badIds":$badIds,""" +
-        s""""idCollisions":$collisions,""" +
-        s""""expiredRegistered":$expiredRegistered}""")
+        s""""idCollisions":$collisions""" +
+        (if (strict) s""","expiredRegistered":$expiredRegistered}"""
+        else "}"))
   }
 
   /** `/metrics` — internal telemetry in the Prometheus text exposition
@@ -1852,6 +1867,11 @@ final class HttpApi(spark: SparkSession,
 }
 
 object HttpApi {
+
+  /** Name rule mirror of `Ingest.ingestLabeled` (UTF-8 without '|' or C0
+    * controls), compiled once — the per-write driver path reuses it.
+    */
+  private[api] val NameRe = "^[^|\\x00-\\x1F]+$".r
 
   /** Deterministic plain-identifier alias for a UTF-8 label name. */
   private[graft] def utf8Alias(n: String): String =

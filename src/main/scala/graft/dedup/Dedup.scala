@@ -209,6 +209,11 @@ object Dedup {
       labels = next.drop("__chg")
       iter += 1
     }
+    // an unconverged result silently splits components (each fragment
+    // with its own keep=true representative) — fail loudly instead
+    require(changed == 0,
+      s"dupClusters did not converge within $maxIters iterations " +
+        "(component diameter exceeds the bound; raise maxIters)")
     labels.withColumn("keep", col("doc_id") === col("cluster"))
   }
 

@@ -45,8 +45,13 @@ object Ingest {
     val NameRule = "^[^|\\x00-\\x1F]+$"
     val validNames = forall(map_keys(col("labels")),
       k => k.rlike(NameRule))
+    // label VALUES may be any UTF-8 — except the canonical encoding's
+    // separator bytes (U+0000–U+0003): a value embedding one could forge
+    // another label set's metric_id (same rationale as the name rule)
+    val validValues = forall(map_values(col("labels")),
+      v => !v.rlike("[\\x00-\\x03]"))
     df
-      .where(validNames)
+      .where(validNames && validValues)
       .withColumn("labels",
         map_concat(
           map_filter(cleaned, (k, _) => k =!= tenantLabel),

@@ -946,6 +946,14 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       assert(fresh.contains(""""100""""), fresh.take(300))
       assert(apiFB.preAggWatermark === wm0 ||
         apiFB.preAggWatermark >= wm0) // never rolled back
+      // a RESTARTED facade adopts the rebuilt agg generation — not the
+      // retired pre-repair one (initializer order once clobbered this:
+      // the generation pointer must be declared before the bootstrap)
+      val apiFB2 = new HttpApi(spark, durablePath = Some(dir))
+      val vals = apiFB2.routedSource("default", T0, T0 + n * 300000L, "avg")
+        .get.points.select("value").collect().map(_.getDouble(0)).toSet
+      assert(vals === Set(100.0),
+        s"restart must serve the repaired generation, got $vals")
     } finally apiFB.stop()
   }
 
