@@ -1271,6 +1271,28 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     } finally api11.stop()
   }
 
+  test("restart skips a torn snapshot generation (no _SUCCESS marker)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_torn")
+      .resolve("cold").toString
+    val apiA = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    apiA.write(Seq(series("tn", "a", i => 1.0)), "default")
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (apiA.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    // simulate a crash mid-compactCold: a higher generation directory
+    // exists but its write never committed (no _SUCCESS)
+    val torn = java.nio.file.Paths.get(dir, "g7")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(
+      torn.resolve("part-00000.parquet"), "torn")
+    val apiB = new HttpApi(spark, durablePath = Some(dir))
+    // the restart adopted the intact g0, not the torn g7
+    assert(apiB.source().get.points
+      .where(col("__name__") === "tn").count() === 10,
+      "restart must serve the last COMPLETE generation")
+  }
+
   test("labels APIs honor match[] and time bounds") {
     // matcher restriction: instance values of node_load{instance="i1"}
     val vals = get(s"/api/v1/label/instance/values?match[]=${
