@@ -25,12 +25,47 @@ import graft.tsdb.Downsample
   *    to `agg_5m`, advance the watermark — no id-shards, no locks (Spark
   *    task parallelism replaces the 60-shard round-robin).
   *
-  * At 100 TB: writes repartition by day so each partition is written by
-  * its own tasks (the day count bounds file count × shuffle partitions),
-  * and `sortWithinPartitions(series, ts)` keeps rows clustered for
-  * row-group statistics pruning on series columns.
+  * At 100 TB: writes repartition by (day, series-hash split) so each
+  * date partition is written by `splits` parallel tasks — repartitioning
+  * on the partition column ALONE would collapse a whole day (~270 GB at
+  * 100 TB/yr) into one task and one output file, an executor-OOM /
+  * straggler shape for exactly the biggest writes (backfills, cold
+  * rewrites, forced re-aggregation). The split key is a hash of the
+  * series columns, so `sortWithinPartitions(series, ts)` still clusters
+  * each series' rows contiguously inside one file for row-group
+  * statistics pruning; a series never straddles two files of the same day.
   */
 object Store {
+
+  /** Writer fan-out per date partition. Tunable per deployment
+    * (`spark.graft.write.splits`); the default suits local/test volumes —
+    * at cluster scale set it so `partition size / splits` fits one task
+    * comfortably (e.g. 270 GB days → 1024).
+    */
+  def writeSplits(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.graft.write.splits", "8").toInt
+
+  /** Within-partition split key: stable hash of the series identity →
+    * [0, splits). Deterministic, so repeated writes of the same series
+    * land in the same split (and the same file count per partition).
+    */
+  def splitKey(series: Seq[String], splits: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(series.map(col): _*), lit(splits.toLong))
+
+  /** Shuffle a frame into the durable-write shape: hash on
+    * (partition column, series split) with an EXPLICIT task count — an
+    * expression-only `repartition` is AQE-coalescible, which at test
+    * volumes re-collapses everything into one task and hides the very
+    * shape this exists to prevent. Task count defaults to the session's
+    * shuffle parallelism (`spark.graft.write.tasks` to override).
+    */
+  def repartitionForWrite(df: DataFrame, partitionCol: String,
+      series: Seq[String]): DataFrame = {
+    val conf = df.sparkSession.conf
+    val tasks = conf.get("spark.graft.write.tasks",
+      conf.get("spark.sql.shuffle.partitions", "200")).toInt
+    df.repartition(tasks, col(partitionCol), splitKey(series, writeSplits(df)))
+  }
 
   /** S8 — persist points date-partitioned, series-clustered. Append mode
     * supports incremental spills (e.g. the HTTP facade's hot→cold
@@ -39,9 +74,9 @@ object Store {
     */
   def writePoints(points: DataFrame, path: String,
       series: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit =
-    points
-      .withColumn("day", to_date(timestamp_millis(col("ts_ms"))))
-      .repartition(col("day"))
+    repartitionForWrite(
+      points.withColumn("day", to_date(timestamp_millis(col("ts_ms")))),
+      "day", series)
       .sortWithinPartitions((series.map(col) :+ col("ts_ms")): _*)
       .write.partitionBy("day").mode(mode).parquet(path)
 
@@ -70,7 +105,7 @@ object Store {
         resolutionMs)
       .withColumn("month", date_format(timestamp_millis(col("bucket_ms")),
         "yyyy-MM"))
-    agg.repartition(col("month"))
+    repartitionForWrite(agg, "month", series)
       .write.partitionBy("month").mode(SaveMode.Append).parquet(aggPath)
     writeWatermark(aggPath, end)
     end

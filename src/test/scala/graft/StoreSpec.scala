@@ -30,6 +30,19 @@ class StoreSpec extends SparkSpec {
     assert(names.count(_.startsWith("day=2024-01-")) === 30)
   }
 
+  test("S8 at scale: a day partition is written by multiple tasks") {
+    // repartition(day) alone would collapse a whole day (~270 GB at
+    // 100 TB/yr) into ONE writer task and one file; the (day,
+    // series-hash) split key fans each day across `spark.graft.write
+    // .splits` writers, bounded above by the split count.
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(Paths.get(pointsPath, "day=2024-01-15"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(files.size > 1, s"expected multi-task fan-out, got $files")
+    assert(files.size <= Store.writeSplits(pts))
+  }
+
   test("read prunes partitions and preserves every row in range") {
     val from = 1704844800000L // 2024-01-10
     val to = 1705708799999L // 2024-01-19 end
