@@ -1362,19 +1362,53 @@ final class HttpApi(spark: SparkSession,
     * the forced headers from `types/types.go:180-186`; `cassandra/tsdb/
     * read.go:57-72` serves any query with step ≥ the agg resolution from
     * pre-aggregated data): ForceRaw wins, ForcePreAggregated routes
-    * regardless of step, otherwise step ≥ 5 min routes — IF one agg
-    * column serves every selector and the agg table exists.
+    * regardless of step, otherwise step ≥ 5 min routes.
+    *
+    * Routing is PER SELECTOR (the reference passes each Select's own
+    * function hint, `queryable.go:367-373` → `read.go:594-613`): the raw
+    * source carries a [[PromSource.routeFor]] hook that maps each
+    * selector's innermost enclosing function to its counter-safe agg
+    * column, so `max_over_time(a)/min_over_time(b)` reads agg_5m twice
+    * (max and min columns) instead of falling back to a raw scan.
     */
   private def pickSource(h: HttpExchange, ast: graft.promql.Expr,
       stepMs: Long, mint: Long, maxt: Long): Option[PromSource] = {
     val forceRaw = headerFlag(h, "X-SquirrelDB-ForceRaw")
     val forcePre = headerFlag(h, "X-SquirrelDB-ForcePreAggregated")
-    val routed =
-      if (forceRaw || (!forcePre && stepMs < PreAggResolutionMs)) None
+    val routeOk = !forceRaw && (forcePre || stepMs >= PreAggResolutionMs)
+    val tenant = tenantOf(h)
+    querySource(tenant, mint, maxt, routeOk).orElse {
+      // raw tier empty (e.g. fully aged out by retention) but the agg
+      // table can still serve: route the whole AST through one column
+      if (!routeOk) None
       else QueryService.preAggColumn(ast)
-        .flatMap(c => routedSource(tenantOf(h), mint, maxt, c))
-    routed.foreach(_ => preAggRoutedTotal.incrementAndGet())
-    routed.orElse(source(tenantOf(h), mint, maxt))
+        .flatMap(c => routedSource(tenant, mint, maxt, c))
+        .map { s => preAggRoutedTotal.incrementAndGet(); s }
+    }
+  }
+
+  /** The PromQL query source: the raw multi-metric source, with the
+    * per-selector routing hook attached when `allowRoute`.
+    */
+  private[graft] def querySource(tenant: String, mint: Long, maxt: Long,
+      allowRoute: Boolean): Option[PromSource] = {
+    val raw = source(tenant, mint, maxt)
+    if (!allowRoute) raw
+    else raw.map { base =>
+      // memoize per column — one agg-table read per distinct column, and
+      // the routed-queries counter moves once per request
+      val cache =
+        scala.collection.mutable.Map.empty[String, Option[DataFrame]]
+      val counted = new java.util.concurrent.atomic.AtomicBoolean(false)
+      base.copy(routeFor = { fnOpt =>
+        val c = graft.tsdb.PreAgg.columnFor(fnOpt.getOrElse("avg"))
+        val r = cache.synchronized { cache.getOrElseUpdate(c,
+          routedSource(tenant, mint, maxt, c).map(_.points)) }
+        if (r.isDefined && counted.compareAndSet(false, true))
+          preAggRoutedTotal.incrementAndGet()
+        r
+      })
+    }
   }
 
   private def handleQueryRange(h: HttpExchange): Unit = {

@@ -19,7 +19,18 @@ final case class PromSource(
     labelCols: Seq[String],
     resolve: String => Column,
     tsCol: String = "ts_ms",
-    valueCol: String = "value")
+    valueCol: String = "value",
+    // A4 per-selector routing hook (reference `api/promql/queryable.go:
+    // 367-373`: every Select carries its own function hint, mapped to a
+    // counter-safe aggregated column independently — `cassandra/tsdb/
+    // read.go:594-613`). Called with the innermost enclosing function of
+    // each selector (None = bare instant vector); Some(frame) substitutes
+    // that selector's point stream (e.g. the pre-aggregated table's
+    // matching column plus a re-aggregated raw tail), None reads `points`.
+    // So `max_over_time(a[1h]) / min_over_time(b[1h])` reads the agg
+    // table twice — max column and min column — instead of falling back
+    // to a raw scan because no single column serves the whole AST.
+    routeFor: Option[String] => Option[DataFrame] = _ => None)
 
 final case class EvalParams(
     startMs: Long, endMs: Long, stepMs: Long,
@@ -103,7 +114,7 @@ object Compiler {
         if (s.rangeMs.nonEmpty)
           throw new IllegalArgumentException(
             "bare range selector outside a range function")
-        val base = selectorPoints(s, src)
+        val base = selectorPoints(s, src, enclosing = None)
         // W4: staleness markers participate in the latest-sample CHOICE
         // (a marker newer than real samples suppresses the series at the
         // step — older samples must not leak through), then the chosen
@@ -239,7 +250,7 @@ object Compiler {
       case FuncCall("timestamp", arg, _) =>
         arg match {
           case s: Selector if s.rangeMs.isEmpty =>
-            val base = selectorPoints(s, src)
+            val base = selectorPoints(s, src, Some("timestamp"))
             // W4 as for plain instant selectors: the staleness marker
             // participates in the latest-sample CHOICE (a marker newer than
             // real samples suppresses the series at the step), then chosen
@@ -342,7 +353,7 @@ object Compiler {
         val (base, range, labels, tCol, vCol) = arg match {
           case s: Selector =>
             // W4: markers never appear inside range vectors
-            (selectorPoints(s, src)
+            (selectorPoints(s, src, Some(fn))
               .where(!graft.functions.Bits.isStaleNaN(col(src.valueCol))),
               s.rangeMs.get, src.labelCols, src.tsCol, src.valueCol)
           case Subquery(body, r, st, off) =>
@@ -904,13 +915,19 @@ object Compiler {
       .otherwise(interpolated)
   }
 
-  /** Matcher-filtered, offset-shifted points for a selector. */
-  private def selectorPoints(s: Selector, src: PromSource): DataFrame = {
+  /** Matcher-filtered, offset-shifted points for a selector. `enclosing`
+    * is the innermost function wrapping the selector — the per-selector
+    * routing hint ([[PromSource.routeFor]] picks the counter-safe
+    * pre-aggregated column from it, or falls back to raw points).
+    */
+  private def selectorPoints(s: Selector, src: PromSource,
+      enclosing: Option[String]): DataFrame = {
+    val pts = src.routeFor(enclosing).getOrElse(src.points)
     val ms = s.matchers ++
       s.name.map(n => graft.tsdb.MatchEq("__name__", n)).toSeq
     val filtered =
-      if (ms.isEmpty) src.points
-      else src.points.where(Matchers.all(src.resolve, ms))
+      if (ms.isEmpty) pts
+      else pts.where(Matchers.all(src.resolve, ms))
     if (s.offsetMs == 0) filtered
     else filtered.withColumn(src.tsCol, col(src.tsCol) + s.offsetMs)
   }

@@ -903,6 +903,70 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(QueryService.preAggColumn(Parser.parse("vector(1)")) === None)
   }
 
+  test("A4 per-selector routing: a mixed max/min binop reads agg_5m for " +
+    "BOTH sides (plan-asserted), equals ForceRaw, and routes over HTTP") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_persel")
+      .resolve("cold").toString
+    val apiPS = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    val portPS = apiPS.start(0)
+    try {
+      // one bucket-aligned sample per 5-min bucket → routing is lossless
+      // (the A4 e2e discipline), so routed and raw answers must be equal
+      val n = 24
+      def mk(name: String, f: Int => Double) = PromSeries(
+        Map("__name__" -> name, "instance" -> "a", "job" -> "node"),
+        (0 until n).map(i => (T0 + i * 300000L, f(i))))
+      apiPS.write(Seq(mk("ps_a", i => 10.0 + i), mk("ps_b", i => 100.0 - i)),
+        "default")
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while ((apiPS.pendingBatches > 0 || apiPS.preAggWatermark == 0L) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      // the per-selector source compiles the mixed binop into a plan where
+      // BOTH selectors scan the agg table — max column for one, min for
+      // the other — and nothing scans the raw cold tier (this exact query
+      // fell back to a full raw scan when routing required ONE column to
+      // serve the whole AST)
+      val src = apiPS.querySource("default", T0 - 900000L,
+        T0 + n * 300000L, allowRoute = true).get
+      val p = graft.promql.EvalParams(T0, T0 + (n - 1) * 300000L, 600000L)
+      val df = graft.api.QueryService.queryRange(
+        "max_over_time(ps_a[10m]) + min_over_time(ps_b[10m])", src, p)
+      val plan = df.queryExecution.executedPlan.toString
+      val aggScans = plan.sliding("_agg5m".length).count(_ == "_agg5m")
+      assert(aggScans >= 2,
+        s"both selectors must scan the agg table, saw $aggScans:\n${
+          plan.take(1200)}")
+      assert(!plan.contains("cold/g"),
+        "no selector may fall back to the raw cold tier")
+      assert(plan.contains("max#") && plan.contains("min#"),
+        "each side must read its own counter-safe column")
+      // HTTP e2e: the mixed query routes (counter moves) and equals raw
+      def counter(): Long = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$portPS/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+        .linesIterator.find(_.startsWith("graft_preagg_routed_total"))
+        .get.split(" ").last.toLong
+      def getQ(hdrs: Seq[(String, String)] = Nil) = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$portPS/api/v1/query_range?query=${
+            enc("max_over_time(ps_a[10m]) + min_over_time(ps_b[10m])")
+          }&start=${T0 / 1000}&end=${
+            (T0 + (n - 1) * 300000L) / 1000}&step=600"))
+        hdrs.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val c0 = counter()
+      val viaAgg = getQ()
+      assert(counter() === c0 + 1, "mixed selectors must still route")
+      val viaRaw = getQ(Seq("X-SquirrelDB-ForceRaw" -> "true"))
+      assert(counter() === c0 + 1)
+      assert(viaAgg.statusCode() === 200 && viaRaw.statusCode() === 200)
+      assert(viaAgg.body() === viaRaw.body(),
+        s"routed ${viaAgg.body().take(300)} vs raw ${viaRaw.body().take(300)}")
+      assert(viaAgg.body().contains(""""values""""), viaAgg.body().take(200))
+    } finally apiPS.stop()
+  }
+
   test("debug/preaggregate rebuilds a past agg window after backfill, " +
     "watermark untouched") {
     import org.apache.spark.sql.functions.col
