@@ -155,8 +155,15 @@ final class HttpApi(spark: SparkSession,
 
   /** Persist the CRUD maps as the MutableProvider dim shape — one row per
     * association, names without values keep a blank row (significant for
-    * re-import, like the CSV dump). Called after every mutation; the dim
-    * is tenant-scoped and tiny by construction.
+    * re-import, like the CSV dump). Called after every mutation (all
+    * mutation sites serialize on `this`); the dim is tenant-scoped and
+    * tiny by construction.
+    *
+    * Crash discipline (ADVICE r8): an in-place Overwrite could tear the
+    * dim and the old restore silently dropped it. The write now stages to
+    * `_stage`, keeps the live dir as `_old` across the swap, and restore
+    * trusts only a `_SUCCESS`-complete dir — preferring the live one,
+    * falling back to `_old` — so no crash point loses the definitions.
     */
   private def persistMutable(): Unit = mutablePath.foreach { mp =>
     import spark.implicits._
@@ -167,23 +174,42 @@ final class HttpApi(spark: SparkSession,
       }.flatten
       if (vals.isEmpty) Seq((t, n, target, "", "")) else vals
     }
+    val stage = mp + "_stage"
+    val old = mp + "_old"
     rows.toDF("tenant", "name", "target_name", "value", "associated_value")
       .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mp)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    deleteRecursively(java.nio.file.Paths.get(old))
+    if (isDir(mp))
+      java.nio.file.Files.move(java.nio.file.Paths.get(mp),
+        java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(stage),
+      java.nio.file.Paths.get(mp))
+    deleteRecursively(java.nio.file.Paths.get(old))
   }
 
   private def restoreMutable(): Unit =
-    mutablePath.filter(isDir).foreach { mp =>
-      scala.util.Try(spark.read.parquet(mp)
-        .select("tenant", "name", "target_name", "value",
-          "associated_value").collect()).foreach { rows =>
-        mutableNames = rows.map(r =>
-          (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
-        mutableValues = rows.toSeq
-          .filter(r => r.getString(3) != null && r.getString(3).nonEmpty &&
-            r.getString(4) != null && r.getString(4).nonEmpty)
-          .groupBy(r => (r.getString(0), r.getString(1), r.getString(3)))
-          .map { case (k, rs) => k -> rs.map(_.getString(4)).distinct }
+    mutablePath.foreach { mp =>
+      def complete(p: String): Boolean = isDir(p) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+      Seq(mp, mp + "_old").find(complete).foreach { p =>
+        scala.util.Try(spark.read.parquet(p)
+          .select("tenant", "name", "target_name", "value",
+            "associated_value").collect()) match {
+          case scala.util.Success(rows) =>
+            mutableNames = rows.map(r =>
+              (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+            mutableValues = rows.toSeq
+              .filter(r => r.getString(3) != null && r.getString(3).nonEmpty &&
+                r.getString(4) != null && r.getString(4).nonEmpty)
+              .groupBy(r => (r.getString(0), r.getString(1), r.getString(3)))
+              .map { case (k, rs) => k -> rs.map(_.getString(4)).distinct }
+          case scala.util.Failure(e) =>
+            // a complete-looking dim that fails to read is an operator
+            // problem — say so instead of silently serving no rewrites
+            System.err.println(
+              s"[graft] WARNING: mutable-label dim at $p unreadable: $e")
+        }
       }
     }
 
@@ -221,12 +247,13 @@ final class HttpApi(spark: SparkSession,
     durablePath.map(p => s"$p/g$coldGen")
 
   // restart metadata sidecar: (writeSeq, labelNames) as one tiny JSON,
-  // plus the TTL dim as parquet — written at each compaction AFTER the
-  // spill, so its content is exactly consistent with what a restart can
-  // see (unspilled hot data dies with the process either way). With it,
-  // restart is O(1); without it (pre-r7 layouts) bootstrap falls back to
-  // the full-history scan — at 100 TB that scan is 3 passes over the
-  // cold tier, which is why the sidecar exists.
+  // plus the TTL dim as parquet — written at each compaction BEFORE the
+  // spill, so the persisted writeSeq always ≥ every __seq on the cold
+  // tier (a crash can over-claim, never under-rank; unspilled hot data
+  // dies with the process either way). With it, restart is O(1); without
+  // it (pre-r7 layouts) bootstrap falls back to the full-history scan —
+  // at 100 TB that scan is 3 passes over the cold tier, which is why the
+  // sidecar exists.
   private def metaPath: Option[java.nio.file.Path] =
     durablePath.map(p => java.nio.file.Paths.get(p + "_meta.json"))
   private def ttlDimPath: Option[String] = durablePath.map(_ + "_ttl")
@@ -341,10 +368,8 @@ final class HttpApi(spark: SparkSession,
     // request rows (they are already on the driver; mirroring
     // ingestLabeled's validation costs no extra Spark job per write)
     val valid = rows.filter(r =>
-      r.labels.keysIterator.forall(k =>
-        HttpApi.NameRe.pattern.matcher(k).matches())
-        && r.labels.get("__name__").exists(v =>
-          v != null && HttpApi.NameRe.pattern.matcher(v).matches()))
+      r.labels.keysIterator.forall(Ingest.validNameStr)
+        && r.labels.get("__name__").exists(Ingest.validNameStr))
     val batchNames = valid.iterator
       .flatMap(_.labels.collect {
         case (k, v) if v != null && v.nonEmpty && k != tenantLabel => k
@@ -455,6 +480,44 @@ final class HttpApi(spark: SparkSession,
       return
     val snapMin = snapMins.min
     val folded0 = lwwDedup(unionAll(snap).get).localCheckpoint(true)
+    // T9 dim upkeep: fold the snapshot's per-series TTLs into the pinned
+    // dim BEFORE the swap (spilled rows leave memory here, so this is the
+    // last cheap look at them). Series that max-merge back to the default
+    // sentinel drop out of the dim.
+    val newDim = if (!ttlSeen) None else {
+      val delta = unionAll(snap).get
+        .groupBy("metric_id").agg(max(col("__ttl_sec")).as("__ttl_sec"))
+      val merged = ttlDim.fold(delta)(_.unionByName(delta))
+        .groupBy("metric_id").agg(max(col("__ttl_sec")).as("__ttl_sec"))
+        .where(col("__ttl_sec") =!= DefaultTtlSec)
+      Some(merged.localCheckpoint(true))
+    }
+    // restart sidecars land BEFORE the spill (ADVICE r8): the persisted
+    // writeSeq is monotonically ≥ any __seq about to reach the cold tier
+    // and the merged TTL dim already covers the spilling rows, so a crash
+    // between sidecar and spill leaves only an over-claiming sidecar
+    // (harmless — new writes still outrank everything on disk). The old
+    // after-spill order left a window where a crash kept a STALE sidecar:
+    // restart would restore a writeSeq lower than seqs already spilled
+    // (post-restart rewrites silently losing read-side LWW) and TTLs
+    // first seen in that window never reached the persisted dim.
+    if (!coldWritesBlocked) {
+      newDim.foreach(d => ttlDimPath.foreach(tp =>
+        d.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tp)))
+      persistMeta()
+    }
+    // series-expiry refresh (the reference refreshes each written series'
+    // expiration day, `cassandra/index/index.go:1516-1531`): each fold
+    // APPENDS per-series (max ts + ttl) refresh rows — appends ARE the
+    // refresh, [[sweepExpiredSeries]] compacts them out of band. Same
+    // before-spill discipline: a duplicate append after a crash-and-redo
+    // max-merges away; a missing one could expire a live series.
+    if (!coldWritesBlocked) expiryPath.foreach { ep =>
+      folded0.groupBy("metric_id")
+        .agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
+          .as("expiration_ms"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ep)
+    }
     // S8 tiering: points older than the hot horizon spill to the durable
     // day-partitioned parquet store (APPEND — late duplicates resolve
     // read-side by __seq); the spill lands BEFORE the swap so a write
@@ -473,18 +536,6 @@ final class HttpApi(spark: SparkSession,
         }
       case None => (folded0, snapMin, Long.MinValue)
     }
-    // T9 dim upkeep: fold the snapshot's per-series TTLs into the pinned
-    // dim BEFORE the swap (spilled rows leave memory here, so this is the
-    // last cheap look at them). Series that max-merge back to the default
-    // sentinel drop out of the dim.
-    val newDim = if (!ttlSeen) None else {
-      val delta = unionAll(snap).get
-        .groupBy("metric_id").agg(max(col("__ttl_sec")).as("__ttl_sec"))
-      val merged = ttlDim.fold(delta)(_.unionByName(delta))
-        .groupBy("metric_id").agg(max(col("__ttl_sec")).as("__ttl_sec"))
-        .where(col("__ttl_sec") =!= DefaultTtlSec)
-      Some(merged.localCheckpoint(true))
-    }
     synchronized {
       val tailMins = batchMins.drop(snap.size)
       if (spilledTo != Long.MinValue) {
@@ -499,26 +550,9 @@ final class HttpApi(spark: SparkSession,
       batchMins = foldedMin +: tailMins
       headCompacted = true
     }
-    // restart sidecars: TTL dim + (writeSeq, labelNames) land after the
-    // swap so a restart reads state consistent with what was spilled
-    if (!coldWritesBlocked) {
-      newDim.foreach(d => ttlDimPath.foreach(tp =>
-        d.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tp)))
-      persistMeta()
-    }
     // A5 at compaction: data behind the spill frontier is final (modulo
     // explicit backfill repair) — extend agg_5m up to it, incrementally
     if (spilledTo != Long.MinValue) preAggregate(spilledTo)
-    // series-expiry refresh (the reference refreshes each written series'
-    // expiration day, `cassandra/index/index.go:1516-1531`): each fold
-    // APPENDS per-series (max ts + ttl) refresh rows — appends ARE the
-    // refresh, [[sweepExpiredSeries]] compacts them out of band
-    if (!coldWritesBlocked) expiryPath.foreach { ep =>
-      folded0.groupBy("metric_id")
-        .agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
-          .as("expiration_ms"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ep)
-    }
   }
 
   /** The expiration sweep (reference `cassandra/index/index.go:2138-2291`
@@ -1965,11 +1999,6 @@ final class HttpApi(spark: SparkSession,
 }
 
 object HttpApi {
-
-  /** Name rule mirror of `Ingest.ingestLabeled` (UTF-8 without '|' or C0
-    * controls), compiled once — the per-write driver path reuses it.
-    */
-  private[api] val NameRe = "^[^|\\x00-\\x1F]+$".r
 
   /** Deterministic plain-identifier alias for a UTF-8 label name. */
   private[graft] def utf8Alias(n: String): String =

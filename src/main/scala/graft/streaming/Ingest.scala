@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -38,13 +38,28 @@ object Ingest {
     * `labels.String()` quoting makes the same byte sequences
     * unambiguous).
     */
+  /** Name validity (UTF-8 without '|' or C0 controls), expressed as a
+    * containment BAN rather than an anchored allow: `rlike` is a regex
+    * FIND and `$` matches before a FINAL line terminator, so the old
+    * `"^[^|\\x00-\\x1F]+$"` accepted names ending in "\n"/"\r" on the
+    * executors while the driver-side `matches()` mirror rejected them
+    * (ADVICE r8) — the two mirrors now share one rule.
+    */
+  private val InvalidNameChars = "[|\\x00-\\x1F]"
+
+  def validName(k: Column): Column =
+    k.isNotNull && k =!= "" && !k.rlike(InvalidNameChars)
+
+  /** Driver-side mirror of [[validName]], byte-for-byte equivalent. */
+  def validNameStr(s: String): Boolean =
+    s != null && s.nonEmpty && !s.exists(c => c == '|' || c < ' ')
+
   def ingestLabeled(df: DataFrame, tenantLabel: String,
       tenant: String): DataFrame = {
     val cleaned = map_filter(col("labels"),
       (_, v) => v.isNotNull && v =!= "")
-    val NameRule = "^[^|\\x00-\\x1F]+$"
     val validNames = forall(map_keys(col("labels")),
-      k => k.rlike(NameRule))
+      k => validName(k))
     // label VALUES may be any UTF-8 — except the canonical encoding's
     // separator bytes (U+0000–U+0003): a value embedding one could forge
     // another label set's metric_id (same rationale as the name rule)
@@ -56,7 +71,7 @@ object Ingest {
         map_concat(
           map_filter(cleaned, (k, _) => k =!= tenantLabel),
           map(lit(tenantLabel), lit(tenant))))
-      .where(element_at(col("labels"), "__name__").rlike(NameRule))
+      .where(validName(element_at(col("labels"), "__name__")))
       .withColumn("metric_id",
         xxhash64(graft.tsdb.SeriesDim.canonicalMap(col("labels"))))
   }

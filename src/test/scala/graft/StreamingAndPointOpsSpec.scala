@@ -63,7 +63,13 @@ class IngestLabeledSpec extends SparkSpec {
       (Map("__name__" -> "up", "bad|name" -> "x"), 4000L, 4.0),
       // any other UTF-8 name is legal since UTF8Validation
       // (types/types.go:197) — colons included
-      (Map("__name__" -> "up", "name:space" -> "x"), 5000L, 5.0))
+      (Map("__name__" -> "up", "name:space" -> "x"), 5000L, 5.0),
+      // C0 controls are rejected even when TRAILING: an anchored rlike
+      // ('$') matches before a final line terminator, so "name\n" used
+      // to slip past executor-side validation while the driver-side
+      // mirror rejected it (ADVICE r8)
+      (Map("__name__" -> "up", "trail\n" -> "x"), 6000L, 6.0),
+      (Map("__name__" -> "up\r", "job" -> "api"), 7000L, 7.0))
       .toDF("labels", "ts_ms", "value")
     val out = graft.streaming.Ingest
       .ingestLabeled(rows, "__account_id__", "acme")
