@@ -109,6 +109,132 @@ class ComplianceCorpusSpec extends SparkSpec {
       s"only $compiled of $parsed parsed templates compiled")
   }
 
+  /** The reference validates semantics by EVALUATING this corpus against
+    * vanilla Prometheus over identical data (`tests/promql-compliance-test/
+    * README.md:1-35`). No second PromQL engine ships in this environment,
+    * so the evaluation gate is differential instead (the two axes the
+    * verdict prescribed):
+    *  1. raw vs per-selector-routed: every template evaluates over the
+    *     raw cold tier AND over the pre-aggregated A4 route; with
+    *     bucket-aligned one-sample-per-bucket data the answers must be
+    *     identical — two genuinely different physical pipelines
+    *     (raw scan+window vs downsample kernel+agg scan+window).
+    *  2. full-grid vs single-instant: the range-query grid rows at t must
+    *     equal an independent instant evaluation at t (different plan:
+    *     1-step explode vs multi-step), Prometheus' query_range/query
+    *     equivalence.
+    */
+  test("corpus EVALUATES end-to-end: raw == routed, grid rows == " +
+    "independent instant evaluation, >=100 templates asserted") {
+    assume(new java.io.File(CorpusPath).exists())
+    import graft.streaming.Prompb.PromSeries
+    import graft.api.HttpApi
+    val T0 = 1704067200000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus")
+      .resolve("cold").toString
+    val api = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    try {
+      val insts = Seq("demo.promlabs.com:10000", "demo.promlabs.com:10001")
+      val nb = 24 // 2 h of bucket-aligned 5-min samples => lossless routing
+      def ts(i: Int) = T0 + i * 300000L
+      def g(name: String, extra: Map[String, String],
+          f: (Int, Int) => Double,
+          keep: Int => Boolean = _ => true): Seq[PromSeries] =
+        insts.zipWithIndex.map { case (inst, k) =>
+          PromSeries(Map("__name__" -> name, "instance" -> inst,
+            "job" -> "demo") ++ extra,
+            (0 until nb).filter(keep).map(i => (ts(i), f(k, i))))
+        }
+      val mem = Seq("free", "used", "buffers", "cached").zipWithIndex
+        .flatMap { case (t, ti) =>
+          g("demo_memory_usage_bytes", Map("type" -> t),
+            (k, i) => 1e6 * (ti + 1) + 1000.0 * k + 17.0 * i - 9.0 * (i % 5))
+        }
+      val cpus = g("demo_num_cpus", Map.empty, (k, _) => 4.0 + k)
+      val cpu = g("demo_cpu_usage_seconds_total", Map.empty, // reset at 15
+        (k, i) => if (i < 15) 10.0 * i + k else 10.0 * (i - 15))
+      val disk = g("demo_disk_usage_bytes", Map.empty,
+        (k, i) => 5e8 + 1e6 * i + 5e5 * k * math.sin(i / 3.0))
+      val batch = g("demo_batch_last_success_timestamp_seconds", Map.empty,
+        (k, i) => (ts(i) / 1000 - 120 * k).toDouble)
+      val inter = g("demo_intermittent_metric", Map.empty,
+        (_, i) => 1.0 + i, keep = i => (i / 3) % 2 == 0)
+      val hist = Seq("0.1", "0.5", "1", "+Inf").zipWithIndex
+        .flatMap { case (le, li) =>
+          g("demo_api_request_duration_seconds_bucket", Map("le" -> le),
+            (k, i) => (i + 1.0) * (li + 1) * (k + 1))
+        }
+      api.write(mem ++ cpus ++ cpu ++ disk ++ batch ++ inter ++ hist,
+        "default")
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while ((api.pendingBatches > 0 || api.preAggWatermark == 0L) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(api.preAggWatermark > ts(nb - 1),
+        "the agg table must cover the whole fixture")
+      val pp = EvalParams(T0 + 1800000L, T0 + 5400000L, 600000L)
+      val tMid = T0 + 3600000L // on the grid
+      val mint = T0 - 1200000L
+      val maxt = T0 + nb * 300000L
+      def evalRows(route: Boolean, q: String,
+          e: EvalParams): Map[(String, Long), Double] = {
+        val src = api.querySource("default", mint, maxt,
+          allowRoute = route).get
+        val df = graft.api.QueryService.queryRange(q, src, e)
+        if (!df.columns.contains("eval_ms")) // top-level scalar literal
+          Map(("", 0L) -> df.collect().head.getAs[Double]("value"))
+        else {
+          val cols = df.columns.filterNot(Set("eval_ms", "value")).sorted
+          df.collect().map { r =>
+            (cols.map(c => c + "=" + String.valueOf(r.getAs[Any](c)))
+              .mkString("||"), r.getAs[Long]("eval_ms")) ->
+              r.getAs[Double]("value")
+          }.toMap
+        }
+      }
+      def closeEnough(a: Double, b: Double): Boolean =
+        (a.isNaN && b.isNaN) || a == b ||
+          math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+      def diff(x: Map[(String, Long), Double],
+          y: Map[(String, Long), Double]): Option[String] =
+        if (x.keySet != y.keySet)
+          Some(s"key sets differ: only-left=${(x.keySet -- y.keySet).take(3)}"
+            + s" only-right=${(y.keySet -- x.keySet).take(3)}")
+        else x.collectFirst { case (k, v) if !closeEnough(v, y(k)) =>
+          s"$k: $v vs ${y(k)}" }
+      var evaluated = 0
+      var nonEmpty = 0
+      val failures = Seq.newBuilder[String]
+      templates.foreach { case (tpl, shouldFail) =>
+        if (!shouldFail) {
+          val q = substitute(tpl)
+          try {
+            val raw = evalRows(route = false, q, pp)
+            val routed = evalRows(route = true, q, pp)
+            diff(raw, routed).foreach(d =>
+              failures += s"raw!=routed  $q -> $d")
+            val instant = evalRows(route = false, q,
+              EvalParams(tMid, tMid, 600000L))
+            val gridAtMid = raw.collect {
+              case ((k, t), v) if t == tMid || t == 0L => (k, t) -> v }
+            diff(gridAtMid, instant)
+              .foreach(d => failures += s"grid!=instant  $q -> $d")
+            evaluated += 1
+            if (raw.nonEmpty) nonEmpty += 1
+          } catch {
+            case e: Exception =>
+              failures += s"EVAL ERROR  $q -> ${e.getMessage}"
+          }
+        }
+      }
+      val fs = failures.result()
+      assert(fs.isEmpty,
+        s"evaluation failures (${fs.size}):\n${fs.take(10).mkString("\n")}")
+      assert(evaluated >= 100, s"only $evaluated templates evaluated")
+      assert(nonEmpty >= 80,
+        s"only $nonEmpty templates produced rows — fixture too thin")
+    } finally api.stop()
+  }
+
   test("printer round-trip: parse(print(ast)) == ast over the corpus") {
     assume(new java.io.File(CorpusPath).exists())
     import graft.promql.{Parser, Printer}
