@@ -104,6 +104,9 @@ final class HttpApi(spark: SparkSession,
   // generation the bootstrap restored from disk
   @volatile private var aggGen: Int = 0
   @volatile private var labelNames: Seq[String] = Nil
+  // expiry-dim schema probe memo: once the dim is known to carry `names`
+  // (post-r8 layout), folds skip the per-compaction footer read
+  @volatile private var expiryDimUpgraded = false
   private var writeSeq = 0L
   @volatile private var ttlSeen = false // any write with a non-default TTL?
   // T9 dim: per-series max-merged TTL over COMPACTED history, pinned and
@@ -517,13 +520,18 @@ final class HttpApi(spark: SparkSession,
     // expire a live series.
     if (!coldWritesBlocked) expiryPath.foreach { ep =>
       // pre-r8 dims lack `names`: upgrade once with empty arrays (each
-      // live series' next refresh appends its real names)
-      if (isDir(ep)) {
-        val old = spark.read.parquet(ep)
-        if (!old.columns.contains("names"))
-          old.withColumn("names", typedLit(Seq.empty[String]))
-            .localCheckpoint(true)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ep)
+      // live series' next refresh appends its real names). The schema
+      // probe is a parquet footer read — cache it so steady-state folds
+      // skip it entirely.
+      if (!expiryDimUpgraded) {
+        if (isDir(ep)) {
+          val old = spark.read.parquet(ep)
+          if (!old.columns.contains("names"))
+            old.withColumn("names", typedLit(Seq.empty[String]))
+              .localCheckpoint(true)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ep)
+        }
+        expiryDimUpgraded = true
       }
       folded0.groupBy("metric_id")
         .agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
