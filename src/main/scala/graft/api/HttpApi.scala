@@ -229,6 +229,7 @@ final class HttpApi(spark: SparkSession,
       |/debug/index_block               pause durable-tier writes
       |/debug/index_unblock             resume durable-tier writes
       |/debug/toggle_debug_query        per-query plan logging
+      |/debug/pprof                     JVM thread dump + heap summary
       |/debug/flush                     fold the append-only hot store
       |/debug/preaggregate?from&to      forced re-aggregation
       |/debug/expire_series[?now=]      series-expiration sweep
@@ -1204,6 +1205,21 @@ final class HttpApi(spark: SparkSession,
           respondBytes(h, 200,
             s"defaultDebugRequest is now $debugQueries\n".getBytes(UTF_8),
             "text/plain")
+        // the reference exposes Go pprof (`api/api.go:228`); the JVM
+        // analogue is a full thread dump + memory summary — what an
+        // operator reaches for when the facade looks wedged
+        case (_, "/debug/pprof") | (_, "/debug/pprof/") =>
+          val sb = new StringBuilder
+          val rt = Runtime.getRuntime
+          sb ++= s"jvm heap used=${rt.totalMemory() - rt.freeMemory()} " +
+            s"total=${rt.totalMemory()} max=${rt.maxMemory()}\n"
+          val mx = java.lang.management.ManagementFactory.getThreadMXBean
+          mx.dumpAllThreads(false, false).foreach { ti =>
+            sb ++= s"\n\"${ti.getThreadName}\" id=${ti.getThreadId} " +
+              s"state=${ti.getThreadState}\n"
+            ti.getStackTrace.foreach(f => sb ++= s"\tat $f\n")
+          }
+          respondBytes(h, 200, sb.toString.getBytes(UTF_8), "text/plain")
         case (_, "/debug/") | (_, "/debug") =>
           respondBytes(h, 200, DebugHelp.getBytes(UTF_8), "text/plain")
         case (_, "/debug/flush") =>

@@ -1329,6 +1329,13 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       assert(noDbg.headers().firstValue("X-SquirrelDB-Debug").isEmpty)
       // help index
       assert(getD("/debug/").body().contains("index_dump_by_posting"))
+      // /debug/pprof: the JVM analogue of the reference's Go pprof
+      // (api/api.go:228) — a thread dump with heap summary
+      val pprof = getD("/debug/pprof")
+      assert(pprof.statusCode() === 200)
+      assert(pprof.body().contains("jvm heap used="), pprof.body().take(120))
+      assert(pprof.body().contains("state=RUNNABLE"), "must dump threads")
+      assert(getD("/debug/").body().contains("pprof"))
     } finally apiD.stop()
   }
 
