@@ -104,9 +104,13 @@ final class HttpApi(spark: SparkSession,
   // generation the bootstrap restored from disk
   @volatile private var aggGen: Int = 0
   @volatile private var labelNames: Seq[String] = Nil
-  // expiry-dim schema probe memo: once the dim is known to carry `names`
-  // (post-r8 layout), folds skip the per-compaction footer read
-  @volatile private var expiryDimUpgraded = false
+  // expiry-dim schema memo (probed once per process): Some(true) = a
+  // pre-r8 dim without the `names` column — appends keep the legacy
+  // shape and the sweep falls back to the full-history name derivation;
+  // Some(false) = modern dim (or fresh), names ride each refresh row.
+  // No in-place upgrade: a torn Overwrite of the only copy of the dim
+  // would stall every subsequent fold (r8 review finding).
+  @volatile private var expiryDimLegacy: Option[Boolean] = None
   private var writeSeq = 0L
   @volatile private var ttlSeen = false // any write with a non-default TTL?
   // T9 dim: per-series max-merged TTL over COMPACTED history, pinned and
@@ -182,10 +186,15 @@ final class HttpApi(spark: SparkSession,
     rows.toDF("tenant", "name", "target_name", "value", "associated_value")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
-    deleteRecursively(java.nio.file.Paths.get(old))
-    if (isDir(mp))
+    // clear _old only when the live dir exists to replace it: in the
+    // degraded state after an earlier crash (_old is the ONLY complete
+    // copy), deleting it before the stage→live promotion could lose the
+    // last restorable copy (r8 review finding)
+    if (isDir(mp)) {
+      deleteRecursively(java.nio.file.Paths.get(old))
       java.nio.file.Files.move(java.nio.file.Paths.get(mp),
         java.nio.file.Paths.get(old))
+    }
     java.nio.file.Files.move(java.nio.file.Paths.get(stage),
       java.nio.file.Paths.get(mp))
     deleteRecursively(java.nio.file.Paths.get(old))
@@ -474,10 +483,14 @@ final class HttpApi(spark: SparkSession,
     // (batches, batchMins) snapshot under the write lock — a concurrent
     // write could otherwise publish the new vector before its mins entry
     val (snap, snapMins) = synchronized((batches, batchMins))
+    // snapshot the block flag ONCE: re-reading the volatile at each gate
+    // lets a concurrent block+unblock skip the sidecar yet still spill —
+    // reintroducing the stale-sidecar hazard the ordering below fixes
+    val blocked = coldWritesBlocked
     // an already-compacted head is only skippable when it has nothing to
     // spill — data ages past the horizon (or a lifted write block leaves
     // aged data behind), and the fold below is what tiers it out
-    val spillable = coldPath.nonEmpty && !coldWritesBlocked &&
+    val spillable = coldPath.nonEmpty && !blocked &&
       snapMins.nonEmpty &&
       snapMins.min < System.currentTimeMillis() - hotRetainMs
     if (snap.isEmpty || (snap.size == 1 && headCompacted && !spillable))
@@ -505,7 +518,7 @@ final class HttpApi(spark: SparkSession,
     // restart would restore a writeSeq lower than seqs already spilled
     // (post-restart rewrites silently losing read-side LWW) and TTLs
     // first seen in that window never reached the persisted dim.
-    if (!coldWritesBlocked) {
+    if (!blocked) {
       newDim.foreach(d => ttlDimPath.foreach(tp =>
         d.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tp)))
       persistMeta()
@@ -519,35 +532,33 @@ final class HttpApi(spark: SparkSession,
     // the whole cold tier. Same before-spill discipline: a duplicate
     // append after a crash-and-redo max-merges away; a missing one could
     // expire a live series.
-    if (!coldWritesBlocked) expiryPath.foreach { ep =>
-      // pre-r8 dims lack `names`: upgrade once with empty arrays (each
-      // live series' next refresh appends its real names). The schema
-      // probe is a parquet footer read — cache it so steady-state folds
-      // skip it entirely.
-      if (!expiryDimUpgraded) {
-        if (isDir(ep)) {
-          val old = spark.read.parquet(ep)
-          if (!old.columns.contains("names"))
-            old.withColumn("names", typedLit(Seq.empty[String]))
-              .localCheckpoint(true)
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ep)
-        }
-        expiryDimUpgraded = true
-      }
-      folded0.groupBy("metric_id")
-        .agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
-          .as("expiration_ms"),
-          // one series = one label map (metric_id is its hash), so any
-          // row's key set is THE key set
-          first(map_keys(col("labels"))).as("names"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ep)
+    if (!blocked) expiryPath.foreach { ep =>
+      // schema probe, once per process: a pre-r8 dim (no `names` column)
+      // stays legacy forever — appends keep its shape and the sweep uses
+      // the full-history fallback — rather than risking a torn in-place
+      // Overwrite of the only copy
+      if (expiryDimLegacy.isEmpty)
+        expiryDimLegacy = Some(isDir(ep) &&
+          !spark.read.parquet(ep).columns.contains("names"))
+      val base = folded0.groupBy("metric_id")
+      val refreshed =
+        if (expiryDimLegacy.contains(true))
+          base.agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
+            .as("expiration_ms"))
+        else
+          base.agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
+            .as("expiration_ms"),
+            // one series = one label map (metric_id is its hash), so any
+            // row's key set is THE key set
+            first(map_keys(col("labels"))).as("names"))
+      refreshed.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ep)
     }
     // S8 tiering: points older than the hot horizon spill to the durable
     // day-partitioned parquet store (APPEND — late duplicates resolve
     // read-side by __seq); the spill lands BEFORE the swap so a write
     // failure loses nothing
     val (folded, foldedMin, spilledTo) = coldPath match {
-      case Some(_) if coldWritesBlocked => (folded0, snapMin, Long.MinValue)
+      case Some(_) if blocked => (folded0, snapMin, Long.MinValue)
       case Some(path) =>
         val cutoff = System.currentTimeMillis() - hotRetainMs
         val spill = folded0.where(col("ts_ms") < cutoff)
@@ -599,18 +610,28 @@ final class HttpApi(spark: SparkSession,
         val hasNames = spark.read.parquet(ep).columns.contains("names")
         val dropped = graft.store.Store.expireSeries(spark, ep, nowMs,
           if (hasNames) Seq("names") else Seq.empty)
-        val dimNames: Seq[String] =
-          if (!hasNames) Nil
-          else spark.read.parquet(ep)
+        if (hasNames) {
+          val dimNames = spark.read.parquet(ep)
             .select(explode(col("names")).as("n"))
             .distinct().as[String].collect().toSeq
-        val hotNames: Seq[String] = unionAll(synchronized(batches)) match {
-          case Some(h) =>
-            h.select(explode(map_keys(col("labels"))).as("n"))
-              .distinct().as[String].collect().toSeq
-          case None => Nil
+          val hotNames = unionAll(synchronized(batches)) match {
+            case Some(h) =>
+              h.select(explode(map_keys(col("labels"))).as("n"))
+                .distinct().as[String].collect().toSeq
+            case None => Nil
+          }
+          labelNames = (dimNames ++ hotNames).distinct.sorted
+        } else {
+          // legacy dim without per-series names: the pre-r8 full-history
+          // derivation is the only correct source — dropping to hot-only
+          // names would erase every cold live series from the label APIs
+          labelNames = dedupedPoints() match {
+            case Some(d) => d
+              .select(explode(map_keys(col("labels"))).as("n"))
+              .distinct().as[String].collect().sorted.toSeq
+            case None => Nil
+          }
         }
-        labelNames = (dimNames ++ hotNames).distinct.sorted
         dropped
       }
     }
@@ -964,6 +985,11 @@ final class HttpApi(spark: SparkSession,
             linkTree(m, staging.resolve(m.getFileName.toString)))
         }
         val nextGen = aggGen + 1
+        // a torn g<N+1> can predate this code (the old rebuild wrote the
+        // generation directly and could crash mid-write; bootstrap skips
+        // it for lack of _SUCCESS but leaves the directory) — clear it or
+        // the staging move throws FileAlreadyExists forever
+        deleteRecursively(java.nio.file.Paths.get(s"$ap/g$nextGen"))
         java.nio.file.Files.move(staging,
           java.nio.file.Paths.get(s"$ap/g$nextGen"))
         aggGen = nextGen

@@ -106,7 +106,8 @@ object Compiler {
     case _ => false // Selector / Subquery: unbounded series sets
   }
 
-  private def compileVec(expr: Expr, src: PromSource, p: EvalParams): Vec =
+  private def compileVec(expr: Expr, src: PromSource, p: EvalParams,
+      enclosing: Option[String] = None): Vec =
     expr match {
       case NumLit(v) => constVec(src.points.sparkSession, v)
 
@@ -114,7 +115,7 @@ object Compiler {
         if (s.rangeMs.nonEmpty)
           throw new IllegalArgumentException(
             "bare range selector outside a range function")
-        val base = selectorPoints(s, src, enclosing = None)
+        val base = selectorPoints(s, src, enclosing)
         // W4: staleness markers participate in the latest-sample CHOICE
         // (a marker newer than real samples suppresses the series at the
         // step — older samples must not leak through), then the chosen
@@ -147,7 +148,7 @@ object Compiler {
 
       case FuncCall(fn, arg, fnParams)
         if Parser.MathFunctions(fn) || Parser.ParamMathFunctions(fn) =>
-        val inner = compileVec(arg, src, p)
+        val inner = compileVec(arg, src, p, Some(fn))
         inner.const match {
           case Some(cv) =>
             constVec(src.points.sparkSession, scalarMath(fn, cv, fnParams))
@@ -161,7 +162,7 @@ object Compiler {
       // label manipulation over column-label sources: the destination
       // becomes a derived (string) label column on the plan
       case LabelCall(fn, arg, strArgs) =>
-        val inner = compileVec(arg, src, p)
+        val inner = compileVec(arg, src, p, enclosing)
         def labelCol(n: String): Column =
           if (inner.labels.contains(n)) col(n).cast("string") else lit("")
         val ValidLabel = "[a-zA-Z_][a-zA-Z0-9_]*".r
@@ -203,7 +204,7 @@ object Compiler {
 
       // vector(s): scalar as a label-less instant vector
       case FuncCall("vector", arg, _) =>
-        val inner = compileVec(arg, src, p)
+        val inner = compileVec(arg, src, p, Some("vector"))
         inner.const match {
           case Some(cv) =>
             val df = grid(src.points.sparkSession, p)
@@ -217,7 +218,7 @@ object Compiler {
       // scalar(v): the single series' value per step; NaN when the vector
       // has zero or many series at that step (Prometheus semantics)
       case FuncCall("scalar", arg, _) =>
-        val inner = compileVec(arg, src, p)
+        val inner = compileVec(arg, src, p, Some("scalar"))
         if (inner.scalar) inner
         else {
           val agg = inner.df.groupBy("eval_ms").agg(
@@ -233,7 +234,7 @@ object Compiler {
         // 1 at eval steps where the inner vector has no series at all;
         // result labels derive from the selector's equality matchers
         // (Prometheus createLabelsForAbsentFunction, promql/functions.go)
-        val inner = compileVec(arg, src, p)
+        val inner = compileVec(arg, src, p, Some("absent"))
         val present = inner.df.select("eval_ms").distinct()
         val lbls = absentLabels(arg)
         val df0 = grid(src.points.sparkSession, p)
@@ -267,7 +268,7 @@ object Compiler {
               .drop("__ch")
             dropName(Vec(df, src.labelCols, scalar = false))
           case other =>
-            val inner = compileVec(other, src, p)
+            val inner = compileVec(other, src, p, Some("timestamp"))
             dropName(Vec(inner.df.withColumn("value",
               col("eval_ms").cast("double") / 1000.0),
               inner.labels, scalar = false))
@@ -277,7 +278,7 @@ object Compiler {
       // timestamp; the result is its UTC calendar component (Prometheus
       // "Date functions"; zero-arg form desugars to time() in the parser)
       case FuncCall(fn, arg, _) if Parser.DateFunctions(fn) =>
-        val inner = compileVec(arg, src, p)
+        val inner = compileVec(arg, src, p, Some(fn))
         def component(ts: Column): Column = fn match {
           case "minute" => minute(ts)
           case "hour" => hour(ts)
@@ -317,7 +318,7 @@ object Compiler {
       // (api.PromJson) orders the serialized output when the top-level
       // expression is sort/sort_desc.
       case FuncCall("sort" | "sort_desc", arg, _) =>
-        val inner = compileVec(arg, src, p)
+        val inner = compileVec(arg, src, p, Some("sort"))
         Vec(inner.df, inner.labels, scalar = false, nameCol = inner.nameCol)
 
       // histogram_quantile(φ, v) over `le`-labelled cumulative buckets:
@@ -327,7 +328,7 @@ object Compiler {
       case FuncCall("histogram_quantile", arg, params) =>
         val phi = params.headOption.getOrElse(
           throw new IllegalArgumentException("histogram_quantile needs φ"))
-        val inner = compileVec(arg, src, p)
+        val inner = compileVec(arg, src, p, Some("histogram_quantile"))
         if (!inner.labels.contains("le"))
           throw new IllegalArgumentException(
             "histogram_quantile needs an input vector with an 'le' label")
@@ -362,7 +363,11 @@ object Compiler {
             // outer range sees them at the shifted positions
             val innerP =
               EvalParams(p.startMs - r - off, p.endMs - off, st, p.lookbackMs)
-            val inner = compileVec(body, src, innerP)
+            // the outer range function is the subquery body's routing
+            // hint (Prometheus propagates select hints through
+            // subqueries): rate(counter[30m:5m]) must read the
+            // counter-safe max column, not avg, for its inner selector
+            val inner = compileVec(body, src, innerP, Some(fn))
             val shifted = inner.df.withColumnRenamed("eval_ms", "__sq_ts")
             val df =
               if (off == 0) shifted
@@ -486,7 +491,7 @@ object Compiler {
         else dropName(Vec(df, labels, scalar = false))
 
       case Agg(op, by, without, body, param, strParam) =>
-        val inner = compileVec(body, src, p)
+        val inner = compileVec(body, src, p, enclosing)
         // aggregations always drop the metric name; `without` keeps the
         // complement of the listed labels MINUS __name__ (Prometheus
         // aggregation semantics); an explicit by(__name__) keeps it
@@ -544,8 +549,8 @@ object Compiler {
 
       case BinOp(op @ ("and" | "or" | "unless"), lhs, rhs, on, ignoring,
           _, _, _, _) =>
-        val l0 = compileVec(lhs, src, p)
-        val r0 = compileVec(rhs, src, p)
+        val l0 = compileVec(lhs, src, p, enclosing)
+        val r0 = compileVec(rhs, src, p, enclosing)
         // on(..., __name__): materialize the metric name as a join column
         // (dropped again from the output labels below)
         val (l, r) =
@@ -600,8 +605,8 @@ object Compiler {
         }
 
       case BinOp(op, lhsE, rhsE, on, ignoring, gl, boolMode, gr, gLabels) =>
-        val l = compileVec(lhsE, src, p)
-        val r = compileVec(rhsE, src, p)
+        val l = compileVec(lhsE, src, p, enclosing)
+        val r = compileVec(rhsE, src, p, enclosing)
         (l.const, r.const) match {
           case (Some(a), Some(b)) =>
             if (CmpOps(op)) {

@@ -48,6 +48,31 @@ class QueryServiceSpec extends SparkSpec {
     assert(shadowed.count() === 0L)
   }
 
+  test("per-selector routing hint: innermost enclosing function reaches " +
+    "routeFor, including through subqueries (counter safety)") {
+    import graft.promql.{Compiler, Parser}
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+    val recording = src.copy(routeFor = { fn => calls += fn; None })
+    def hintsOf(q: String): Seq[Option[String]] = {
+      calls.clear()
+      Compiler.compile(Parser.parse(q), recording, p)
+      calls.toSeq
+    }
+    assert(hintsOf("events") === Seq(None))
+    assert(hintsOf("rate(events[2h])") === Seq(Some("rate")))
+    // the subquery body inherits the OUTER range function (Prometheus
+    // propagates select hints through subqueries): rate over a counter
+    // subquery must read the counter-safe max column, not avg
+    assert(hintsOf("rate(events[2h:1h])") === Seq(Some("rate")))
+    assert(hintsOf("max_over_time(sum(events)[2h:1h])")
+      === Seq(Some("max_over_time")))
+    // ...but a closer enclosing function wins (innermost rule)
+    assert(hintsOf("rate(abs(events)[2h:1h])") === Seq(Some("abs")))
+    // mixed binop: each selector carries its own hint
+    assert(hintsOf("max_over_time(events[2h]) + min_over_time(events[2h])")
+      .toSet === Set(Some("max_over_time"), Some("min_over_time")))
+  }
+
   test("mutable labels rewrite inside the service chain") {
     val mapping = MutableMapping("t1", "group", "event_type",
       Map("interactive" -> Seq("click", "view")))
