@@ -129,6 +129,29 @@ object Dedup {
     allPairs.unionByName(starPairs).distinct()
   }
 
+  /** Benchmark decontamination (the published GPT-3 / The-Pile
+    * discipline: drop training documents that share long word n-grams
+    * with a held-out evaluation set, so benchmark answers don't leak
+    * into training data). Returns (doc_id, n_overlap) — every training
+    * doc sharing ≥1 n-gram shingle with ANY benchmark doc, with its
+    * count of distinct overlapping shingles.
+    *
+    * Scale shape: both sides reduce to (id, shingle) pairs — the text
+    * itself never shuffles; the benchmark's DISTINCT shingle set is
+    * eval-set-sized (orders below the corpus) so the semi-join build
+    * side stays broadcastable, and the training side streams through
+    * one hash semi-join + count aggregate.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, shingleLen: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tsh = train.select(col(id).as("doc_id"),
+      explode(shingles(col(text), shingleLen)).as("sh"))
+    val bsh = bench.select(explode(shingles(col(text), shingleLen)).as("sh"))
+      .distinct()
+    tsh.join(bsh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Exact n-gram Jaccard for given pairs. `pairs`: (doc_a, doc_b).
     * Computed via an explode + join on shingle value — set-oriented, never
     * materializes per-pair sets on the driver.

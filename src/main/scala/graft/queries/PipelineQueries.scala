@@ -44,6 +44,30 @@ object PipelineQueries {
         .withColumn("text", concat(col("text"), lit(" extra tail"))))
   }
 
+  // decontamination uses LONGER shingles than near-dup LSH (published
+  // practice: 8-13 gram overlap for GPT-3/Pile; 5 here fits the
+  // synthetic doc lengths) and a deterministic benchmark slice, with
+  // planted contaminated copies so positives exist at every SF
+  private val DecontShingleLen = 5
+  // deterministic PII / repetition plants (identical strings in the
+  // DuckDB oracle)
+  private val PiiTail = "@example.com or +555 123 4567"
+  private val SpamTail = " buy now" * 30
+
+  private def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit(PiiTail)))
+          .otherwise(col("text")))
+
+  private def repCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(SpamTail)))
+          .otherwise(col("text")))
+
   private def candidates(s: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidates(
       Dedup.lshBuckets(
@@ -93,6 +117,18 @@ object PipelineQueries {
       Ann.cosineNearDupPairs(corpus, 0.9)
     }),
 
+    // benchmark decontamination: training docs sharing any 5-gram with
+    // the held-out benchmark slice, with overlap counts; planted
+    // contaminated copies guarantee positives at every SF
+    "d8_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = docs.where(col("doc_id") % 17 === 3)
+      val train = docs.where(col("doc_id") % 17 =!= 3)
+        .unionByName(bench.where(col("doc_id") < 200)
+          .withColumn("doc_id", col("doc_id") + 30000))
+      Dedup.decontaminate(train, bench, DecontShingleLen)
+    }),
+
     // text quality features + composite score
     "x1_text_quality" -> ((s, dir) =>
       TextOps.quality(Tables.documents(s, dir))
@@ -128,6 +164,16 @@ object PipelineQueries {
       TextOps.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "lang"), "lang", 25)
         .select("doc_id", "lang", "rnk")),
+
+    // PII scrub: planted emails/phones are counted and redacted; the
+    // scrubbed-text digest proves the replacement, not just the count
+    "x6_pii_scrub" -> ((s, dir) =>
+      TextOps.piiScrub(piiCorpus(s, dir))),
+
+    // intra-document repetition gate (duplicate n-gram fraction): the
+    // planted spam tails push the ratio up; the keep flag gates at 0.2
+    "x7_repetition_filter" -> ((s, dir) =>
+      TextOps.repetition(repCorpus(s, dir))),
 
     // composed curation pipeline over the re-crawled corpus: quality
     // gate ∧ language gate ∧ exact-dedup keep-list — the end-to-end
@@ -393,6 +439,68 @@ object PipelineQueries {
         FROM cv a JOIN cv b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.9""",
+
+    "d8_decontaminate" -> s"""
+      WITH bench AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 17 = 3),
+      train AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT doc_id + 30000, text FROM bench WHERE doc_id < 200),
+      ttoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM train),
+      tidx AS (SELECT doc_id, tk,
+        unnest(generate_series(1, len(tk) - ${DecontShingleLen - 1})) AS i
+        FROM ttoks WHERE len(tk) >= $DecontShingleLen),
+      tsh AS (SELECT DISTINCT doc_id,
+        array_to_string(tk[i:i + ${DecontShingleLen - 1}], ' ') AS sh
+        FROM tidx),
+      btoks AS (SELECT string_split(text, ' ') AS tk FROM bench),
+      bidx AS (SELECT tk,
+        unnest(generate_series(1, len(tk) - ${DecontShingleLen - 1})) AS i
+        FROM btoks WHERE len(tk) >= $DecontShingleLen),
+      bsh AS (SELECT DISTINCT
+        array_to_string(tk[i:i + ${DecontShingleLen - 1}], ' ') AS sh
+        FROM bidx)
+      SELECT doc_id, count(*) AS n_overlap
+      FROM tsh WHERE sh IN (SELECT sh FROM bsh) GROUP BY 1""",
+
+    "x6_pii_scrub" -> s"""
+      WITH corpus AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+          THEN text || ' contact user' || doc_id || '$PiiTail'
+          ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+          AS n_emails,
+        len(regexp_extract_all(text,
+          '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phones,
+        md5(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'))
+          AS scrubbed_md5
+      FROM corpus""",
+
+    "x7_repetition_filter" -> """
+      WITH corpus AS (SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN text || repeat(' buy now', 30)
+          ELSE text END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+      idx AS (SELECT doc_id, tk,
+        unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2),
+      g AS (SELECT doc_id, array_to_string(tk[i:i + 1], ' ') AS gm
+        FROM idx),
+      agg AS (SELECT doc_id, count(*) AS n_grams,
+        count(DISTINCT gm) AS n_distinct FROM g GROUP BY 1)
+      SELECT c.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        coalesce(a.n_distinct, 0) AS n_distinct,
+        (coalesce(a.n_grams, 0) - coalesce(a.n_distinct, 0))::DOUBLE /
+          greatest(coalesce(a.n_grams, 0), 1)::DOUBLE AS dup_ratio,
+        ((coalesce(a.n_grams, 0) - coalesce(a.n_distinct, 0))::DOUBLE /
+          greatest(coalesce(a.n_grams, 0), 1)::DOUBLE) <= 0.2 AS keep
+      FROM corpus c LEFT JOIN agg a USING (doc_id)""",
 
     "x1_text_quality" -> """
       WITH f AS (SELECT doc_id,

@@ -95,6 +95,54 @@ object TextOps {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** RE2-compatible PII patterns (no lookaround — the same rule runs in
+    * Spark codegen and any RE2 engine, DuckDB included).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrubbing, the standard pre-tokenization redaction pass: count
+    * email addresses and phone-shaped numbers, and digest the text with
+    * both replaced by placeholders — the digest proves the REPLACEMENT
+    * happened, not just that something was counted. Pure projection, no
+    * shuffle, no UDF.
+    */
+  def piiScrub(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val t = col(text)
+    val scrubbed = regexp_replace(
+      regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    docs.select(col(id),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  /** Intra-document repetition (the Gopher-style duplicate-n-gram
+    * fraction, a published quality gate): the share of word n-grams that
+    * repeat an earlier n-gram of the SAME document. Boilerplate/spam
+    * tails push the ratio up; `keep` gates at `maxDupRatio`. Pure
+    * projection — per-document arrays, no shuffle.
+    */
+  def repetition(docs: DataFrame, n: Int = 2, maxDupRatio: Double = 0.2,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = graft.dedup.Dedup.tokens(col(text))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(id),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") /
+          greatest(col("n_grams"), lit(1L)).cast("double"))
+      .withColumn("keep", col("dup_ratio") <= maxDupRatio)
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted token bag —
     * robust to word shuffling (the classic "fingerprint" dedup key).
     * Plus a positional rolling digest (md5 of the raw normalized text).

@@ -16,6 +16,46 @@ class DedupSpec extends SparkSpec {
     assert(sh(3L) === Set.empty)
   }
 
+  test("decontaminate: only docs sharing a full n-gram with the " +
+    "benchmark surface, with distinct-overlap counts") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"), // shares the 3-gram "alpha beta gamma"
+      (2L, "alpha beta x y"), //         2-gram overlap only → clean at n=3
+      (3L, "p q r s"), //                disjoint → clean
+      (4L, "alpha beta gamma beta gamma delta z")) // two distinct overlaps
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 4L -> 2L),
+      s"1 shares 'alpha beta gamma'+'beta gamma delta', 4 both too: $got")
+  }
+
+  test("piiScrub counts and redacts; repetition flags spam tails") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "mail me at a.b@x.co or call +555 123 4567 today"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val pii = TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(pii === Map(1L -> ((1L, 1L)), 2L -> ((0L, 0L))))
+    // the digest reflects the REDACTED text, not the original
+    val d1 = TextOps.piiScrub(docs).where(col("doc_id") === 1)
+      .select("scrubbed_md5").head().getString(0)
+    val want = docs.sparkSession.sql(
+      "SELECT md5('mail me at <EMAIL> or call <PHONE> today')")
+      .head().getString(0)
+    assert(d1 === want)
+    val rep = TextOps.repetition(Seq(
+      (1L, "buy now buy now buy now"), // 5 2-grams, 2 distinct
+      (2L, "all distinct words here"),
+      (3L, "one")).toDF("doc_id", "text")) // sub-length → 0 grams, keep
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(rep === Map(1L -> ((5L, 2L, false)), 2L -> ((3L, 3L, true)),
+      3L -> ((0L, 0L, true))))
+  }
+
   test("exact dedup groups by digest, keeps smallest id") {
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
       .toDF("doc_id", "text")
