@@ -175,6 +175,12 @@ object PipelineQueries {
     "x7_repetition_filter" -> ((s, dir) =>
       TextOps.repetition(repCorpus(s, dir))),
 
+    // sequence packing: deterministic concat-and-chunk layout — each doc
+    // gets its running token offset and target training-sequence bin
+    "x8_sequence_pack" -> ((s, dir) =>
+      TextOps.sequencePack(
+        Tables.documents(s, dir).select("doc_id", "text"), 2048L)),
+
     // composed curation pipeline over the re-crawled corpus: quality
     // gate ∧ language gate ∧ exact-dedup keep-list — the end-to-end
     // filter chain a training-data run executes before tokenization
@@ -501,6 +507,20 @@ object PipelineQueries {
         ((coalesce(a.n_grams, 0) - coalesce(a.n_distinct, 0))::DOUBLE /
           greatest(coalesce(a.n_grams, 0), 1)::DOUBLE) <= 0.2 AS keep
       FROM corpus c LEFT JOIN agg a USING (doc_id)""",
+
+    "x8_sequence_pack" -> """
+      WITH t AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+          AS n_tokens
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS tok_offset,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+          AS seq_bin
+      FROM t""",
 
     "x1_text_quality" -> """
       WITH f AS (SELECT doc_id,

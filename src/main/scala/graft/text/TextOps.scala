@@ -143,6 +143,26 @@ object TextOps {
       .withColumn("keep", col("dup_ratio") <= maxDupRatio)
   }
 
+  /** Sequence packing (the concatenate-and-chunk batching step of an LLM
+    * pre-training pipeline): documents are laid out in a deterministic
+    * order (doc_id) and split into training sequences of `budget` tokens
+    * — each doc gets its running token offset and the sequence (bin) its
+    * first token lands in. One global cumulative-sum window: at 100 TB
+    * this would be per-shard (partition the window by a shard key and
+    * offset bins by shard base), but the op itself stays one projection
+    * + one window — no join, no explode.
+    */
+  def sequencePack(docs: DataFrame, budget: Long,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_bin", (col("tok_offset") / budget).cast("long"))
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted token bag —
     * robust to word shuffling (the classic "fingerprint" dedup key).
     * Plus a positional rolling digest (md5 of the raw normalized text).
