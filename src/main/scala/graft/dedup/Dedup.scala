@@ -27,15 +27,22 @@ object Dedup {
     * empty set (guard needed: Spark's `sequence(1, 0)` counts DOWN, which
     * would fabricate shingles at index 0).
     */
-  def shingles(text: Column, n: Int): Column = {
+  /** All word n-grams IN ORDER (duplicates kept) — the building block
+    * for both the distinct shingle set and the repetition filter's
+    * duplicate-fraction. The size guard matters: sequence(1, 0) counts
+    * DOWN, fabricating windows for sub-length docs.
+    */
+  def grams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " "))))
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
+
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(grams(text, n))
 
   /** Exact duplicate groups by content digest: (text_md5, keep_id, n_docs).
     * keep_id is the smallest doc id of the group (the canonical survivor).

@@ -123,9 +123,12 @@ object PipelineQueries {
     "d8_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val bench = docs.where(col("doc_id") % 17 === 3)
+      // plants get NEGATIVE ids: disjoint from genuine train ids at any
+      // corpus size (an additive offset collides once the corpus outgrows
+      // it, silently merging two docs under one id)
       val train = docs.where(col("doc_id") % 17 =!= 3)
         .unionByName(bench.where(col("doc_id") < 200)
-          .withColumn("doc_id", col("doc_id") + 30000))
+          .withColumn("doc_id", -col("doc_id") - 1))
       Dedup.decontaminate(train, bench, DecontShingleLen)
     }),
 
@@ -451,7 +454,7 @@ object PipelineQueries {
         WHERE doc_id % 17 = 3),
       train AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3
         UNION ALL
-        SELECT doc_id + 30000, text FROM bench WHERE doc_id < 200),
+        SELECT -doc_id - 1, text FROM bench WHERE doc_id < 200),
       ttoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM train),
       tidx AS (SELECT doc_id, tk,
         unnest(generate_series(1, len(tk) - ${DecontShingleLen - 1})) AS i
@@ -479,7 +482,8 @@ object PipelineQueries {
         len(regexp_extract_all(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
           AS n_emails,
-        len(regexp_extract_all(text,
+        len(regexp_extract_all(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phones,
         md5(regexp_replace(regexp_replace(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),

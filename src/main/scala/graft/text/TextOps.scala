@@ -110,13 +110,16 @@ object TextOps {
   def piiScrub(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val t = col(text)
-    val scrubbed = regexp_replace(
-      regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
-      lit(PhoneRe), lit("<PHONE>"))
+    // counts mirror the sequential redaction exactly: phones are counted
+    // on the email-scrubbed INTERMEDIATE, so a digit run consumed by an
+    // overlapping email match ('...123 456 7890@x.co') is neither
+    // counted nor claimed redacted — count and digest stay consistent
+    val afterEmail = regexp_replace(t, lit(EmailRe), lit("<EMAIL>"))
+    val scrubbed = regexp_replace(afterEmail, lit(PhoneRe), lit("<PHONE>"))
     docs.select(col(id),
       size(regexp_extract_all(t, lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0)))
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0)))
         .cast("long").as("n_phones"),
       md5(scrubbed).as("scrubbed_md5"))
   }
@@ -129,11 +132,7 @@ object TextOps {
     */
   def repetition(docs: DataFrame, n: Int = 2, maxDupRatio: Double = 0.2,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val toks = graft.dedup.Dedup.tokens(col(text))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = graft.dedup.Dedup.grams(col(text), n)
     docs.select(col(id),
       size(grams).cast("long").as("n_grams"),
       size(array_distinct(grams)).cast("long").as("n_distinct"))
@@ -160,7 +159,9 @@ object TextOps {
     docs.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
       .withColumn("tok_offset",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("seq_bin", (col("tok_offset") / budget).cast("long"))
+      // integer division (`div`), not double `/`+cast: the oracle's `//`
+      // is exact at any magnitude, double quotients are not past 2^53
+      .withColumn("seq_bin", expr(s"tok_offset div ${budget}L"))
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted token bag —
