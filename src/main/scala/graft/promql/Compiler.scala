@@ -84,6 +84,17 @@ object Compiler {
   def compile(promql: String, src: PromSource, p: EvalParams): DataFrame =
     compile(Parser.parse(promql), src, p)
 
+  /** Prometheus quantile semantics for out-of-range φ (promql/quantile.go
+    * `quantile`): φ<0 → -Inf, φ>1 → +Inf, NaN → NaN — per group, with
+    * the group still emitted. Spark's `percentile` REJECTS such φ at
+    * analysis, so it only ever sees φ ∈ [0,1].
+    */
+  private def quantileAgg(vCol: String, q: Double): Column =
+    if (q.isNaN) max(lit(Double.NaN))
+    else if (q < 0) max(lit(Double.NegativeInfinity))
+    else if (q > 1) max(lit(Double.PositiveInfinity))
+    else expr(s"percentile($vCol, $q)")
+
   /** One row per eval step: the query_range grid. */
   private def grid(spark: SparkSession, p: EvalParams): DataFrame =
     spark.range(0, (p.endMs - p.startMs) / p.stepMs + 1)
@@ -284,6 +295,7 @@ object Compiler {
           case "hour" => hour(ts)
           case "day_of_week" => dayofweek(ts) - 1 // 0 = Sunday
           case "day_of_month" => dayofmonth(ts)
+          case "day_of_year" => dayofyear(ts)
           case "days_in_month" => dayofmonth(last_day(ts))
           case "month" => month(ts)
           case "year" => year(ts)
@@ -297,6 +309,7 @@ object Compiler {
               case "hour" => t.getHour
               case "day_of_week" => t.getDayOfWeek.getValue % 7 // 0 = Sunday
               case "day_of_month" => t.getDayOfMonth
+              case "day_of_year" => t.toLocalDate.getDayOfYear
               case "days_in_month" => t.toLocalDate.lengthOfMonth
               case "month" => t.getMonthValue
               case "year" => t.getYear
@@ -419,7 +432,7 @@ object Compiler {
               throw new IllegalArgumentException("quantile_over_time needs q"))
             RangeWindows.rangeBucketed(base, labels,
               p.startMs, p.endMs, p.stepMs, range,
-              Seq("value" -> (_ => org.apache.spark.sql.functions.expr(s"percentile($vCol, $q)"))),
+              Seq("value" -> (_ => quantileAgg(vCol, q))),
               tCol, vCol)
           case "deriv" | "predict_linear" =>
             val horizon =
@@ -537,9 +550,8 @@ object Compiler {
               case "stddev" => stddev_pop(col("value"))
               case "stdvar" => var_pop(col("value"))
               case "quantile" =>
-                org.apache.spark.sql.functions.expr(
-                  s"percentile(value, ${param.getOrElse(
-                    throw new IllegalArgumentException("quantile needs q"))})")
+                quantileAgg("value", param.getOrElse(
+                  throw new IllegalArgumentException("quantile needs q")))
             }
             val df = inner.df
               .groupBy((groupLabels.map(col) :+ col("eval_ms")): _*)

@@ -46,7 +46,7 @@ object Parser {
     * form defaults to `time()` (`year()` == `year(vector(time()))`).
     */
   val DateFunctions: Set[String] = Set("minute", "hour", "day_of_week",
-    "day_of_month", "days_in_month", "month", "year")
+    "day_of_month", "day_of_year", "days_in_month", "month", "year")
 
   def parse(input: String): Expr = {
     val p = new Parser(input)

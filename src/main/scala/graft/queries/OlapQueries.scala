@@ -66,6 +66,25 @@ object OlapQueries {
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
+    // gap-based sessionization over the events stream (the classic
+    // behavioral-analytics shape): a session breaks after 30 min of
+    // user inactivity. One shuffle on the user key; lag + running sum +
+    // final per-session aggregate all reuse the same window partitioning
+    "q2_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapMs = 30L * 60000L
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      Tables.points(s, dir)
+        .withColumn("__prev", lag(col("ts_ms"), 1).over(w))
+        .withColumn("__new", (col("__prev").isNull ||
+          col("ts_ms") - col("__prev") > gapMs).cast("long"))
+        .withColumn("session_id", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_ms").as("t_start"), max("ts_ms").as("t_end"))
+    }),
+
     "tpch_q5_region_revenue" -> ((s, dir) => {
       // dims broadcast; fact tables shuffle once on the join key
       val n = t(s, dir, "nation")
@@ -86,6 +105,24 @@ object OlapQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+
+    "q2_sessionize" -> """
+      WITH pts AS (SELECT event_id, user_id,
+        epoch_ns(ts)//1000000 AS ts_ms FROM events),
+      x AS (SELECT user_id, event_id, ts_ms,
+        CASE WHEN lag(ts_ms) OVER
+            (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+          OR ts_ms - lag(ts_ms) OVER
+            (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+          THEN 1 ELSE 0 END AS new_s
+        FROM pts),
+      y AS (SELECT user_id, ts_ms, sum(new_s) OVER
+          (PARTITION BY user_id ORDER BY ts_ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM x)
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(ts_ms) AS t_start, max(ts_ms) AS t_end
+      FROM y GROUP BY 1, 2""",
 
     "tpch_q1_pricing" -> """
       SELECT l_returnflag, l_linestatus,

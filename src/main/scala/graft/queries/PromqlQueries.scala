@@ -256,6 +256,8 @@ object PromqlQueries {
           Seq("event_type", "eval_ms"))
         .join(one("hour(timestamp(events))", "h"),
           Seq("event_type", "eval_ms"))
+        .join(one("day_of_year(timestamp(events))", "doy"),
+          Seq("event_type", "eval_ms"))
     }),
 
     // J4 — one-to-one vector matching on(user_id): clicks - purchases
@@ -542,7 +544,7 @@ object PromqlQueries {
         FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
         GROUP BY 1, 2)
       SELECT event_type, eval_ms, year(st) AS y, month(st) AS mo,
-        dayofweek(st) AS dow, hour(st) AS h
+        dayofweek(st) AS dow, hour(st) AS h, dayofyear(st) AS doy
       FROM t""",
 
     "pql15_scalar_semantics" -> s"""

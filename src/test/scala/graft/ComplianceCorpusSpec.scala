@@ -30,31 +30,90 @@ class ComplianceCorpusSpec extends SparkSpec {
     "simpleMathFunc" -> "abs",
     "smoothingFactor" -> "0.3", "trendFactor" -> "0.1")
 
-  private def substitute(q: String): String =
-    Variants.foldLeft(q) { case (acc, (k, v)) =>
+  /** The upstream promql-compliance-tester's variant VALUE lists (its
+    * main.go `testVariantArgs` — public), trimmed to values meaningful at
+    * this fixture's 5-min resolution. The full-expansion evaluation run
+    * (GRAFT_COMPLIANCE_FULL=1) varies each template's declared
+    * variant_args one at a time over these.
+    */
+  private val VariantValues: Map[String, Seq[String]] = Map(
+    "range" -> Seq("5m", "15m", "1h"),
+    "offset" -> Seq("1m", "5m", "10m"),
+    "simpleAggrOp" -> Seq("sum", "avg", "max", "min", "count",
+      "stddev", "stdvar"),
+    "topBottomOp" -> Seq("topk", "bottomk"),
+    "quantile" -> Seq("-0.5", "0.1", "0.5", "0.75", "0.95", "0.99",
+      "1", "1.5"),
+    "arithBinOp" -> Seq("+", "-", "*", "/", "%", "^"),
+    "compBinOp" -> Seq("==", "!=", "<", ">", "<=", ">="),
+    "binOp" -> Seq("+", "-", "*", "/", "%", "^", "==", "!=", "<", ">",
+      "<=", ">="),
+    "simpleMathFunc" -> Seq("abs", "ceil", "floor", "exp", "ln",
+      "log2", "log10", "sqrt"),
+    "simpleTimeAggrOp" -> Seq("sum", "avg", "max", "min", "count"),
+    "extrapolatedRateFunc" -> Seq("rate", "delta", "increase"),
+    "instantRateFunc" -> Seq("irate", "idelta"),
+    "clampFunc" -> Seq("clamp_min", "clamp_max"),
+    "dateFunc" -> Seq("day_of_month", "day_of_week", "day_of_year",
+      "days_in_month", "hour", "minute", "month", "year"),
+    "smoothingFactor" -> Seq("0.1", "0.5", "0.8"),
+    "trendFactor" -> Seq("0.1", "0.5", "0.8"))
+
+  private def substitute(q: String,
+      over: Map[String, String] = Variants): String =
+    over.foldLeft(q) { case (acc, (k, v)) =>
       acc.replace(s"{{.$k}}", v)
     }
 
-  private lazy val templates: Seq[(String, Boolean)] = {
+  /** All substituted forms of a template: the default form, plus (in
+    * full mode) each declared variant arg varied one at a time over the
+    * upstream value lists.
+    */
+  private def expand(tpl: String, args: Seq[String],
+      full: Boolean): Seq[String] = {
+    val base = substitute(tpl)
+    if (!full) Seq(base)
+    else (base +: args.flatMap { k =>
+      VariantValues.getOrElse(k, Nil).map(v =>
+        substitute(tpl, Variants.updated(k, v)))
+    }).distinct
+  }
+
+  private final case class Tpl(query: String, shouldFail: Boolean,
+      variantArgs: Seq[String])
+
+  private lazy val allTemplates: Seq[Tpl] = {
     val lines = scala.io.Source.fromFile(CorpusPath).getLines().toSeq
-    val out = Seq.newBuilder[(String, Boolean)]
+    val out = Seq.newBuilder[Tpl]
     var pending: Option[String] = None
+    var pendingArgs: Seq[String] = Nil
+    def flush(fail: Boolean): Unit = {
+      pending.foreach(q => out += Tpl(q, fail, pendingArgs))
+      pending = None
+      pendingArgs = Nil
+    }
     lines.foreach { raw =>
       val line = raw.trim
       if (line.startsWith("- query:") || line.startsWith("query:")) {
-        pending.foreach(q => out += ((q, false)))
+        flush(fail = false)
         val q = line.dropWhile(_ != ':').drop(1).trim
           .stripPrefix("'").stripSuffix("'")
           .stripPrefix("\"").stripSuffix("\"")
         pending = Some(q)
+      } else if (line.startsWith("variant_args:")) {
+        pendingArgs = "'([A-Za-z]+)'".r.findAllMatchIn(line)
+          .map(_.group(1)).toSeq
       } else if (line.startsWith("should_fail: true")) {
-        pending.foreach(q => out += ((q, true)))
-        pending = None
+        flush(fail = true)
       }
     }
-    pending.foreach(q => out += ((q, false)))
+    flush(fail = false)
     out.result()
   }
+
+  // the pre-r8 tuple shape the parse/print tests consume
+  private lazy val templates: Seq[(String, Boolean)] =
+    allTemplates.map(t => (t.query, t.shouldFail))
 
   // a source whose labels mirror the demo metrics' (instance, job, type, le)
   private lazy val src: PromSource = {
@@ -201,12 +260,16 @@ class ComplianceCorpusSpec extends SparkSpec {
             + s" only-right=${(y.keySet -- x.keySet).take(3)}")
         else x.collectFirst { case (k, v) if !closeEnough(v, y(k)) =>
           s"$k: $v vs ${y(k)}" }
+      // GRAFT_COMPLIANCE_FULL=1 varies every template's declared variant
+      // args over the upstream value lists (one at a time) — the round's
+      // full-expansion run; the default single-variant pass keeps the
+      // suite fast
+      val full = sys.env.get("GRAFT_COMPLIANCE_FULL").contains("1")
       var evaluated = 0
       var nonEmpty = 0
       val failures = Seq.newBuilder[String]
-      templates.foreach { case (tpl, shouldFail) =>
-        if (!shouldFail) {
-          val q = substitute(tpl)
+      allTemplates.foreach { t =>
+        if (!t.shouldFail) expand(t.query, t.variantArgs, full).foreach { q =>
           try {
             val raw = evalRows(route = false, q, pp)
             val routed = evalRows(route = true, q, pp)
@@ -229,9 +292,12 @@ class ComplianceCorpusSpec extends SparkSpec {
       val fs = failures.result()
       assert(fs.isEmpty,
         s"evaluation failures (${fs.size}):\n${fs.take(10).mkString("\n")}")
-      assert(evaluated >= 100, s"only $evaluated templates evaluated")
-      assert(nonEmpty >= 80,
-        s"only $nonEmpty templates produced rows — fixture too thin")
+      assert(evaluated >= (if (full) 400 else 100),
+        s"only $evaluated query forms evaluated")
+      assert(nonEmpty >= (if (full) 300 else 80),
+        s"only $nonEmpty query forms produced rows — fixture too thin")
+      info(s"evaluated $evaluated query forms ($nonEmpty non-empty, " +
+        s"full=$full)")
     } finally api.stop()
   }
 
