@@ -57,6 +57,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("sessionize shares ONE user-key shuffle across both windows and " +
+    "the session aggregate") {
+    val p = plan("q2_sessionize")
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(shuffles === 1, s"expected 1 shuffle, plan:\n${p.take(1500)}")
+    assert(p.contains("Window"))
+  }
+
+  test("decontaminate: the benchmark shingle set joins as the semi-join " +
+    "build side; no cartesian") {
+    val p = plan("d8_decontaminate")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("vector-vector binops broadcast only aggregate-bounded sides") {
     import org.apache.spark.sql.functions._
     val pts = Tables.points(spark, sfDir)
