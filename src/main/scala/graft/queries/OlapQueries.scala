@@ -85,6 +85,27 @@ object OlapQueries {
           min("ts_ms").as("t_start"), max("ts_ms").as("t_end"))
     }),
 
+    // staged conversion funnel over the events stream: first view →
+    // first click strictly after it → first purchase strictly after
+    // that. Three aggregates reusing one user_id shuffle; each stage's
+    // survivor set is aggregate-small, so the stage joins broadcast
+    // under AQE at any corpus size
+    "q3_funnel" -> ((s, dir) => {
+      val ev = Tables.points(s, dir).select("user_id", "event_type", "ts_ms")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ms").as("t_view"))
+      val c = ev.join(v, "user_id")
+        .where(col("event_type") === "click" && col("ts_ms") > col("t_view"))
+        .groupBy("user_id").agg(min("ts_ms").as("t_click"))
+      val p = ev.join(c, "user_id")
+        .where(col("event_type") === "purchase" &&
+          col("ts_ms") > col("t_click"))
+        .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+    }),
+
     "tpch_q5_region_revenue" -> ((s, dir) => {
       // dims broadcast; fact tables shuffle once on the join key
       val n = t(s, dir, "nation")
@@ -123,6 +144,22 @@ object OlapQueries {
       SELECT user_id, session_id, count(*) AS n_events,
         min(ts_ms) AS t_start, max(ts_ms) AS t_end
       FROM y GROUP BY 1, 2""",
+
+    "q3_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type,
+        epoch_ns(ts)//1000000 AS ts_ms FROM events),
+      v AS (SELECT user_id, min(ts_ms) AS t_view FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts_ms) AS t_click
+        FROM ev e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts_ms > v.t_view GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts_ms) AS t_purchase
+        FROM ev e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click GROUP BY 1)
+      SELECT * FROM
+        (SELECT count(*) AS n_view FROM v),
+        (SELECT count(*) AS n_click_after_view FROM c),
+        (SELECT count(*) AS n_purchase_after_click FROM p)""",
 
     "tpch_q1_pricing" -> """
       SELECT l_returnflag, l_linestatus,

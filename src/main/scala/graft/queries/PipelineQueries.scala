@@ -54,6 +54,17 @@ object PipelineQueries {
   private val PiiTail = "@example.com or +555 123 4567"
   private val SpamTail = " buy now" * 30
 
+  // shard/mixture layout constants. Mixture weights are powers of two so
+  // ceil(w·count) is float-exact in every engine; the weight bands give
+  // the 20 uniform synthetic sources four distinct sampling rates.
+  private val NShards = 16
+  private val MixWeights: Seq[(String, Double)] = (0 until 20).map { i =>
+    (s"src$i",
+      if (i < 5) 1.0 else if (i < 10) 0.5 else if (i < 15) 0.25 else 0.125)
+  }
+  // prototype pruning keeps the hardest 75% per label (¾ is float-exact)
+  private val KeepFrac = 0.75
+
   private def piiCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
       .withColumn("text",
@@ -184,6 +195,19 @@ object PipelineQueries {
       TextOps.sequencePack(
         Tables.documents(s, dir).select("doc_id", "text"), 2048L)),
 
+    // deterministic training-shard layout: md5-hash shard + within-shard
+    // position — the engine-portable "global shuffle" a training run reads
+    "x9_shard_assign" -> ((s, dir) =>
+      TextOps.shardAssign(
+        Tables.documents(s, dir).select("doc_id"), NShards)),
+
+    // weighted source mixing: each source keeps its ceil(w·|src|) docs
+    // with the smallest md5(id) — the mixture-construction step; the
+    // weights dim is broadcast, sampling is one per-source window
+    "x10_source_mix" -> ((s, dir) =>
+      TextOps.sourceMix(
+        Tables.documents(s, dir).select("doc_id", "source"), MixWeights)),
+
     // composed curation pipeline over the re-crawled corpus: quality
     // gate ∧ language gate ∧ exact-dedup keep-list — the end-to-end
     // filter chain a training-data run executes before tokenization
@@ -231,6 +255,20 @@ object PipelineQueries {
         .select(col("q_id"), col("rank").cast("long").as("rnk"),
           col("nn_id"), col("cos_sim"))
     }),
+
+    // per-label embedding centroids (long format): posexplode + one
+    // decimal-accumulated hash aggregate — |labels|×dims output rows
+    "v4_label_centroids" -> ((s, dir) =>
+      Ann.groupCentroids(
+        Tables.embeddings(s, dir).select("label", "embedding"), "label")),
+
+    // prototype-based data pruning: rank by cosine-to-centroid within
+    // each label, keep the hardest (least prototypical) 75% — centroid
+    // dim broadcast, one window shuffle, no pairwise comparisons
+    "v5_prototype_prune" -> ((s, dir) =>
+      Ann.prototypePrune(
+        Tables.embeddings(s, dir).select("vec_id", "label", "embedding"),
+        KeepFrac)),
 
     // multimodal: typed metadata without decode
     "mm1_asset_meta" -> ((s, dir) =>
@@ -588,6 +626,27 @@ object PipelineQueries {
           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
         FROM documents) WHERE rnk <= 25""",
 
+    "x9_shard_assign" -> s"""
+      WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hm,
+        CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+          % $NShards AS shard
+        FROM documents)
+      SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard ORDER BY hm, doc_id) AS pos
+      FROM h""",
+
+    "x10_source_mix" -> s"""
+      WITH w AS (SELECT * FROM (VALUES ${MixWeights
+        .map { case (src, wt) => s"('$src', $wt)" }.mkString(", ")})
+        AS t(source, wt)),
+      r AS (SELECT d.doc_id, d.source, CAST(w.wt AS DOUBLE) AS wt,
+        row_number() OVER (PARTITION BY d.source
+          ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rnk,
+        count(*) OVER (PARTITION BY d.source) AS cnt
+        FROM documents d JOIN w USING (source))
+      SELECT doc_id, source, rnk FROM r
+      WHERE rnk <= CAST(ceil(wt * cnt::DOUBLE) AS BIGINT)""",
+
     "p1_curation_pipeline" -> s"""
       WITH corpus AS ($CorpusSql),
       qf AS (SELECT doc_id,
@@ -750,6 +809,42 @@ object PipelineQueries {
         SELECT *, row_number() OVER (
           PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
         FROM scored) WHERE rnk <= 5""",
+
+    // centroid means fixed-point-accumulated exactly like the Spark plan:
+    // floor onto the 2^-49 grid (exact, tie-free — a double→decimal cast
+    // would hit rounding-mode ties), exact integer sum, double division
+    "v4_label_centroids" -> s"""
+      WITH vecs AS (SELECT label,
+        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+        floor(CAST(unnest(embedding) AS DOUBLE) * ${Ann.CentroidScale})
+          AS xq FROM embeddings)
+      SELECT label, d,
+        CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+          / ${Ann.CentroidScale} AS w
+      FROM vecs GROUP BY 1, 2""",
+
+    "v5_prototype_prune" -> s"""
+      WITH vecs AS (SELECT label,
+        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+        floor(CAST(unnest(embedding) AS DOUBLE) * ${Ann.CentroidScale})
+          AS xq FROM embeddings),
+      cw AS (SELECT label, d,
+        CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+          / ${Ann.CentroidScale} AS w
+        FROM vecs GROUP BY 1, 2),
+      cen AS (SELECT label, list(w ORDER BY d) AS cen FROM cw GROUP BY 1),
+      scored AS (SELECT e.vec_id, e.label,
+        ${dotSql("e.embedding", "c.cen")} /
+          (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+           sqrt(${dotSql("c.cen", "c.cen")})) AS cos_sim
+        FROM embeddings e JOIN cen c USING (label)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY label
+          ORDER BY cos_sim, vec_id) AS rnk,
+        count(*) OVER (PARTITION BY label) AS cnt FROM scored)
+      SELECT vec_id, label, cos_sim,
+        rnk <= CAST(ceil(CAST($KeepFrac AS DOUBLE) * cnt::DOUBLE) AS BIGINT)
+          AS keep
+      FROM r""",
 
     "mm1_asset_meta" -> """
       SELECT doc_id AS asset_id,

@@ -226,4 +226,64 @@ object Ann {
       .where(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }
+
+  /** 2^49 — the fixed-point accumulation grid of [[groupCentroids]]. A
+    * power of two, so `x * CentroidScale` is an EXACT double (only the
+    * exponent shifts) and `floor` of it is unambiguous in every engine —
+    * unlike a double→decimal cast, whose half-way ties Spark rounds
+    * HALF_UP and DuckDB half-even (measured: float 0.1983642578125 is an
+    * exact tie at 12 decimal digits and the two engines disagree by 1e-12).
+    */
+  val CentroidScale: Double = 562949953421312.0
+
+  /** Per-group embedding centroids in long format (group, d, w): one
+    * posexplode + hash aggregate. Means are fixed-point-accumulated per
+    * (group, dim): each value is floored onto the 2^-49 grid (an exact,
+    * tie-free double op — see [[CentroidScale]]), summed exactly as an
+    * integer DECIMAL(38,0) (order-independent; overflows at ~10^17 rows
+    * per group, loudly), and divided back in double. The centroid is
+    * bit-identical across partitionings and engines; the grid bias is
+    * ≤ 2^-49 per value — twelve orders below float input precision.
+    * (The [[ivfCells]] decimal discipline keyed by a semantic group; at
+    * 100 TB the output is |groups| × dims rows — a broadcastable
+    * dimension however large the corpus.)
+    */
+  def groupCentroids(vectors: DataFrame, group: String): DataFrame =
+    vectors.select(col(group),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col(group), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * CentroidScale).as("xq"))
+      .groupBy(group, "d")
+      .agg((sum(col("xq").cast("decimal(38,0)")).cast("double") /
+        count(lit(1)) / CentroidScale).as("w"))
+
+  /** Prototype-based data pruning (Sorscher et al., "Beyond neural
+    * scaling laws", NeurIPS 2022): within each group, rank examples by
+    * cosine similarity to the group centroid — the most prototypical
+    * (highest-cosine) examples carry the least training signal — and
+    * keep the `keepFrac` hardest (lowest-cosine) ones. Deterministic:
+    * the centroid is decimal-accumulated, every cosine an ordered fold,
+    * ties broken by id. Plan shape: centroid dim (|groups| rows,
+    * broadcast) joined back to the corpus, one window shuffle on the
+    * group key — no pairwise comparisons at all, which is what makes
+    * this the scale path next to pairwise SemDeDup ([[cosineNearDupPairs]]).
+    */
+  def prototypePrune(vectors: DataFrame, keepFrac: Double,
+      group: String = "label"): DataFrame = {
+    val cen = groupCentroids(vectors, group)
+      .groupBy(group)
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
+        e => e.getField("w")).as("cen"))
+    val bygrp = Window.partitionBy(group)
+    val win = bygrp.orderBy(col("cos_sim"), col("vec_id"))
+    vectors.join(broadcast(cen), group)
+      .withColumn("cos_sim",
+        cosine(col("embedding"), col("cen"),
+          norm2(col("embedding")), norm2(col("cen"))))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(bygrp))
+      .withColumn("keep", col("rnk") <=
+        ceil(lit(keepFrac) * col("__cnt").cast("double")).cast("long"))
+      .select(col("vec_id"), col(group), col("cos_sim"), col("keep"))
+  }
 }

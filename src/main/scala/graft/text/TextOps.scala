@@ -175,4 +175,46 @@ object TextOps {
       .withColumn("fp_bag",
         md5(array_join(array_sort(split(norm, " ")), " ")))
   }
+
+  /** Deterministic training-shard layout — the "global shuffle" a
+    * training run consumes, without any engine-private RNG: each doc's
+    * shard is its md5-prefix hash mod `nShards`, and `pos` is its rank
+    * within the shard in the same md5 order. Seedless and
+    * engine-portable, so a re-run (or an audit in another engine)
+    * reproduces byte-identical shards. One window shuffle partitioned
+    * by the shard key; at 100 TB each shard ranks independently and
+    * writers consume shards as partition directories.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int,
+      id: String = "doc_id"): DataFrame = {
+    val hm = md5(col(id).cast("string"))
+    val h = conv(substring(hm, 1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(hm, col(id))
+    docs.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** Weighted source mixing — the mixture-construction step that turns
+    * per-source corpora into a training distribution (the Pile/Dolma
+    * recipe): each source keeps its `ceil(weight × |source|)` docs with
+    * the smallest md5(id), so the sample is deterministic and
+    * re-weighting is reproducible. The weights dimension is tiny and
+    * broadcast; the corpus ranks per-source under one window shuffle.
+    * Sources absent from the mixture config are excluded (weight 0).
+    */
+  def sourceMix(docs: DataFrame, weights: Seq[(String, Double)],
+      id: String = "doc_id", source: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdim = weights.toDF(source, "__w")
+    val bysrc = org.apache.spark.sql.expressions.Window.partitionBy(source)
+    val win = bysrc.orderBy(md5(col(id).cast("string")), col(id))
+    docs.join(broadcast(wdim), source)
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(bysrc))
+      .where(col("rnk") <=
+        ceil(col("__w") * col("__cnt").cast("double")).cast("long"))
+      .select(col(id), col(source), col("rnk"))
+  }
 }

@@ -196,4 +196,63 @@ class DedupSpec extends SparkSpec {
     assert(h(1L) !== h(3L))
     assert(h(1L) >= 0L && h(1L) < (1L << 60))
   }
+
+  test("shardAssign: every doc in exactly one shard, contiguous positions") {
+    import graft.text.TextOps
+    val docs = (0L until 200L).toDF("doc_id")
+    val got = TextOps.shardAssign(docs, 8).collect()
+    assert(got.length === 200)
+    assert(got.map(_.getLong(0)).toSet === (0L until 200L).toSet)
+    val byShard = got.groupBy(_.getLong(1))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.foreach { case (shard, rows) =>
+      val pos = rows.map(_.getLong(2)).sorted.toSeq
+      assert(pos === (1L to rows.length), s"shard $shard positions: $pos")
+    }
+  }
+
+  test("sourceMix keeps ceil(weight × count) per source; absent sources drop") {
+    import graft.text.TextOps
+    val docs = (0L until 100L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val weights = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+    val got = TextOps.sourceMix(docs, weights).collect()
+    val cnt = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // 25 docs/source: ceil(25)=25, ceil(12.5)=13, ceil(6.25)=7; src3 gone
+    assert(cnt === Map("src0" -> 25, "src1" -> 13, "src2" -> 7))
+    val again = TextOps.sourceMix(docs, weights).collect()
+      .map(_.getLong(0)).toSet
+    assert(again === got.map(_.getLong(0)).toSet, "sample is deterministic")
+  }
+
+  test("groupCentroids: exact means, bit-identical under repartitioning") {
+    import graft.similarity.Ann
+    val vecs = Seq((1L, 0, Array(1.0f, 2.0f)), (2L, 0, Array(3.0f, 4.0f)),
+      (3L, 1, Array(-1.0f, 0.5f))).toDF("vec_id", "label", "embedding")
+    def centroids(df: org.apache.spark.sql.DataFrame) =
+      Ann.groupCentroids(df.select("label", "embedding"), "label")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val w = centroids(vecs)
+    assert(w((0, 0L)) === 2.0 && w((0, 1L)) === 3.0)
+    assert(w((1, 0L)) === -1.0 && w((1, 1L)) === 0.5)
+    assert(centroids(vecs.repartition(7)) === w,
+      "fixed-point accumulation is order-independent")
+  }
+
+  test("prototypePrune keeps the hardest ceil(keepFrac·n) per group") {
+    import graft.similarity.Ann
+    // three prototypical vectors (cos=+1 to the centroid) and one hard
+    // opposite (cos=-1): with keepFrac=0.5, keep = the opposite + the
+    // lowest-id of the cos=+1 tie
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 0, Array(1.0f, 0.0f)), (4L, 0, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Ann.prototypePrune(vecs, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(4L)._1 === -1.0 && got(4L)._2, "hardest example kept")
+    assert(got(1L)._1 === 1.0)
+    assert(got.filter(_._2._2).keySet === Set(4L, 1L))
+  }
 }
