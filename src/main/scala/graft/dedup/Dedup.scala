@@ -227,16 +227,32 @@ object Dedup {
           col("cluster").as("nc")), Seq("dst"))
         .groupBy("src").agg(min(col("nc")).as("nbr_min"))
         .withColumnRenamed("src", "doc_id")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"),
-            coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
-            .cast("long").as("__chg"))
+            coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+      // pointer halving: cluster := cluster(cluster). Labels are node ids
+      // of the same component and only decrease (label(x) ≤ x), so the
+      // extra hop is safe and convergence drops from O(diameter) to
+      // O(log diameter) rounds — the standard CC-over-MapReduce
+      // acceleration. prop is referenced twice (self-join) but stays
+      // un-pinned: recomputing the candidate-sized propagate join inside
+      // one job beats a second checkpoint per round.
+      val next = prop.alias("a")
+        .join(prop.select(col("doc_id").as("__p"),
+          col("cluster").as("__pc")),
+          col("a.cluster") === col("__p"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          coalesce(col("__pc"), col("a.cluster")).as("cluster"))
+      val step = next
+        .join(labels.select(col("doc_id"), col("cluster").as("__old")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("cluster"),
+          (col("cluster") < col("__old")).cast("long").as("__chg"))
         .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head()
+      changed = step.agg(coalesce(sum(col("__chg")), lit(0L))).head()
         .getLong(0)
-      labels = next.drop("__chg")
+      labels = step.drop("__chg")
       iter += 1
     }
     // an unconverged result silently splits components (each fragment
