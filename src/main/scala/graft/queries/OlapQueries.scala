@@ -139,7 +139,8 @@ object OlapQueries {
         FROM pts),
       y AS (SELECT user_id, ts_ms, sum(new_s) OVER
           (PARTITION BY user_id ORDER BY ts_ms, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+          AS session_id
         FROM x)
       SELECT user_id, session_id, count(*) AS n_events,
         min(ts_ms) AS t_start, max(ts_ms) AS t_end

@@ -557,11 +557,11 @@ object PipelineQueries {
         FROM documents)
       SELECT doc_id, n_tokens,
         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
           AS tok_offset,
-        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
-          AS seq_bin
+          )::BIGINT AS seq_bin
       FROM t""",
 
     "x1_text_quality" -> """

@@ -72,6 +72,13 @@ def main():
             print(f"FAIL {name}: rows oracle={len(e_c)} spark={len(a_c)}")
             n_fail += 1
             continue
+        # The driver's hash is dtype-sensitive (int64 vs float64 on the
+        # same values hash-mismatches) — surface dtype diffs loudly even
+        # though the value compare below is dtype-blind.
+        dt = [(c, str(e_c[c].dtype), str(a_c[c].dtype)) for c in e_c.columns
+              if str(e_c[c].dtype) != str(a_c[c].dtype)]
+        for c, ed, ad in dt:
+            print(f"  DTYPE {name}.{c}: oracle={ed} spark={ad}")
         bad = None
         for col in e_c.columns:
             ev, av = e_c[col].tolist(), a_c[col].tolist()
