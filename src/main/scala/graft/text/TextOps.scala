@@ -146,22 +146,60 @@ object TextOps {
     * pre-training pipeline): documents are laid out in a deterministic
     * order (doc_id) and split into training sequences of `budget` tokens
     * — each doc gets its running token offset and the sequence (bin) its
-    * first token lands in. One global cumulative-sum window: at 100 TB
-    * this would be per-shard (partition the window by a shard key and
-    * offset bins by shard base), but the op itself stays one projection
-    * + one window — no join, no explode.
+    * first token lands in.
+    *
+    * The global prefix sum is computed as a distributed two-pass, never a
+    * single-partition window: docs are bucketed into `numShards`
+    * equal-width id ranges (a pure monotone function of the id — no
+    * sampling, so recomputation across jobs is stable), each shard
+    * cumsums independently under one hash-partitioned window, and the
+    * per-shard token totals (≤ numShards rows) come back to the driver
+    * for an exact prefix-sum that re-enters as a broadcast join. Output
+    * is bit-identical to the single-window form for any `numShards`.
+    * Assumes ids are roughly uniform over their range (sequential ingest
+    * ids are); pathological clustering degrades balance, not correctness.
     */
-  def sequencePack(docs: DataFrame, budget: Long,
+  def sequencePack(docs: DataFrame, budget: Long, numShards: Int = 64,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(id))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
-      .withColumn("tok_offset",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      // integer division (`div`), not double `/`+cast: the oracle's `//`
-      // is exact at any magnitude, double quotients are not past 2^53
-      .withColumn("seq_bin", expr(s"tok_offset div ${budget}L"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(id),
+      tokenCount(col(text)).cast("long").as("n_tokens"))
+    // bounds scan prunes to the id column only — cheap relative to the
+    // tokenizing passes below
+    val b = toks.agg(min(col(id).cast("long")), max(col(id).cast("long")))
+      .head
+    if (b.isNullAt(0)) {
+      toks.withColumn("tok_offset", lit(0L))
+        .withColumn("seq_bin", lit(0L)).limit(0)
+    } else {
+      val lo = b.getLong(0)
+      val width = math.max(1L, (b.getLong(1) - lo) / numShards + 1)
+      val sharded = toks
+        .withColumn("__ps",
+          expr(s"(CAST(`$id` AS BIGINT) - ${lo}L) div ${width}L"))
+      // pass 1: per-shard token totals -> exact prefix sum on the driver
+      // (aggregate-small: at most numShards rows)
+      var acc = 0L
+      val bases = sharded.groupBy("__ps").agg(sum("n_tokens").as("__tot"))
+        .orderBy("__ps").collect()
+        .map { r =>
+          val base = (r.getLong(0), acc); acc += r.getLong(1); base
+        }.toSeq.toDF("__ps", "__base")
+      // pass 2: per-shard exclusive cumsum + broadcast shard base
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__ps").orderBy(col(id))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      sharded
+        .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .join(broadcast(bases), "__ps")
+        .withColumn("tok_offset", col("__local") + col("__base"))
+        // integer division (`div`), not double `/`+cast: the oracle's `//`
+        // is exact at any magnitude, double quotients are not past 2^53
+        .withColumn("seq_bin", expr(s"tok_offset div ${budget}L"))
+        .select(col(id), col("n_tokens"), col("tok_offset"), col("seq_bin"))
+    }
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted token bag —

@@ -211,6 +211,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sequencePack: per-shard two-pass matches the global prefix sum " +
+    "for any shard count; empty corpus yields empty output") {
+    import graft.text.TextOps
+    // sparse, clustered ids — stress the equal-width bucketing
+    val docs = Seq(3L, 5L, 6L, 100L, 101L, 9000L, 9001L, 9002L)
+      .map(i => (i, ("tok " * ((i % 7).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    def pack(n: Int) = TextOps.sequencePack(docs, 5L, numShards = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val expected = {
+      // reference prefix sum, computed directly
+      val toks = Seq(3L, 5L, 6L, 100L, 101L, 9000L, 9001L, 9002L)
+        .map(i => (i, i % 7 + 1))
+      var acc = 0L
+      toks.map { case (i, n) =>
+        val out = (i, n.toLong, acc, acc / 5L); acc += n; out
+      }
+    }
+    for (n <- Seq(1, 3, 64, 1000))
+      assert(pack(n) === expected, s"numShards=$n")
+    val empty = TextOps.sequencePack(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 5L)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "tok_offset", "seq_bin"))
+  }
+
   test("sourceMix keeps ceil(weight × count) per source; absent sources drop") {
     import graft.text.TextOps
     val docs = (0L until 100L).map(i => (i, s"src${i % 4}"))

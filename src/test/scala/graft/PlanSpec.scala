@@ -115,6 +115,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing never plans a single-partition window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("x8_sequence_pack")(spark, sfDir)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"x8 moved the corpus to one partition:\n${bad.mkString("\n")}")
+    // the per-shard offset bases enter as a broadcast, not a shuffle
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("no registered query plans an unpartitioned (single-partition) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // o1's rank sits ABOVE the series-dim aggregate — a global window over
+    // dimension-sized (not corpus-sized) data, the documented design
+    val skip = Set("t1_stream_window", "j1_points_join_series",
+      "o1_series_sorted")
+    for ((name, fn) <- SparkEntry.queries if !skip(name)) {
+      val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans a global window: ${bad.headOption}")
+    }
+  }
+
   test("sort/sort_desc compile to UNSORTED plans (ordering is presentation)") {
     // a global Sort over an instant vector is pure presentation cost at
     // scale — ordering belongs to the API serialization layer
