@@ -27,9 +27,12 @@ object PointOps {
     * (`batch/batch.go:787-861`, `tryNext`). Series absent from the hot set
     * keep their full cold history.
     *
-    * The per-series boundary is a small aggregate joined back (broadcast if
-    * the series count allows — at 100 TB the boundary table is one row per
-    * series, orders of magnitude smaller than the points).
+    * The per-series boundary is one row per hot series, joined back with
+    * NO broadcast hint: AQE sees the aggregate's runtime size and picks a
+    * broadcast join while the hot set is small, and falls back to a
+    * shuffled join when billions of series are concurrently hot — an
+    * unconditional hint would OOM the driver there (same delegation as
+    * the T9 TTL dim).
     */
   def hotColdMerge(
       cold: DataFrame,
@@ -40,7 +43,7 @@ object PointOps {
       .groupBy(series.map(col): _*)
       .agg(min(col(tsMs)).as("__first_hot_ms"))
     val coldKept = cold
-      .join(broadcast(boundary), series, "left")
+      .join(boundary, series, "left")
       .where(col("__first_hot_ms").isNull || col(tsMs) < col("__first_hot_ms"))
       .drop("__first_hot_ms")
     coldKept.unionByName(hot)

@@ -213,6 +213,21 @@ class PointOpsSpec extends SparkSpec {
       (2L, 10L, 9.0)))
   }
 
+  test("hotColdMerge carries no broadcast hint (AQE decides from runtime " +
+    "size); small boundary still executes as a broadcast join") {
+    val cold = Seq((1L, 10L, 1.0)).toDF("sid", "ts_ms", "value")
+    val hot = Seq((1L, 20L, 2.5)).toDF("sid", "ts_ms", "value")
+    val out = PointOps.hotColdMerge(cold, hot, Seq("sid"))
+    // no static hint: at billions of concurrently-hot series a forced
+    // broadcast of the boundary table would OOM the driver
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      out.queryExecution.analyzed.toString)
+    out.collect()
+    // ...but AQE still broadcasts the aggregate-small boundary here
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("vector and/unless/or over series sets") {
     val l = Seq(1L, 2L, 3L).toDF("sid")
     val r = Seq(2L, 3L, 4L).toDF("sid")
