@@ -363,13 +363,17 @@ final class HttpApi(spark: SparkSession,
     * in the micro-batch buffer; [[flushPending]] pins buffered posts as
     * ONE batch — O(buffered) work per flush; LWW conflict resolution
     * happens at read ([[dedupedPoints]]) and at compaction.
+    *
+    * Returns the number of samples that pass validation and will be
+    * written — the count a PRW 2.0 response reports in
+    * `X-Prometheus-Remote-Write-Written-Samples`.
     */
   def write(series: Seq[PromSeries], tenant: String,
-      ttlSec: Long = DefaultTtlSec): Unit = synchronized {
+      ttlSec: Long = DefaultTtlSec): Long = synchronized {
     import spark.implicits._
     val rows = series.flatMap(s =>
       s.samples.map { case (t, v) => PromRow(s.labels, t, v) })
-    if (rows.isEmpty) return
+    if (rows.isEmpty) return 0L
     writesTotal.incrementAndGet()
     pointsWrittenTotal.addAndGet(rows.size.toLong)
     writeSeq += 1
@@ -382,7 +386,9 @@ final class HttpApi(spark: SparkSession,
     // ingestLabeled's validation costs no extra Spark job per write)
     val valid = rows.filter(r =>
       r.labels.keysIterator.forall(Ingest.validNameStr)
-        && r.labels.get("__name__").exists(Ingest.validNameStr))
+        && r.labels.get("__name__").exists(Ingest.validNameStr)
+        && r.labels.valuesIterator.forall(v =>
+          v == null || !v.exists(c => c <= 3.toChar)))
     val batchNames = valid.iterator
       .flatMap(_.labels.collect {
         case (k, v) if v != null && v.nonEmpty && k != tenantLabel => k
@@ -394,6 +400,7 @@ final class HttpApi(spark: SparkSession,
     pendingRowCount += rows.size
     if (pendingLazy.size >= flushEveryPosts ||
       pendingRowCount >= flushEveryRows) flushPending()
+    valid.size.toLong
   }
 
   /** Posts buffered but not yet pinned (tests/introspection). */
@@ -1284,17 +1291,44 @@ final class HttpApi(spark: SparkSession,
         catch { case _: Exception => () }
     } finally h.close()
 
+  /** PRW write (S1). v2 responses carry the 2.0 written-stats headers
+    * (the reference serves them via the upstream write handler,
+    * `api/api.go:157-201`); a v2 payload with native-histogram samples is
+    * REJECTED with 400 — the reference errors on histogram samples
+    * (`api/remotestorage/write.go:233-252`) and a silent 2xx would lose
+    * client data without signal. Exemplars are not stored; the request
+    * still succeeds and the header reports written-exemplars=0, which is
+    * the accounting a conforming 2.0 sender uses.
+    */
   private def handleWrite(h: HttpExchange): Unit = {
     val body = h.getRequestBody.readAllBytes()
     val ct = Option(h.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-    val series =
-      if (ct.contains("io.prometheus.write.v2.Request"))
-        PrompbV2.decodeSnappy(body)
-      else Prompb.decodeSnappy(body)
     val ttl = Option(h.getRequestHeaders.getFirst("X-SquirrelDB-TTL"))
       .filter(_.nonEmpty).map(_.toLong).getOrElse(DefaultTtlSec)
-    write(series, tenantOf(h), ttl)
-    respondBytes(h, 204, Array.emptyByteArray, "application/json")
+    if (ct.contains("io.prometheus.write.v2.Request")) {
+      val dec = PrompbV2.decodeSnappyWithStats(body)
+      def setStats(samples: Long, histograms: Long, exemplars: Long): Unit = {
+        val hs = h.getResponseHeaders
+        hs.set("X-Prometheus-Remote-Write-Written-Samples", samples.toString)
+        hs.set("X-Prometheus-Remote-Write-Written-Histograms",
+          histograms.toString)
+        hs.set("X-Prometheus-Remote-Write-Written-Exemplars",
+          exemplars.toString)
+      }
+      if (dec.histograms > 0) {
+        setStats(0L, 0L, 0L) // atomic reject: nothing from this request lands
+        respond(h, 400, PromJson.error("bad_data",
+          s"native histograms are not supported (${dec.histograms} " +
+            "histogram sample(s) in request)"))
+      } else {
+        val written = write(dec.series, tenantOf(h), ttl)
+        setStats(written, 0L, 0L)
+        respondBytes(h, 204, Array.emptyByteArray, "application/json")
+      }
+    } else {
+      write(Prompb.decodeSnappy(body), tenantOf(h), ttl)
+      respondBytes(h, 204, Array.emptyByteArray, "application/json")
+    }
   }
 
   /** OTLP metrics over HTTP (`api/api.go:157-196` enables the upstream

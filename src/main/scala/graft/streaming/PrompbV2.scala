@@ -16,15 +16,30 @@ import graft.streaming.Wire._
   * }}}
   *
   * Labels are (name-ref, value-ref) pairs into the request-wide symbol
-  * table; symbol 0 is the empty string by spec. Unknown fields
-  * (exemplars, histograms, metadata) are skipped.
+  * table; symbol 0 is the empty string by spec. Metadata is skipped;
+  * native-histogram and exemplar entries are COUNTED so the write
+  * handler can account for them (PRW 2.0 written-stats headers) instead
+  * of losing them silently — the reference errors on histogram samples
+  * (`api/remotestorage/write.go:233-252`).
   */
 object PrompbV2 {
+
+  /** Decode result + the per-request counts of entries this engine does
+    * not store: native-histogram samples and exemplars.
+    */
+  final case class V2Decode(series: Seq[PromSeries],
+      histograms: Int, exemplars: Int)
 
   def decodeSnappy(payload: Array[Byte]): Seq[PromSeries] =
     decodeRequest(org.xerial.snappy.Snappy.uncompress(payload))
 
-  def decodeRequest(bytes: Array[Byte]): Seq[PromSeries] = {
+  def decodeSnappyWithStats(payload: Array[Byte]): V2Decode =
+    decodeRequestWithStats(org.xerial.snappy.Snappy.uncompress(payload))
+
+  def decodeRequest(bytes: Array[Byte]): Seq[PromSeries] =
+    decodeRequestWithStats(bytes).series
+
+  def decodeRequestWithStats(bytes: Array[Byte]): V2Decode = {
     // pass 1: symbols; pass 2: series (refs need the full table)
     val symbols = Seq.newBuilder[String]
     val seriesSpans = Seq.newBuilder[(Int, Int)]
@@ -44,16 +59,23 @@ object PrompbV2 {
       }
     }
     val sym = symbols.result().toIndexedSeq
-    seriesSpans.result().map { case (from, to) =>
-      decodeTimeSeries(bytes, from, to, sym)
+    var nHist = 0
+    var nExem = 0
+    val series = seriesSpans.result().map { case (from, to) =>
+      val (s, h, e) = decodeTimeSeries(bytes, from, to, sym)
+      nHist += h; nExem += e
+      s
     }
+    V2Decode(series, nHist, nExem)
   }
 
   private def decodeTimeSeries(b: Array[Byte], from: Int, to: Int,
-      sym: IndexedSeq[String]): PromSeries = {
+      sym: IndexedSeq[String]): (PromSeries, Int, Int) = {
     var pos = from
     val refs = Seq.newBuilder[Int]
     val samples = Seq.newBuilder[(Long, Double)]
+    var nHist = 0
+    var nExem = 0
     while (pos < to) {
       val (tag, p1) = varint(b, pos)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
@@ -70,13 +92,21 @@ object PrompbV2 {
           val (len, p2) = varint(b, p1)
           samples += decodeSample(b, p2, p2 + len.toInt)
           pos = p2 + len.toInt
+        case (3, 2) => // native histogram (io.prometheus.write.v2 field 3)
+          val (len, p2) = varint(b, p1)
+          nHist += 1
+          pos = p2 + len.toInt
+        case (4, 2) => // exemplar (field 4)
+          val (len, p2) = varint(b, p1)
+          nExem += 1
+          pos = p2 + len.toInt
         case (_, w) => pos = skip(b, p1, w)
       }
     }
     val labels = refs.result().grouped(2).collect {
       case Seq(n, v) if sym(n).nonEmpty => sym(n) -> sym(v)
     }.toMap
-    PromSeries(labels, samples.result())
+    (PromSeries(labels, samples.result()), nHist, nExem)
   }
 
   private def decodeSample(b: Array[Byte], from: Int, to: Int): (Long, Double) = {
@@ -97,7 +127,13 @@ object PrompbV2 {
 
   // --- encoder (tests) ---
 
-  def encodeRequest(series: Seq[PromSeries]): Array[Byte] = {
+  /** Test encoder. `histogramsPerSeries`/`exemplarsPerSeries` emit that
+    * many EMPTY Histogram/Exemplar messages per series (all-defaults is
+    * valid proto — enough to exercise the receiver's accounting).
+    */
+  def encodeRequest(series: Seq[PromSeries],
+      histogramsPerSeries: Int = 0,
+      exemplarsPerSeries: Int = 0): Array[Byte] = {
     // build the symbol table: index 0 = "" by spec
     val syms = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
     def ref(s: String): Int = syms.getOrElseUpdate(s, syms.size)
@@ -126,13 +162,20 @@ object PrompbV2 {
         writeVarint(sb, t)
         writeLenDelim(tsb, 2, sb.toByteArray)
       }
+      (0 until histogramsPerSeries).foreach(_ =>
+        writeLenDelim(tsb, 3, Array.emptyByteArray))
+      (0 until exemplarsPerSeries).foreach(_ =>
+        writeLenDelim(tsb, 4, Array.emptyByteArray))
       writeLenDelim(out, 5, tsb.toByteArray)
     }
     out.toByteArray
   }
 
-  def encodeSnappy(series: Seq[PromSeries]): Array[Byte] =
-    org.xerial.snappy.Snappy.compress(encodeRequest(series))
+  def encodeSnappy(series: Seq[PromSeries],
+      histogramsPerSeries: Int = 0,
+      exemplarsPerSeries: Int = 0): Array[Byte] =
+    org.xerial.snappy.Snappy.compress(
+      encodeRequest(series, histogramsPerSeries, exemplarsPerSeries))
 
 
 

@@ -189,6 +189,44 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(resp.contains(""""__name__":"v2_metric""""), resp)
   }
 
+  test("prompb v2 responses carry PRW 2.0 written-stats headers; " +
+    "exemplars are dropped with exemplars=0 accounting") {
+    val r = post("/api/v1/write", PrompbV2.encodeSnappy(
+      Seq(series("v2_stats_metric", "i1", i => 1.0)),
+      exemplarsPerSeries = 2),
+      "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+    assert(r.statusCode() === 204)
+    def hdr(n: String) = r.headers()
+      .firstValue(s"X-Prometheus-Remote-Write-Written-$n")
+      .orElse("missing")
+    assert(hdr("Samples") === "10", r.headers().map()) // 10 samples/series
+    assert(hdr("Histograms") === "0")
+    assert(hdr("Exemplars") === "0")
+    // v1 writes don't get 2.0 stats headers
+    val r1 = post("/api/v1/write", Prompb.encodeSnappy(Seq(
+      series("v1_plain", "i1", i => 1.0))), "application/x-protobuf")
+    assert(r1.statusCode() === 204)
+    assert(!r1.headers().map().containsKey(
+      "X-Prometheus-Remote-Write-Written-Samples"))
+  }
+
+  test("prompb v2 native histograms are rejected with 400 and zero " +
+    "written-stats (reference errors on histogram samples)") {
+    val r = post("/api/v1/write", PrompbV2.encodeSnappy(
+      Seq(series("v2_hist_metric", "i1", i => 1.0)),
+      histogramsPerSeries = 1),
+      "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+    assert(r.statusCode() === 400, new String(r.body(), "UTF-8"))
+    assert(new String(r.body(), "UTF-8").contains("native histograms"))
+    assert(r.headers()
+      .firstValue("X-Prometheus-Remote-Write-Written-Samples")
+      .orElse("missing") === "0")
+    // atomic reject: none of the request's float samples landed either
+    val q = get(s"/api/v1/query?query=${enc("v2_hist_metric")}" +
+      s"&time=${T9 / 1000}").body()
+    assert(!q.contains("v2_hist_metric"), q)
+  }
+
   test("append-only hot store: per-write work pins one batch, LWW at read, " +
     "bounded compaction") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
