@@ -23,14 +23,11 @@ object Dedup {
   /** Word tokens of a single-space separated text column. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles. Docs with fewer than n tokens yield an
-    * empty set (guard needed: Spark's `sequence(1, 0)` counts DOWN, which
-    * would fabricate shingles at index 0).
-    */
   /** All word n-grams IN ORDER (duplicates kept) — the building block
     * for both the distinct shingle set and the repetition filter's
-    * duplicate-fraction. The size guard matters: sequence(1, 0) counts
-    * DOWN, fabricating windows for sub-length docs.
+    * duplicate-fraction. Docs with fewer than n tokens yield an empty
+    * array; the size guard matters because Spark's `sequence(1, 0)`
+    * counts DOWN, fabricating windows for sub-length docs.
     */
   def grams(text: Column, n: Int): Column = {
     val toks = tokens(text)
@@ -41,6 +38,7 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct word n-gram shingle set (order dropped, duplicates merged). */
   def shingles(text: Column, n: Int): Column =
     array_distinct(grams(text, n))
 
@@ -216,8 +214,18 @@ object Dedup {
     val sym = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    // min-neighbor initialization instead of identity labels: one
+    // aggregate over the (symmetric) edge list seeds every node with
+    // min(self, smallest neighbor). Hub-star components — the shape LSH
+    // skew-capping emits, with the hub already the bucket minimum —
+    // converge AT INIT (every member's best neighbor IS the hub), so the
+    // loop below runs only for chain-shaped components.
+    // pinned: the loop reads labels twice per round, and a measured
+    // un-pinned variant (recompute from the cached edge list) was slower
+    var labels = sym.groupBy("src")
+      .agg(min(col("dst")).as("__m"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("__m")).as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -227,33 +235,37 @@ object Dedup {
           col("cluster").as("nc")), Seq("dst"))
         .groupBy("src").agg(min(col("nc")).as("nbr_min"))
         .withColumnRenamed("src", "doc_id")
+      // the pre-propagate label rides along as __old, so the convergence
+      // check needs no join back against `labels`; prop is pinned so the
+      // change count AND the halving below both read cached partitions
       val prop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"),
-            coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-      // pointer halving: cluster := cluster(cluster). Labels are node ids
-      // of the same component and only decrease (label(x) ≤ x), so the
-      // extra hop is safe and convergence drops from O(diameter) to
-      // O(log diameter) rounds — the standard CC-over-MapReduce
-      // acceleration. prop is referenced twice (self-join) but stays
-      // un-pinned: recomputing the candidate-sized propagate join inside
-      // one job beats a second checkpoint per round.
-      val next = prop.alias("a")
-        .join(prop.select(col("doc_id").as("__p"),
-          col("cluster").as("__pc")),
-          col("a.cluster") === col("__p"), "left")
-        .select(col("a.doc_id").as("doc_id"),
-          coalesce(col("__pc"), col("a.cluster")).as("cluster"))
-      val step = next
-        .join(labels.select(col("doc_id"), col("cluster").as("__old")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("cluster"),
-          (col("cluster") < col("__old")).cast("long").as("__chg"))
+            coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          col("cluster").as("__old"))
         .localCheckpoint(true)
-      changed = step.agg(coalesce(sum(col("__chg")), lit(0L))).head()
-        .getLong(0)
-      labels = step.drop("__chg")
+      changed = prop
+        .agg(coalesce(sum((col("cluster") < col("__old")).cast("long")),
+          lit(0L))).head().getLong(0)
+      labels =
+        if (changed == 0) prop.drop("__old") // converged: halving is a no-op
+        else {
+          // pointer halving: cluster := cluster(cluster). Labels are node
+          // ids of the same component and only decrease (label(x) ≤ x),
+          // so the extra hop is safe and convergence drops from
+          // O(diameter) to O(log diameter) rounds — the standard
+          // CC-over-MapReduce acceleration, self-joining the PINNED prop.
+          prop.alias("a")
+            .join(prop.select(col("doc_id").as("__p"),
+              col("cluster").as("__pc")),
+              col("a.cluster") === col("__p"), "left")
+            .select(col("a.doc_id").as("doc_id"),
+              coalesce(col("__pc"), col("a.cluster")).as("cluster"))
+            .localCheckpoint(true)
+        }
       iter += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(s"[cc] round $iter changed=$changed")
     }
     // an unconverged result silently splits components (each fragment
     // with its own keep=true representative) — fail loudly instead
