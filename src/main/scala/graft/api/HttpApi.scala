@@ -181,30 +181,45 @@ final class HttpApi(spark: SparkSession,
       }.flatten
       if (vals.isEmpty) Seq((t, n, target, "", "")) else vals
     }
-    val stage = mp + "_stage"
-    val old = mp + "_old"
-    rows.toDF("tenant", "name", "target_name", "value", "associated_value")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    atomicOverwrite(
+      rows.toDF("tenant", "name", "target_name", "value", "associated_value")
+        .coalesce(1), mp)
+  }
+
+  /** Stage-then-rename parquet overwrite: writes to `<path>_stage`, keeps
+    * the live dir as `<path>_old` across the swap, promotes, then clears
+    * `_old` — no crash point leaves the ONLY copy torn. Restore sides
+    * trust a `_SUCCESS`-complete dir, preferring live over `_old`
+    * ([[completeDimDir]]).
+    */
+  private def atomicOverwrite(df: DataFrame, path: String): Unit = {
+    val stage = path + "_stage"
+    val old = path + "_old"
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
     // clear _old only when the live dir exists to replace it: in the
     // degraded state after an earlier crash (_old is the ONLY complete
     // copy), deleting it before the stage→live promotion could lose the
     // last restorable copy (r8 review finding)
-    if (isDir(mp)) {
+    if (isDir(path)) {
       deleteRecursively(java.nio.file.Paths.get(old))
-      java.nio.file.Files.move(java.nio.file.Paths.get(mp),
+      java.nio.file.Files.move(java.nio.file.Paths.get(path),
         java.nio.file.Paths.get(old))
     }
     java.nio.file.Files.move(java.nio.file.Paths.get(stage),
-      java.nio.file.Paths.get(mp))
+      java.nio.file.Paths.get(path))
     deleteRecursively(java.nio.file.Paths.get(old))
   }
 
+  /** The newest `_SUCCESS`-complete copy of a staged dim: the live dir if
+    * complete, else the `_old` kept across an interrupted promotion.
+    */
+  private def completeDimDir(path: String): Option[String] =
+    Seq(path, path + "_old").find(p => isDir(p) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+
   private def restoreMutable(): Unit =
     mutablePath.foreach { mp =>
-      def complete(p: String): Boolean = isDir(p) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
-      Seq(mp, mp + "_old").find(complete).foreach { p =>
+      completeDimDir(mp).foreach { p =>
         scala.util.Try(spark.read.parquet(p)
           .select("tenant", "name", "target_name", "value",
             "associated_value").collect()) match {
@@ -321,7 +336,7 @@ final class HttpApi(spark: SparkSession,
             (0 until ln.size()).map(ln.get(_).asText()).sorted
           writeSeq = seq
           ttlSeen = seen
-          ttlDimPath.filter(isDir).foreach(tp =>
+          ttlDimPath.flatMap(completeDimDir).foreach(tp =>
             ttlDim = Some(spark.read.parquet(tp).localCheckpoint(true)))
           true
         }.getOrElse(false)
@@ -526,8 +541,11 @@ final class HttpApi(spark: SparkSession,
     // (post-restart rewrites silently losing read-side LWW) and TTLs
     // first seen in that window never reached the persisted dim.
     if (!blocked) {
-      newDim.foreach(d => ttlDimPath.foreach(tp =>
-        d.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tp)))
+      // stage-then-rename, same discipline as the mutable dim (ADVICE
+      // r8): an in-place Overwrite could tear the only on-disk TTL copy —
+      // the full-history bootstrap fallback would mask it, but only at
+      // the cost of a cold rescan on the next restart
+      newDim.foreach(d => ttlDimPath.foreach(tp => atomicOverwrite(d, tp)))
       persistMeta()
     }
     // series-expiry refresh (the reference refreshes each written series'
@@ -543,10 +561,15 @@ final class HttpApi(spark: SparkSession,
       // schema probe, once per process: a pre-r8 dim (no `names` column)
       // stays legacy forever — appends keep its shape and the sweep uses
       // the full-history fallback — rather than risking a torn in-place
-      // Overwrite of the only copy
+      // Overwrite of the only copy. The probe is Try-wrapped (ADVICE r9):
+      // a dir with no readable parquet (crash during its very first
+      // append leaves only _temporary) counts as FRESH/modern — an
+      // unguarded throw here would leave the memo None and wedge every
+      // subsequent fold on the same exception
       if (expiryDimLegacy.isEmpty)
         expiryDimLegacy = Some(isDir(ep) &&
-          !spark.read.parquet(ep).columns.contains("names"))
+          scala.util.Try(!spark.read.parquet(ep).columns.contains("names"))
+            .getOrElse(false))
       val base = folded0.groupBy("metric_id")
       val refreshed =
         if (expiryDimLegacy.contains(true))

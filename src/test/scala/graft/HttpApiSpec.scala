@@ -773,6 +773,35 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(pts2.where(col("__name__") === "tp_live").count() === 10)
   }
 
+  test("torn sidecars never wedge folds: an unreadable expiry dir counts " +
+    "as fresh, and TTL restore prefers a _SUCCESS-complete copy") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files => nio}
+    val dir = nio.createTempDirectory("graft_torn").resolve("cold").toString
+    // plant the wedge: the expiry dir EXISTS but holds no readable
+    // parquet (a crash during its very first append leaves _temporary)
+    nio.createDirectories(
+      java.nio.file.Paths.get(dir + "_expiry", "_temporary"))
+    val apiW = new HttpApi(spark, compactEvery = 1, durablePath = Some(dir))
+    apiW.write(Seq(series("torn_m", "a", i => 1.0)), "default", ttlSec = 60L)
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (apiW.pendingBatches > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    // the fold ran (no throw) and treated the dir as fresh/MODERN —
+    // refresh rows landed with the names column
+    assert(spark.read.parquet(dir + "_expiry").columns.contains("names"))
+    // the TTL dim promotion is staged: live copy is _SUCCESS-complete
+    assert(nio.exists(java.nio.file.Paths.get(dir + "_ttl", "_SUCCESS")))
+    // tear the live TTL dim mid-promotion: live incomplete, _old complete
+    val ttl = java.nio.file.Paths.get(dir + "_ttl")
+    nio.move(ttl, java.nio.file.Paths.get(dir + "_ttl_old"))
+    nio.createDirectories(ttl) // empty dir, no _SUCCESS
+    val apiR = new HttpApi(spark, durablePath = Some(dir))
+    assert(apiR.source().get.points
+      .where(col("__name__") === "torn_m").count() === 0,
+      "TTL restore must fall back to the _old complete copy")
+  }
+
   test("a single series larger than the frame budget splits its chunks " +
     "across frames") {
     val api10 = new HttpApi(spark, maxBytesInFrame = 256)
