@@ -381,7 +381,7 @@ final class HttpApi(spark: SparkSession,
     *
     * Returns the number of samples that pass validation and will be
     * written — the count a PRW 2.0 response reports in
-    * `X-Prometheus-Remote-Write-Written-Samples`.
+    * `X-Prometheus-Remote-Write-Samples-Written`.
     */
   def write(series: Seq[PromSeries], tenant: String,
       ttlSec: Long = DefaultTtlSec): Long = synchronized {
@@ -402,8 +402,12 @@ final class HttpApi(spark: SparkSession,
     val valid = rows.filter(r =>
       r.labels.keysIterator.forall(Ingest.validNameStr)
         && r.labels.get("__name__").exists(Ingest.validNameStr)
+        // null value = invalid, matching ingestLabeled: the Spark-side
+        // forall over map_values yields NULL for a null element and the
+        // where() drops the row — counting it here would over-report the
+        // written-samples stat
         && r.labels.valuesIterator.forall(v =>
-          v == null || !v.exists(c => c <= 3.toChar)))
+          v != null && !v.exists(c => c <= 3.toChar)))
     val batchNames = valid.iterator
       .flatMap(_.labels.collect {
         case (k, v) if v != null && v.nonEmpty && k != tenantLabel => k
@@ -561,27 +565,42 @@ final class HttpApi(spark: SparkSession,
       // schema probe, once per process: a pre-r8 dim (no `names` column)
       // stays legacy forever — appends keep its shape and the sweep uses
       // the full-history fallback — rather than risking a torn in-place
-      // Overwrite of the only copy. The probe is Try-wrapped (ADVICE r9):
-      // a dir with no readable parquet (crash during its very first
-      // append leaves only _temporary) counts as FRESH/modern — an
-      // unguarded throw here would leave the memo None and wedge every
-      // subsequent fold on the same exception
-      if (expiryDimLegacy.isEmpty)
-        expiryDimLegacy = Some(isDir(ep) &&
-          scala.util.Try(!spark.read.parquet(ep).columns.contains("names"))
-            .getOrElse(false))
-      val base = folded0.groupBy("metric_id")
-      val refreshed =
-        if (expiryDimLegacy.contains(true))
-          base.agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
-            .as("expiration_ms"))
-        else
-          base.agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
-            .as("expiration_ms"),
-            // one series = one label map (metric_id is its hash), so any
-            // row's key set is THE key set
-            first(map_keys(col("labels"))).as("names"))
-      refreshed.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ep)
+      // Overwrite of the only copy. Failure discipline (ADVICE r9): a dir
+      // with no parquet part files (missing, or a crash during its very
+      // first append left only _temporary) is FRESH → modern; but a dir
+      // that HAS part files we nonetheless failed to read is a transient
+      // error — memoizing "modern" there would append mixed-schema rows
+      // into a possibly-legacy dim, so the memo stays None (re-probe next
+      // fold) and THIS fold skips the expiry append (a skipped refresh
+      // only delays expiry; a wrong-schema append corrupts the dim)
+      if (expiryDimLegacy.isEmpty) {
+        val hasParts = isDir(ep) && {
+          val d = new java.io.File(ep)
+          Option(d.listFiles()).exists(_.exists(f =>
+            f.isFile && f.getName.endsWith(".parquet")))
+        }
+        if (!hasParts) expiryDimLegacy = Some(false)
+        else scala.util.Try(
+          spark.read.parquet(ep).columns.contains("names")) match {
+          case scala.util.Success(hasNames) =>
+            expiryDimLegacy = Some(!hasNames)
+          case scala.util.Failure(_) => () // transient: retry next fold
+        }
+      }
+      expiryDimLegacy.foreach { legacy =>
+        val base = folded0.groupBy("metric_id")
+        val refreshed =
+          if (legacy)
+            base.agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
+              .as("expiration_ms"))
+          else
+            base.agg((max(col("ts_ms")) + max(col("__ttl_sec")) * 1000L)
+              .as("expiration_ms"),
+              // one series = one label map (metric_id is its hash), so any
+              // row's key set is THE key set
+              first(map_keys(col("labels"))).as("names"))
+        refreshed.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ep)
+      }
     }
     // S8 tiering: points older than the hot horizon spill to the durable
     // day-partitioned parquet store (APPEND — late duplicates resolve
@@ -1332,10 +1351,10 @@ final class HttpApi(spark: SparkSession,
       val dec = PrompbV2.decodeSnappyWithStats(body)
       def setStats(samples: Long, histograms: Long, exemplars: Long): Unit = {
         val hs = h.getResponseHeaders
-        hs.set("X-Prometheus-Remote-Write-Written-Samples", samples.toString)
-        hs.set("X-Prometheus-Remote-Write-Written-Histograms",
+        hs.set("X-Prometheus-Remote-Write-Samples-Written", samples.toString)
+        hs.set("X-Prometheus-Remote-Write-Histograms-Written",
           histograms.toString)
-        hs.set("X-Prometheus-Remote-Write-Written-Exemplars",
+        hs.set("X-Prometheus-Remote-Write-Exemplars-Written",
           exemplars.toString)
       }
       if (dec.histograms > 0) {

@@ -153,53 +153,60 @@ object TextOps {
     * equal-width id ranges (a pure monotone function of the id — no
     * sampling, so recomputation across jobs is stable), each shard
     * cumsums independently under one hash-partitioned window, and the
-    * per-shard token totals (≤ numShards rows) come back to the driver
-    * for an exact prefix-sum that re-enters as a broadcast join. Output
-    * is bit-identical to the single-window form for any `numShards`.
+    * per-shard token totals (≤ numShards rows) turn into exclusive shard
+    * bases via a triangular self-join that re-enters as a broadcast join.
+    * Output is bit-identical to the single-window form for any
+    * `numShards`. The whole thing is ONE lazy plan — no driver-side
+    * collect, so merely constructing the DataFrame (plan dumps, spec
+    * sweeps) runs no job, and execution can never see a stale snapshot of
+    * the bases. Null ids sort first (their own leading shard), null-token
+    * docs ride along with offset = running sum — both exactly the
+    * single-window semantics. Non-numeric ids that survive a BIGINT cast
+    * as null fail loudly instead of silently vanishing.
     * Assumes ids are roughly uniform over their range (sequential ingest
     * ids are); pathological clustering degrades balance, not correctness.
     */
   def sequencePack(docs: DataFrame, budget: Long, numShards: Int = 64,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val toks = docs.select(col(id),
       tokenCount(col(text)).cast("long").as("n_tokens"))
-    // bounds scan prunes to the id column only — cheap relative to the
-    // tokenizing passes below
-    val b = toks.agg(min(col(id).cast("long")), max(col(id).cast("long")))
-      .head
-    if (b.isNullAt(0)) {
-      toks.withColumn("tok_offset", lit(0L))
-        .withColumn("seq_bin", lit(0L)).limit(0)
-    } else {
-      val lo = b.getLong(0)
-      val width = math.max(1L, (b.getLong(1) - lo) / numShards + 1)
-      val sharded = toks
-        .withColumn("__ps",
-          expr(s"(CAST(`$id` AS BIGINT) - ${lo}L) div ${width}L"))
-      // pass 1: per-shard token totals -> exact prefix sum on the driver
-      // (aggregate-small: at most numShards rows)
-      var acc = 0L
-      val bases = sharded.groupBy("__ps").agg(sum("n_tokens").as("__tot"))
-        .orderBy("__ps").collect()
-        .map { r =>
-          val base = (r.getLong(0), acc); acc += r.getLong(1); base
-        }.toSeq.toDF("__ps", "__base")
-      // pass 2: per-shard exclusive cumsum + broadcast shard base
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__ps").orderBy(col(id))
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      sharded
-        .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .join(broadcast(bases), "__ps")
-        .withColumn("tok_offset", col("__local") + col("__base"))
-        // integer division (`div`), not double `/`+cast: the oracle's `//`
-        // is exact at any magnitude, double quotients are not past 2^53
-        .withColumn("seq_bin", expr(s"tok_offset div ${budget}L"))
-        .select(col(id), col("n_tokens"), col("tok_offset"), col("seq_bin"))
-    }
+    // bounds ride along as a broadcast single-row cross join — the scan
+    // prunes to the id column only, and stays inside the one lazy plan
+    val bounds = toks.agg(min(col(id).cast("long")).as("__lo"),
+      max(col(id).cast("long")).as("__hi"))
+    val idn = col(id).cast("long")
+    val sharded = toks.crossJoin(broadcast(bounds))
+      .withColumn("__ps",
+        when(col(id).isNull, lit(-1L)) // nulls-first, like ORDER BY id
+          .when(idn.isNull, raise_error(concat(
+            lit(s"sequencePack: id column `$id` is not castable to " +
+              "BIGINT: "), col(id).cast("string"))).cast("long"))
+          .otherwise(expr(s"(CAST(`$id` AS BIGINT) - __lo) div " +
+            s"greatest(1L, (__hi - __lo) div ${numShards}L + 1L)")))
+      .drop("__lo", "__hi")
+    // pass 1: per-shard token totals -> exclusive prefix sum over the
+    // aggregate-small totals (≤ numShards+1 rows) via a triangular
+    // broadcast join — O(numShards²) rows, no window, no driver action
+    val totals = sharded.groupBy("__ps")
+      .agg(coalesce(sum("n_tokens"), lit(0L)).as("__tot"))
+    val bases = totals.as("a")
+      .join(broadcast(totals.as("b")),
+        col("b.__ps") < col("a.__ps"), "left")
+      .groupBy(col("a.__ps").as("__ps"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__base"))
+    // pass 2: per-shard exclusive cumsum + broadcast shard base
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ps").orderBy(col(id))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(bases), "__ps")
+      .withColumn("tok_offset", col("__local") + col("__base"))
+      // integer division (`div`), not double `/`+cast: the oracle's `//`
+      // is exact at any magnitude, double quotients are not past 2^53
+      .withColumn("seq_bin", expr(s"tok_offset div ${budget}L"))
+      .select(col(id), col("n_tokens"), col("tok_offset"), col("seq_bin"))
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted token bag —

@@ -239,6 +239,48 @@ class DedupSpec extends SparkSpec {
       Seq("doc_id", "n_tokens", "tok_offset", "seq_bin"))
   }
 
+  test("sequencePack: null text rides along (offset keeps running), null " +
+    "ids pack first, uncastable ids fail loudly, and construction alone " +
+    "runs no Spark job") {
+    import graft.text.TextOps
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, "a b c"), // null id → leading shard
+        Row(10L, null), //     null text → null n_tokens, no offset advance
+        Row(11L, "x y"),
+        Row(12L, "z")), 2),
+      schema)
+    val got = TextOps.sequencePack(docs, 2L).collect()
+      .map(r => (Option(r.get(0)),
+        if (r.isNullAt(1)) -99L else r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._3).toSeq
+    // single-window reference: nulls-first id order, window sum skips
+    // null n_tokens — offsets 0, 3, 3, 5
+    assert(got === Seq(
+      (None, 3L, 0L, 0L),
+      (Some(10L), -99L, 3L, 1L),
+      (Some(11L), 2L, 3L, 1L),
+      (Some(12L), 1L, 5L, 2L)))
+    // numeric-string ids cast fine; non-numeric ids must error, not
+    // silently return an empty result
+    val strDocs = Seq(("7", "a b"), ("8", "c")).toDF("doc_id", "text")
+    assert(TextOps.sequencePack(strDocs, 2L).count() === 2L)
+    val badDocs = Seq(("seven", "a b")).toDF("doc_id", "text")
+    intercept[Exception] { TextOps.sequencePack(badDocs, 2L).collect() }
+    // plan-only construction triggers no job (the two-pass is one lazy
+    // plan, not an eager collect of shard totals)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    TextOps.sequencePack(docs, 2L)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    assert(after === before, "constructing sequencePack ran a Spark job")
+  }
+
   test("sourceMix keeps ceil(weight × count) per source; absent sources drop") {
     import graft.text.TextOps
     val docs = (0L until 100L).map(i => (i, s"src${i % 4}"))

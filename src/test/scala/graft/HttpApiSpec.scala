@@ -197,7 +197,7 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       "application/x-protobuf;proto=io.prometheus.write.v2.Request")
     assert(r.statusCode() === 204)
     def hdr(n: String) = r.headers()
-      .firstValue(s"X-Prometheus-Remote-Write-Written-$n")
+      .firstValue(s"X-Prometheus-Remote-Write-$n-Written")
       .orElse("missing")
     assert(hdr("Samples") === "10", r.headers().map()) // 10 samples/series
     assert(hdr("Histograms") === "0")
@@ -207,7 +207,7 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       series("v1_plain", "i1", i => 1.0))), "application/x-protobuf")
     assert(r1.statusCode() === 204)
     assert(!r1.headers().map().containsKey(
-      "X-Prometheus-Remote-Write-Written-Samples"))
+      "X-Prometheus-Remote-Write-Samples-Written"))
   }
 
   test("prompb v2 native histograms are rejected with 400 and zero " +
@@ -219,7 +219,7 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.statusCode() === 400, new String(r.body(), "UTF-8"))
     assert(new String(r.body(), "UTF-8").contains("native histograms"))
     assert(r.headers()
-      .firstValue("X-Prometheus-Remote-Write-Written-Samples")
+      .firstValue("X-Prometheus-Remote-Write-Samples-Written")
       .orElse("missing") === "0")
     // atomic reject: none of the request's float samples landed either
     val q = get(s"/api/v1/query?query=${enc("v2_hist_metric")}" +
