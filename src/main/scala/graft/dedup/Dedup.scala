@@ -103,6 +103,41 @@ object Dedup {
       .agg(md5(array_join(array_sort(collect_list(col("hk"))), ",")).as("bucket"))
       .select("band", "bucket", "doc_id")
 
+  /** LSH band buckets as a PURE PROJECTION — no explode, no shuffle.
+    * Produces bit-identical buckets to `minhash` → [[lshBuckets]]: the
+    * signature is born as a per-doc array in one projection, and each
+    * band's bucket digest concatenates its `hh:minhash` entries in h
+    * order, which IS the lexicographic order `lshBuckets` sorts into
+    * (h is zero-padded). The long-format pair exists for portability
+    * (the oracle recomputes it relationally); this is the execution
+    * shape — at 100 TB the explode→groupBy round trip of the long form
+    * shuffles k rows per document for no reason.
+    */
+  def lshBucketsDirect(docs: DataFrame, k: Int, shingleLen: Int,
+      rowsPerBand: Int, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val mask = lit(0xFFFFFFFFL)
+    val sigCols = permutationConstants(k).zipWithIndex.map { case ((a, b), h) =>
+      array_min(transform(col("xs"),
+        x => (lit(a) * x + lit(b)).bitwiseAND(mask))).as(s"__s$h")
+    }
+    val nBands = (k + rowsPerBand - 1) / rowsPerBand
+    val bandCols = (0 until nBands).map { band =>
+      val entries = (band * rowsPerBand until math.min((band + 1) * rowsPerBand, k))
+        .map(h => concat(lit(f"$h%02d:"), col(s"__s$h")))
+      // concat_ws skips null entries the way collect_list drops null hk
+      // rows in the long form (empty shingle set → all-null sigs → md5(""))
+      md5(concat_ws(",", entries: _*))
+    }
+    docs
+      .select(col(id), shingles(col(text), shingleLen).as("sh"))
+      .select(col(id), transform(col("sh"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("xs"))
+      .select(col(id) +: sigCols: _*)
+      .select(col(id), posexplode(array(bandCols: _*)))
+      .toDF(id, "band", "bucket")
+      .select("band", "bucket", id)
+  }
+
   /** Candidate pairs (a < b) sharing at least one LSH bucket, with skew
     * control: a within-bucket self-join is quadratic in bucket size, and
     * real corpora have boilerplate-heavy hot buckets (every exact-duplicate
@@ -158,36 +193,40 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for given pairs. `pairs`: (doc_a, doc_b).
-    * Computed via an explode + join on shingle value — set-oriented, never
-    * materializes per-pair sets on the driver.
+    *
+    * Scale shape: only docs that appear in a candidate pair need their
+    * shingle sets, so the corpus is semi-joined down FIRST — the pair-id
+    * set is LSH-bounded (≤ 2·|pairs|, orders below the corpus) and
+    * broadcast, so non-candidate documents never pay the shingle
+    * computation and the corpus text never shuffles. Each surviving doc
+    * carries its shingle set as ONE array row (not an exploded
+    * (doc, shingle) relation — the r8 form shuffled every shingle of
+    * every corpus doc through two joins and a groupBy), and the
+    * intersection is a linear-time `array_intersect` per pair.
     */
   def jaccard(docs: DataFrame, pairs: DataFrame, shingleLen: Int,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sh = docs.select(col(id).as("jd_id"),
-      explode(shingles(col(text), shingleLen)).as("sh"))
-    val sizes = sh.groupBy("jd_id").agg(count(lit(1)).as("n_sh"))
-    // Intersection size per pair. BOTH the pair id and the shingle value
-    // are join keys: joining on doc ids alone and filtering sh_a == sh_b
-    // afterwards materializes an |sh_a|×|sh_b| cross product per pair
-    // (observed 20× slowdown at sf0.1) — the equi-join on (doc, sh) keeps
-    // it a hash join on composite keys.
-    val inter = pairs
-      .join(sh.select(col("jd_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("jd_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    // Left-join sizes: a doc shorter than the shingle length has an empty
-    // shingle set (absent from `sizes`); its pairs must still surface, with
-    // n=0 and jaccard null when the union is empty (0/0).
+    val ids = pairs.select(col("doc_a").as("__jid"))
+      .unionByName(pairs.select(col("doc_b").as("__jid")))
+      .distinct()
+    val shArr = docs
+      .join(broadcast(ids), col(id) === col("__jid"), "left_semi")
+      .select(col(id).as("__jid"), shingles(col(text), shingleLen).as("__shs"))
+    val empty = array().cast("array<string>")
+    // left joins: a pair member shorter than the shingle length (or absent
+    // from `docs`) has an empty set; its pairs still surface, with n=0 and
+    // jaccard null when the union is empty (0/0)
     pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0, Seq("n_inter"))
-      .join(sizes.withColumnRenamed("jd_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"), "left")
-      .join(sizes.withColumnRenamed("jd_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"), "left")
+      .join(shArr.select(col("__jid").as("doc_a"), col("__shs").as("__sa")),
+        Seq("doc_a"), "left")
+      .join(shArr.select(col("__jid").as("doc_b"), col("__shs").as("__sb")),
+        Seq("doc_b"), "left")
+      .withColumn("__sa", coalesce(col("__sa"), empty))
+      .withColumn("__sb", coalesce(col("__sb"), empty))
+      .withColumn("n_inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .withColumn("n_union",
-        coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)) - col("n_inter"))
+        (size(col("__sa")) + size(col("__sb"))).cast("long") - col("n_inter"))
       .withColumn("jaccard",
         when(col("n_union") > 0,
           round(col("n_inter").cast("double") / col("n_union").cast("double"), 6)))
@@ -209,17 +248,27 @@ object Dedup {
     */
   def dupClusters(verified: DataFrame, threshold: Double,
       maxIters: Int = 50): DataFrame = {
+    // pin the HALF-size edge list, not the mirrored union: a checkpoint
+    // after the union would run the whole jaccard chain once per branch,
+    // and a distinct would add a shuffle that min-aggregates (duplicate-
+    // insensitive) never needed. The mirror is a narrow union over the
+    // pinned partitions — free to recompute.
+    val t0 = System.nanoTime()
+    def dbg(msg: String): Unit =
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(f"[cc] +${(System.nanoTime() - t0) / 1e9}%.2fs $msg")
     val e = verified.where(col("jaccard") >= threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint(true)
+    dbg("edges pinned")
     val sym = e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      e.select(col("dst").as("src"), col("src").as("dst")))
     // min-neighbor initialization instead of identity labels: one
     // aggregate over the (symmetric) edge list seeds every node with
     // min(self, smallest neighbor). Hub-star components — the shape LSH
     // skew-capping emits, with the hub already the bucket minimum —
     // converge AT INIT (every member's best neighbor IS the hub), so the
-    // loop below runs only for chain-shaped components.
+    // loop below typically runs ONE probe round for convergence proof.
     // pinned: the loop reads labels twice per round, and a measured
     // un-pinned variant (recompute from the cached edge list) was slower
     var labels = sym.groupBy("src")
@@ -227,6 +276,7 @@ object Dedup {
       .select(col("src").as("doc_id"),
         least(col("src"), col("__m")).as("cluster"))
       .localCheckpoint(true)
+    dbg("labels initialized")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -236,36 +286,36 @@ object Dedup {
         .groupBy("src").agg(min(col("nc")).as("nbr_min"))
         .withColumnRenamed("src", "doc_id")
       // the pre-propagate label rides along as __old, so the convergence
-      // check needs no join back against `labels`; prop is pinned so the
-      // change count AND the halving below both read cached partitions
-      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
+      // check needs no join back against `labels`
+      val propPlan = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"),
             coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
           col("cluster").as("__old"))
-        .localCheckpoint(true)
-      changed = prop
+      // probe FIRST with a bare aggregate — the common case (hub-star
+      // components converged at init) then pays one action and zero
+      // checkpoints; only a round that actually changed labels
+      // materializes the propagated frame for the halving self-join
+      changed = propPlan
         .agg(coalesce(sum((col("cluster") < col("__old")).cast("long")),
           lit(0L))).head().getLong(0)
-      labels =
-        if (changed == 0) prop.drop("__old") // converged: halving is a no-op
-        else {
-          // pointer halving: cluster := cluster(cluster). Labels are node
-          // ids of the same component and only decrease (label(x) ≤ x),
-          // so the extra hop is safe and convergence drops from
-          // O(diameter) to O(log diameter) rounds — the standard
-          // CC-over-MapReduce acceleration, self-joining the PINNED prop.
-          prop.alias("a")
-            .join(prop.select(col("doc_id").as("__p"),
-              col("cluster").as("__pc")),
-              col("a.cluster") === col("__p"), "left")
-            .select(col("a.doc_id").as("doc_id"),
-              coalesce(col("__pc"), col("a.cluster")).as("cluster"))
-            .localCheckpoint(true)
-        }
+      if (changed > 0) {
+        val prop = propPlan.localCheckpoint(true)
+        // pointer halving: cluster := cluster(cluster). Labels are node
+        // ids of the same component and only decrease (label(x) ≤ x),
+        // so the extra hop is safe and convergence drops from
+        // O(diameter) to O(log diameter) rounds — the standard
+        // CC-over-MapReduce acceleration, self-joining the PINNED prop.
+        labels = prop.alias("a")
+          .join(prop.select(col("doc_id").as("__p"),
+            col("cluster").as("__pc")),
+            col("a.cluster") === col("__p"), "left")
+          .select(col("a.doc_id").as("doc_id"),
+            coalesce(col("__pc"), col("a.cluster")).as("cluster"))
+          .localCheckpoint(true)
+      }
       iter += 1
-      if (sys.env.contains("GRAFT_DEBUG_CC"))
-        System.err.println(s"[cc] round $iter changed=$changed")
+      dbg(s"round $iter changed=$changed")
     }
     // an unconverged result silently splits components (each fragment
     // with its own keep=true representative) — fail loudly instead

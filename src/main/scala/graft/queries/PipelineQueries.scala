@@ -81,8 +81,7 @@ object PipelineQueries {
 
   private def candidates(s: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidates(
-      Dedup.lshBuckets(
-        Dedup.minhash(corpus(s, dir), MinhashK, ShingleLen), RowsPerBand),
+      Dedup.lshBucketsDirect(corpus(s, dir), MinhashK, ShingleLen, RowsPerBand),
       MaxBucket)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

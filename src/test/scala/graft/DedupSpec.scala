@@ -114,6 +114,25 @@ class DedupSpec extends SparkSpec {
     assert(cand === Set((1L, 2L)))
   }
 
+  test("LSH: lshBucketsDirect is bit-identical to minhash → lshBuckets") {
+    // the projection-native banding must produce the same (band, bucket,
+    // doc) rows as the long-format explode→groupBy path, including the
+    // empty-shingle-set doc (all-null sigs → md5("") bucket) and a
+    // ragged final band (k not divisible by rowsPerBand)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "z1 z2 z3 z4 z5"),
+      (4L, "too short")).toDF("doc_id", "text")
+    for (rpb <- Seq(2, 3)) { // 8 % 3 != 0 exercises the ragged band
+      val long = Dedup.lshBuckets(Dedup.minhash(docs, 8, 3), rpb)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      val direct = Dedup.lshBucketsDirect(docs, 8, 3, rpb)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(direct === long, s"rowsPerBand=$rpb")
+    }
+  }
+
   test("LSH: oversized buckets degrade to hub-stars, cluster recall kept") {
     // 40 exact duplicates collapse into one bucket per band; with
     // maxBucket=8 the bucket emits a star through the smallest doc id
