@@ -28,6 +28,7 @@ object PipelineQueries {
   // (LSH skew control — see Dedup.lshCandidates).
   private val MinhashK = 12
   private val ShingleLen = 3
+  private val TfidfK = 3
   private val RowsPerBand = 3
   private val MaxBucket = 32
   // near-dup clustering keeps pairs at/above this verified similarity
@@ -193,6 +194,16 @@ object PipelineQueries {
     "x8_sequence_pack" -> ((s, dir) =>
       TextOps.sequencePack(
         Tables.documents(s, dir).select("doc_id", "text"), 2048L)),
+
+    // TF-IDF top-3 keywords per doc: integer evidence (tf, df, rank)
+    "x9_tfidf_keywords" -> ((s, dir) =>
+      TextOps.tfidfKeywords(
+        Tables.documents(s, dir).select("doc_id", "text"), TfidfK)),
+
+    // first-occurrence shingle novelty per doc
+    "x10_novelty" -> ((s, dir) =>
+      TextOps.novelty(
+        Tables.documents(s, dir).select("doc_id", "text"), ShingleLen)),
 
     // deterministic training-shard layout: md5-hash shard + within-shard
     // position — the engine-portable "global shuffle" a training run reads
@@ -562,6 +573,36 @@ object PipelineQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
           )::BIGINT AS seq_bin
       FROM t""",
+
+    "x9_tfidf_keywords" -> s"""
+      WITH tok AS (SELECT doc_id,
+        unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (SELECT doc_id, token, tf, df,
+          tf::DOUBLE * ln((n + 1)::DOUBLE / (df + 1)::DOUBLE) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+      r AS (SELECT doc_id, token, tf, df, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+        FROM scored)
+      SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= $TfidfK""",
+
+    "x10_novelty" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents),
+      idx AS (SELECT doc_id, tk,
+        unnest(generate_series(1, len(tk) - ${ShingleLen - 1})) AS i
+        FROM toks WHERE len(tk) >= $ShingleLen),
+      sh AS (SELECT DISTINCT doc_id,
+        array_to_string(tk[i:i + ${ShingleLen - 1}], ' ') AS sh FROM idx),
+      first AS (SELECT sh, min(doc_id) AS fst FROM sh GROUP BY 1)
+      SELECT s.doc_id, count(*) AS n_shingles,
+        sum(CASE WHEN s.doc_id = f.fst THEN 1 ELSE 0 END)::BIGINT
+          AS n_novel,
+        sum(CASE WHEN s.doc_id = f.fst THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+          / count(*)::DOUBLE AS novelty
+      FROM sh s JOIN first f USING (sh) GROUP BY 1""",
 
     "x1_text_quality" -> """
       WITH f AS (SELECT doc_id,

@@ -240,6 +240,71 @@ object TextOps {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** TF-IDF top-k keyword extraction per document — the classic
+    * keyword/topic signal a curation pipeline attaches to each doc
+    * (domain tagging, topic balancing). tf is the raw in-document token
+    * count; idf = ln((N+1)/(df+1)) (add-one smoothed); rank orders by
+    * score descending with the token string as the deterministic
+    * tie-break. Only integer evidence (tf, df, rnk) is emitted — the
+    * float score exists solely inside the window ordering, where a
+    * cross-engine ULP flip would need two mathematically distinct
+    * scores to collide, so the output is engine-exact.
+    *
+    * Plan shape: tf is one (doc, token) hash aggregate over the exploded
+    * corpus; df aggregates THE TF RELATION (vocabulary-sized — no second
+    * corpus pass); the corpus count rides in as a broadcast single-row
+    * cross join; top-k is a per-doc window. At 100 TB: two linear
+    * shuffles plus a vocabulary-keyed join — no pairwise work, and the
+    * hot-token join skew is bounded because the probe side holds at most
+    * one row per (doc, token).
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(id), explode(graft.dedup.Dedup.tokens(col(text))).as("token"))
+      .groupBy(col(id), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("__n") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(id), col("token"), col("tf"), col("df"), col("rnk"))
+  }
+
+  /** First-occurrence novelty: the fraction of a document's distinct
+    * n-gram shingles whose first owner (smallest doc id in the corpus)
+    * is the document itself — the "new information ratio" curation
+    * pipelines use to rank near-boilerplate docs below content-bearing
+    * ones without any pairwise comparison. Docs shorter than the
+    * shingle length have no shingles and are absent (novelty of an
+    * empty set is undefined, matching the relational oracle).
+    *
+    * Plan shape: explode to (doc, shingle), one vocabulary-keyed min
+    * aggregate for first owners, one join back, one per-doc aggregate —
+    * all linear, two shuffles, monoid aggregates (min/count/sum) with
+    * map-side partials. Boilerplate-heavy shingles skew the first-owner
+    * aggregate's key space, but min is partial-aggregated before the
+    * shuffle so hot keys combine map-side.
+    */
+  def novelty(docs: DataFrame, shingleLen: Int, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val sh = docs.select(col(id),
+      explode(graft.dedup.Dedup.shingles(col(text), shingleLen)).as("sh"))
+    val first = sh.groupBy("sh").agg(min(col(id)).as("__first"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col(id) === col("__first")).cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Weighted source mixing — the mixture-construction step that turns
     * per-source corpora into a training distribution (the Pile/Dolma
     * recipe): each source keeps its `ceil(weight × |source|)` docs with

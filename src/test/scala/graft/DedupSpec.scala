@@ -230,6 +230,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("tfidfKeywords: rare tokens outrank common ones; token tie-break; " +
+    "k truncates") {
+    import graft.text.TextOps
+    // "rare" appears in 1 doc, "mid" in 2, "common" in all 3 — idf
+    // ordering must put rare first wherever tf is equal
+    val docs = Seq(
+      (1L, "common rare mid"),
+      (2L, "common mid"),
+      (3L, "common common")).toDF("doc_id", "text")
+    val out = TextOps.tfidfKeywords(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out((1L, 1L)) === (("rare", 1L, 1L)))
+    assert(out((1L, 2L)) === (("mid", 1L, 2L)))
+    // doc 3: tf=2 of the ubiquitous token still scores > 0 (smoothed idf)
+    assert(out((3L, 1L)) === (("common", 2L, 3L)))
+    // k=2 truncation: no rank 3 anywhere
+    assert(out.keys.forall(_._2 <= 2L))
+  }
+
+  test("novelty: first owner scores 1, exact copy scores 0, overlap is " +
+    "fractional; sub-shingle docs absent") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {abc, bcd} — first owner of both
+      (2L, "a b c d"),   // exact copy → nothing novel
+      (3L, "b c d e"),   // {bcd, cde}: bcd seen (doc 1), cde novel → 0.5
+      (4L, "x y")        // sub-shingle-length → absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.novelty(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 0L, 0.0)),
+      3L -> ((2L, 1L, 0.5))))
+  }
+
   test("sequencePack: per-shard two-pass matches the global prefix sum " +
     "for any shard count; empty corpus yields empty output") {
     import graft.text.TextOps

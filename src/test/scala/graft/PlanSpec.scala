@@ -72,6 +72,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("jaccard verify: corpus reduces through a broadcast semi-join on " +
+    "pair members; no exploded-shingle shuffle") {
+    val p = plan("d4_jaccard_verify")
+    // candidate-member reduction BEFORE shingle computation: the pair-id
+    // set is the broadcast build side of a semi-join against the corpus
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    // the intersection is a per-pair array op, not a corpus-wide
+    // (doc, shingle) shuffle join + count aggregate
+    assert(p.contains("array_intersect"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH banding is a pure projection (no collect_list aggregate)") {
+    // lshBucketsDirect computes band digests in the minhash projection;
+    // the long-format explode -> collect_list groupBy (an extra shuffle
+    // of k rows per document) must not reappear in the candidate chain
+    val p = plan("d3_lsh_candidates")
+    assert(!p.contains("collect_list"), p.take(2000))
+  }
+
   test("vector-vector binops broadcast only aggregate-bounded sides") {
     import org.apache.spark.sql.functions._
     val pts = Tables.points(spark, sfDir)
