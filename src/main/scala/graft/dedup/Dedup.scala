@@ -75,21 +75,40 @@ object Dedup {
     * overflow) and the arithmetic is bit-reproducible in any engine.
     */
   def minhash(docs: DataFrame, k: Int, shingleLen: Int,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val mask = lit(0xFFFFFFFFL)
-    val sigs = permutationConstants(k).map { case (a, b) =>
-      array_min(transform(col("xs"),
-        x => (lit(a) * x + lit(b)).bitwiseAND(mask)))
-    }
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    shingleHashes(docs, shingleLen, id, text)
+      .select(col(id), posexplode(array(sigExprs(k): _*)))
+      .toDF(id, "h", "minhash")
+
+  /** (id, xs): each doc's distinct shingles digested ONCE to 32-bit hash
+    * values — the shared front end of [[minhash]] and [[lshBucketsDirect]],
+    * factored so the long-format oracle path and the direct execution path
+    * cannot drift apart.
+    */
+  private def shingleHashes(docs: DataFrame, shingleLen: Int,
+      id: String, text: String): DataFrame =
     docs
       .select(col(id), shingles(col(text), shingleLen).as("sh"))
       // digest once per shingle; the k permutations are pure arithmetic
       // over the digest array within the same projection
       .select(col(id), transform(col("sh"),
         s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("xs"))
-      .select(col(id), posexplode(array(sigs: _*)))
-      .toDF(id, "h", "minhash")
+
+  /** The k per-permutation signature expressions over the `xs` array. */
+  private def sigExprs(k: Int): Seq[Column] = {
+    val mask = lit(0xFFFFFFFFL)
+    permutationConstants(k).map { case (a, b) =>
+      array_min(transform(col("xs"),
+        x => (lit(a) * x + lit(b)).bitwiseAND(mask)))
+    }
   }
+
+  /** Zero-pad width for the `h` prefix inside band digests. Fixed at 5 so
+    * lexicographic prefix order equals numeric h order for any practical
+    * k (≤ 100000) — a width tied to 2 digits silently TRUNCATES h ≥ 100
+    * under lpad, corrupting the within-band sort for k > 100.
+    */
+  private val HPad = 5
 
   /** LSH band buckets from long-format signatures: (band, bucket, doc_id).
     * Docs sharing (band, bucket) are near-duplicate candidates.
@@ -97,7 +116,7 @@ object Dedup {
   def lshBuckets(sigs: DataFrame, rowsPerBand: Int): DataFrame =
     sigs
       .withColumn("band", (col("h") / rowsPerBand).cast("int"))
-      .withColumn("hk", concat(lpad(col("h").cast("string"), 2, "0"),
+      .withColumn("hk", concat(lpad(col("h").cast("string"), HPad, "0"),
         lit(":"), col("minhash")))
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(array_join(array_sort(collect_list(col("hk"))), ",")).as("bucket"))
@@ -115,23 +134,17 @@ object Dedup {
     */
   def lshBucketsDirect(docs: DataFrame, k: Int, shingleLen: Int,
       rowsPerBand: Int, id: String = "doc_id", text: String = "text"): DataFrame = {
-    val mask = lit(0xFFFFFFFFL)
-    val sigCols = permutationConstants(k).zipWithIndex.map { case ((a, b), h) =>
-      array_min(transform(col("xs"),
-        x => (lit(a) * x + lit(b)).bitwiseAND(mask))).as(s"__s$h")
-    }
+    require(k < 100000, s"k=$k exceeds the $HPad-digit h-prefix pad")
+    val sigCols = sigExprs(k).zipWithIndex.map { case (c, h) => c.as(s"__s$h") }
     val nBands = (k + rowsPerBand - 1) / rowsPerBand
     val bandCols = (0 until nBands).map { band =>
       val entries = (band * rowsPerBand until math.min((band + 1) * rowsPerBand, k))
-        .map(h => concat(lit(f"$h%02d:"), col(s"__s$h")))
+        .map(h => concat(lit(s"%0${HPad}d:".format(h)), col(s"__s$h")))
       // concat_ws skips null entries the way collect_list drops null hk
       // rows in the long form (empty shingle set → all-null sigs → md5(""))
       md5(concat_ws(",", entries: _*))
     }
-    docs
-      .select(col(id), shingles(col(text), shingleLen).as("sh"))
-      .select(col(id), transform(col("sh"),
-        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("xs"))
+    shingleHashes(docs, shingleLen, id, text)
       .select(col(id) +: sigCols: _*)
       .select(col(id), posexplode(array(bandCols: _*)))
       .toDF(id, "band", "bucket")
@@ -196,9 +209,14 @@ object Dedup {
     *
     * Scale shape: only docs that appear in a candidate pair need their
     * shingle sets, so the corpus is semi-joined down FIRST — the pair-id
-    * set is LSH-bounded (≤ 2·|pairs|, orders below the corpus) and
-    * broadcast, so non-candidate documents never pay the shingle
-    * computation and the corpus text never shuffles. Each surviving doc
+    * set is LSH-bounded (≤ 2·|pairs|, orders below the corpus), so
+    * non-candidate documents never pay the shingle computation and the
+    * corpus text never shuffles through the reduction. The semi-join
+    * carries NO broadcast hint: AQE broadcasts while the pair-member set
+    * is small and falls back to a shuffled semi-join on a
+    * duplication-heavy corpus where |members| approaches |corpus| — an
+    * unconditional hint would OOM the driver there (same delegation as
+    * hotColdMerge and the TTL dim). Each surviving doc
     * carries its shingle set as ONE array row (not an exploded
     * (doc, shingle) relation — the r8 form shuffled every shingle of
     * every corpus doc through two joins and a groupBy), and the
@@ -210,7 +228,7 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("__jid")))
       .distinct()
     val shArr = docs
-      .join(broadcast(ids), col(id) === col("__jid"), "left_semi")
+      .join(ids, col(id) === col("__jid"), "left_semi")
       .select(col(id).as("__jid"), shingles(col(text), shingleLen).as("__shs"))
     val empty = array().cast("array<string>")
     // left joins: a pair member shorter than the shingle length (or absent

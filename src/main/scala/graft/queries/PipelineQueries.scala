@@ -99,10 +99,11 @@ object PipelineQueries {
       candidates(s, dir)),
 
     // exact n-gram Jaccard verification on the candidate pairs. The pair
-    // set is referenced three times inside jaccard (intersection + two
-    // size joins) — materialize it once (it is candidate-sized, tiny
-    // relative to the corpus; at 100 TB this is the natural pipeline
-    // checkpoint between the LSH and verify stages)
+    // set is referenced three times inside jaccard (the member-id union,
+    // twice, plus the pair frame the scores attach to) — materialize it
+    // once (it is candidate-sized, tiny relative to the corpus; at
+    // 100 TB this is the natural pipeline checkpoint between the LSH and
+    // verify stages)
     "d4_jaccard_verify" -> ((s, dir) =>
       Dedup.jaccard(corpus(s, dir),
         candidates(s, dir).localCheckpoint(true), ShingleLen)),
@@ -196,12 +197,12 @@ object PipelineQueries {
         Tables.documents(s, dir).select("doc_id", "text"), 2048L)),
 
     // TF-IDF top-3 keywords per doc: integer evidence (tf, df, rank)
-    "x9_tfidf_keywords" -> ((s, dir) =>
+    "x11_tfidf_keywords" -> ((s, dir) =>
       TextOps.tfidfKeywords(
         Tables.documents(s, dir).select("doc_id", "text"), TfidfK)),
 
     // first-occurrence shingle novelty per doc
-    "x10_novelty" -> ((s, dir) =>
+    "x12_novelty" -> ((s, dir) =>
       TextOps.novelty(
         Tables.documents(s, dir).select("doc_id", "text"), ShingleLen)),
 
@@ -373,7 +374,7 @@ object PipelineQueries {
 
   private val CandSql = s"""
     bk AS (SELECT doc_id, h // $RowsPerBand AS band,
-      lpad(h::VARCHAR, 2, '0') || ':' || minhash AS hk FROM sig),
+      lpad(h::VARCHAR, 5, '0') || ':' || minhash AS hk FROM sig),
     buckets AS (SELECT doc_id, band,
       md5(array_to_string(list_sort(list(hk)), ',')) AS bucket
       FROM bk GROUP BY 1, 2),
@@ -574,21 +575,22 @@ object PipelineQueries {
           )::BIGINT AS seq_bin
       FROM t""",
 
-    "x9_tfidf_keywords" -> s"""
+    "x11_tfidf_keywords" -> s"""
       WITH tok AS (SELECT doc_id,
         unnest(string_split(text, ' ')) AS token FROM documents),
       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
       df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
       n AS (SELECT count(*) AS n FROM documents),
       scored AS (SELECT doc_id, token, tf, df,
-          tf::DOUBLE * ln((n + 1)::DOUBLE / (df + 1)::DOUBLE) AS score
+          tf * floor(ln((n + 1)::DOUBLE / (df + 1)::DOUBLE) * 1e9
+            + 0.5)::BIGINT AS score
         FROM tf JOIN df USING (token) CROSS JOIN n),
       r AS (SELECT doc_id, token, tf, df, row_number() OVER (
           PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
         FROM scored)
       SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= $TfidfK""",
 
-    "x10_novelty" -> s"""
+    "x12_novelty" -> s"""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         FROM documents),
       idx AS (SELECT doc_id, tk,

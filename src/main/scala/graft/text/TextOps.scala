@@ -245,10 +245,16 @@ object TextOps {
     * (domain tagging, topic balancing). tf is the raw in-document token
     * count; idf = ln((N+1)/(df+1)) (add-one smoothed); rank orders by
     * score descending with the token string as the deterministic
-    * tie-break. Only integer evidence (tf, df, rnk) is emitted — the
-    * float score exists solely inside the window ordering, where a
-    * cross-engine ULP flip would need two mathematically distinct
-    * scores to collide, so the output is engine-exact.
+    * tie-break. Only integer evidence (tf, df, rnk) is emitted, and the
+    * ranking key itself is an INTEGER: tf · round(idf · 1e9). The idf is
+    * quantized per distinct df value, so within-engine score arithmetic
+    * is exact and mathematically equal scores reached through different
+    * (tf, df) pairs (e.g. 2·ln 4 vs ln 16) land on the SAME integer in
+    * both engines — the token tie-break then fires identically, where a
+    * raw-double key could order the two ULP-apart products in
+    * engine-dependent directions. Cross-engine agreement only needs each
+    * df's ln to land in the same 1e-9 bucket (libm ULP noise is ~1e-15
+    * relative; genuinely distinct idf values differ by ≥ ~1/df).
     *
     * Plan shape: tf is one (doc, token) hash aggregate over the exploded
     * corpus; df aggregates THE TF RELATION (vocabulary-sized — no second
@@ -270,8 +276,9 @@ object TextOps {
       .partitionBy(id).orderBy(col("score").desc, col("token"))
     tf.join(df, Seq("token"))
       .crossJoin(broadcast(n))
-      .withColumn("score", col("tf").cast("double") *
-        log((col("__n") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("score", col("tf") *
+        floor(log((col("__n") + 1).cast("double") /
+          (col("df") + 1).cast("double")) * 1e9 + 0.5))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col(id), col("token"), col("tf"), col("df"), col("rnk"))
@@ -285,24 +292,32 @@ object TextOps {
     * shingle length have no shingles and are absent (novelty of an
     * empty set is undefined, matching the relational oracle).
     *
-    * Plan shape: explode to (doc, shingle), one vocabulary-keyed min
-    * aggregate for first owners, one join back, one per-doc aggregate —
-    * all linear, two shuffles, monoid aggregates (min/count/sum) with
-    * map-side partials. Boilerplate-heavy shingles skew the first-owner
-    * aggregate's key space, but min is partial-aggregated before the
-    * shuffle so hot keys combine map-side.
+    * Plan shape: the exploded (doc, shingle) relation is aggregated
+    * exactly twice — a vocabulary-keyed min for first owners and a
+    * per-doc count — and n_novel comes from COUNTING THE FIRST-OWNER
+    * AGGREGATE ITSELF (each shingle has exactly one first owner, so
+    * grouping the vocabulary-sized owner table by owner yields the
+    * per-doc novel count); the exploded corpus is never joined back
+    * against the vocabulary. Two corpus-scale linear shuffles, then only
+    * aggregate-sized data moves (a vocabulary-keyed count and a
+    * doc-keyed join). All aggregates are monoids (min/count) with
+    * map-side partials, so boilerplate-hot shingle keys combine before
+    * the shuffle.
     */
   def novelty(docs: DataFrame, shingleLen: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val sh = docs.select(col(id),
       explode(graft.dedup.Dedup.shingles(col(text), shingleLen)).as("sh"))
-    val first = sh.groupBy("sh").agg(min(col(id)).as("__first"))
-    sh.join(first, Seq("sh"))
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum((col(id) === col("__first")).cast("long")).as("n_novel"))
+    val novel = sh.groupBy("sh").agg(min(col(id)).as("__first"))
+      .groupBy(col("__first").as(id))
+      .agg(count(lit(1)).as("__n_novel"))
+    sh.groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq(id), "left")
+      .withColumn("n_novel", coalesce(col("__n_novel"), lit(0L)))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .select(col(id), col("n_shingles"), col("n_novel"), col("novelty"))
   }
 
   /** Weighted source mixing — the mixture-construction step that turns

@@ -131,6 +131,14 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
       assert(direct === long, s"rowsPerBand=$rpb")
     }
+    // k > 100: h crosses the 2-digit width inside a band (h = 99..101 in
+    // band 33) — a 2-char pad would lpad-TRUNCATE "100" to "10" in the
+    // long form while the direct form kept "100", silently diverging
+    val long102 = Dedup.lshBuckets(Dedup.minhash(docs, 102, 3), 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val direct102 = Dedup.lshBucketsDirect(docs, 102, 3, 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(direct102 === long102)
   }
 
   test("LSH: oversized buckets degrade to hub-stars, cluster recall kept") {
@@ -244,7 +252,8 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(out((1L, 1L)) === (("rare", 1L, 1L)))
     assert(out((1L, 2L)) === (("mid", 1L, 2L)))
-    // doc 3: tf=2 of the ubiquitous token still scores > 0 (smoothed idf)
+    // doc 3: the ubiquitous token (df = N → idf exactly 0) still ranks,
+    // because rank orders within the doc rather than gating on score
     assert(out((3L, 1L)) === (("common", 2L, 3L)))
     // k=2 truncation: no rank 3 anywhere
     assert(out.keys.forall(_._2 <= 2L))
