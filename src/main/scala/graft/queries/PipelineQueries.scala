@@ -65,6 +65,10 @@ object PipelineQueries {
   }
   // prototype pruning keeps the hardest 75% per label (¾ is float-exact)
   private val KeepFrac = 0.75
+  // k-means: k seeds, fixed Lloyd iterations (bounded, reproducible —
+  // the oracle unrolls the same two iterations relationally)
+  private val KmeansK = 8
+  private val KmeansIters = 2
 
   private def piiCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
@@ -206,6 +210,19 @@ object PipelineQueries {
       TextOps.novelty(
         Tables.documents(s, dir).select("doc_id", "text"), ShingleLen)),
 
+    // per-source boilerplate n-grams: top-k shingles by within-source
+    // document frequency — the removal-dictionary miner
+    "x13_boilerplate_ngrams" -> ((s, dir) =>
+      TextOps.boilerplateNgrams(
+        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        TfidfK, ShingleLen)),
+
+    // per-source token-length percentile gate: DISC thresholds via
+    // integer rank arithmetic over a length histogram
+    "x14_length_gate" -> ((s, dir) =>
+      TextOps.lengthGate(
+        Tables.documents(s, dir).select("doc_id", "text", "source"))),
+
     // deterministic training-shard layout: md5-hash shard + within-shard
     // position — the engine-portable "global shuffle" a training run reads
     "x9_shard_assign" -> ((s, dir) =>
@@ -281,6 +298,14 @@ object PipelineQueries {
         Tables.embeddings(s, dir).select("vec_id", "label", "embedding"),
         KeepFrac)),
 
+    // k-means (fixed Lloyd iterations): the semantic-dedup / topic-
+    // balancing clustering stage — assignment is a pure projection
+    // (centroids ride as one broadcast array row), the only corpus-scale
+    // shuffle per iteration is the ≤ k·d-group mean aggregate
+    "v6_kmeans" -> ((s, dir) =>
+      Ann.kmeans(Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        KmeansK, KmeansIters)),
+
     // multimodal: typed metadata without decode
     "mm1_asset_meta" -> ((s, dir) =>
       Multimodal.assetMetadata(Tables.documents(s, dir))),
@@ -344,6 +369,14 @@ object PipelineQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
+
+  /** Σ (aᵢ−bᵢ)² with the same ordered-fold discipline as [[dotSql]] —
+    * mirrors `Ann.sqdist` op for op so distances are bit-identical.
+    */
+  private def sqdistSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), " +
+      s"(x, y) -> x + y)"
 
   private val CorpusSql = """
     SELECT doc_id, text FROM documents
@@ -605,6 +638,34 @@ object PipelineQueries {
         sum(CASE WHEN s.doc_id = f.fst THEN 1 ELSE 0 END)::BIGINT::DOUBLE
           / count(*)::DOUBLE AS novelty
       FROM sh s JOIN first f USING (sh) GROUP BY 1""",
+
+    "x13_boilerplate_ngrams" -> s"""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        FROM documents),
+      idx AS (SELECT doc_id, source, tk,
+        unnest(generate_series(1, len(tk) - ${ShingleLen - 1})) AS i
+        FROM toks WHERE len(tk) >= $ShingleLen),
+      sh AS (SELECT DISTINCT doc_id, source,
+        array_to_string(tk[i:i + ${ShingleLen - 1}], ' ') AS sh FROM idx),
+      df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
+      r AS (SELECT source, sh, df, row_number() OVER (
+          PARTITION BY source ORDER BY df DESC, sh) AS rnk FROM df)
+      SELECT source, sh, df, rnk FROM r WHERE rnk <= $TfidfK""",
+
+    "x14_length_gate" -> """
+      WITH t AS (SELECT doc_id, source,
+        len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+      hist AS (SELECT source, n_tokens, count(*) AS c FROM t GROUP BY 1, 2),
+      cum AS (SELECT source, n_tokens,
+        sum(c) OVER (PARTITION BY source ORDER BY n_tokens)::BIGINT AS cum,
+        sum(c) OVER (PARTITION BY source)::BIGINT AS n FROM hist),
+      th AS (SELECT source,
+        min(CASE WHEN cum >= (5 * n + 99) // 100 THEN n_tokens END) AS lo,
+        min(CASE WHEN cum >= (95 * n + 99) // 100 THEN n_tokens END) AS hi
+        FROM cum GROUP BY 1)
+      SELECT t.doc_id, t.n_tokens, th.lo, th.hi,
+        t.n_tokens BETWEEN th.lo AND th.hi AS keep
+      FROM t JOIN th USING (source)""",
 
     "x1_text_quality" -> """
       WITH f AS (SELECT doc_id,
@@ -887,6 +948,54 @@ object PipelineQueries {
         rnk <= CAST(ceil(CAST($KeepFrac AS DOUBLE) * cnt::DOUBLE) AS BIGINT)
           AS keep
       FROM r""",
+
+    // two Lloyd iterations unrolled relationally: argmin = row_number
+    // over (distance, cid) — the same lexicographic order as the
+    // engine's struct array_min; means use the identical fixed-point
+    // decimal discipline, so every iteration starts from bit-identical
+    // centroids in both engines
+    "v6_kmeans" -> s"""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      cen0 AS (SELECT vec_id AS cid, embedding AS cen FROM v
+        ORDER BY vec_id LIMIT $KmeansK),
+      d0 AS (SELECT v.vec_id, c.cid,
+          ${sqdistSql("v.embedding", "c.cen")} AS d
+        FROM v CROSS JOIN cen0 c),
+      a0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0)
+        WHERE rn = 1),
+      q0 AS (SELECT a.cid,
+          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
+          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
+            AS xq
+        FROM v JOIN a0 a USING (vec_id)),
+      m0 AS (SELECT cid, dim,
+          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+            / ${Ann.CentroidScale} AS w
+        FROM q0 GROUP BY 1, 2),
+      cen1 AS (SELECT cid, list(w ORDER BY dim) AS cen FROM m0 GROUP BY 1),
+      d1 AS (SELECT v.vec_id, c.cid,
+          ${sqdistSql("v.embedding", "c.cen")} AS d
+        FROM v CROSS JOIN cen1 c),
+      a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      q1 AS (SELECT a.cid,
+          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
+          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
+            AS xq
+        FROM v JOIN a1 a USING (vec_id)),
+      m1 AS (SELECT cid, dim,
+          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+            / ${Ann.CentroidScale} AS w
+        FROM q1 GROUP BY 1, 2),
+      cen2 AS (SELECT cid, list(w ORDER BY dim) AS cen FROM m1 GROUP BY 1),
+      d2 AS (SELECT v.vec_id, c.cid,
+          ${sqdistSql("v.embedding", "c.cen")} AS d
+        FROM v CROSS JOIN cen2 c)
+      SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid, row_number()
+          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+      WHERE rn = 1""",
 
     "mm1_asset_meta" -> """
       SELECT doc_id AS asset_id,

@@ -28,6 +28,17 @@ object Ann {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Σ (aᵢ−bᵢ)² as a sequential fold in double precision — the same
+    * ordered-fold discipline as [[dot]], so two engines executing the
+    * identical IEEE op sequence produce bit-identical distances.
+    */
+  def sqdist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (sqrt(normA) * sqrt(normB))
 
@@ -285,5 +296,66 @@ object Ann {
       .withColumn("keep", col("rnk") <=
         ceil(lit(keepFrac) * col("__cnt").cast("double")).cast("long"))
       .select(col("vec_id"), col(group), col("cos_sim"), col("keep"))
+  }
+
+  /** Fixed-iteration Lloyd k-means over the embedding corpus — the
+    * clustering stage behind semantic dedup (SemDeDup partitions the
+    * corpus into k-means cells before pairwise comparison), topic
+    * balancing, and cluster-aware sampling. Deterministic and
+    * engine-exact by construction:
+    *  - seeds are the k smallest ids; the CLUSTER LABEL IS THE SEED's id
+    *    (no ranking window needed, stable in any engine);
+    *  - every distance is [[sqdist]]'s ordered IEEE fold, so both engines
+    *    compare bit-identical doubles; argmin ties break on the smaller
+    *    cluster id (lexicographic struct-min = the oracle's
+    *    ORDER BY d, cid);
+    *  - each update re-quantizes the mean on the [[CentroidScale]]
+    *    fixed-point grid (exact integer DECIMAL sums, order-independent),
+    *    so iteration i+1 starts from bit-identical centroids in any
+    *    engine and under any partitioning.
+    * Clusters emptied by a round drop out (their seed id stops
+    * appearing); both engines agree because the update is an inner
+    * aggregate over the same assignment.
+    *
+    * Plan shape per iteration: the k centroids ride as ONE array-of-
+    * structs row (k·d doubles — k-bounded by the caller, so the
+    * broadcast hint is safe), which makes ASSIGNMENT A PURE PROJECTION —
+    * an `array_min` over the k (distance, cid) structs per row, zero
+    * shuffle. The only corpus-scale shuffle per iteration is the
+    * (cluster, dim) mean aggregate, and it partial-aggregates to ≤ k·d
+    * groups map-side. `iters` is a small fixed constant — a bounded,
+    * reproducible pipeline stage, not convergence hunting; at 100 TB
+    * each extra iteration is one more corpus scan.
+    */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int,
+      id: String = "vec_id"): DataFrame = {
+    val v = vectors.select(col(id), col("embedding"))
+    // one row: array of (cid, cen) structs; array_min below is
+    // order-insensitive, so collect_list's nondeterministic order is fine
+    val seed = v.orderBy(col(id)).limit(k)
+      .select(col(id).as("cid"), col("embedding").cast("array<double>").as("cen"))
+      .agg(collect_list(struct(col("cid"), col("cen"))).as("__cens"))
+    def assign(cens: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cens))
+        .withColumn("__m", array_min(transform(col("__cens"),
+          c => struct(sqdist(col("embedding"), c.getField("cen")).as("d"),
+            c.getField("cid").as("cid")))))
+        .select(col(id), col("__m.cid").as("cid"), col("embedding"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("cid"), col("d"),
+          floor(col("x").cast("double") * CentroidScale).as("xq"))
+        .groupBy(col("cid"), col("d"))
+        .agg((sum(col("xq").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)) / CentroidScale).as("w"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
+          e => e.getField("w")).as("cen"))
+        .agg(collect_list(struct(col("cid"), col("cen"))).as("__cens"))
+    val finalCens = (1 to iters).foldLeft(seed) { (cens, _) =>
+      update(assign(cens))
+    }
+    assign(finalCens).select(col(id), col("cid").as("cluster"))
   }
 }

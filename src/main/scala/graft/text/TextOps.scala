@@ -342,4 +342,74 @@ object TextOps {
         ceil(col("__w") * col("__cnt").cast("double")).cast("long"))
       .select(col(id), col(source), col("rnk"))
   }
+
+  /** Per-source boilerplate n-gram mining — the highest-document-frequency
+    * n-grams inside each source (site templates, navigation chrome,
+    * licence text) that a curation pipeline strips or feeds into a
+    * removal dictionary (the CCNet/RefinedWeb practice). df counts
+    * DISTINCT owning docs per (source, shingle) — `shingles` is already a
+    * per-doc distinct set — and rank orders df descending with the
+    * shingle string as the deterministic tie-break; every output column
+    * is an integer or string, so the result is engine-exact.
+    *
+    * Plan shape: ONE corpus-scale exploded aggregate keyed
+    * (source, shingle) — hot boilerplate shingles are exactly the keys
+    * being counted, and count is a monoid so they combine map-side —
+    * then a per-source top-k window over the vocabulary-sized df
+    * relation, never the corpus.
+    */
+  def boilerplateNgrams(docs: DataFrame, k: Int, shingleLen: Int,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val sh = docs.select(col(source),
+      explode(graft.dedup.Dedup.shingles(col(text), shingleLen)).as("sh"))
+    val df = sh.groupBy(col(source), col("sh")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(source).orderBy(col("df").desc, col("sh"))
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(source), col("sh"), col("df"), col("rnk"))
+  }
+
+  /** Per-source document-length percentile gate — drop the tails of each
+    * source's token-count distribution (truncated pages, concatenation
+    * artifacts), the standard per-source length filter a curation
+    * pipeline applies before dedup. Thresholds use DISC (rank-based)
+    * percentile semantics made explicit: the p-th threshold is the
+    * smallest length whose cumulative doc count reaches
+    * ceil(p·n/100), computed in INTEGER arithmetic ((p·n + 99) div 100)
+    * so both engines agree exactly; output is integers + a boolean, so
+    * the gate is engine-exact end to end.
+    *
+    * Plan shape: the corpus reduces to a per-(source, length) HISTOGRAM
+    * first (one linear shuffle, count partials map-side); the cumulative
+    * window and threshold extraction run over the histogram — source ×
+    * distinct-lengths rows, aggregate-small — never a per-doc ranking
+    * window (a corpus-scale row_number per source would serialize each
+    * source through one reducer at 100 TB). The threshold dim joins back
+    * source-keyed with no hint; AQE broadcasts it.
+    */
+  def lengthGate(docs: DataFrame, pLoPct: Int = 5, pHiPct: Int = 95,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val toks = docs.select(col(id), col(source),
+      size(graft.dedup.Dedup.tokens(col(text))).cast("long").as("n_tokens"))
+    val hist = toks.groupBy(col(source), col("n_tokens"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(source).orderBy("n_tokens")
+    val th = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(source)))
+      .withColumn("__lo_r", expr(s"($pLoPct * __n + 99) DIV 100"))
+      .withColumn("__hi_r", expr(s"($pHiPct * __n + 99) DIV 100"))
+      .groupBy(col(source))
+      .agg(min(when(col("__cum") >= col("__lo_r"), col("n_tokens"))).as("lo"),
+        min(when(col("__cum") >= col("__hi_r"), col("n_tokens"))).as("hi"))
+    toks.join(th, Seq(source))
+      .select(col(id), col("n_tokens"), col("lo"), col("hi"),
+        (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+          .as("keep"))
+  }
 }

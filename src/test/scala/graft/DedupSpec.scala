@@ -277,6 +277,46 @@ class DedupSpec extends SparkSpec {
       3L -> ((2L, 1L, 0.5))))
   }
 
+  test("boilerplateNgrams: within-source df ranking, shingle tie-break, " +
+    "sources independent, k truncates") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "a b c x1 y1 z1", "s1"),
+      (2L, "a b c x2 y2 z2", "s1"),
+      (3L, "a b c x3 y3 z3", "s1"),
+      (4L, "q r s t u v", "s2")).toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateNgrams(docs, 2, 3).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // "a b c" is owned by all 3 s1 docs; every other s1 shingle has df=1,
+    // so rank 2 falls to the lexicographically smallest of them
+    assert(out(("s1", 1L)) === (("a b c", 3L)))
+    assert(out(("s1", 2L)) === (("b c x1", 1L)))
+    // s2 ranks its own shingles, unaffected by s1's counts
+    assert(out(("s2", 1L)) === (("q r s", 1L)))
+    assert(out(("s2", 2L)) === (("r s t", 1L)))
+    assert(out.keys.forall(_._2 <= 2L))
+  }
+
+  test("lengthGate: DISC thresholds per source, tails cut, boundary and " +
+    "single-doc source kept") {
+    import graft.text.TextOps
+    // s1: lengths 1..20 → lo rank ceil(5%·20)=1 → lo=1; hi rank
+    // ceil(95%·20)=19 → hi=19; only the length-20 doc is dropped
+    val docs = (1L to 20L).map(i => (i, ("w " * i.toInt).trim, "s1")) :+
+      ((100L, "a b", "s2"))
+    val out = TextOps.lengthGate(docs.toDF("doc_id", "text", "source"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) === ((1L, 1L, 19L, true)))
+    assert(out(19L) === ((19L, 1L, 19L, true)))
+    assert(out(20L) === ((20L, 1L, 19L, false)))
+    // single-doc source: both thresholds collapse to its own length
+    assert(out(100L) === ((2L, 2L, 2L, true)))
+  }
+
   test("sequencePack: per-shard two-pass matches the global prefix sum " +
     "for any shard count; empty corpus yields empty output") {
     import graft.text.TextOps
@@ -374,6 +414,27 @@ class DedupSpec extends SparkSpec {
     assert(w((1, 0L)) === -1.0 && w((1, 1L)) === 0.5)
     assert(centroids(vecs.repartition(7)) === w,
       "fixed-point accumulation is order-independent")
+  }
+
+  test("kmeans: groups separate around their seeds; label = seed id; " +
+    "deterministic under repartitioning") {
+    import graft.similarity.Ann
+    // ids interleave the two tight groups so the k=2 seeds (smallest two
+    // ids: 1 and 2) land one in each group — Lloyd then separates them
+    // in the first assignment and stays converged
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.1f)), (3L, Array(0.2f, 0.0f)),
+      (5L, Array(0.1f, 0.1f)),
+      (2L, Array(10.0f, 10.1f)), (4L, Array(10.2f, 10.0f)),
+      (6L, Array(9.9f, 10.0f))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.kmeans(df, 2, 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(vecs)
+    assert(got === Map(1L -> 1L, 3L -> 1L, 5L -> 1L,
+      2L -> 2L, 4L -> 2L, 6L -> 2L))
+    assert(run(vecs.repartition(5)) === got,
+      "fixed-point centroid updates make iterations order-independent")
   }
 
   test("prototypePrune keeps the hardest ceil(keepFrac·n) per group") {
