@@ -133,6 +133,16 @@ object PipelineQueries {
       Ann.cosineNearDupPairs(corpus, 0.9)
     }),
 
+    // SemDeDup: k-means cells bound the pairwise work instead of SRP
+    // buckets — same planted positives as d6 (exact copies always share
+    // a cell, so their pairs are guaranteed)
+    "d9_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = emb.unionByName(emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000))
+      Ann.semdedup(corpus, KmeansK, KmeansIters, 0.9)
+    }),
+
     // benchmark decontamination: training docs sharing any 5-gram with
     // the held-out benchmark slice, with overlap counts; planted
     // contaminated copies guarantee positives at every SF
@@ -377,6 +387,53 @@ object PipelineQueries {
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), " +
       s"(x, y) -> x + y)"
+
+  /** CTE chain from a `v(vec_id, embedding)` relation to `asg(vec_id,
+    * cid)`: two unrolled Lloyd iterations mirroring `Ann.kmeans` — seed
+    * cells from the k smallest ids, argmin by (distance, cid), means on
+    * the fixed-point decimal grid. Shared by the v6 and d9 oracles.
+    */
+  private def kmeansChainSql(k: Int): String = s"""
+      cen0 AS (SELECT vec_id AS cid, embedding AS cen FROM v
+        ORDER BY vec_id LIMIT $k),
+      d0 AS (SELECT v.vec_id, c.cid,
+          ${sqdistSql("v.embedding", "c.cen")} AS d
+        FROM v CROSS JOIN cen0 c),
+      a0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0)
+        WHERE rn = 1),
+      q0 AS (SELECT a.cid,
+          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
+          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
+            AS xq
+        FROM v JOIN a0 a USING (vec_id)),
+      m0 AS (SELECT cid, dim,
+          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+            / ${Ann.CentroidScale} AS w
+        FROM q0 GROUP BY 1, 2),
+      cen1 AS (SELECT cid, list(w ORDER BY dim) AS cen FROM m0 GROUP BY 1),
+      d1 AS (SELECT v.vec_id, c.cid,
+          ${sqdistSql("v.embedding", "c.cen")} AS d
+        FROM v CROSS JOIN cen1 c),
+      a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      q1 AS (SELECT a.cid,
+          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
+          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
+            AS xq
+        FROM v JOIN a1 a USING (vec_id)),
+      m1 AS (SELECT cid, dim,
+          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+            / ${Ann.CentroidScale} AS w
+        FROM q1 GROUP BY 1, 2),
+      cen2 AS (SELECT cid, list(w ORDER BY dim) AS cen FROM m1 GROUP BY 1),
+      d2 AS (SELECT v.vec_id, c.cid,
+          ${sqdistSql("v.embedding", "c.cen")} AS d
+        FROM v CROSS JOIN cen2 c),
+      asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+        WHERE rn = 1)"""
 
   private val CorpusSql = """
     SELECT doc_id, text FROM documents
@@ -956,46 +1013,22 @@ object PipelineQueries {
     // centroids in both engines
     "v6_kmeans" -> s"""
       WITH v AS (SELECT vec_id, embedding FROM embeddings),
-      cen0 AS (SELECT vec_id AS cid, embedding AS cen FROM v
-        ORDER BY vec_id LIMIT $KmeansK),
-      d0 AS (SELECT v.vec_id, c.cid,
-          ${sqdistSql("v.embedding", "c.cen")} AS d
-        FROM v CROSS JOIN cen0 c),
-      a0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
-          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0)
-        WHERE rn = 1),
-      q0 AS (SELECT a.cid,
-          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
-          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
-            AS xq
-        FROM v JOIN a0 a USING (vec_id)),
-      m0 AS (SELECT cid, dim,
-          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
-            / ${Ann.CentroidScale} AS w
-        FROM q0 GROUP BY 1, 2),
-      cen1 AS (SELECT cid, list(w ORDER BY dim) AS cen FROM m0 GROUP BY 1),
-      d1 AS (SELECT v.vec_id, c.cid,
-          ${sqdistSql("v.embedding", "c.cen")} AS d
-        FROM v CROSS JOIN cen1 c),
-      a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
-          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
-        WHERE rn = 1),
-      q1 AS (SELECT a.cid,
-          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
-          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
-            AS xq
-        FROM v JOIN a1 a USING (vec_id)),
-      m1 AS (SELECT cid, dim,
-          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
-            / ${Ann.CentroidScale} AS w
-        FROM q1 GROUP BY 1, 2),
-      cen2 AS (SELECT cid, list(w ORDER BY dim) AS cen FROM m1 GROUP BY 1),
-      d2 AS (SELECT v.vec_id, c.cid,
-          ${sqdistSql("v.embedding", "c.cen")} AS d
-        FROM v CROSS JOIN cen2 c)
-      SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid, row_number()
-          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
-      WHERE rn = 1""",
+      ${kmeansChainSql(KmeansK)}
+      SELECT vec_id, cid AS cluster FROM asg""",
+
+    "d9_semdedup" -> s"""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20),
+      ${kmeansChainSql(KmeansK)},
+      cv AS (SELECT v.vec_id, v.embedding, a.cid
+        FROM v JOIN asg a USING (vec_id))
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ${dotSql("a.embedding", "b.embedding")} /
+          (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+           sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos_sim
+      FROM cv a JOIN cv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE cos_sim >= 0.9""",
 
     "mm1_asset_meta" -> """
       SELECT doc_id AS asset_id,

@@ -328,7 +328,15 @@ object Ann {
     * each extra iteration is one more corpus scan.
     */
   def kmeans(vectors: DataFrame, k: Int, iters: Int,
-      id: String = "vec_id"): DataFrame = {
+      id: String = "vec_id"): DataFrame =
+    kmeansAssign(vectors, k, iters, id)
+      .select(col(id), col("cid").as("cluster"))
+
+  /** [[kmeans]] keeping each row's embedding alongside its final cell —
+    * the form [[semdedup]] consumes without re-joining the corpus.
+    */
+  private def kmeansAssign(vectors: DataFrame, k: Int, iters: Int,
+      id: String): DataFrame = {
     val v = vectors.select(col(id), col("embedding"))
     // one row: array of (cid, cen) structs; array_min below is
     // order-insensitive, so collect_list's nondeterministic order is fine
@@ -356,6 +364,38 @@ object Ann {
     val finalCens = (1 to iters).foldLeft(seed) { (cens, _) =>
       update(assign(cens))
     }
-    assign(finalCens).select(col(id), col("cid").as("cluster"))
+    assign(finalCens)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space
+    * near-duplicate PAIRS found by clustering the corpus into k-means
+    * cells and comparing pairs only WITHIN a cell — the published recipe
+    * for web-scale semantic dedup, where the cell structure (not random
+    * hyperplanes) bounds the quadratic. Exact duplicates always share a
+    * cell (identical vectors assign identically), so exact-dup recall is
+    * total; cross-cell near-dups are deliberately out of scope — that
+    * recall/cost trade IS the method ([[cosineNearDupPairs]] is the
+    * SRP-bucketed alternative with the complementary trade).
+    *
+    * Scale shape: one k-means chain (projection assignment), then a
+    * self-join keyed on the cell id — quadratic only within a cell. At
+    * 100 TB, k grows with the corpus (cells stay ~constant-sized), the
+    * join shuffles each row once on its cell key, and cosine is the
+    * ordered IEEE fold — engine-exact, like every distance here.
+    */
+  def semdedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
+      id: String = "vec_id"): DataFrame = {
+    val a = kmeansAssign(vectors, k, iters, id)
+      .withColumn("__n2", norm2(col("embedding")))
+    val l = a.select(col("cid"), col(id).as("vec_a"),
+      col("embedding").as("__ea"), col("__n2").as("__na"))
+    val r = a.select(col("cid").as("__rcid"), col(id).as("vec_b"),
+      col("embedding").as("__eb"), col("__n2").as("__nb"))
+    l.join(r, col("cid") === col("__rcid") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        cosine(col("__ea"), col("__eb"), col("__na"), col("__nb")))
+      .where(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
   }
 }

@@ -437,6 +437,23 @@ class DedupSpec extends SparkSpec {
       "fixed-point centroid updates make iterations order-independent")
   }
 
+  test("semdedup: near-identical vectors pair within their cell; " +
+    "orthogonal vectors never pair") {
+    import graft.similarity.Ann
+    // two direction-clusters seeded by ids 1 and 2; id 11 is an exact
+    // copy of id 1 — every within-cell near-parallel pair surfaces,
+    // cross-direction cosines are ~0 and stay below the threshold
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (3L, Array(1.02f, 0.0f)),
+      (11L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.03f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.semdedup(vecs, 2, 2, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set((1L, 3L), (1L, 11L), (3L, 11L), (2L, 4L)))
+    assert(got.values.forall(_ > 0.999))
+  }
+
   test("prototypePrune keeps the hardest ceil(keepFrac·n) per group") {
     import graft.similarity.Ann
     // three prototypical vectors (cos=+1 to the centroid) and one hard
