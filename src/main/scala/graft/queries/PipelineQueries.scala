@@ -389,51 +389,42 @@ object PipelineQueries {
       s"(x, y) -> x + y)"
 
   /** CTE chain from a `v(vec_id, embedding)` relation to `asg(vec_id,
-    * cid)`: two unrolled Lloyd iterations mirroring `Ann.kmeans` — seed
-    * cells from the k smallest ids, argmin by (distance, cid), means on
-    * the fixed-point decimal grid. Shared by the v6 and d9 oracles.
+    * cid)`: `iters` unrolled Lloyd iterations mirroring `Ann.kmeans` —
+    * seed cells from the k smallest ids, argmin by (distance, cid),
+    * means on the fixed-point decimal grid. Generated from the SAME
+    * iteration count the Spark side receives, so bumping `KmeansIters`
+    * cannot silently desynchronize the two. Shared by v6 and d9.
     */
-  private def kmeansChainSql(k: Int): String = s"""
-      cen0 AS (SELECT vec_id AS cid, embedding AS cen FROM v
-        ORDER BY vec_id LIMIT $k),
-      d0 AS (SELECT v.vec_id, c.cid,
-          ${sqdistSql("v.embedding", "c.cen")} AS d
-        FROM v CROSS JOIN cen0 c),
-      a0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
-          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0)
-        WHERE rn = 1),
-      q0 AS (SELECT a.cid,
-          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
-          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
-            AS xq
-        FROM v JOIN a0 a USING (vec_id)),
-      m0 AS (SELECT cid, dim,
-          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
-            / ${Ann.CentroidScale} AS w
-        FROM q0 GROUP BY 1, 2),
-      cen1 AS (SELECT cid, list(w ORDER BY dim) AS cen FROM m0 GROUP BY 1),
-      d1 AS (SELECT v.vec_id, c.cid,
-          ${sqdistSql("v.embedding", "c.cen")} AS d
-        FROM v CROSS JOIN cen1 c),
-      a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
-          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
-        WHERE rn = 1),
-      q1 AS (SELECT a.cid,
-          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
-          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
-            AS xq
-        FROM v JOIN a1 a USING (vec_id)),
-      m1 AS (SELECT cid, dim,
-          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
-            / ${Ann.CentroidScale} AS w
-        FROM q1 GROUP BY 1, 2),
-      cen2 AS (SELECT cid, list(w ORDER BY dim) AS cen FROM m1 GROUP BY 1),
-      d2 AS (SELECT v.vec_id, c.cid,
-          ${sqdistSql("v.embedding", "c.cen")} AS d
-        FROM v CROSS JOIN cen2 c),
-      asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
-          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+  private def kmeansChainSql(k: Int, iters: Int): String = {
+    def argminCte(name: String, dist: String) = s"""
+      $name AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+          OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $dist)
         WHERE rn = 1)"""
+    def distCte(name: String, cen: String) = s"""
+      $name AS (SELECT v.vec_id, c.cid,
+          ${sqdistSql("v.embedding", "c.cen")} AS d
+        FROM v CROSS JOIN $cen c)"""
+    val rounds = (0 until iters).map { i =>
+      s"""${distCte(s"d$i", s"cen$i")},
+      ${argminCte(s"a$i", s"d$i")},
+      q$i AS (SELECT a.cid,
+          CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
+          floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
+            AS xq
+        FROM v JOIN a$i a USING (vec_id)),
+      m$i AS (SELECT cid, dim,
+          CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+            / ${Ann.CentroidScale} AS w
+        FROM q$i GROUP BY 1, 2),
+      cen${i + 1} AS (SELECT cid, list(w ORDER BY dim) AS cen
+        FROM m$i GROUP BY 1),"""
+    }.mkString
+    s"""
+      cen0 AS (SELECT vec_id AS cid, embedding AS cen FROM v
+        ORDER BY vec_id LIMIT $k),$rounds
+      ${distCte("dF", s"cen$iters")},
+      ${argminCte("asg", "dF")}"""
+  }
 
   private val CorpusSql = """
     SELECT doc_id, text FROM documents
@@ -1013,14 +1004,14 @@ object PipelineQueries {
     // centroids in both engines
     "v6_kmeans" -> s"""
       WITH v AS (SELECT vec_id, embedding FROM embeddings),
-      ${kmeansChainSql(KmeansK)}
+      ${kmeansChainSql(KmeansK, KmeansIters)}
       SELECT vec_id, cid AS cluster FROM asg""",
 
     "d9_semdedup" -> s"""
       WITH v AS (SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20),
-      ${kmeansChainSql(KmeansK)},
+      ${kmeansChainSql(KmeansK, KmeansIters)},
       cv AS (SELECT v.vec_id, v.embedding, a.cid
         FROM v JOIN asg a USING (vec_id))
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -157,12 +157,8 @@ object Ann {
     * deterministic (dist, c) tiebreak.
     */
   def assignCells(vectors: DataFrame, cells: DataFrame): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("embedding"), col("cen"),
-        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
-      lit(0.0), (acc, x) => acc + x)
     vectors.crossJoin(broadcast(cells))
-      .withColumn("dist", dist)
+      .withColumn("dist", sqdist(col("embedding"), col("cen")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist").as("dd"), col("c").as("c")))
         .getField("c").as("c"),
@@ -206,13 +202,9 @@ object Ann {
   }
 
   /** All (vector, cell) distances — the probe-ranking input. */
-  private def assignCellsAll(vectors: DataFrame, cells: DataFrame): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("embedding"), col("cen"),
-        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
-      lit(0.0), (acc, x) => acc + x)
-    vectors.crossJoin(broadcast(cells)).withColumn("dist", dist)
-  }
+  private def assignCellsAll(vectors: DataFrame, cells: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cells))
+      .withColumn("dist", sqdist(col("embedding"), col("cen")))
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join (only
     * same-bucket vectors are compared — linear in bucket sizes, never
@@ -349,14 +341,10 @@ object Ann {
           c => struct(sqdist(col("embedding"), c.getField("cen")).as("d"),
             c.getField("cid").as("cid")))))
         .select(col(id), col("__m.cid").as("cid"), col("embedding"))
+    // the mean IS groupCentroids keyed by cell — one fixed-point
+    // discipline, not a re-implementation the oracle could drift from
     def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .select(col("cid"), col("d"),
-          floor(col("x").cast("double") * CentroidScale).as("xq"))
-        .groupBy(col("cid"), col("d"))
-        .agg((sum(col("xq").cast("decimal(38,0)")).cast("double") /
-          count(lit(1)) / CentroidScale).as("w"))
+      groupCentroids(assigned.select(col("cid"), col("embedding")), "cid")
         .groupBy(col("cid"))
         .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
           e => e.getField("w")).as("cen"))
@@ -386,8 +374,13 @@ object Ann {
     */
   def semdedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
       id: String = "vec_id"): DataFrame = {
+    // materialize the assignment ONCE at the cluster→pair boundary: both
+    // self-join sides reuse it instead of re-running the k-means chain's
+    // corpus scans and k·d distance folds per side (the same pipeline-
+    // boundary checkpoint discipline as the LSH→verify stage)
     val a = kmeansAssign(vectors, k, iters, id)
       .withColumn("__n2", norm2(col("embedding")))
+      .localCheckpoint(true)
     val l = a.select(col("cid"), col(id).as("vec_a"),
       col("embedding").as("__ea"), col("__n2").as("__na"))
     val r = a.select(col("cid").as("__rcid"), col(id).as("vec_b"),

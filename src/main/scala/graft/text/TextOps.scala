@@ -355,20 +355,23 @@ object TextOps {
     * Plan shape: ONE corpus-scale exploded aggregate keyed
     * (source, shingle) — hot boilerplate shingles are exactly the keys
     * being counted, and count is a monoid so they combine map-side —
-    * then a per-source top-k window over the vocabulary-sized df
-    * relation, never the corpus.
+    * then a bounded-state [[TopNgramsAgg]] per source: the df relation
+    * is a source's whole shingle vocabulary (corpus-scale, NOT
+    * aggregate-small), so a per-source ranking window would serialize
+    * it through one reducer; the aggregator ships at most k entries per
+    * map task instead.
     */
   def boilerplateNgrams(docs: DataFrame, k: Int, shingleLen: Int,
-      id: String = "doc_id", text: String = "text",
-      source: String = "source"): DataFrame = {
+      text: String = "text", source: String = "source"): DataFrame = {
     val sh = docs.select(col(source),
       explode(graft.dedup.Dedup.shingles(col(text), shingleLen)).as("sh"))
     val df = sh.groupBy(col(source), col("sh")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(source).orderBy(col("df").desc, col("sh"))
-    df.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col(source), col("sh"), col("df"), col("rnk"))
+    val topk = udaf(new TopNgramsAgg(k))
+    df.groupBy(col(source))
+      .agg(topk(col("df"), col("sh")).as("__top"))
+      .select(col(source), posexplode(col("__top")))
+      .select(col(source), col("col.sh").as("sh"), col("col.df").as("df"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Per-source document-length percentile gate — drop the tails of each
@@ -396,8 +399,11 @@ object TextOps {
       size(graft.dedup.Dedup.tokens(col(text))).cast("long").as("n_tokens"))
     val hist = toks.groupBy(col(source), col("n_tokens"))
       .agg(count(lit(1)).as("__c"))
+    // NULLS LAST matches DuckDB's ASC default: a null-text histogram row
+    // (n_tokens null) must not inflate every cumulative count from the
+    // front the way Spark's nulls-first default would
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(source).orderBy("n_tokens")
+      .partitionBy(source).orderBy(col("n_tokens").asc_nulls_last)
     val th = hist
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__n", sum(col("__c")).over(
