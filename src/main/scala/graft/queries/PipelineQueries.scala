@@ -69,6 +69,10 @@ object PipelineQueries {
   // the oracle unrolls the same two iterations relationally)
   private val KmeansK = 8
   private val KmeansIters = 2
+  // SemDeDup sizes its OWN cell count: pairwise work is ~n²/2k, so k
+  // scales with the corpus to keep cells (and the quadratic) bounded —
+  // 32 cells here vs the 8 of the generic clustering demo
+  private val SemK = 32
 
   private def piiCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
@@ -140,7 +144,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = emb.unionByName(emb.where(col("vec_id") < 20)
         .withColumn("vec_id", col("vec_id") + 100000))
-      Ann.semdedup(corpus, KmeansK, KmeansIters, 0.9)
+      Ann.semdedup(corpus, SemK, KmeansIters, 0.9)
     }),
 
     // benchmark decontamination: training docs sharing any 5-gram with
@@ -1011,7 +1015,7 @@ object PipelineQueries {
       WITH v AS (SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20),
-      ${kmeansChainSql(KmeansK, KmeansIters)},
+      ${kmeansChainSql(SemK, KmeansIters)},
       cv AS (SELECT v.vec_id, v.embedding, a.cid
         FROM v JOIN asg a USING (vec_id))
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
