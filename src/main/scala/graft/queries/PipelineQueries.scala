@@ -73,6 +73,11 @@ object PipelineQueries {
   // scales with the corpus to keep cells (and the quadratic) bounded —
   // 32 cells here vs the 8 of the generic clustering demo
   private val SemK = 32
+  // DSIR importance weights: two sources stand in for the curated seed
+  // ("target") corpus; the hashed feature space is fixed-size regardless
+  // of vocabulary, which is what makes the ratio table broadcast-safe
+  private val DsirTargets = Seq("src0", "src1")
+  private val DsirBuckets = 4096
 
   private def piiCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
@@ -236,6 +241,13 @@ object PipelineQueries {
     "x14_length_gate" -> ((s, dir) =>
       TextOps.lengthGate(
         Tables.documents(s, dir).select("doc_id", "text", "source"))),
+
+    // DSIR hashed importance weights: per-doc target-likeness score in
+    // scaled-integer arithmetic — the data-selection ranking signal
+    "x15_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(
+        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        DsirTargets, DsirBuckets)),
 
     // deterministic training-shard layout: md5-hash shard + within-shard
     // position — the engine-portable "global shuffle" a training run reads
@@ -718,6 +730,25 @@ object PipelineQueries {
       SELECT t.doc_id, t.n_tokens, th.lo, th.hi,
         t.n_tokens BETWEEN th.lo AND th.hi AS keep
       FROM t JOIN th USING (source)""",
+
+    "x15_dsir_weights" -> s"""
+      WITH tok AS (SELECT doc_id, source,
+        unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, source,
+        CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % $DsirBuckets
+          AS bucket, count(*) AS tf
+        FROM tok GROUP BY 1, 2, 3),
+      ratio AS (SELECT bucket, sum(tf)::BIGINT AS raw,
+          sum(CASE WHEN source IN ${DsirTargets
+            .mkString("('", "','", "')")} THEN tf ELSE 0 END)::BIGINT
+            AS tgt
+        FROM tf GROUP BY 1),
+      r AS (SELECT bucket, ((tgt + 1) * 1000000) // (raw + 1) AS r
+        FROM ratio),
+      w AS (SELECT doc_id, sum(tf * r)::BIGINT AS w
+        FROM tf JOIN r USING (bucket) GROUP BY 1)
+      SELECT d.doc_id, coalesce(w.w, 0)::BIGINT AS dsir_weight
+      FROM documents d LEFT JOIN w USING (doc_id)""",
 
     "x1_text_quality" -> """
       WITH f AS (SELECT doc_id,

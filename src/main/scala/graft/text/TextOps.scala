@@ -418,4 +418,52 @@ object TextOps {
         (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
           .as("keep"))
   }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-like its hashed unigram
+    * distribution is. Tokens hash into `buckets` fixed cells (md5-based,
+    * engine-portable like [[graft.dedup.Dedup]]'s signatures); each cell
+    * gets the add-one-smoothed occurrence ratio
+    * `((target + 1) · 10^6) div (raw + 1)` between the target sources
+    * and the whole corpus, and a document's weight is the tf-weighted
+    * sum of its cells' ratios. The published method uses log-ratios;
+    * the linear scaled-integer form keeps the SAME ranking intent
+    * (target-like mass up, generic mass down) with BIGINT-only
+    * arithmetic — `div` here and `//` in the oracle — so the result is
+    * engine-exact, reproducible, and auditable. Docs with no tokens
+    * surface with weight 0 rather than vanishing.
+    *
+    * Plan shape: ONE corpus-scale exploded aggregate builds the
+    * (doc, bucket, tf) relation; the ratio dimension aggregates THE TF
+    * RELATION (map-side partials collapse it to ≤ `buckets` rows per
+    * task — no second corpus pass) and is bucket-count-bounded, so the
+    * broadcast back onto tf is safe at ANY corpus size; the final
+    * per-doc sum is a doc-keyed monoid aggregate. At 100 TB: two linear
+    * shuffles plus a fixed-size broadcast — no pairwise work, no
+    * vocabulary-keyed join, no skew (bucket heat is capped by the hash).
+    */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String],
+      buckets: Int, id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val tf = docs.select(col(id), col(source),
+        explode(graft.dedup.Dedup.tokens(col(text))).as("token"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .groupBy(col(id), col(source), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val isTgt = col(source).isin(targetSources: _*)
+    val ratio = tf.groupBy("bucket")
+      .agg(sum(col("tf")).as("__raw"),
+        sum(when(isTgt, col("tf")).otherwise(0L)).as("__tgt"))
+      .withColumn("__r", expr("((__tgt + 1) * 1000000) DIV (__raw + 1)"))
+    val w = tf.join(broadcast(ratio.select(col("bucket"), col("__r"))),
+        Seq("bucket"))
+      .groupBy(col(id))
+      .agg(sum(col("tf") * col("__r")).as("__w"))
+    docs.select(col(id)).join(w, Seq(id), "left")
+      .withColumn("dsir_weight", coalesce(col("__w"), lit(0L)))
+      .select(col(id), col("dsir_weight"))
+  }
 }

@@ -469,4 +469,21 @@ class DedupSpec extends SparkSpec {
     assert(got(1L)._1 === 1.0)
     assert(got.filter(_._2._2).keySet === Set(4L, 1L))
   }
+
+  test("dsirWeights: add-one-smoothed scaled-integer importance ratios, " +
+    "target-heavy docs rank above generic ones") {
+    // alpha/beta/gamma hash to distinct cells at 64 buckets (35/48/23);
+    // target corpus = source 't'. By hand: r_alpha = (2+1)·1e6 div (3+1)
+    // = 750000, r_beta = (1+1)·1e6 div 4 = 500000, r_gamma = (0+1)·1e6
+    // div 4 = 250000 → w1 = 2·750000 + 500000, w2 = 750000 + 2·500000,
+    // w3 = 3·250000.
+    val docs = Seq(
+      (1L, "alpha alpha beta", "t"),
+      (2L, "alpha beta beta", "r"),
+      (3L, "gamma gamma gamma", "r"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.text.TextOps.dsirWeights(docs, Seq("t"), 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2000000L, 2L -> 1750000L, 3L -> 750000L))
+  }
 }
