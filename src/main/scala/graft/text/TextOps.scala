@@ -435,13 +435,18 @@ object TextOps {
     * surface with weight 0 rather than vanishing.
     *
     * Plan shape: ONE corpus-scale exploded aggregate builds the
-    * (doc, bucket, tf) relation; the ratio dimension aggregates THE TF
-    * RELATION (map-side partials collapse it to ≤ `buckets` rows per
-    * task — no second corpus pass) and is bucket-count-bounded, so the
-    * broadcast back onto tf is safe at ANY corpus size; the final
-    * per-doc sum is a doc-keyed monoid aggregate. At 100 TB: two linear
-    * shuffles plus a fixed-size broadcast — no pairwise work, no
-    * vocabulary-keyed join, no skew (bucket heat is capped by the hash).
+    * (doc, bucket, tf) relation, PINNED with `localCheckpoint` (the
+    * same boundary discipline as the LSH→verify chain) — without the
+    * pin, Catalyst's column pruning makes the ratio branch a second
+    * full corpus scan + tf recompute because the two consumers prune
+    * different columns and ReuseExchange can't fire. The ratio
+    * dimension then aggregates the pinned tf (map-side partials
+    * collapse it to ≤ `buckets` rows per task) and is
+    * bucket-count-bounded, so the broadcast back onto tf is safe at
+    * ANY corpus size; the final per-doc sum is a doc-keyed monoid
+    * aggregate. At 100 TB: one corpus scan, one corpus-scale shuffle,
+    * a fixed-size broadcast — no pairwise work, no vocabulary-keyed
+    * join, no skew (bucket heat is capped by the hash).
     */
   def dsirWeights(docs: DataFrame, targetSources: Seq[String],
       buckets: Int, id: String = "doc_id", text: String = "text",
@@ -453,6 +458,7 @@ object TextOps {
           lit(buckets.toLong)))
       .groupBy(col(id), col(source), col("bucket"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val isTgt = col(source).isin(targetSources: _*)
     val ratio = tf.groupBy("bucket")
       .agg(sum(col("tf")).as("__raw"),
