@@ -257,9 +257,13 @@ object TextOps {
     * relative; genuinely distinct idf values differ by ≥ ~1/df).
     *
     * Plan shape: tf is one (doc, token) hash aggregate over the exploded
-    * corpus; df aggregates THE TF RELATION (vocabulary-sized — no second
-    * corpus pass); the corpus count rides in as a broadcast single-row
-    * cross join; top-k is a per-doc window. At 100 TB: two linear
+    * corpus, PINNED with `localCheckpoint` — df aggregates THE TF
+    * RELATION (vocabulary-sized), and without the pin Catalyst's
+    * per-consumer column pruning makes the df branch a second full
+    * corpus scan + tf recompute (ReuseExchange can't fire on the
+    * differently-pruned subtrees; same discipline as [[dsirWeights]]);
+    * the corpus count rides in as a broadcast single-row cross join;
+    * top-k is a per-doc window. At 100 TB: one corpus scan, two linear
     * shuffles plus a vocabulary-keyed join — no pairwise work, and the
     * hot-token join skew is bounded because the probe side holds at most
     * one row per (doc, token).
@@ -270,6 +274,7 @@ object TextOps {
       .select(col(id), explode(graft.dedup.Dedup.tokens(col(text))).as("token"))
       .groupBy(col(id), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
