@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * {user_id, event_type}; see [[tsdb.SeriesDim]] for the id↔labels mapping
   * (reference: `cassandra/index/index.go:4091-4108`).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads as a LongType
-  * of nanoseconds under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-  * [[GraftSession]]). All operators work on `ts_ms` (epoch milliseconds),
-  * matching the reference's ms timestamps.
+  * `events.ts` arrives as parquet TIMESTAMP(NANOS) (read as a LongType of
+  * nanoseconds under `spark.sql.legacy.parquet.nanosAsLong=true`, set in
+  * [[GraftSession]]) or TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) depending
+  * on the generator version — [[tsMs]] normalizes either. All operators
+  * work on `ts_ms` (epoch milliseconds), matching the reference's ms
+  * timestamps.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -25,14 +27,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `ts` → epoch milliseconds, floored — exactly DuckDB's
+    * `epoch_ns(ts)//1000000` under EITHER physical representation the
+    * driver has generated: parquet TIMESTAMP(NANOS) read as a LongType of
+    * nanoseconds (`nanosAsLong`), or TIMESTAMP(MICROS) read as
+    * TIMESTAMP_NTZ (the NTZ→LTZ cast is value-preserving in the UTC
+    * session every entry point pins).
+    */
+  def tsMs(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000")
+    }
+
   /** events normalized to the engine's point schema:
     * (event_id, user_id, event_type, ts_ms long, value double).
-    * `ts div 1000000` floors ns→ms exactly like DuckDB `epoch_ns(ts)//1000000`.
     */
-  def points(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+  def points(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.withColumn("ts_ms", tsMs(ev))
       .select("event_id", "user_id", "event_type", "ts_ms", "value")
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")

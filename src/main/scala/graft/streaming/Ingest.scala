@@ -110,7 +110,7 @@ object Ingest {
     val stream = spark.readStream
       .schema(static.schema)
       .parquet(streamDir.toString)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts_ms", graft.Tables.tsMs(static))
       .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
     val agg = stream
       .withWatermark("ts_utc", "8 hours") // reference MaxPastDelay, aggregate.go:48

@@ -3,7 +3,7 @@ package graft
 class SmokeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("events parquet (nanos timestamps) is readable via ts_ms") {
+  test("events parquet timestamps (nanos or micros) are readable via ts_ms") {
     val pts = Tables.points(spark, sfDir)
     assert(pts.count() === 1000)
     // ns→ms floor: all timestamps within 2024-01
