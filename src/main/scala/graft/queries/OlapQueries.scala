@@ -16,9 +16,17 @@ object OlapQueries {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.table(s, dir, name)
 
-  /** SUM(price*(1-disc)) with order-independent decimal accumulation. */
+  /** SUM(price*(1-disc)) with order-independent decimal accumulation.
+    * Scale 4, not more: price (2dp) × discount (2dp) is EXACTLY a 4dp
+    * rational, and at 4dp both engines' double→decimal casts recover the
+    * same exact value. A wider scale (28,10) asks for digits the data
+    * doesn't have and amplifies sub-ulp representation differences —
+    * Spark casts via the double's shortest decimal string, DuckDB via its
+    * full binary expansion, so ...4462 vs ...44619999994 round apart
+    * (caught by q5_rollup_pricing's (N,F) subtotal at sf0.01).
+    */
   private val revenueExpr =
-    sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))"))
+    sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))"))
       .cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -62,7 +70,7 @@ object OlapQueries {
           col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(sum(expr("CAST(l_extendedprice * l_discount AS DECIMAL(28,10))"))
+        .agg(sum(expr("CAST(l_extendedprice * l_discount AS DECIMAL(28,4))"))
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
@@ -105,6 +113,39 @@ object OlapQueries {
         .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+
+    // weekly cohort retention over the events stream (the classic
+    // product-analytics companion to q2/q3): cohort = epoch week of a
+    // user's first event, retention = distinct users active at each week
+    // offset. Two linear user-keyed shuffles (per-user min, distinct
+    // user-weeks); the per-user cohort dim is aggregate-small and
+    // broadcasts under AQE; the final aggregate is weeks² rows. All
+    // arithmetic is BIGINT floor-division, engine-exact
+    "q4_cohort_retention" -> ((s, dir) => {
+      val wk = 7L * 86400000L
+      val ev = Tables.points(s, dir).select("user_id", "ts_ms")
+      val first = ev.groupBy("user_id")
+        .agg(expr(s"min(ts_ms) div $wk").as("cohort_wk"))
+      val active = ev.select(col("user_id"),
+        expr(s"ts_ms div $wk").as("wk")).distinct()
+      active.join(first, "user_id")
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
+    // ROLLUP pricing summary (GROUPING SETS): per (flag, status), per
+    // flag, and grand total in ONE hash aggregate — Spark expands the
+    // rollup levels with an Expand node under a single shuffle instead
+    // of three scans; gid disambiguates subtotal rows exactly as SQL
+    // GROUPING does
+    "q5_rollup_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum("l_quantity").as("sum_qty"),
+          revenueExpr.as("revenue"),
+          count(lit(1)).as("n"))),
 
     "tpch_q5_region_revenue" -> ((s, dir) => {
       // dims broadcast; fact tables shuffle once on the join key
@@ -162,11 +203,30 @@ object OlapQueries {
         (SELECT count(*) AS n_click_after_view FROM c),
         (SELECT count(*) AS n_purchase_after_click FROM p)""",
 
+    "q4_cohort_retention" -> """
+      WITH ev AS (SELECT user_id,
+        epoch_ns(ts)//1000000 AS ts_ms FROM events),
+      f AS (SELECT user_id, min(ts_ms) // 604800000 AS cohort_wk
+        FROM ev GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, ts_ms // 604800000 AS wk FROM ev)
+      SELECT f.cohort_wk, a.wk - f.cohort_wk AS wk_offset,
+        count(DISTINCT a.user_id) AS n_users
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
+
+    "q5_rollup_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+        GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
     "tpch_q1_pricing" -> """
       SELECT l_returnflag, l_linestatus,
         sum(l_quantity) AS sum_qty,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
         sum(l_quantity) / count(*) AS avg_qty,
         count(*) AS count_order
       FROM lineitem
@@ -175,7 +235,7 @@ object OlapQueries {
 
     "tpch_q3_topranked" -> """
       SELECT l_orderkey, epoch_ms(o_orderdate) AS odate_ms,
-        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -187,7 +247,7 @@ object OlapQueries {
       LIMIT 10""",
 
     "tpch_q6_forecast" -> """
-      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4)))
           AS DOUBLE) AS revenue,
         count(*) AS n
       FROM lineitem
@@ -198,7 +258,7 @@ object OlapQueries {
 
     "tpch_q5_region_revenue" -> """
       SELECT n_name,
-        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey

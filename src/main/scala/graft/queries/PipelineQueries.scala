@@ -78,6 +78,11 @@ object PipelineQueries {
   // of vocabulary, which is what makes the ratio table broadcast-safe
   private val DsirTargets = Seq("src0", "src1")
   private val DsirBuckets = 4096
+  // repeated-chunk dedup: consecutive 12-token spans (the paragraph/line
+  // analog for the whitespace-flat synthetic docs); kNN classification
+  // votes over the brute-force top-5
+  private val ChunkTokens = 12
+  private val KnnK = 5
 
   private def piiCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
@@ -249,6 +254,12 @@ object PipelineQueries {
         Tables.documents(s, dir).select("doc_id", "text", "source"),
         DsirTargets, DsirBuckets)),
 
+    // corpus-wide repeated-chunk dedup (the line/paragraph-level stage):
+    // the re-crawled corpus plants exact and prefix-duplicate chunk runs;
+    // keep gates docs whose content is mostly recycled
+    "x16_chunk_dedup" -> ((s, dir) =>
+      TextOps.chunkDedup(corpus(s, dir), ChunkTokens)),
+
     // deterministic training-shard layout: md5-hash shard + within-shard
     // position — the engine-portable "global shuffle" a training run reads
     "x9_shard_assign" -> ((s, dir) =>
@@ -331,6 +342,15 @@ object PipelineQueries {
     "v6_kmeans" -> ((s, dir) =>
       Ann.kmeans(Tables.embeddings(s, dir).select("vec_id", "embedding"),
         KmeansK, KmeansIters)),
+
+    // kNN label vote: majority label of the brute-force top-5 neighbors
+    // (ties break to the smaller label) — the classify-by-neighborhood
+    // step of an embedding-space audit. Votes are aggregate-small
+    // (|queries|×|labels|), so everything after the scan is trivial
+    "v7_knn_classify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.knnClassify(emb, emb.where(col("vec_id") < 10), KnnK)
+    }),
 
     // multimodal: typed metadata without decode
     "mm1_asset_meta" -> ((s, dir) =>
@@ -901,6 +921,20 @@ object PipelineQueries {
           len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_subwords
       FROM documents""",
 
+    "x16_chunk_dedup" -> s"""
+      WITH corpus AS ($CorpusSql),
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      ch AS (SELECT DISTINCT doc_id,
+          array_to_string(toks[((g - 1) * $ChunkTokens + 1):(g * $ChunkTokens)],
+            ' ') AS chunk
+        FROM t, unnest(generate_series(1,
+          ((len(toks) + ${ChunkTokens - 1}) // $ChunkTokens)::BIGINT)) AS u(g)),
+      df AS (SELECT chunk, count(*) AS df FROM ch GROUP BY 1)
+      SELECT doc_id, count(*) AS n_chunks,
+        sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        (sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 2 < count(*)) AS keep
+      FROM ch JOIN df d USING (chunk) GROUP BY 1""",
+
     // ordered fold == Spark's aggregate(zip_with(...)): bit-exact dot
     "v1_ann_brute" -> s"""
       WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
@@ -915,6 +949,28 @@ object PipelineQueries {
         SELECT *, row_number() OVER (
           PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
         FROM scored) WHERE rnk <= 5""",
+
+    // same brute-force chain as v1, then a majority vote per query
+    "v7_knn_classify" -> s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nn_id, embedding AS nn_emb FROM embeddings),
+      scored AS (SELECT q_id, nn_id,
+        ${dotSql("q_emb", "nn_emb")} /
+          (sqrt(${dotSql("q_emb", "q_emb")}) *
+           sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
+        FROM c CROSS JOIN q WHERE nn_id <> q_id),
+      knn AS (SELECT q_id, nn_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= $KnnK),
+      votes AS (SELECT k.q_id, e.label::BIGINT AS pred_label,
+          count(*) AS n_votes
+        FROM knn k JOIN embeddings e ON e.vec_id = k.nn_id GROUP BY 1, 2)
+      SELECT q_id, pred_label, n_votes FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY n_votes DESC, pred_label ASC) AS rn
+        FROM votes) WHERE rn = 1""",
 
     "v2_ann_lsh" -> s"""
       WITH planes AS (

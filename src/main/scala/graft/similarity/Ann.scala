@@ -61,6 +61,28 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** kNN label vote: each query takes the majority label of its
+    * brute-force top-k neighbors, ties breaking to the smaller label —
+    * the classify-by-neighborhood step of an embedding-space audit
+    * (label-noise detection, split assignment). The corpus needs a
+    * `label` column alongside `vec_id`/`embedding`. The vote relation is
+    * |queries|·|labels| rows — aggregate-small, so everything after the
+    * neighbor scan (label join, vote count, argmax window) is trivial at
+    * any corpus size.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val votes = bruteForceTopK(corpus, queries, k)
+      .join(corpus.select(col("vec_id").as("nn_id"),
+        col("label").cast("long").as("pred_label")), Seq("nn_id"))
+      .groupBy(col("q_id"), col("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("n_votes").desc, col("pred_label").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("q_id"), col("pred_label"), col("n_votes"))
+  }
+
   /** Final ranking via the bounded top-k aggregate; output identical to a
     * `row_number` window over (cos desc, nn_id asc).
     */

@@ -477,4 +477,50 @@ object TextOps {
       .withColumn("dsir_weight", coalesce(col("__w"), lit(0L)))
       .select(col(id), col("dsir_weight"))
   }
+
+  /** Corpus-wide repeated-chunk detection — the paragraph/line-level
+    * dedup stage of a curation pipeline (the CCNet/RefinedWeb practice of
+    * dropping lines that recur across many pages: navigation chrome,
+    * cookie banners, licence boilerplate). Documents split into
+    * consecutive `chunkTokens`-token chunks on the raw whitespace layout
+    * (position-preserving, unlike the sliding shingles of the near-dup
+    * path — a chunk is a removable unit, a shingle is a similarity
+    * feature); a chunk is "duplicated" when ≥ 2 distinct docs contain it.
+    * Output per doc: chunk counts plus a keep flag that drops docs whose
+    * content is mostly recycled (strict-majority rule in integer
+    * arithmetic, so the gate is engine-exact).
+    *
+    * Plan shape: ONE corpus-scale exploded relation of distinct
+    * (doc, chunk) pairs, PINNED with `localCheckpoint` — the df branch
+    * aggregates THE SAME relation (chunk-vocabulary-sized), and without
+    * the pin Catalyst's per-consumer pruning re-scans the corpus (the
+    * [[tfidfKeywords]] / [[dsirWeights]] discipline). Then one
+    * vocabulary-keyed join back (probe side holds at most one row per
+    * (doc, chunk), so boilerplate-hot chunk keys are bounded by doc
+    * count, and count partials collapse map-side) and a per-doc monoid
+    * aggregate. At 100 TB: one corpus scan, two linear shuffles, one
+    * vocabulary join — no pairwise work.
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val toks = split(col(text), " ")
+    // ceil(|toks| / chunkTokens) in integer arithmetic
+    val nChunks = ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens))
+      .cast("int")
+    val chunks = transform(sequence(lit(1), nChunks),
+      g => array_join(
+        slice(toks, (g - lit(1)) * lit(chunkTokens) + lit(1),
+          lit(chunkTokens)),
+        " "))
+    val e = docs
+      .select(col(id), explode(array_distinct(chunks)).as("chunk"))
+      .localCheckpoint(true)
+    val df = e.groupBy("chunk").agg(count(lit(1)).as("__df"))
+    e.join(df, Seq("chunk"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("keep", col("n_dup_chunks") * 2 < col("n_chunks"))
+      .select(col(id), col("n_chunks"), col("n_dup_chunks"), col("keep"))
+  }
 }

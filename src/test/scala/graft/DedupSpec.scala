@@ -486,4 +486,54 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2000000L, 2L -> 1750000L, 3L -> 750000L))
   }
+
+  test("chunkDedup: corpus-repeated chunks flagged, within-doc repeats " +
+    "count once, strict-majority keep gate") {
+    import graft.text.TextOps
+    // 4-token chunks. doc 1 = two chunks; doc 2 = exact copy (both dup);
+    // doc 3 shares doc 1's first chunk, unique tail (half recycled —
+    // strict majority drops it); doc 4 short + unique; doc 5 repeats ONE
+    // chunk twice within itself only — not a corpus-level duplicate
+    val c1 = "a b c d"
+    val c2 = "e f g h"
+    val docs = Seq(
+      (1L, s"$c1 $c2"),
+      (2L, s"$c1 $c2"),
+      (3L, s"$c1 u v w x"),
+      (4L, "y z"),
+      (5L, "p q r s p q r s")).toDF("doc_id", "text")
+    val got = TextOps.chunkDedup(docs, 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 2L, false)),
+      2L -> ((2L, 2L, false)),
+      3L -> ((2L, 1L, false)),
+      4L -> ((1L, 0L, true)),
+      5L -> ((1L, 0L, true))))
+  }
+
+  test("knnClassify: majority label wins, vote ties break to the " +
+    "smaller label") {
+    import graft.similarity.Ann
+    // query 0 sits in a cluster of two label-7 vectors and one label-3:
+    // with k=3 the vote is 2:1. Query 1's three neighbors carry three
+    // distinct labels (9, 2, 3) — a three-way tie at one vote each
+    val corpus = Seq(
+      (0L, 7, Array(1.0f, 0.0f)),
+      (10L, 7, Array(0.99f, 0.01f)),
+      (11L, 7, Array(0.98f, 0.02f)),
+      (12L, 3, Array(0.97f, 0.03f)),
+      (1L, 5, Array(0.0f, 1.0f)),
+      (20L, 9, Array(0.01f, 0.99f)),
+      (21L, 2, Array(0.02f, 0.98f))).toDF("vec_id", "label", "embedding")
+    val got = Ann.knnClassify(corpus,
+        corpus.where($"vec_id" < 2L), 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // query 0: neighbors 10, 11 (label 7) and 12 (label 3) → 7 by 2 votes
+    assert(got(0L) === ((7L, 2L)))
+    // query 1: neighbors 20 (9), 21 (2) and one far label-7 vector —
+    // every label has one vote; the tie resolves to label 2
+    assert(got(1L) === ((2L, 1L)))
+  }
 }
