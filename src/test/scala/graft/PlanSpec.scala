@@ -65,6 +65,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("rollup pricing evaluates all grouping levels in one Expand + " +
+    "hash-agg pass over a single shuffle") {
+    val p = plan("q5_rollup_pricing")
+    assert(p.contains("Expand"), p.take(1500))
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(shuffles === 1, s"expected 1 shuffle, plan:\n${p.take(1500)}")
+  }
+
   test("decontaminate: the benchmark shingle set joins as the semi-join " +
     "build side; no cartesian") {
     val p = plan("d8_decontaminate")
