@@ -134,6 +134,23 @@ object OlapQueries {
         .agg(countDistinct("user_id").as("n_users"))
     }),
 
+    // as-of enrichment: every click carries the user's most recent
+    // purchase at-or-before it (the trade↔quote join). The purchase side
+    // is pre-aggregated to one row per (user, instant) — arg_max by
+    // event id — because simultaneous right rows have no deterministic
+    // winner; AsOfJoin then unions both sides under ONE user-key shuffle
+    "q6_asof_join" -> ((s, dir) => {
+      val ev = Tables.points(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_ms", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_ms")
+        .agg(max_by(col("value"), col("event_id")).as("p_value"))
+        .withColumn("p_ts", col("ts_ms"))
+      graft.tsdb.AsOfJoin.asof(clicks, purchases, "user_id", "ts_ms",
+        Seq("p_ts", "p_value"))
+    }),
+
     // ROLLUP pricing summary (GROUPING SETS): per (flag, status), per
     // flag, and grand total in ONE hash aggregate — Spark expands the
     // rollup levels with an Expand node under a single shuffle instead
@@ -212,6 +229,19 @@ object OlapQueries {
       SELECT f.cohort_wk, a.wk - f.cohort_wk AS wk_offset,
         count(DISTINCT a.user_id) AS n_users
       FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
+
+    // DuckDB's native ASOF LEFT JOIN is the semantic spec the Spark-side
+    // union-window implementation is pinned to (inclusive >= match)
+    "q6_asof_join" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+        epoch_ns(ts)//1000000 AS ts_ms, value FROM events),
+      p AS (SELECT user_id, ts_ms AS p_ts, arg_max(value, event_id) AS p_value
+        FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+      c AS (SELECT event_id, user_id, ts_ms, value FROM ev
+        WHERE event_type = 'click')
+      SELECT c.event_id, c.user_id, c.ts_ms, c.value, p.p_ts, p.p_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts_ms >= p.p_ts""",
 
     "q5_rollup_pricing" -> """
       SELECT l_returnflag, l_linestatus,

@@ -245,6 +245,45 @@ class PointOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
     assert(out === Set((100L, 7.0), (200L, 1.0)))
   }
+
+  test("asof join: inclusive ties, NULL before any right row, carry " +
+    "across gaps, keys isolated, torn-proof struct payload") {
+    import graft.tsdb.AsOfJoin
+    val left = Seq(
+      (1L, 1L, 5L, 0.5),   // before any right row → NULL payload
+      (2L, 1L, 10L, 0.6),  // exactly at right ts 10 → inclusive match
+      (3L, 1L, 25L, 0.7),  // between rights 20 and 30 → carries 20
+      (4L, 1L, 99L, 0.8),  // far after the last right row → carries 30
+      (5L, 2L, 50L, 0.9)   // other key: right history of key 1 invisible
+    ).toDF("event_id", "k", "ts_ms", "value")
+    // right row at ts 20 has a NULL in one payload field: the struct
+    // carry must keep (20, null) together, never splice 10's price in
+    val right = Seq(
+      (1L, 10L, Some(100.0), "a"),
+      (1L, 20L, None, "b"),
+      (1L, 30L, Some(300.0), "c")
+    ).toDF("k", "ts_ms", "price", "tag")
+      .withColumn("r_ts", col("ts_ms"))
+    val out = AsOfJoin.asof(left, right, "k", "ts_ms",
+      Seq("r_ts", "price", "tag")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6))))).toMap
+    assert(out(1L) === ((None, None, None)))
+    assert(out(2L) === ((Some(10L), Some(100.0), Some("a"))))
+    assert(out(3L) === ((Some(20L), None, Some("b"))))
+    assert(out(4L) === ((Some(30L), Some(300.0), Some("c"))))
+    assert(out(5L) === ((None, None, None)))
+  }
+
+  test("asof join plans ONE hash shuffle and no join operator at all") {
+    import graft.tsdb.AsOfJoin
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "k", "ts_ms")
+    val right = Seq((1L, 5L, 2.0)).toDF("k", "ts_ms", "price")
+    val p = AsOfJoin.asof(left, right, "k", "ts_ms", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).length === 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
 
 /** withEvalSteps must enumerate exactly the eval steps whose trailing
