@@ -426,10 +426,12 @@ object PipelineQueries {
 
   /** CTE chain from a `v(vec_id, embedding)` relation to `asg(vec_id,
     * cid)`: `iters` unrolled Lloyd iterations mirroring `Ann.kmeans` —
-    * seed cells from the k smallest ids, argmin by (distance, cid),
-    * means on the fixed-point decimal grid. Generated from the SAME
-    * iteration count the Spark side receives, so bumping `KmeansIters`
-    * cannot silently desynchronize the two. Shared by v6 and d9.
+    * seed cells from the k first ids in md5(id) order (decorrelated
+    * from ingest order, deterministic in both engines), argmin by
+    * (distance, cid), means on the fixed-point decimal grid. Generated
+    * from the SAME iteration count the Spark side receives, so bumping
+    * `KmeansIters` cannot silently desynchronize the two. Shared by v6
+    * and d9.
     */
   private def kmeansChainSql(k: Int, iters: Int): String = {
     def argminCte(name: String, dist: String) = s"""
@@ -457,7 +459,7 @@ object PipelineQueries {
     }.mkString
     s"""
       cen0 AS (SELECT vec_id AS cid, embedding AS cen FROM v
-        ORDER BY vec_id LIMIT $k),$rounds
+        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),$rounds
       ${distCte("dF", s"cen$iters")},
       ${argminCte("asg", "dF")}"""
   }
@@ -950,23 +952,26 @@ object PipelineQueries {
           PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
         FROM scored) WHERE rnk <= 5""",
 
-    // same brute-force chain as v1, then a majority vote per query
+    // same brute-force chain as v1 over the LABELED corpus (NULL labels
+    // can neither vote nor crowd out a labeled neighbor), label carried
+    // through the ranking — then a majority vote per query
     "v7_knn_classify" -> s"""
       WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         WHERE vec_id < 10),
-      c AS (SELECT vec_id AS nn_id, embedding AS nn_emb FROM embeddings),
-      scored AS (SELECT q_id, nn_id,
+      c AS (SELECT vec_id AS nn_id, embedding AS nn_emb,
+          label::BIGINT AS pred_label
+        FROM embeddings WHERE label IS NOT NULL),
+      scored AS (SELECT q_id, nn_id, pred_label,
         ${dotSql("q_emb", "nn_emb")} /
           (sqrt(${dotSql("q_emb", "q_emb")}) *
            sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
         FROM c CROSS JOIN q WHERE nn_id <> q_id),
-      knn AS (SELECT q_id, nn_id FROM (
+      knn AS (SELECT q_id, pred_label FROM (
         SELECT *, row_number() OVER (
           PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
         FROM scored) WHERE rnk <= $KnnK),
-      votes AS (SELECT k.q_id, e.label::BIGINT AS pred_label,
-          count(*) AS n_votes
-        FROM knn k JOIN embeddings e ON e.vec_id = k.nn_id GROUP BY 1, 2)
+      votes AS (SELECT q_id, pred_label, count(*) AS n_votes
+        FROM knn GROUP BY 1, 2)
       SELECT q_id, pred_label, n_votes FROM (
         SELECT *, row_number() OVER (
           PARTITION BY q_id ORDER BY n_votes DESC, pred_label ASC) AS rn

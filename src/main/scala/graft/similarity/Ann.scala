@@ -61,20 +61,37 @@ object Ann {
     rankTopK(scored, k)
   }
 
-  /** kNN label vote: each query takes the majority label of its
-    * brute-force top-k neighbors, ties breaking to the smaller label —
-    * the classify-by-neighborhood step of an embedding-space audit
+  /** kNN label vote: each query takes the majority label of its top-k
+    * LABELED neighbors, ties breaking to the smaller label — the
+    * classify-by-neighborhood step of an embedding-space audit
     * (label-noise detection, split assignment). The corpus needs a
-    * `label` column alongside `vec_id`/`embedding`. The vote relation is
-    * |queries|·|labels| rows — aggregate-small, so everything after the
-    * neighbor scan (label join, vote count, argmax window) is trivial at
-    * any corpus size.
+    * `label` column alongside `vec_id`/`embedding`; NULL-labeled rows
+    * are excluded from the neighbor set up front (an unlabeled example
+    * can neither vote nor crowd a labeled one out of the top-k — and a
+    * NULL vote would tie-break differently per engine: Spark sorts
+    * NULLS FIRST on ASC, DuckDB NULLS LAST).
+    *
+    * ONE corpus scan: the label rides through the bounded top-k state
+    * ([[TopKLabelAgg]]) instead of being fetched by a second corpus
+    * join after ranking. The vote relation is |queries|·|labels| rows —
+    * aggregate-small, so everything after the scan is trivial at any
+    * corpus size.
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val votes = bruteForceTopK(corpus, queries, k)
-      .join(corpus.select(col("vec_id").as("nn_id"),
-        col("label").cast("long").as("pred_label")), Seq("nn_id"))
-      .groupBy(col("q_id"), col("pred_label"))
+    val c = corpus.where(col("label").isNotNull)
+      .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+        col("label").cast("long").as("pred_label"))
+      .withColumn("nn_norm", norm2(col("nn_emb")))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", norm2(col("q_emb")))
+    val topk = udaf(new TopKLabelAgg(k))
+    val votes = c.join(broadcast(q), col("nn_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("nn_id"), col("pred_label")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("nn"))
+      .groupBy(col("q_id"), col("nn.label").as("pred_label"))
       .agg(count(lit(1)).as("n_votes"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("n_votes").desc, col("pred_label").asc)
@@ -317,8 +334,12 @@ object Ann {
     * corpus into k-means cells before pairwise comparison), topic
     * balancing, and cluster-aware sampling. Deterministic and
     * engine-exact by construction:
-    *  - seeds are the k smallest ids; the CLUSTER LABEL IS THE SEED's id
-    *    (no ranking window needed, stable in any engine);
+    *  - seeds are the k first ids in md5(id) order (ties → smaller id);
+    *    the CLUSTER LABEL IS THE SEED's id (no ranking window needed,
+    *    stable in any engine). Hashing decorrelates the seed set from
+    *    ingest order — "k smallest ids" degenerates when small ids
+    *    cluster in embedding space (e.g. a corpus prefix from one
+    *    source) — while staying deterministic and engine-portable;
     *  - every distance is [[sqdist]]'s ordered IEEE fold, so both engines
     *    compare bit-identical doubles; argmin ties break on the smaller
     *    cluster id (lexicographic struct-min = the oracle's
@@ -354,7 +375,7 @@ object Ann {
     val v = vectors.select(col(id), col("embedding"))
     // one row: array of (cid, cen) structs; array_min below is
     // order-insensitive, so collect_list's nondeterministic order is fine
-    val seed = v.orderBy(col(id)).limit(k)
+    val seed = v.orderBy(md5(col(id).cast("string")), col(id)).limit(k)
       .select(col(id).as("cid"), col("embedding").cast("array<double>").as("cen"))
       .agg(collect_list(struct(col("cid"), col("cen"))).as("__cens"))
     def assign(cens: DataFrame): DataFrame =

@@ -47,3 +47,42 @@ final class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Seq[Scored]] =
     ExpressionEncoder[Seq[Scored]]()
 }
+
+/** A scored neighbor candidate carrying its class label. */
+final case class ScoredLabel(cos: Double, id: Long, label: Long)
+
+/** [[TopKAgg]] with a label payload riding along each candidate — lets
+  * [[Ann.knnClassify]] vote directly from the top-k state instead of
+  * joining the corpus a second time just to fetch neighbor labels (a
+  * corpus-scale join saved at 100 TB). Same (cos desc, id asc) order,
+  * same bounded k-entry state per map task.
+  */
+final class TopKLabelAgg(k: Int)
+  extends Aggregator[ScoredLabel, List[ScoredLabel], Seq[ScoredLabel]] {
+
+  private def better(a: ScoredLabel, b: ScoredLabel): Boolean =
+    a.cos > b.cos || (a.cos == b.cos && a.id < b.id)
+
+  override def zero: List[ScoredLabel] = Nil
+
+  private def insert(buf: List[ScoredLabel], x: ScoredLabel): List[ScoredLabel] =
+    if (buf.sizeIs >= k && better(buf.last, x)) buf
+    else {
+      val (pre, post) = buf.span(better(_, x))
+      (pre ::: x :: post).take(k)
+    }
+
+  override def reduce(buf: List[ScoredLabel], x: ScoredLabel): List[ScoredLabel] =
+    insert(buf, x)
+
+  override def merge(a: List[ScoredLabel], b: List[ScoredLabel]): List[ScoredLabel] =
+    b.foldLeft(a)(insert)
+
+  override def finish(r: List[ScoredLabel]): Seq[ScoredLabel] = r
+
+  override def bufferEncoder: Encoder[List[ScoredLabel]] =
+    ExpressionEncoder[List[ScoredLabel]]()
+
+  override def outputEncoder: Encoder[Seq[ScoredLabel]] =
+    ExpressionEncoder[Seq[ScoredLabel]]()
+}

@@ -504,9 +504,14 @@ object TextOps {
   def chunkDedup(docs: DataFrame, chunkTokens: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val toks = split(col(text), " ")
-    // ceil(|toks| / chunkTokens) in integer arithmetic
-    val nChunks = ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens))
-      .cast("int")
+    // ceil(|toks| / chunkTokens) in integer arithmetic; clamped to ≥1
+    // because sequence(1, 0) auto-steps DOWN to [1, 0] in Spark while
+    // generate_series(1, 0) is empty in the oracle — unreachable while
+    // split() never returns an empty array, but pinned so a tokenizer
+    // change cannot diverge the engines
+    val nChunks = greatest(
+      ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int"),
+      lit(1))
     val chunks = transform(sequence(lit(1), nChunks),
       g => array_join(
         slice(toks, (g - lit(1)) * lit(chunkTokens) + lit(1),

@@ -38,6 +38,15 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
     val lOnly = lCols.filterNot(c => c == key || c == ts)
+    // withColumn REPLACES on name collision — a payload name already on
+    // the left (or a left-only name on the right) would silently null
+    // real data instead of failing, so enforce the scaladoc contract
+    val payClash = payload.filter(lCols.contains)
+    require(payClash.isEmpty,
+      s"asof payload columns collide with left columns: $payClash")
+    val rClash = lOnly.filter(right.columns.contains)
+    require(rClash.isEmpty,
+      s"left-only columns also present on right: $rClash")
     val l = payload.foldLeft(left.withColumn("__side", lit(1))) {
       (df, p) => df.withColumn(p, lit(null).cast(right.schema(p).dataType))
     }

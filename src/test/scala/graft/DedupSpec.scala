@@ -419,20 +419,20 @@ class DedupSpec extends SparkSpec {
   test("kmeans: groups separate around their seeds; label = seed id; " +
     "deterministic under repartitioning") {
     import graft.similarity.Ann
-    // ids interleave the two tight groups so the k=2 seeds (smallest two
-    // ids: 1 and 2) land one in each group — Lloyd then separates them
-    // in the first assignment and stays converged
+    // ids interleave the two tight groups so the k=2 seeds (first two in
+    // md5(id) order: 6 then 4) land one in each group — Lloyd then
+    // separates them in the first assignment and stays converged
     val vecs = Seq(
-      (1L, Array(0.0f, 0.1f)), (3L, Array(0.2f, 0.0f)),
-      (5L, Array(0.1f, 0.1f)),
-      (2L, Array(10.0f, 10.1f)), (4L, Array(10.2f, 10.0f)),
-      (6L, Array(9.9f, 10.0f))).toDF("vec_id", "embedding")
+      (6L, Array(0.0f, 0.1f)), (1L, Array(0.2f, 0.0f)),
+      (3L, Array(0.1f, 0.1f)),
+      (4L, Array(10.0f, 10.1f)), (2L, Array(10.2f, 10.0f)),
+      (5L, Array(9.9f, 10.0f))).toDF("vec_id", "embedding")
     def run(df: org.apache.spark.sql.DataFrame) =
       Ann.kmeans(df, 2, 2).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val got = run(vecs)
-    assert(got === Map(1L -> 1L, 3L -> 1L, 5L -> 1L,
-      2L -> 2L, 4L -> 2L, 6L -> 2L))
+    assert(got === Map(6L -> 6L, 1L -> 6L, 3L -> 6L,
+      4L -> 4L, 2L -> 4L, 5L -> 4L))
     assert(run(vecs.repartition(5)) === got,
       "fixed-point centroid updates make iterations order-independent")
   }
@@ -440,9 +440,10 @@ class DedupSpec extends SparkSpec {
   test("semdedup: near-identical vectors pair within their cell; " +
     "orthogonal vectors never pair") {
     import graft.similarity.Ann
-    // two direction-clusters seeded by ids 1 and 2; id 11 is an exact
-    // copy of id 1 — every within-cell near-parallel pair surfaces,
-    // cross-direction cosines are ~0 and stay below the threshold
+    // two direction-clusters seeded by ids 11 and 4 (the first two in
+    // md5(id) order), one per direction; id 11 is an exact copy of id 1
+    // — every within-cell near-parallel pair surfaces, cross-direction
+    // cosines are ~0 and stay below the threshold
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (3L, Array(1.02f, 0.0f)),
       (11L, Array(1.0f, 0.0f)),
@@ -532,8 +533,8 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // query 0: neighbors 10, 11 (label 7) and 12 (label 3) → 7 by 2 votes
     assert(got(0L) === ((7L, 2L)))
-    // query 1: neighbors 20 (9), 21 (2) and one far label-7 vector —
-    // every label has one vote; the tie resolves to label 2
+    // query 1: neighbors 20 (label 9), 21 (label 2) and vec 12 (label 3)
+    // — every label has one vote; the tie resolves to the smallest, 2
     assert(got(1L) === ((2L, 1L)))
   }
 }
