@@ -6,6 +6,16 @@ import org.apache.spark.sql.SparkSession
   * name order so timings are comparable across rounds. Set
   * SPARK_GRAFT_BENCH_PASSES=2 to run a second timed pass (the reported
   * number is the minimum per query — steady-state, warmup excluded).
+  *
+  * Drift calibration (VERDICT r9 #6): uniform ×1.1-1.2 suite-wide
+  * inflation with unchanged plans showed up twice (r8→r9) and cost real
+  * analysis both times. The artifact now carries enough to separate
+  * environment drift from regression at a glance: the 1-minute system
+  * load average at start and end, plus a fixed CALIBRATION QUERY
+  * (sc1_math_fns — pure projection, plan untouched for rounds) timed
+  * steady-state (post-warmup) first and again last. If calib_first/last
+  * moved with the suite, it's the machine; if they held while a query
+  * moved, it's the query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,6 +38,22 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val CalibQuery = "sc1_math_fns"
+    def calib(): Double = {
+      val fn = SparkEntry.queries(CalibQuery)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val loadStart = loadAvg
+    calib() // untimed: JVM/codegen warmup must not contaminate the pair
+    val calibFirst = calib()
+
     var results = Map.empty[String, Double]
     for (pass <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)
@@ -37,10 +63,16 @@ object Bench {
       System.err.println(f"[bench pass$pass] $name $sec%.2fs")
       results += (name -> math.min(sec, results.getOrElse(name, Double.MaxValue)))
     }
+
+    val calibLast = calib()
+    val loadEnd = loadAvg
     val qs = names.map(k => "\"" + k + "\":" + results(k)).mkString("{", ",", "}")
     val total = results.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","calib_query":"$CalibQuery","calib_first_sec":$calibFirst""" +
+        s""","calib_last_sec":$calibLast,"load_avg_start":$loadStart""" +
+        s""","load_avg_end":$loadEnd}"""
     println(json)
     // also persist to a file: stdout tails get truncated (BENCH_r05 lost
     // its per-query dict that way); the file is the artifact of record

@@ -275,9 +275,12 @@ object Dedup {
     def dbg(msg: String): Unit =
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         System.err.println(f"[cc] +${(System.nanoTime() - t0) / 1e9}%.2fs $msg")
-    val e = verified.where(col("jaccard") >= threshold)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint(true)
+    // durable pin (Stage.pin): the edge list is candidate-pair-scale —
+    // far below the corpus but still data-proportional, and everything
+    // downstream hangs off it
+    val e = graft.store.Stage.pin(
+      verified.where(col("jaccard") >= threshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")), "cc-edges")
     dbg("edges pinned")
     val sym = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst")))
@@ -287,13 +290,15 @@ object Dedup {
     // skew-capping emits, with the hub already the bucket minimum —
     // converge AT INIT (every member's best neighbor IS the hub), so the
     // loop below typically runs ONE probe round for convergence proof.
-    // pinned: the loop reads labels twice per round, and a measured
-    // un-pinned variant (recompute from the cached edge list) was slower
-    var labels = sym.groupBy("src")
+    // pinned DURABLY (Stage.pin, like the edges): the loop reads labels
+    // twice per round, and a measured un-pinned variant (recompute from
+    // the cached edge list) was slower. The PER-ROUND pins below stay
+    // localCheckpoint — losing one costs re-running the loop from these
+    // two durable pins, a bounded restart, not the whole LSH chain
+    var labels = graft.store.Stage.pin(sym.groupBy("src")
       .agg(min(col("dst")).as("__m"))
       .select(col("src").as("doc_id"),
-        least(col("src"), col("__m")).as("cluster"))
-      .localCheckpoint(true)
+        least(col("src"), col("__m")).as("cluster")), "cc-labels0")
     dbg("labels initialized")
     var changed = 1L
     var iter = 0

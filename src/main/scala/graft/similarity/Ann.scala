@@ -419,11 +419,13 @@ object Ann {
       id: String = "vec_id"): DataFrame = {
     // materialize the assignment ONCE at the cluster→pair boundary: both
     // self-join sides reuse it instead of re-running the k-means chain's
-    // corpus scans and k·d distance folds per side (the same pipeline-
-    // boundary checkpoint discipline as the LSH→verify stage)
-    val a = kmeansAssign(vectors, k, iters, id)
-      .withColumn("__n2", norm2(col("embedding")))
-      .localCheckpoint(true)
+    // corpus scans and k·d distance folds per side. DURABLE pin
+    // (staged parquet, Stage.pin): the relation carries the embeddings
+    // — corpus-scale — so an executor-local pin would be a
+    // fault-tolerance cliff on a real cluster
+    val a = graft.store.Stage.pin(
+      kmeansAssign(vectors, k, iters, id)
+        .withColumn("__n2", norm2(col("embedding"))), "semdedup-asg")
     val l = a.select(col("cid"), col(id).as("vec_a"),
       col("embedding").as("__ea"), col("__n2").as("__na"))
     val r = a.select(col("cid").as("__rcid"), col(id).as("vec_b"),

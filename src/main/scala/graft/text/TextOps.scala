@@ -257,8 +257,8 @@ object TextOps {
     * relative; genuinely distinct idf values differ by ≥ ~1/df).
     *
     * Plan shape: tf is one (doc, token) hash aggregate over the exploded
-    * corpus, PINNED with `localCheckpoint` — df aggregates THE TF
-    * RELATION (vocabulary-sized), and without the pin Catalyst's
+    * corpus, PINNED durably ([[graft.store.Stage.pin]]) — df aggregates
+    * THE TF RELATION (vocabulary-sized), and without the pin Catalyst's
     * per-consumer column pruning makes the df branch a second full
     * corpus scan + tf recompute (ReuseExchange can't fire on the
     * differently-pruned subtrees; same discipline as [[dsirWeights]]);
@@ -270,11 +270,10 @@ object TextOps {
     */
   def tfidfKeywords(docs: DataFrame, k: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val tf = docs
+    val tf = graft.store.Stage.pin(docs
       .select(col(id), explode(graft.dedup.Dedup.tokens(col(text))).as("token"))
       .groupBy(col(id), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("tf")), "tfidf-tf")
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -440,8 +439,8 @@ object TextOps {
     * surface with weight 0 rather than vanishing.
     *
     * Plan shape: ONE corpus-scale exploded aggregate builds the
-    * (doc, bucket, tf) relation, PINNED with `localCheckpoint` (the
-    * same boundary discipline as the LSH→verify chain) — without the
+    * (doc, bucket, tf) relation, PINNED durably ([[graft.store.Stage.pin]],
+    * the same boundary discipline as the LSH→verify chain) — without the
     * pin, Catalyst's column pruning makes the ratio branch a second
     * full corpus scan + tf recompute because the two consumers prune
     * different columns and ReuseExchange can't fire. The ratio
@@ -456,14 +455,13 @@ object TextOps {
   def dsirWeights(docs: DataFrame, targetSources: Seq[String],
       buckets: Int, id: String = "doc_id", text: String = "text",
       source: String = "source"): DataFrame = {
-    val tf = docs.select(col(id), col(source),
+    val tf = graft.store.Stage.pin(docs.select(col(id), col(source),
         explode(graft.dedup.Dedup.tokens(col(text))).as("token"))
       .withColumn("bucket",
         pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)))
       .groupBy(col(id), col(source), col("bucket"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("tf")), "dsir-tf")
     val isTgt = col(source).isin(targetSources: _*)
     val ratio = tf.groupBy("bucket")
       .agg(sum(col("tf")).as("__raw"),
@@ -491,7 +489,8 @@ object TextOps {
     * arithmetic, so the gate is engine-exact).
     *
     * Plan shape: ONE corpus-scale exploded relation of distinct
-    * (doc, chunk) pairs, PINNED with `localCheckpoint` — the df branch
+    * (doc, chunk) pairs, PINNED durably ([[graft.store.Stage.pin]]) —
+    * the df branch
     * aggregates THE SAME relation (chunk-vocabulary-sized), and without
     * the pin Catalyst's per-consumer pruning re-scans the corpus (the
     * [[tfidfKeywords]] / [[dsirWeights]] discipline). Then one
@@ -517,9 +516,9 @@ object TextOps {
         slice(toks, (g - lit(1)) * lit(chunkTokens) + lit(1),
           lit(chunkTokens)),
         " "))
-    val e = docs
-      .select(col(id), explode(array_distinct(chunks)).as("chunk"))
-      .localCheckpoint(true)
+    val e = graft.store.Stage.pin(docs
+      .select(col(id), explode(array_distinct(chunks)).as("chunk")),
+      "chunk-pairs")
     val df = e.groupBy("chunk").agg(count(lit(1)).as("__df"))
     e.join(df, Seq("chunk"))
       .groupBy(col(id))

@@ -188,6 +188,34 @@ class PlanSpec extends SparkSpec {
       s"sort_desc must not put a global Sort into the plan:\n$p")
   }
 
+  test("x11/x15/x16: ONE text-bearing corpus scan, inside the durable pin") {
+    // The pinned text operators claim "one corpus scan": the exploded
+    // tf / chunk relation reads the corpus (with its heavy `text`
+    // column) exactly once, inside the eager Stage.pin; every later
+    // consumer reads the staged parquet. A lost pin regresses to
+    // Catalyst re-scanning the corpus per consumer — which this test
+    // catches as a text-bearing documents scan in the FINAL plan.
+    def scans(p: String): Seq[String] =
+      p.split("Scan parquet|FileScan parquet").toSeq.tail
+    for ((q, tag) <- Seq("x11_tfidf_keywords" -> "tfidf-tf",
+        "x15_dsir_weights" -> "dsir-tf",
+        "x16_chunk_dedup" -> "chunk-pairs")) {
+      graft.store.Stage.startRecording()
+      val p = plan(q) // builds the query; the pin materializes eagerly
+      val pins = graft.store.Stage.stopRecording()
+      assert(pins.map(_._1) === Seq(tag),
+        s"$q should materialize exactly the $tag pin, got ${pins.map(_._1)}")
+      val pinTextScans = scans(pins.head._2)
+        .filter(s => s.contains("documents.parquet") && s.contains("text"))
+      assert(pinTextScans.nonEmpty,
+        s"$q pin plan lost its corpus scan:\n${pins.head._2.take(1500)}")
+      val finalTextScans = scans(p)
+        .filter(s => s.contains("documents.parquet") && s.contains("text"))
+      assert(finalTextScans.isEmpty,
+        s"$q re-reads the corpus text outside the pin:\n${p.take(2000)}")
+    }
+  }
+
   test("matcher queries keep whole-stage codegen in the scan path") {
     // AQE hides codegen until the final plan: execute first
     val df = SparkEntry.queries("f1_matchers")(spark, sfDir)
