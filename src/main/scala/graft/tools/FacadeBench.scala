@@ -73,6 +73,39 @@ object FacadeBench {
     }
     val ingestSec = (System.nanoTime() - w0) / 1e9
 
+    // ---- optional: bulk-ingest FB_HIST_HOURS of 10 s history ----
+    // The A4 routed-vs-raw comparison is only meaningful over realistic
+    // history (the reference's pre-agg exists for dashboard queries over
+    // days/weeks — cassandra/tsdb/read.go:57-72); 30 scrapes span 300 s,
+    // one agg bucket, where routed ≈ raw by construction. History rides
+    // the SAME wire path (snappy prompb POSTs) in chunked payloads —
+    // FB_HIST_CHUNK_MIN minutes of all agents' series per POST — so the
+    // cold tier and agg_5m are built by the normal flush machinery, and
+    // the chunked-payload throughput is itself a useful datapoint
+    // (per-POST overhead amortizes over ~chunk×agents×metrics points).
+    val histHours = sys.env.getOrElse("FB_HIST_HOURS", "0").toInt
+    val chunkMin = sys.env.getOrElse("FB_HIST_CHUNK_MIN", "120").toInt
+    var histSec = 0.0
+    var histPoints = 0L
+    if (histHours > 0) {
+      val h0 = System.nanoTime()
+      val perChunk = chunkMin * 6 // 10 s interval
+      for (c <- 0 until (histHours * 60) / chunkMin; t <- 0 until tenants) {
+        val start = t0ms + c.toLong * chunkMin * 60000L
+        val series = for (a <- 0 until agents; m <- 0 until metrics) yield
+          Prompb.PromSeries(
+            Map("__name__" -> s"fb_metric_$m", "instance" -> s"agent$a",
+              "job" -> "fb"),
+            (0 until perChunk).map(i =>
+              (start + i * 10000L, (c + a + m + i % 7).toDouble)))
+        val rc = post("/api/v1/write", Prompb.encodeSnappy(series),
+          Seq("X-SquirrelDB-Tenant" -> s"tenant$t")).statusCode()
+        require(rc == 204, s"history write failed: $rc")
+        histPoints += agents.toLong * metrics * perChunk
+      }
+      histSec = (System.nanoTime() - h0) / 1e9
+    }
+
     // steady state: fold the append vector before the query phase (the
     // background compactor does this every compactEvery batches anyway)
     client.send(HttpRequest.newBuilder(URI.create(
@@ -100,6 +133,10 @@ object FacadeBench {
     // for (reference cassandra/tsdb/read.go:57-72)
     var routedSec = 0.0
     var rawSec = 0.0
+    // with history, the dashboard window spans it all; step 600 keeps
+    // the route through agg_5m
+    val qEndSec = t0ms / 1000 +
+      (if (histHours > 0) histHours * 3600 else scrapes * 10)
     if (durable.isDefined && api.preAggWatermark > 0) {
       def timedQ(hdrs: Seq[(String, String)]): Double = {
         val t0 = System.nanoTime()
@@ -108,7 +145,7 @@ object FacadeBench {
             "avg_over_time(fb_metric_1[10m])", "UTF-8")
           val b = HttpRequest.newBuilder(URI.create(
             s"http://127.0.0.1:$port/api/v1/query_range?query=$q" +
-              s"&start=${t0ms / 1000}&end=${t0ms / 1000 + scrapes * 10}" +
+              s"&start=${t0ms / 1000}&end=$qEndSec" +
               "&step=600"))
             .header("X-SquirrelDB-Tenant", s"tenant$t")
           hdrs.foreach { case (k, v) => b.header(k, v) }
@@ -142,6 +179,8 @@ object FacadeBench {
         s""""unit":"pts/s","points":$nPoints,"ingest_sec":$ingestSec,""" +
         s""""writes":${scrapes * tenants},""" +
         s""""flush_every_posts":$flushPosts,""" +
+        s""""hist_hours":$histHours,"hist_points":$histPoints,""" +
+        s""""hist_ingest_pts_per_s":${if (histSec > 0) histPoints / histSec else 0},""" +
         s""""query_range_sec_per_tenant":${querySec / tenants},""" +
         s""""routed_query_sec_per_tenant":${routedSec / tenants},""" +
         s""""raw_query_sec_per_tenant":${rawSec / tenants},""" +
