@@ -420,34 +420,40 @@ object TsdbQueries {
       import graft.promql.{EvalParams, PromSource}
       val SixH = 6 * Hour
       // 0. one sample per (series, ts) — PromQL precondition, LWW on
-      //    event_id; the winning row keeps its event_id
+      //    event_id; the winning row keeps its event_id. The dedup is
+      //    referenced by BOTH write generations below — pin it once
+      //    (query-local boundary, d4 discipline: the chain is the job).
       val base = pts(s, dir)
         .groupBy("user_id", "event_type", "ts_ms")
         .agg(max_by(struct(col("value"), col("event_id")),
           col("event_id")).as("m"))
         .select(col("user_id"), col("event_type"), col("ts_ms"),
           col("m.value").as("value"), col("m.event_id").as("event_id"))
-      // 1. remote-write payloads, one per series, ENCODED ON EXECUTORS;
-      //    batch 2 is a later correction write (doubled values) that must
-      //    win last-write-wins end-to-end
-      def payloads(df: DataFrame, batch: Int) =
-        df.groupBy("user_id", "event_type")
-          .agg(collect_list(struct(col("ts_ms"), col("value"))).as("samples"))
-          .map { r =>
-            val labels = Map(
-              "__name__" -> "events_value",
-              "user_id" -> r.getAs[Long]("user_id").toString,
-              "event_type" -> r.getAs[String]("event_type"),
-              "__batch" -> batch.toString)
-            val samples = r.getAs[scala.collection.Seq[Row]]("samples")
-              .map(x => (x.getLong(0), x.getDouble(1))).toSeq
-            Prompb.encodeSnappy(Seq(Prompb.PromSeries(labels, samples)))
-          }(Encoders.BINARY)
-      val wire = payloads(base, 1).union(payloads(
+        .localCheckpoint(true)
+      // 1. remote-write payloads, one per (series, generation), ENCODED
+      //    ON EXECUTORS in one grouped pass; batch 2 is a later correction
+      //    write (doubled values) that must win last-write-wins end-to-end
+      val tagged = base.withColumn("__batch", lit(1)).unionByName(
         base.where(pmod(col("event_id"), lit(7)) === 0)
-          .withColumn("value", col("value") * 2), 2))
+          .withColumn("value", col("value") * 2)
+          .withColumn("__batch", lit(2)))
+      val wire = tagged
+        .groupBy("user_id", "event_type", "__batch")
+        .agg(collect_list(struct(col("ts_ms"), col("value"))).as("samples"))
+        .map { r =>
+          val labels = Map(
+            "__name__" -> "events_value",
+            "user_id" -> r.getAs[Long]("user_id").toString,
+            "event_type" -> r.getAs[String]("event_type"),
+            "__batch" -> r.getAs[Int]("__batch").toString)
+          val samples = r.getAs[scala.collection.Seq[Row]]("samples")
+            .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+          Prompb.encodeSnappy(Seq(Prompb.PromSeries(labels, samples)))
+        }(Encoders.BINARY)
       // 2. distributed wire decode → S1 ingest; the batch tag becomes the
-      //    write sequence and leaves the series identity
+      //    write sequence and leaves the series identity. Pinned once:
+      //    the cold and hot tiers below both read it, and without the pin
+      //    Catalyst re-runs the whole encode→decode→ingest chain per tier.
       val ingested = graft.streaming.Ingest.ingestLabeled(
           Prompb.decodeDataset(wire)
             .withColumn("__seq",
@@ -458,6 +464,7 @@ object TsdbQueries {
         .withColumn("user_id",
           element_at(col("labels"), "user_id").cast("long"))
         .withColumn("event_type", element_at(col("labels"), "event_type"))
+        .localCheckpoint(true)
       // 3. cold store: persisted (LWW-deduped) points strictly below Jan20
       val cold = ingested.where(col("ts_ms") < Jan20)
         .groupBy("user_id", "event_type", "ts_ms")
