@@ -83,6 +83,13 @@ object PipelineQueries {
   // votes over the brute-force top-5
   private val ChunkTokens = 12
   private val KnnK = 5
+  // product quantization: 4 subspaces × 16 dims (embedding dim 64),
+  // 8 codewords per subspace, the shared 2-iteration Lloyd discipline;
+  // ADC search returns the top-3 per query
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+  private val PqTopK = 3
 
   private def piiCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
@@ -352,6 +359,21 @@ object PipelineQueries {
       Ann.knnClassify(emb, emb.where(col("vec_id") < 10), KnnK)
     }),
 
+    // product quantization (Jégou 2011): m per-subspace codebooks trained
+    // in ONE corpus scan per Lloyd iteration, every vector coded as m
+    // codeword ids — the compressed-index form behind billion-scale ANN
+    "v8_pq_codes" -> ((s, dir) =>
+      Ann.pqCodes(Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        PqM, PqSubDim, PqK, KmeansIters)),
+
+    // ADC top-k over the PQ index: queries stay exact, the corpus side
+    // streams codes only; ranking is the bounded-state top-k aggregate
+    "v9_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Ann.pqAdcTopK(emb, emb.where(col("vec_id") < 5),
+        PqM, PqSubDim, PqK, KmeansIters, PqTopK)
+    }),
+
     // multimodal: typed metadata without decode
     "mm1_asset_meta" -> ((s, dir) =>
       Multimodal.assetMetadata(Tables.documents(s, dir))),
@@ -433,7 +455,8 @@ object PipelineQueries {
     * `KmeansIters` cannot silently desynchronize the two. Shared by v6
     * and d9.
     */
-  private def kmeansChainSql(k: Int, iters: Int): String = {
+  private def kmeansChainSql(k: Int, iters: Int, sfx: String = "",
+      src: String = "v"): String = {
     def argminCte(name: String, dist: String) = s"""
       $name AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
           OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $dist)
@@ -441,28 +464,46 @@ object PipelineQueries {
     def distCte(name: String, cen: String) = s"""
       $name AS (SELECT v.vec_id, c.cid,
           ${sqdistSql("v.embedding", "c.cen")} AS d
-        FROM v CROSS JOIN $cen c)"""
+        FROM $src v CROSS JOIN $cen c)"""
     val rounds = (0 until iters).map { i =>
-      s"""${distCte(s"d$i", s"cen$i")},
-      ${argminCte(s"a$i", s"d$i")},
-      q$i AS (SELECT a.cid,
+      s"""${distCte(s"d$i$sfx", s"cen$i$sfx")},
+      ${argminCte(s"a$i$sfx", s"d$i$sfx")},
+      q$i$sfx AS (SELECT a.cid,
           CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
           floor(CAST(unnest(v.embedding) AS DOUBLE) * ${Ann.CentroidScale})
             AS xq
-        FROM v JOIN a$i a USING (vec_id)),
-      m$i AS (SELECT cid, dim,
+        FROM $src v JOIN a$i$sfx a USING (vec_id)),
+      m$i$sfx AS (SELECT cid, dim,
           CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
             / ${Ann.CentroidScale} AS w
-        FROM q$i GROUP BY 1, 2),
-      cen${i + 1} AS (SELECT cid, list(w ORDER BY dim) AS cen
-        FROM m$i GROUP BY 1),"""
+        FROM q$i$sfx GROUP BY 1, 2),
+      cen${i + 1}$sfx AS (SELECT cid, list(w ORDER BY dim) AS cen
+        FROM m$i$sfx GROUP BY 1),"""
     }.mkString
     s"""
-      cen0 AS (SELECT vec_id AS cid, embedding AS cen FROM v
+      cen0$sfx AS (SELECT vec_id AS cid, embedding AS cen FROM $src
         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),$rounds
-      ${distCte("dF", s"cen$iters")},
-      ${argminCte("asg", "dF")}"""
+      ${distCte(s"dF$sfx", s"cen$iters$sfx")},
+      ${argminCte(s"asg$sfx", s"dF$sfx")}"""
   }
+
+  /** PQ oracle scaffolding: per-subspace sliced views of `v` plus an
+    * independent [[kmeansChainSql]] per subspace — mirrors `Ann.pqChain`
+    * (same seeds per subspace, same fixed-point update) with DuckDB's
+    * `list_slice` standing in for Spark's `slice`.
+    */
+  private def pqChainsSql(m: Int, subDim: Int, k: Int, iters: Int): String =
+    (0 until m).map { s =>
+      s"""v_s$s AS (SELECT vec_id,
+        list_slice(embedding, ${s * subDim + 1}, ${(s + 1) * subDim})
+          AS embedding FROM v),
+      ${kmeansChainSql(k, iters, s"_s$s", s"v_s$s")}"""
+    }.mkString(",")
+
+  private def pqCodesSql(m: Int): String =
+    (0 until m).map(s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cid AS code FROM asg_s$s")
+      .mkString("\n        UNION ALL ")
 
   private val CorpusSql = """
     SELECT doc_id, text FROM documents
@@ -976,6 +1017,36 @@ object PipelineQueries {
         SELECT *, row_number() OVER (
           PARTITION BY q_id ORDER BY n_votes DESC, pred_label ASC) AS rn
         FROM votes) WHERE rn = 1""",
+
+    "v8_pq_codes" -> s"""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      ${pqChainsSql(PqM, PqSubDim, PqK, KmeansIters)}
+      SELECT * FROM (${pqCodesSql(PqM)})""",
+
+    "v9_pq_adc_topk" -> s"""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      ${pqChainsSql(PqM, PqSubDim, PqK, KmeansIters)},
+      codes AS (${pqCodesSql(PqM)}),
+      cb AS (${(0 until PqM).map(s =>
+        s"SELECT CAST($s AS BIGINT) AS sub, cid, cen FROM cen${KmeansIters}_s$s")
+        .mkString("\n        UNION ALL ")}),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM v
+        WHERE vec_id < 5),
+      parts AS (SELECT q.q_id, c.vec_id AS nn_id, c.sub,
+          ${sqdistSql(
+            s"list_slice(q.q_emb, c.sub * $PqSubDim + 1, (c.sub + 1) * $PqSubDim)",
+            "cb.cen")} AS dp
+        FROM codes c
+        JOIN cb ON cb.sub = c.sub AND cb.cid = c.code
+        CROSS JOIN q
+        WHERE c.vec_id <> q.q_id),
+      d AS (SELECT q_id, nn_id,
+          list_reduce(list(dp ORDER BY sub), (x, y) -> x + y) AS dist_adc
+        FROM parts GROUP BY 1, 2)
+      SELECT q_id, rank, nn_id, dist_adc FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY dist_adc ASC, nn_id ASC) AS rank
+        FROM d) WHERE rank <= $PqTopK""",
 
     "v2_ann_lsh" -> s"""
       WITH planes AS (

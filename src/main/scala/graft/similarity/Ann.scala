@@ -436,4 +436,121 @@ object Ann {
       .where(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }
+
+  /** Subspace `s` of an embedding under a fixed `subDim` split (Jégou et
+    * al. 2011 product quantization: dims [s·subDim, (s+1)·subDim)).
+    */
+  private def subSlice(emb: Column, s: Column, subDim: Int): Column =
+    slice(emb, (s * subDim + 1).cast("int"), lit(subDim))
+
+  /** Product-quantization chain (Jégou, Douze, Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): split each
+    * embedding into `m` subspaces of `subDim` dims, run an independent
+    * k-codeword Lloyd chain per subspace, and code every vector as its m
+    * per-subspace argmin codewords — the compressed form behind
+    * billion-scale ANN (an IVF cell list stores m bytes per vector, not
+    * m·subDim floats).
+    *
+    * Scale shape — ONE corpus scan per iteration TOTAL, not per
+    * subspace: all m codebooks ride as a single array-of-structs row
+    * (m·k·subDim = k·dims doubles, same broadcast budget as [[kmeans]]),
+    * so the m-way assignment is one pure projection (per-row work
+    * m·k·subDim = the k·dims of plain k-means), and the only shuffle per
+    * iteration is the (sub, codeword, dim) mean — ≤ m·k·dims groups,
+    * map-side combined. Training on the full corpus keeps the oracle
+    * exact; a production run trains codebooks on a sample and reuses the
+    * same broadcast-projection encode, which this plan shape already is.
+    *
+    * Engine-exact by the [[kmeans]] discipline: per-subspace seeds are
+    * the k first ids in md5(id) order (codeword label = seed id), every
+    * distance [[sqdist]]'s ordered IEEE fold, argmin ties to the smaller
+    * codeword id, means re-quantized on the [[CentroidScale]] grid.
+    *
+    * @return (codes: one row per vector with the m-entry `codes` array
+    *         and the original embedding; codebooks: the one-row
+    *         `__cens` array of (sub, cid, cen))
+    */
+  private def pqChain(vectors: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int, id: String): (DataFrame, DataFrame) = {
+    val v = vectors.select(col(id),
+      col("embedding").cast("array<double>").as("embedding"))
+    val subs = sequence(lit(0), lit(m - 1))
+    val seed = v.orderBy(md5(col(id).cast("string")), col(id)).limit(k)
+      .select(col(id).as("cid"), col("embedding").as("emb"))
+      .select(col("cid"), explode(subs).as("sub"), col("emb"))
+      .select(col("sub"), col("cid"),
+        subSlice(col("emb"), col("sub"), subDim).as("cen"))
+      .agg(collect_list(struct(col("sub"), col("cid"), col("cen")))
+        .as("__cens"))
+    def assign(cens: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cens))
+        .withColumn("codes", transform(subs, s =>
+          struct(s.as("sub"),
+            array_min(transform(
+              filter(col("__cens"), c => c.getField("sub") === s),
+              c => struct(
+                sqdist(subSlice(col("embedding"), s, subDim),
+                  c.getField("cen")).as("d"),
+                c.getField("cid").as("cid")))).getField("cid").as("cid"))))
+        .select(col(id), col("embedding"), col("codes"))
+    def update(asg: DataFrame): DataFrame =
+      asg.select(col("embedding"), explode(col("codes")).as("c"))
+        .select(col("c.sub").as("sub"), col("c.cid").as("cid"),
+          posexplode(subSlice(col("embedding"), col("c.sub"), subDim))
+            .as(Seq("d", "x")))
+        .select(col("sub"), col("cid"), col("d").cast("long").as("d"),
+          floor(col("x") * CentroidScale).as("xq"))
+        .groupBy("sub", "cid", "d")
+        .agg((sum(col("xq").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)) / CentroidScale).as("w"))
+        .groupBy("sub", "cid")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
+          e => e.getField("w")).as("cen"))
+        .agg(collect_list(struct(col("sub"), col("cid"), col("cen")))
+          .as("__cens"))
+    val fin = (1 to iters).foldLeft(seed)((c, _) => update(assign(c)))
+    (assign(fin), fin)
+  }
+
+  /** PQ codes in long format: (id, sub, code) — the compressed corpus
+    * representation (see [[pqChain]] for the training/encode plan shape).
+    */
+  def pqCodes(vectors: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      id: String = "vec_id"): DataFrame =
+    pqChain(vectors, m, subDim, k, iters, id)._1
+      .select(col(id), explode(col("codes")).as("c"))
+      .select(col(id), col("c.sub").cast("long").as("sub"),
+        col("c.cid").as("code"))
+
+  /** Asymmetric-distance (ADC) top-k search over the PQ-compressed
+    * corpus: each query's distance to a vector is the ordered sum over
+    * subspaces of sqdist(query sub-slice, that subspace's codeword
+    * centroid) — the query stays exact, the corpus is m codes per row.
+    *
+    * Scale shape: codebooks (m·k centroids) and the query set broadcast;
+    * the corpus side streams CODES ONLY (the embedding column is
+    * dropped before scoring — at 100 TB the codes relation is the
+    * persisted index and the raw vectors never move). Ranking is the
+    * bounded-state [[TopKAgg]] per query (distance ascending via negated
+    * score), so k candidates ship per map task, never the scored corpus.
+    */
+  def pqAdcTopK(vectors: DataFrame, queries: DataFrame, m: Int, subDim: Int,
+      k: Int, iters: Int, topK: Int, id: String = "vec_id"): DataFrame = {
+    val (coded, cens) = pqChain(vectors, m, subDim, k, iters, id)
+    val q = queries.select(col(id).as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val scored = coded.select(col(id).as("nn_id"), col("codes"))
+      .crossJoin(broadcast(cens))
+      .join(broadcast(q), col("nn_id") =!= col("q_id"))
+      .withColumn("cos", -aggregate(col("codes"), lit(0.0), (acc, c) =>
+        acc + sqdist(subSlice(col("q_emb"), c.getField("sub"), subDim),
+          element_at(filter(col("__cens"), e =>
+            e.getField("sub") === c.getField("sub") &&
+              e.getField("cid") === c.getField("cid")), 1)
+            .getField("cen"))))
+      .select(col("q_id"), col("nn_id"), col("cos"))
+    rankTopK(scored, topK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), (-col("cos_sim")).as("dist_adc"))
+  }
 }

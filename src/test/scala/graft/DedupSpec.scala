@@ -537,4 +537,50 @@ class DedupSpec extends SparkSpec {
     // — every label has one vote; the tie resolves to the smallest, 2
     assert(got(1L) === ((2L, 1L)))
   }
+
+  // the two subspaces cluster INDEPENDENTLY: dims 0-1 split {6,1,3} near
+  // the origin vs {4,2,5} near (10,10); dims 2-3 split {6,1,2} near
+  // (5,0) vs {3,4,5} near (0,5). Seeds are ids 6 and 4 (the first two in
+  // md5(id) order), one per cluster in BOTH subspaces.
+  private val pqVecs = Seq(
+    (6L, Array(0.0f, 0.1f, 5.0f, 0.0f)),
+    (1L, Array(0.2f, 0.0f, 5.1f, 0.1f)),
+    (3L, Array(0.1f, 0.1f, 0.0f, 5.0f)),
+    (4L, Array(10.0f, 10.1f, 0.1f, 5.1f)),
+    (2L, Array(10.2f, 10.0f, 4.9f, 0.0f)),
+    (5L, Array(9.9f, 10.0f, 0.0f, 4.9f)))
+
+  test("pqCodes: per-subspace codewords follow the subspace clusters, " +
+    "not the full-vector ones; deterministic under repartitioning") {
+    import graft.similarity.Ann
+    val df = pqVecs.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Ann.pqCodes(d, 2, 2, 2, 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = run(df)
+    // sub 0 codes: {6,1,3} → codeword 6, {4,2,5} → codeword 4
+    for (id <- Seq(6L, 1L, 3L)) assert(got((id, 0L)) === 6L)
+    for (id <- Seq(4L, 2L, 5L)) assert(got((id, 0L)) === 4L)
+    // sub 1 codes cut ACROSS the sub-0 clusters: {6,1,2} vs {3,4,5}
+    for (id <- Seq(6L, 1L, 2L)) assert(got((id, 1L)) === 6L)
+    for (id <- Seq(3L, 4L, 5L)) assert(got((id, 1L)) === 4L)
+    assert(run(df.repartition(5)) === got,
+      "fixed-point codebook updates make codes order-independent")
+  }
+
+  test("pqAdcTopK ranks by summed per-subspace codeword distances") {
+    import graft.similarity.Ann
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val got = Ann.pqAdcTopK(df, df.where($"vec_id" === 6L), 2, 2, 2, 2, 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // query 6 (codes 6,6): vec 1 shares both codewords (ADC ≈ 0); vec 3
+    // shares sub-0 only (ADC ≈ the ~7-unit sub-1 gap²); vec 2 shares
+    // sub-1 only (ADC ≈ the ~14-unit sub-0 gap²); 4 and 5 share neither
+    assert(got.map(x => (x._1, x._2)).toSeq === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    assert(got(0)._3 < 1.0 && got(1)._3 > 40 && got(1)._3 < 60 &&
+      got(2)._3 > 190 && got(2)._3 < 210)
+    assert(got.map(_._3).sliding(2).forall(p => p(0) < p(1)),
+      "ADC distance increases with rank")
+  }
 }
