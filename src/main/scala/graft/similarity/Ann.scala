@@ -443,37 +443,29 @@ object Ann {
   private def subSlice(emb: Column, s: Column, subDim: Int): Column =
     slice(emb, (s * subDim + 1).cast("int"), lit(subDim))
 
-  /** Product-quantization chain (Jégou, Douze, Schmid, "Product
-    * quantization for nearest neighbor search", TPAMI 2011): split each
-    * embedding into `m` subspaces of `subDim` dims, run an independent
-    * k-codeword Lloyd chain per subspace, and code every vector as its m
-    * per-subspace argmin codewords — the compressed form behind
-    * billion-scale ANN (an IVF cell list stores m bytes per vector, not
-    * m·subDim floats).
-    *
-    * Scale shape — ONE corpus scan per iteration TOTAL, not per
-    * subspace: all m codebooks ride as a single array-of-structs row
-    * (m·k·subDim = k·dims doubles, same broadcast budget as [[kmeans]]),
-    * so the m-way assignment is one pure projection (per-row work
-    * m·k·subDim = the k·dims of plain k-means), and the only shuffle per
-    * iteration is the (sub, codeword, dim) mean — ≤ m·k·dims groups,
-    * map-side combined. Training on the full corpus keeps the oracle
-    * exact; a production run trains codebooks on a sample and reuses the
-    * same broadcast-projection encode, which this plan shape already is.
-    *
-    * Engine-exact by the [[kmeans]] discipline: per-subspace seeds are
-    * the k first ids in md5(id) order (codeword label = seed id), every
-    * distance [[sqdist]]'s ordered IEEE fold, argmin ties to the smaller
-    * codeword id, means re-quantized on the [[CentroidScale]] grid.
-    *
-    * @return (codes: one row per vector with the m-entry `codes` array
-    *         and the original embedding; codebooks: the one-row
-    *         `__cens` array of (sub, cid, cen))
+  /** The m-way code assignment: one projection over the corpus against
+    * the one-row broadcast codebook array (see [[pqCodes]]).
     */
-  private def pqChain(vectors: DataFrame, m: Int, subDim: Int, k: Int,
-      iters: Int, id: String): (DataFrame, DataFrame) = {
-    val v = vectors.select(col(id),
-      col("embedding").cast("array<double>").as("embedding"))
+  private def pqAssign(v: DataFrame, cens: DataFrame, m: Int, subDim: Int,
+      id: String): DataFrame = {
+    val subs = sequence(lit(0), lit(m - 1))
+    v.crossJoin(broadcast(cens))
+      .withColumn("codes", transform(subs, s =>
+        struct(s.as("sub"),
+          array_min(transform(
+            filter(col("__cens"), c => c.getField("sub") === s),
+            c => struct(
+              sqdist(subSlice(col("embedding"), s, subDim),
+                c.getField("cen")).as("d"),
+              c.getField("cid").as("cid")))).getField("cid").as("cid"))))
+      .select(col(id), col("embedding"), col("codes"))
+  }
+
+  /** Trained codebooks as the one-row `__cens` array of (sub, cid, cen)
+    * — the Lloyd chain of [[pqCodes]]'s scaladoc.
+    */
+  private def pqTrain(v: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int, id: String): DataFrame = {
     val subs = sequence(lit(0), lit(m - 1))
     val seed = v.orderBy(md5(col(id).cast("string")), col(id)).limit(k)
       .select(col(id).as("cid"), col("embedding").as("emb"))
@@ -482,17 +474,6 @@ object Ann {
         subSlice(col("emb"), col("sub"), subDim).as("cen"))
       .agg(collect_list(struct(col("sub"), col("cid"), col("cen")))
         .as("__cens"))
-    def assign(cens: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cens))
-        .withColumn("codes", transform(subs, s =>
-          struct(s.as("sub"),
-            array_min(transform(
-              filter(col("__cens"), c => c.getField("sub") === s),
-              c => struct(
-                sqdist(subSlice(col("embedding"), s, subDim),
-                  c.getField("cen")).as("d"),
-                c.getField("cid").as("cid")))).getField("cid").as("cid"))))
-        .select(col(id), col("embedding"), col("codes"))
     def update(asg: DataFrame): DataFrame =
       asg.select(col("embedding"), explode(col("codes")).as("c"))
         .select(col("c.sub").as("sub"), col("c.cid").as("cid"),
@@ -508,19 +489,42 @@ object Ann {
           e => e.getField("w")).as("cen"))
         .agg(collect_list(struct(col("sub"), col("cid"), col("cen")))
           .as("__cens"))
-    val fin = (1 to iters).foldLeft(seed)((c, _) => update(assign(c)))
-    (assign(fin), fin)
+    (1 to iters).foldLeft(seed)((c, _) =>
+      update(pqAssign(v, c, m, subDim, id)))
   }
 
-  /** PQ codes in long format: (id, sub, code) — the compressed corpus
-    * representation (see [[pqChain]] for the training/encode plan shape).
+  /** Product quantization (Jégou, Douze, Schmid, "Product quantization
+    * for nearest neighbor search", TPAMI 2011): split each embedding
+    * into `m` subspaces of `subDim` dims, run an independent k-codeword
+    * Lloyd chain per subspace, and code every vector as its m
+    * per-subspace argmin codewords — the compressed form behind
+    * billion-scale ANN (an IVF cell list stores m bytes per vector, not
+    * m·subDim floats). Output in long format: (id, sub, code).
+    *
+    * Scale shape — ONE corpus scan per iteration TOTAL, not per
+    * subspace: all m codebooks ride as a single array-of-structs row
+    * (m·k·subDim = k·dims doubles, same broadcast budget as [[kmeans]]),
+    * so the m-way assignment is one pure projection (per-row work
+    * m·k·subDim = the k·dims of plain k-means), and the only shuffle per
+    * iteration is the (sub, codeword, dim) mean — ≤ m·k·dims groups,
+    * map-side combined. Training on the full corpus keeps the oracle
+    * exact; a production run trains codebooks on a sample and reuses the
+    * same broadcast-projection encode, which this plan shape already is.
+    *
+    * Engine-exact by the [[kmeans]] discipline: per-subspace seeds are
+    * the k first ids in md5(id) order (codeword label = seed id), every
+    * distance [[sqdist]]'s ordered IEEE fold, argmin ties to the smaller
+    * codeword id, means re-quantized on the [[CentroidScale]] grid.
     */
   def pqCodes(vectors: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
-      id: String = "vec_id"): DataFrame =
-    pqChain(vectors, m, subDim, k, iters, id)._1
+      id: String = "vec_id"): DataFrame = {
+    val v = vectors.select(col(id),
+      col("embedding").cast("array<double>").as("embedding"))
+    pqAssign(v, pqTrain(v, m, subDim, k, iters, id), m, subDim, id)
       .select(col(id), explode(col("codes")).as("c"))
       .select(col(id), col("c.sub").cast("long").as("sub"),
         col("c.cid").as("code"))
+  }
 
   /** Asymmetric-distance (ADC) top-k search over the PQ-compressed
     * corpus: each query's distance to a vector is the ordered sum over
@@ -536,10 +540,17 @@ object Ann {
     */
   def pqAdcTopK(vectors: DataFrame, queries: DataFrame, m: Int, subDim: Int,
       k: Int, iters: Int, topK: Int, id: String = "vec_id"): DataFrame = {
-    val (coded, cens) = pqChain(vectors, m, subDim, k, iters, id)
+    val v = vectors.select(col(id),
+      col("embedding").cast("array<double>").as("embedding"))
+    // the codebook row feeds BOTH the encode projection and the ADC
+    // scoring lookup — pin it once (m·k centroids, aggregate-small per
+    // the SCALE.md discipline) so the training chain's corpus scans run
+    // once, not once per consumer
+    val cens = pqTrain(v, m, subDim, k, iters, id).localCheckpoint(true)
     val q = queries.select(col(id).as("q_id"),
       col("embedding").cast("array<double>").as("q_emb"))
-    val scored = coded.select(col(id).as("nn_id"), col("codes"))
+    val scored = pqAssign(v, cens, m, subDim, id)
+      .select(col(id).as("nn_id"), col("codes"))
       .crossJoin(broadcast(cens))
       .join(broadcast(q), col("nn_id") =!= col("q_id"))
       .withColumn("cos", -aggregate(col("codes"), lit(0.0), (acc, c) =>
