@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann.CentroidScale
+
+/** Distributed linear-probe training by fixed-iteration batch gradient
+  * descent — the "distill an expensive scorer into a cheap linear model"
+  * step of a data-curation pipeline (a fastText-style quality classifier
+  * reduced to its Spark-native core: the expensive score is computed once
+  * over a corpus slice, a linear probe is fit to mimic it, and the probe —
+  * five multiplies per document — gates the other 99% of the corpus).
+  *
+  * Engine-exact by the k-means discipline (`Ann.kmeans`):
+  *  - the per-row prediction is an ordered IEEE fold over the feature
+  *    vector (`aggregate(zip_with(x, w, *))`), bit-identical everywhere;
+  *  - the cross-row gradient sum is order-INDEPENDENT: each per-row term
+  *    xⱼ·r is floored onto the 2⁻⁴⁹ fixed-point grid (an exact double op,
+  *    see `Ann.CentroidScale`) and summed as integer DECIMAL(38,0), so any
+  *    partitioning — and the DuckDB oracle — produces the same gradient;
+  *  - the learning rate is a power of two, so the weight update
+  *    w − lr·g stays on exactly representable products;
+  *  - iteration count is a small fixed constant: a bounded, reproducible
+  *    pipeline stage, one corpus scan per iteration.
+  *
+  * Scale shape per iteration: the d weights ride as ONE broadcast row, the
+  * gradient aggregate partial-combines to ≤ d groups map-side — the only
+  * corpus-scale shuffle ships d rows per task. Nothing is collected to the
+  * driver; the weight chain is a lazy one-row-DataFrame fold exactly like
+  * the k-means centroid chain.
+  */
+object LinearProbe {
+
+  /** Weight grid: each updated weight is floored onto 2⁻³⁰ — COARSER than
+    * the 2⁻⁴⁹ gradient-term grid, deliberately. The gradient mean casts a
+    * >2⁵³ integer DECIMAL to double, and that cast is not correctly
+    * rounded in every engine (measured: DuckDB rounds -187489813713792112
+    * to a double one ulp off nearest-even, where the JVM is exact), so
+    * the raw updated weight can differ cross-engine in its last ulp. A
+    * weight ulp (~6e-17 at w≈0.4) moves the 2³⁰-scaled value by ~6e-8, so
+    * flooring onto this grid collapses the discrepancy except within
+    * ~2⁻²³ of a grid boundary — the same absorb-the-ulp role
+    * `Ann.CentroidScale` plays for k-means centroids, with the grid
+    * chosen for the probe's precision needs (2⁻³⁰ is ten orders below any
+    * meaningful quality-weight resolution).
+    */
+  val WeightScale: Double = 1073741824.0
+
+  /** Train on `(id, x: array<double>, y)` and score every row.
+    *
+    * @return (id, pred, y-passthrough) — `pred` is the trained probe's
+    *         ordered-fold prediction for each input row
+    */
+  /** The trained one-row weight array (for inspection / reuse). */
+  def fit(features: DataFrame, dims: Int, iters: Int, lr: Double,
+      id: String = "doc_id", x: String = "x", y: String = "y"): DataFrame =
+    fitPredictImpl(features, dims, iters, lr, id, x, y)._2
+
+  def fitPredict(features: DataFrame, dims: Int, iters: Int, lr: Double,
+      id: String = "doc_id", x: String = "x", y: String = "y"): DataFrame =
+    fitPredictImpl(features, dims, iters, lr, id, x, y)._1
+
+  private def fitPredictImpl(features: DataFrame, dims: Int, iters: Int,
+      lr: Double, id: String, x: String, y: String)
+      : (DataFrame, DataFrame) = {
+    val f = features.select(col(id), col(x).as("__x"),
+      col(y).cast("double").as("__y"))
+    val pred: Column = // ordered fold: 0.0 + x₀w₀ + x₁w₁ + …
+      aggregate(zip_with(col("__x"), col("__w"), (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t)
+    val w0 = f.sparkSession.range(1)
+      .select(array((0 until dims).map(_ => lit(0.0)): _*).as("__w"))
+    def step(w: DataFrame): DataFrame =
+      f.crossJoin(broadcast(w))
+        .withColumn("__r", pred - col("__y"))
+        .select(col("__w"), col("__r"),
+          posexplode(col("__x")).as(Seq("j", "xj")))
+        .select(col("j"),
+          element_at(col("__w"), (col("j") + 1).cast("int")).as("wj"),
+          floor(col("xj") * col("__r") * CentroidScale).as("gq"))
+        .groupBy("j")
+        .agg((floor((min(col("wj")) - lit(lr) *
+          (sum(col("gq").cast("decimal(38,0)")).cast("double") /
+            count(lit(1)) / CentroidScale)) * WeightScale) / WeightScale)
+          .as("wj"))
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("wj")))),
+          e => e.getField("wj")).as("__w"))
+    val wT = (1 to iters).foldLeft(w0)((w, _) => step(w))
+    (f.crossJoin(broadcast(wT))
+      .select(col(id), pred.as("pred"), col("__y").as("y")), wT)
+  }
+}

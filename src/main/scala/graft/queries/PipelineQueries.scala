@@ -90,6 +90,10 @@ object PipelineQueries {
   private val PqSubDim = 16
   private val PqK = 8
   private val PqTopK = 3
+  // linear quality probe: 6 GD iterations at lr ½ (a power of two keeps
+  // the weight update on exactly representable products)
+  private val ProbeIters = 6
+  private val ProbeLr = 0.5
 
   private def piiCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
@@ -185,6 +189,22 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"),
           col("upper_ratio"), col("quality_score"))),
+
+    // distilled quality probe: fit a linear model to the composite score
+    // by fixed-iteration distributed GD (one corpus scan + one ≤d-group
+    // gradient shuffle per iteration), then score every document — the
+    // "cheap probe gates the corpus the expensive scorer can't afford"
+    // step of a curation pipeline
+    "x17_quality_probe" -> ((s, dir) => {
+      val q = TextOps.quality(Tables.documents(s, dir))
+      graft.ml.LinearProbe.fitPredict(
+        q.select(col("doc_id"),
+          array(lit(1.0), col("n_tokens").cast("double") / 64.0,
+            col("stopword_ratio"), col("punct_ratio"), col("upper_ratio"))
+            .as("x"),
+          col("quality_score").as("y")),
+        dims = 5, iters = ProbeIters, lr = ProbeLr)
+    }),
 
     // n-gram-marker language identification
     "x2_text_langid" -> ((s, dir) =>
@@ -499,6 +519,32 @@ object PipelineQueries {
           AS embedding FROM v),
       ${kmeansChainSql(k, iters, s"_s$s", s"v_s$s")}"""
     }.mkString(",")
+
+  /** GD unroll mirroring `LinearProbe.fitPredict` — one (residual,
+    * gradient, weight) CTE trio per iteration, the same ordered-fold
+    * prediction and fixed-point gradient accumulation.
+    */
+  private def probeChainSql(iters: Int, lr: Double): String = {
+    val S = Ann.CentroidScale
+    val W = graft.ml.LinearProbe.WeightScale
+    val rounds = (0 until iters).map { t =>
+      s"""r$t AS (SELECT doc_id, x, y,
+          ${dotSql("x", s"w$t.w")} - y AS r FROM feat, w$t),
+      e$t AS (SELECT CAST(generate_subscripts(x, 1) - 1 AS BIGINT) AS j,
+          unnest(x) AS xj, r FROM r$t),
+      g$t AS (SELECT j,
+          CAST(sum(CAST(floor(xj * r * $S) AS DECIMAL(38,0))) AS DOUBLE)
+            / count(*) / $S AS g
+        FROM e$t GROUP BY 1),
+      w${t + 1} AS (SELECT list(
+          floor((w$t.w[j + 1] - $lr * g) * $W) / $W ORDER BY j) AS w
+        FROM g$t, w$t),"""
+    }.mkString
+    s"""w0 AS (SELECT [0.0, 0.0, 0.0, 0.0, 0.0] AS w),
+      $rounds
+      fin AS (SELECT doc_id, ${dotSql("x", s"w$iters.w")} AS pred, y
+        FROM feat, w$iters)"""
+  }
 
   private def pqCodesSql(m: Int): String =
     (0 until m).map(s =>
@@ -834,6 +880,28 @@ object PipelineQueries {
           least(stopword_ratio * 5.0, 1.0) * 0.3 +
           (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score
       FROM f""",
+
+    "x17_quality_probe" -> s"""
+      WITH f AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        len(regexp_extract_all(lower(text),
+            '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE /
+          greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+            1)::DOUBLE AS stopword_ratio,
+        len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE /
+          greatest(length(text), 1)::DOUBLE AS punct_ratio,
+        len(regexp_extract_all(text, '[A-Z]'))::DOUBLE /
+          greatest(length(text), 1)::DOUBLE AS upper_ratio
+        FROM documents),
+      feat AS (SELECT doc_id,
+        [1.0, n_tokens::DOUBLE / 64.0, stopword_ratio, punct_ratio,
+          upper_ratio] AS x,
+        least(n_tokens::DOUBLE / 64.0, 1.0) * 0.5 +
+          least(stopword_ratio * 5.0, 1.0) * 0.3 +
+          (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS y
+        FROM f),
+      ${probeChainSql(ProbeIters, ProbeLr)}
+      SELECT doc_id, pred, y FROM fin""",
 
     "x2_text_langid" -> """
       WITH scored AS (SELECT doc_id, lang AS lang_true,
