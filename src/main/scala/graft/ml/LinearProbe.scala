@@ -66,9 +66,8 @@ object LinearProbe {
       : (DataFrame, DataFrame) = {
     val f = features.select(col(id), col(x).as("__x"),
       col(y).cast("double").as("__y"))
-    val pred: Column = // ordered fold: 0.0 + x₀w₀ + x₁w₁ + …
-      aggregate(zip_with(col("__x"), col("__w"), (a, b) => a * b),
-        lit(0.0), (acc, t) => acc + t)
+    val pred: Column = // ordered fold: 0.0 + x₀w₀ + x₁w₁ + … (fused)
+      graft.functions.VectorOps.vecDot(col("__x"), col("__w"))
     val w0 = f.sparkSession.range(1)
       .select(array((0 until dims).map(_ => lit(0.0)): _*).as("__w"))
     def step(w: DataFrame): DataFrame =

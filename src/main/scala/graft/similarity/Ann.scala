@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Σ aᵢ·bᵢ as a sequential fold in double precision. */
+  /** Σ aᵢ·bᵢ as a sequential fold in double precision — the fused
+    * codegen'd form ([[graft.functions.VecDot]]); bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but one loop inside
+    * WholeStageCodegen instead of an interpreted higher-order chain.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.vecDot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -33,11 +35,7 @@ object Ann {
     * identical IEEE op sequence produce bit-identical distances.
     */
   def sqdist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.vecSqDist(a, b)
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (sqrt(normA) * sqrt(normB))
@@ -136,9 +134,7 @@ object Ann {
   def srpSignature(emb: Column, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { j =>
       val w = array((0 until dims).map(d => lit(planeComponent(j, d))): _*)
-      val proj = aggregate(
-        zip_with(emb, w, (x, wd) => x.cast("double") * wd),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(emb, w)
       when(proj >= 0, lit(1L)).otherwise(lit(0L))
     }
     bits.foldLeft(lit(0L))((acc, b) => acc * 2 + b)
