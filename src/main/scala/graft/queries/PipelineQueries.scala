@@ -287,6 +287,13 @@ object PipelineQueries {
     "x16_chunk_dedup" -> ((s, dir) =>
       TextOps.chunkDedup(corpus(s, dir), ChunkTokens)),
 
+    // corpus-LM quality scoring: per-doc NLL under an add-one bigram LM
+    // estimated from the corpus itself (CCNet/Moore-Lewis LM signal);
+    // log-probs quantized to a BIGINT 1e-9 grid for engine exactness
+    "x18_bigram_nll" -> ((s, dir) =>
+      TextOps.bigramNll(
+        Tables.documents(s, dir).select("doc_id", "text"))),
+
     // deterministic training-shard layout: md5-hash shard + within-shard
     // position — the engine-portable "global shuffle" a training run reads
     "x9_shard_assign" -> ((s, dir) =>
@@ -1045,6 +1052,31 @@ object PipelineQueries {
         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
         (sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 2 < count(*)) AS keep
       FROM ch JOIN df d USING (chunk) GROUP BY 1""",
+
+    // add-one bigram LM over the corpus; per-bigram ln quantized to a
+    // BIGINT 1e-9 grid so the order-independent sums hash-match Spark
+    "x18_bigram_nll" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents),
+      idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2),
+      bgr AS (SELECT doc_id, array_to_string(tk[i:i + 1], ' ') AS bg
+        FROM idx),
+      dbg AS (SELECT doc_id, bg, count(*) AS k FROM bgr GROUP BY 1, 2),
+      c12 AS (SELECT bg, sum(k)::BIGINT AS c12 FROM dbg GROUP BY 1),
+      c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
+        FROM c12 GROUP BY 1),
+      v AS (SELECT count(DISTINCT string_split(bg, ' ')[2]) AS v FROM c12),
+      s AS (SELECT d.doc_id, d.k,
+          floor(ln((m.c12 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE) * 1e9
+            + 0.5)::BIGINT AS lp
+        FROM dbg d JOIN c12 m USING (bg)
+        JOIN c1 ON string_split(d.bg, ' ')[1] = c1.w1
+        CROSS JOIN v)
+      SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+        (-sum(k * lp))::BIGINT AS nll_q,
+        ((-sum(k * lp)) // sum(k))::BIGINT AS avg_nll_q
+      FROM s GROUP BY 1""",
 
     // ordered fold == Spark's aggregate(zip_with(...)): bit-exact dot
     "v1_ann_brute" -> s"""

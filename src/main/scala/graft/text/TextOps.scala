@@ -500,6 +500,68 @@ object TextOps {
     * aggregate. At 100 TB: one corpus scan, two linear shuffles, one
     * vocabulary join — no pairwise work.
     */
+  /** Corpus-LM negative log-likelihood per document — the language-model
+    * quality signal of CCNet-style curation (Wenzek et al. 2019 score
+    * pages with a KenLM 5-gram; Moore & Lewis 2010 rank data by LM
+    * cross-entropy): documents whose token transitions are improbable
+    * under a model of the corpus score a high NLL (noise, shuffled
+    * boilerplate), fluent/typical text scores low. The model is an
+    * add-one-smoothed bigram LM estimated from the corpus itself in the
+    * same pass — the distributed estimate-then-score shape is the
+    * point; a richer external model would replace only the model
+    * relation, not the plan.
+    *
+    * Engine-exactness: each bigram's log-probability is quantized onto
+    * an integer 1e-9 grid (`floor(ln(p)·1e9 + 0.5)` — the
+    * [[tfidfKeywords]] idf discipline) and every downstream
+    * accumulation is BIGINT, so sums are order-independent and
+    * bit-equal across engines despite floating-point logs. `nll_q` is
+    * provably non-negative (p = (c12+1)/(c1+V) < 1 whenever V ≥ 2, and
+    * V = 1 forces p = 1 exactly), so the BIGINT `avg_nll_q` division
+    * never sees a negative operand — Spark's truncating `div` and the
+    * oracle's floor `//` cannot diverge. Docs with fewer than two
+    * tokens have no transitions and are absent (their NLL is
+    * undefined, matching the relational oracle).
+    *
+    * Plan shape: ONE corpus-scale (doc, bigram, count) relation, PINNED
+    * durably ([[graft.store.Stage.pin]]) — the model (bigram counts,
+    * left-context counts, vocabulary size) aggregates THE SAME
+    * relation, and without the pin Catalyst's per-consumer pruning
+    * re-scans the corpus (the [[tfidfKeywords]] / [[dsirWeights]]
+    * discipline). Scoring is one vocabulary-keyed join back (the probe
+    * side holds at most one row per (doc, bigram), so hot function-word
+    * bigrams are bounded by doc count), a broadcast single-row
+    * vocabulary cross join, and a map-side-combined per-doc aggregate.
+    * At 100 TB: one corpus scan, two vocabulary-sized shuffles, one
+    * vocabulary join — no pairwise work, no windows.
+    */
+  def bigramNll(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val dbg = graft.store.Stage.pin(docs
+      .select(col(id),
+        explode(graft.dedup.Dedup.grams(col(text), 2)).as("bg"))
+      .groupBy(col(id), col("bg"))
+      .agg(count(lit(1)).as("__k")), "bigram-tf")
+    val c12 = dbg.groupBy("bg").agg(sum("__k").as("__c12"))
+    def w1(c: Column): Column = split(c, " ").getItem(0)
+    val c1 = c12.groupBy(w1(col("bg")).as("__w1")).agg(sum("__c12").as("__c1"))
+    val v = c12.agg(countDistinct(split(col("bg"), " ").getItem(1)).as("__v"))
+    // lp is a function of the bigram alone — computed once per VOCAB
+    // entry on the model side, not once per (doc, bigram) probe row
+    val model = c12.join(c1, w1(col("bg")) === col("__w1"))
+      .crossJoin(broadcast(v))
+      .select(col("bg"), floor(
+        log((col("__c12") + 1).cast("double") /
+          (col("__c1") + col("__v")).cast("double")) * 1e9 + 0.5)
+        .cast("long").as("__lp"))
+    dbg.join(model, Seq("bg"))
+      .groupBy(col(id))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        (-sum(col("__k") * col("__lp"))).as("nll_q"))
+      .withColumn("avg_nll_q", expr("nll_q div n_bigrams"))
+      .select(col(id), col("n_bigrams"), col("nll_q"), col("avg_nll_q"))
+  }
+
   def chunkDedup(docs: DataFrame, chunkTokens: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val toks = split(col(text), " ")

@@ -277,6 +277,29 @@ class DedupSpec extends SparkSpec {
       3L -> ((2L, 1L, 0.5))))
   }
 
+  test("bigramNll: add-one bigram LM NLL matches the hand model; " +
+    "sub-bigram docs absent; avg is integer division") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "a b a"), // bigrams: "a b", "b a"
+      (2L, "a b"),   // bigram:  "a b"
+      (3L, "x")      // no transitions → absent
+    ).toDF("doc_id", "text")
+    // model: c12("a b")=2, c12("b a")=1; c1("a")=2, c1("b")=1; V={b,a}=2
+    def lp(c12: Long, c1: Long): Long =
+      math.floor(math.log((c12 + 1).toDouble / (c1 + 2).toDouble) * 1e9
+        + 0.5).toLong
+    val lpAB = lp(2, 2) // ln(3/4) on the 1e-9 grid
+    val lpBA = lp(1, 1) // ln(2/3)
+    val out = TextOps.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, -(lpAB + lpBA), -(lpAB + lpBA) / 2)),
+      2L -> ((1L, -lpAB, -lpAB))))
+    assert(out(1L)._2 > 0L) // NLL is provably non-negative (scaladoc)
+  }
+
   test("boilerplateNgrams: within-source df ranking, shingle tie-break, " +
     "sources independent, k truncates") {
     import graft.text.TextOps
