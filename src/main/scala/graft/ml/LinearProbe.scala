@@ -64,8 +64,16 @@ object LinearProbe {
   private def fitPredictImpl(features: DataFrame, dims: Int, iters: Int,
       lr: Double, id: String, x: String, y: String)
       : (DataFrame, DataFrame) = {
-    val f = features.select(col(id), col(x).as("__x"),
-      col(y).cast("double").as("__y"))
+    // Every GD iteration AND the final predict re-reads the feature
+    // relation — unpinned, Catalyst would recompute the caller's whole
+    // featurization chain (regex feature extraction over raw text for
+    // x17) once per pass: 7 featurizations for 6 iterations. The pin
+    // materializes (id, x, y) once — corpus-scale and feeding hours of
+    // downstream work, so it takes the durable staged-parquet form
+    // ([[graft.store.Stage.pin]] discipline; measured at sf1: 41 s
+    // unpinned → one featurization pass + d-wide iterations).
+    val f = graft.store.Stage.pin(features.select(col(id), col(x).as("__x"),
+      col(y).cast("double").as("__y")), "probe-features")
     val pred: Column = // ordered fold: 0.0 + x₀w₀ + x₁w₁ + … (fused)
       graft.functions.VectorOps.vecDot(col("__x"), col("__w"))
     val w0 = f.sparkSession.range(1)
