@@ -294,6 +294,14 @@ object PipelineQueries {
       TextOps.bigramNll(
         Tables.documents(s, dir).select("doc_id", "text"))),
 
+    // Moore-Lewis contrastive selection: per-doc log-likelihood ratio of
+    // the target-source bigram LM vs the general-corpus LM (the method
+    // DSIR generalizes); both models on the integer 1e-9 log grid
+    "x19_moore_lewis" -> ((s, dir) =>
+      TextOps.mooreLewis(
+        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        DsirTargets)),
+
     // deterministic training-shard layout: md5-hash shard + within-shard
     // position — the engine-portable "global shuffle" a training run reads
     "x9_shard_assign" -> ((s, dir) =>
@@ -1077,6 +1085,41 @@ object PipelineQueries {
         (-sum(k * lp))::BIGINT AS nll_q,
         ((-sum(k * lp)) // sum(k))::BIGINT AS avg_nll_q
       FROM s GROUP BY 1""",
+
+    // two add-one bigram LMs sharing the corpus vocabulary V; the
+    // per-bigram log-likelihood ratio is a BIGINT grid difference, so
+    // the per-doc sum is order-independent and hash-exact
+    "x19_moore_lewis" -> s"""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        FROM documents),
+      idx AS (SELECT doc_id, source, tk,
+        unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2),
+      bgr AS (SELECT doc_id, source, array_to_string(tk[i:i + 1], ' ') AS bg
+        FROM idx),
+      dbg AS (SELECT doc_id, source, bg, count(*) AS k
+        FROM bgr GROUP BY 1, 2, 3),
+      cg AS (SELECT bg, sum(k)::BIGINT AS cg FROM dbg GROUP BY 1),
+      c1g AS (SELECT string_split(bg, ' ')[1] AS w1, sum(cg)::BIGINT AS c1g
+        FROM cg GROUP BY 1),
+      ct AS (SELECT bg, sum(k)::BIGINT AS ct FROM dbg
+        WHERE source IN (${DsirTargets.map("'" + _ + "'").mkString(", ")})
+        GROUP BY 1),
+      c1t AS (SELECT string_split(bg, ' ')[1] AS w1, sum(ct)::BIGINT AS c1t
+        FROM ct GROUP BY 1),
+      v AS (SELECT count(DISTINCT string_split(bg, ' ')[2]) AS v FROM cg),
+      m AS (SELECT cg.bg,
+          floor(ln((coalesce(ct.ct, 0) + 1)::DOUBLE
+              / (coalesce(c1t.c1t, 0) + v.v)::DOUBLE) * 1e9 + 0.5)::BIGINT
+            - floor(ln((cg.cg + 1)::DOUBLE
+              / (c1g.c1g + v.v)::DOUBLE) * 1e9 + 0.5)::BIGINT AS lr
+        FROM cg JOIN c1g ON string_split(cg.bg, ' ')[1] = c1g.w1
+        LEFT JOIN ct USING (bg)
+        LEFT JOIN c1t ON string_split(cg.bg, ' ')[1] = c1t.w1
+        CROSS JOIN v)
+      SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+        sum(k * lr)::BIGINT AS ml_q
+      FROM dbg JOIN m USING (bg) GROUP BY 1""",
 
     // ordered fold == Spark's aggregate(zip_with(...)): bit-exact dot
     "v1_ann_brute" -> s"""

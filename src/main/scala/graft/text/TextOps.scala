@@ -562,6 +562,66 @@ object TextOps {
       .select(col(id), col("n_bigrams"), col("nll_q"), col("avg_nll_q"))
   }
 
+  /** Moore-Lewis contrastive selection (Moore & Lewis 2010, "Intelligent
+    * Selection of Language Model Training Data" — the method DSIR
+    * generalizes): rank every document by the log-likelihood-ratio of an
+    * in-domain (target-source) bigram LM against the general corpus LM.
+    * `ml_q > 0` means the doc's transitions are more probable under the
+    * target model — the classic "select general-corpus data that looks
+    * like the target domain" signal.
+    *
+    * Both models are add-one-smoothed bigram LMs sharing the CORPUS
+    * vocabulary size V (so unseen-by-target bigrams get a well-defined
+    * (0+1)/(0+V) floor probability instead of dropping out), and both
+    * log-probabilities ride the [[bigramNll]] integer 1e-9 grid, so the
+    * per-doc ratio sum is BIGINT — order-independent and hash-exact.
+    * `ml_q` may be negative (general-looking docs), so no integer
+    * division is emitted (Spark's `div` truncates toward zero, DuckDB's
+    * `//` floors — divergent on negatives; consumers rank by the raw
+    * ratio, which is what Moore-Lewis thresholds anyway).
+    *
+    * Plan shape: ONE pinned corpus-scale (doc, source, bigram, k)
+    * relation; the general model, the target model (a filtered
+    * re-aggregate of the SAME pin), and V all aggregate the pin; the
+    * target counts LEFT-join onto the general model's vocabulary
+    * (vocab-sized joins, zeros coalesced), lp for BOTH models computes
+    * per VOCAB entry, then one vocabulary-keyed join back scores every
+    * doc. At 100 TB: one corpus scan, vocabulary-sized shuffles, no
+    * pairwise work.
+    */
+  def mooreLewis(docs: DataFrame, targetSources: Seq[String],
+      id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val dbg = graft.store.Stage.pin(docs
+      .select(col(id), col(source),
+        explode(graft.dedup.Dedup.grams(col(text), 2)).as("bg"))
+      .groupBy(col(id), col(source), col("bg"))
+      .agg(count(lit(1)).as("__k")), "ml-bigram-tf")
+    def w1(c: Column): Column = split(c, " ").getItem(0)
+    val cG = dbg.groupBy("bg").agg(sum("__k").as("__cg"))
+    val c1G = cG.groupBy(w1(col("bg")).as("__w1g")).agg(sum("__cg").as("__c1g"))
+    val tgt = dbg.where(col(source).isInCollection(targetSources))
+    val cT = tgt.groupBy("bg").agg(sum("__k").as("__ct"))
+    val c1T = cT.groupBy(w1(col("bg")).as("__w1t")).agg(sum("__ct").as("__c1t"))
+    val v = cG.agg(countDistinct(split(col("bg"), " ").getItem(1)).as("__v"))
+    def lp(c12: Column, c1: Column): Column = floor(
+      log((c12 + 1).cast("double") / (c1 + col("__v")).cast("double")) * 1e9
+        + 0.5).cast("long")
+    val model = cG
+      .join(c1G, w1(col("bg")) === col("__w1g"))
+      .join(cT, Seq("bg"), "left")
+      .join(c1T, w1(col("bg")) === col("__w1t"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        (lp(coalesce(col("__ct"), lit(0L)), coalesce(col("__c1t"), lit(0L)))
+          - lp(col("__cg"), col("__c1g"))).as("__lr"))
+    dbg.join(model, Seq("bg"))
+      .groupBy(col(id))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        sum(col("__k") * col("__lr")).as("ml_q"))
+      .select(col(id), col("n_bigrams"), col("ml_q"))
+  }
+
   def chunkDedup(docs: DataFrame, chunkTokens: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val toks = split(col(text), " ")

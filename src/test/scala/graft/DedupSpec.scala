@@ -300,6 +300,32 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._2 > 0L) // NLL is provably non-negative (scaladoc)
   }
 
+  test("mooreLewis: matches the two-LM hand model; target-seen bigrams " +
+    "rank above unseen ones, which hit the (0+1)/(0+V) floor") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "a b", "tgt"),   // the whole target domain: bigram "a b"
+      (2L, "a b", "gen"),   // general doc that LOOKS target-like
+      (3L, "c d", "gen")    // bigram unseen by the target model
+    ).toDF("doc_id", "text", "source")
+    // general: cg("a b")=2, cg("c d")=1; c1g(a)=2, c1g(c)=1; V={b,d}=2
+    // target:  ct("a b")=1; c1t(a)=1; "c d" unseen → (0+1)/(0+2).
+    // At these tiny counts add-one smoothing drags BOTH ratios negative
+    // (the 1-observation target LM smooths harder than the 2-observation
+    // general LM: ln(2/3) < ln(3/4)) — the Moore-Lewis invariant is the
+    // ORDERING, target-evidence docs above target-unseen ones.
+    def g(c12: Long, c1: Long): Long =
+      math.floor(math.log((c12 + 1).toDouble / (c1 + 2).toDouble) * 1e9
+        + 0.5).toLong
+    val lrAB = g(1, 1) - g(2, 2) // ln(2/3) - ln(3/4) = ln(8/9)
+    val lrCD = g(0, 0) - g(1, 1) // ln(1/2) - ln(2/3) = ln(3/4) < ln(8/9)
+    val out = TextOps.mooreLewis(docs, Seq("tgt")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, lrAB)), 2L -> ((1L, lrAB)), 3L -> ((1L, lrCD))))
+    assert(lrAB > lrCD)
+  }
+
   test("boilerplateNgrams: within-source df ranking, shingle tie-break, " +
     "sources independent, k truncates") {
     import graft.text.TextOps

@@ -188,7 +188,7 @@ class PlanSpec extends SparkSpec {
       s"sort_desc must not put a global Sort into the plan:\n$p")
   }
 
-  test("x11/x15/x16/x18: ONE text-bearing corpus scan, inside the durable pin") {
+  test("x11/x15/x16/x18/x19: ONE text-bearing corpus scan, inside the durable pin") {
     // The pinned text operators claim "one corpus scan": the exploded
     // tf / chunk relation reads the corpus (with its heavy `text`
     // column) exactly once, inside the eager Stage.pin; every later
@@ -200,7 +200,8 @@ class PlanSpec extends SparkSpec {
     for ((q, tag) <- Seq("x11_tfidf_keywords" -> "tfidf-tf",
         "x15_dsir_weights" -> "dsir-tf",
         "x16_chunk_dedup" -> "chunk-pairs",
-        "x18_bigram_nll" -> "bigram-tf")) {
+        "x18_bigram_nll" -> "bigram-tf",
+        "x19_moore_lewis" -> "ml-bigram-tf")) {
       graft.store.Stage.startRecording()
       val p = plan(q) // builds the query; the pin materializes eagerly
       val pins = graft.store.Stage.stopRecording()
