@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamDedup
+import graft.streaming.StreamDedup.Doc
+
+class StreamDedupSpec extends SparkSpec {
+
+  test("within the watermark window, first-seen wins; after eviction the " +
+    "same digest passes again") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamDedup(input.toDS(), delayMs = 5000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_sink").start()
+    try {
+      // batch 1: docs 1/2 share content — first-seen (doc 1) wins
+      input.addData(
+        Doc(1L, "hello", 1000L), Doc(2L, "hello", 2000L),
+        Doc(3L, "world", 3000L))
+      q.processAllAvailable()
+      // batch 2: advance the watermark past 1000 + 5000 (wm = 60000-5000)
+      input.addData(Doc(4L, "advance", 60000L))
+      q.processAllAvailable()
+      // batch 3: "hello" state was evicted — the re-crawl passes
+      input.addData(Doc(5L, "hello", 70000L))
+      q.processAllAvailable()
+      val ids = spark0.table("sdedup_sink").as[(Long, String, Long, String)]
+        .collect().map(_._1).sorted.toSeq
+      assert(ids === Seq(1L, 3L, 4L, 5L))
+      // survivors carry the digest the batch d1 pass would compute
+      val digests = spark0.table("sdedup_sink")
+        .select("digest").distinct().count()
+      assert(digests === 3) // hello, world, advance
+    } finally {
+      q.stop()
+      spark0.catalog.dropTempView("sdedup_sink")
+    }
+  }
+}
