@@ -62,6 +62,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench pass$pass] $name $sec%.2fs")
       results += (name -> math.min(sec, results.getOrElse(name, Double.MaxValue)))
+      // each invocation re-pins; the previous query's staged pins are
+      // dead — drop them so a multi-pass run's staging disk stays
+      // bounded by ONE query's pins, not the whole suite × passes
+      graft.store.Stage.clear(spark)
     }
 
     val calibLast = calib()

@@ -47,16 +47,16 @@ object LinearProbe {
     */
   val WeightScale: Double = 1073741824.0
 
-  /** Train on `(id, x: array<double>, y)` and score every row.
-    *
-    * @return (id, pred, y-passthrough) — `pred` is the trained probe's
-    *         ordered-fold prediction for each input row
-    */
   /** The trained one-row weight array (for inspection / reuse). */
   def fit(features: DataFrame, dims: Int, iters: Int, lr: Double,
       id: String = "doc_id", x: String = "x", y: String = "y"): DataFrame =
     fitPredictImpl(features, dims, iters, lr, id, x, y)._2
 
+  /** Train on `(id, x: array<double>, y)` and score every row.
+    *
+    * @return (id, pred, y-passthrough) — `pred` is the trained probe's
+    *         ordered-fold prediction for each input row
+    */
   def fitPredict(features: DataFrame, dims: Int, iters: Int, lr: Double,
       id: String = "doc_id", x: String = "x", y: String = "y"): DataFrame =
     fitPredictImpl(features, dims, iters, lr, id, x, y)._1
@@ -72,7 +72,16 @@ object LinearProbe {
     // downstream work, so it takes the durable staged-parquet form
     // ([[graft.store.Stage.pin]] discipline; measured at sf1: 41 s
     // unpinned → one featurization pass + d-wide iterations).
-    val f = graft.store.Stage.pin(features.select(col(id), col(x).as("__x"),
+    // In-plan dims guard: a row whose feature array disagrees with
+    // `dims` would otherwise cascade silently — posexplode emits js the
+    // weight array lacks, element_at returns null, and every weight and
+    // prediction goes null with no error. raise_error is lazy (costs
+    // nothing when arrays conform) and rides the pin write, so the
+    // mismatch fails the fit loudly at materialization time.
+    val f = graft.store.Stage.pin(features.select(col(id),
+      when(size(col(x)) === dims, col(x)).otherwise(raise_error(concat(
+        lit(s"LinearProbe: feature array size != dims=$dims for ${id}="),
+        col(id).cast("string")))).as("__x"),
       col(y).cast("double").as("__y")), "probe-features")
     val pred: Column = // ordered fold: 0.0 + x₀w₀ + x₁w₁ + … (fused)
       graft.functions.VectorOps.vecDot(col("__x"), col("__w"))

@@ -80,6 +80,31 @@ object Stage {
     if (recording)
       recorded.add(tag -> df.queryExecution.executedPlan.toString)
     df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+    created.add(path)
     spark.read.schema(df.schema).parquet(path)
+  }
+
+  private val created =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Delete every pin this JVM has created so far — the unit-of-work
+    * boundary of the pin lifecycle. Pins are UUID-fresh per [[pin]]
+    * call and are never reused across queries, so without this a
+    * long-lived process (a multi-pass bench, a query server, a cluster
+    * job with `graft.stage.dir` on shared storage — where the local
+    * temp-dir shutdown hook does not apply) accumulates corpus-scale
+    * parquet indefinitely. Call at job/pass boundaries ONLY: any
+    * still-alive DataFrame that reads a cleared pin will fail on next
+    * use. Tracked-path deletion (not a recursive base-dir wipe) so a
+    * shared `graft.stage.dir` loses exactly this job's pins.
+    */
+  def clear(spark: SparkSession): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    var p = created.poll()
+    while (p != null) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+      p = created.poll()
+    }
   }
 }

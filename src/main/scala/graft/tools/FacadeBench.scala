@@ -87,21 +87,33 @@ object FacadeBench {
     val chunkMin = sys.env.getOrElse("FB_HIST_CHUNK_MIN", "120").toInt
     var histSec = 0.0
     var histPoints = 0L
+    // History appends AFTER the live scrape window (t0 + scrapes·10 s):
+    // chunk 0 starting at t0 would re-write the scrape phase's exact
+    // (series, ts) keys with different values, making the stored window
+    // ingest-order dependent and counting overwrites as throughput.
+    // Chunk count rounds UP and the tail chunk clamps to the declared
+    // span, so FB_HIST_HOURS is written exactly even when chunkMin does
+    // not divide it.
+    val histBaseMs = t0ms + scrapes * 10000L
     if (histHours > 0) {
+      require(chunkMin > 0, "FB_HIST_CHUNK_MIN must be positive")
       val h0 = System.nanoTime()
       val perChunk = chunkMin * 6 // 10 s interval
-      for (c <- 0 until (histHours * 60) / chunkMin; t <- 0 until tenants) {
-        val start = t0ms + c.toLong * chunkMin * 60000L
+      val histEndMs = histBaseMs + histHours * 3600000L
+      val nChunks = (histHours * 60 + chunkMin - 1) / chunkMin
+      for (c <- 0 until nChunks; t <- 0 until tenants) {
+        val start = histBaseMs + c.toLong * chunkMin * 60000L
+        val n = math.min(perChunk.toLong, (histEndMs - start) / 10000L).toInt
         val series = for (a <- 0 until agents; m <- 0 until metrics) yield
           Prompb.PromSeries(
             Map("__name__" -> s"fb_metric_$m", "instance" -> s"agent$a",
               "job" -> "fb"),
-            (0 until perChunk).map(i =>
+            (0 until n).map(i =>
               (start + i * 10000L, (c + a + m + i % 7).toDouble)))
         val rc = post("/api/v1/write", Prompb.encodeSnappy(series),
           Seq("X-SquirrelDB-Tenant" -> s"tenant$t")).statusCode()
         require(rc == 204, s"history write failed: $rc")
-        histPoints += agents.toLong * metrics * perChunk
+        histPoints += agents.toLong * metrics * n
       }
       histSec = (System.nanoTime() - h0) / 1e9
     }
@@ -133,10 +145,11 @@ object FacadeBench {
     // for (reference cassandra/tsdb/read.go:57-72)
     var routedSec = 0.0
     var rawSec = 0.0
-    // with history, the dashboard window spans it all; step 600 keeps
-    // the route through agg_5m
-    val qEndSec = t0ms / 1000 +
-      (if (histHours > 0) histHours * 3600 else scrapes * 10)
+    // with history, the dashboard window spans scrape + history; step
+    // 600 keeps the route through agg_5m
+    val qEndSec =
+      if (histHours > 0) histBaseMs / 1000 + histHours * 3600
+      else t0ms / 1000 + scrapes * 10
     if (durable.isDefined && api.preAggWatermark > 0) {
       def timedQ(hdrs: Seq[(String, String)]): Double = {
         val t0 = System.nanoTime()

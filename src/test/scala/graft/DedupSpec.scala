@@ -300,6 +300,24 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._2 > 0L) // NLL is provably non-negative (scaladoc)
   }
 
+  test("TopKAgg: NaN cosines order deterministically as GREATEST with " +
+    "id tiebreak, independent of arrival order") {
+    import graft.similarity.{Scored, TopKAgg}
+    val agg = new TopKAgg(2)
+    val nan9 = Scored(Double.NaN, 9L)
+    // NaN arriving last must still evict the k-th finite candidate
+    val fin = List(Scored(0.9, 1L), Scored(0.5, 2L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.reduce(fin, nan9).map(_.id) === List(9L, 1L))
+    // NaN arriving first must not be evicted by later finite scores
+    val rev = List(nan9, Scored(0.9, 1L), Scored(0.5, 2L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(rev.map(_.id) === List(9L, 1L))
+    // NaN vs NaN ties break id-ascending (both engines' DESC order)
+    val merged = agg.merge(List(Scored(Double.NaN, 3L)), List(nan9))
+    assert(merged.map(_.id) === List(3L, 9L))
+  }
+
   test("mooreLewis: matches the two-LM hand model; target-seen bigrams " +
     "rank above unseen ones, which hit the (0+1)/(0+V) floor") {
     import graft.text.TextOps
