@@ -65,6 +65,8 @@ object PipelineQueries {
   }
   // prototype pruning keeps the hardest 75% per label (¾ is float-exact)
   private val KeepFrac = 0.75
+  // A-ES weighted sample size per source stratum
+  private val SampleK = 5
   // k-means: k seeds, fixed Lloyd iterations (bounded, reproducible —
   // the oracle unrolls the same two iterations relationally)
   private val KmeansK = 8
@@ -293,6 +295,14 @@ object PipelineQueries {
     "x18_bigram_nll" -> ((s, dir) =>
       TextOps.bigramNll(
         Tables.documents(s, dir).select("doc_id", "text"))),
+
+    // weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // per-source rates from the mixture weights, md5-derived u, ranking
+    // key quantized to a BIGINT grid so the sample is engine-exact
+    "x20_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        MixWeights, SampleK)),
 
     // Moore-Lewis contrastive selection: per-doc log-likelihood ratio of
     // the target-source bigram LM vs the general-corpus LM (the method
@@ -1085,6 +1095,22 @@ object PipelineQueries {
         (-sum(k * lp))::BIGINT AS nll_q,
         ((-sum(k * lp)) // sum(k))::BIGINT AS avg_nll_q
       FROM s GROUP BY 1""",
+
+    // A-ES: identical md5-derived u in both engines (exact /2^48), the
+    // -ln(u)/w ranking key floored onto a BIGINT 1e-6 grid pre-ranking
+    "x20_weighted_sample" -> s"""
+      WITH w(source, w) AS (VALUES ${MixWeights
+        .map { case (s, wt) => s"('$s', ${wt}::DOUBLE)" }.mkString(", ")}),
+      u AS (SELECT doc_id, source,
+          (CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS UBIGINT)
+            + 1)::DOUBLE / 281474976710656.0 AS u
+        FROM documents),
+      s AS (SELECT doc_id, u.source,
+          floor(-ln(u) / w.w * 1e6 + 0.5)::BIGINT AS score_q
+        FROM u JOIN w ON u.source = w.source),
+      r AS (SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY score_q, doc_id) AS rnk FROM s)
+      SELECT source, doc_id, score_q, rnk FROM r WHERE rnk <= $SampleK""",
 
     // two add-one bigram LMs sharing the corpus vocabulary V; the
     // per-bigram log-likelihood ratio is a BIGINT grid difference, so

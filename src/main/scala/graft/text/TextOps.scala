@@ -41,6 +41,43 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** Deterministic weighted sampling without replacement, per stratum —
+    * the Efraimidis–Spirakis A-ES recipe (2006): each item draws
+    * u ∈ (0, 1] and the k items with the largest u^(1/w) win,
+    * equivalently the k SMALLEST −ln(u)/w — one ranking pass, no
+    * sequential reservoir, so it distributes as a per-stratum window
+    * exactly like [[stratifiedSample]] (which is the w≡1 special case).
+    *
+    * Engine-portable randomness: u derives from the first 48 bits of
+    * md5(id) shifted into (0, 1] — a division by 2⁴⁸, exact in IEEE —
+    * so every engine draws the identical u (the [[stratifiedSample]]
+    * seedless discipline). The ranking key −ln(u)/w is quantized onto
+    * an integer 1e-6 grid BEFORE ranking (the [[tfidfKeywords]] idf
+    * discipline: a cross-engine ln ulp may not reorder the sample),
+    * with the id tiebreak making grid collisions deterministic.
+    * Weights join as a broadcast dim; strata absent from the weight
+    * list are excluded (an unweighted stratum has no sampling rate).
+    * At 100 TB: one scan, one per-stratum window, output bounded by
+    * k × |strata|.
+    */
+  def weightedSample(docs: DataFrame, weights: Seq[(String, Double)],
+      k: Int, stratum: String = "source", id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdim = weights.toDF(stratum, "__w")
+    val u = (conv(substring(md5(col(id).cast("string")), 1, 12),
+      16, 10).cast("long") + 1L).cast("double") / 281474976710656.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(col("score_q"), col(id))
+    docs.select(col(id), col(stratum))
+      .join(broadcast(wdim), stratum)
+      .withColumn("score_q",
+        floor(-log(u) / col("__w") * 1e6 + 0.5).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(stratum), col(id), col("score_q"), col("rnk"))
+  }
+
   /** Quality features + a composite score in [0, 1]. */
   def quality(docs: DataFrame, text: String = "text"): DataFrame = {
     val t = col(text)

@@ -300,6 +300,33 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._2 > 0L) // NLL is provably non-negative (scaladoc)
   }
 
+  test("weightedSample: matches the hand A-ES model (md5 u, -ln(u)/w " +
+    "grid); k truncates per stratum; unweighted strata excluded") {
+    import graft.text.TextOps
+    def scoreQ(id: Long, w: Double): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble /
+        281474976710656.0
+      math.floor(-math.log(u) / w * 1e6 + 0.5).toLong
+    }
+    val docs = ((1L to 10L).map((_, "a")) ++ (11L to 16L).map((_, "b")) ++
+      Seq((17L, "unweighted"))).toDF("doc_id", "source")
+    val weights = Seq("a" -> 1.0, "b" -> 0.25)
+    val out = TextOps.weightedSample(docs, weights, 3).collect()
+      .map(r => (r.getString(0), r.getLong(3)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = (for ((s, w, ids) <- Seq(("a", 1.0, 1L to 10L),
+        ("b", 0.25, 11L to 16L))) yield {
+      ids.map(i => (i, scoreQ(i, w))).sortBy { case (i, q) => (q, i) }
+        .take(3).zipWithIndex
+        .map { case ((i, q), r) => (s, r + 1L) -> ((i, q)) }
+    }).flatten.toMap
+    assert(out === expected)
+    assert(!out.keys.exists(_._1 == "unweighted"))
+  }
+
   test("TopKAgg: NaN cosines order deterministically as GREATEST with " +
     "id tiebreak, independent of arrival order") {
     import graft.similarity.{Scored, TopKAgg}
