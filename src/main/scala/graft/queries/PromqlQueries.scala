@@ -76,7 +76,7 @@ object PromqlQueries {
         """sum by (event_type) (rate(events{event_type=~"click|view"}[1h]))""",
         srcByType(s, dir), EvalParams(Start, End, Hour))
         .select(col("event_type"), col("eval_ms"),
-          round(col("value"), 6).as("rate_v"))),
+          TsdbQueries.r6(col("value")).as("rate_v"))),
 
     "pql2_over_time" -> ((s, dir) =>
       Compiler.compile(
@@ -288,7 +288,7 @@ object PromqlQueries {
           col("rate").as("value"))
       RangeWindows.rangeBucketed(rates, Seq("event_type"),
           Start, End, SixH, SixH, Seq("max_rate_6h" -> (v => max(v))))
-        .withColumn("max_rate_6h", round(col("max_rate_6h"), 6))
+        .withColumn("max_rate_6h", TsdbQueries.r6(col("max_rate_6h")))
     }),
 
     // §2.7 — math functions (builtins, no UDFs); transcendentals rounded
@@ -557,7 +557,8 @@ object PromqlQueries {
 
     "pql1_rate_sum" -> s"""
       WITH $RateFinSql
-      SELECT event_type, eval_ms, round(inc / 3600.0, 6) AS rate_v
+      SELECT event_type, eval_ms,
+        floor((inc / 3600.0) * 1e6 + 0.5) / 1e6 AS rate_v
       FROM fin WHERE event_type IN ('click', 'view')""",
 
     "pql2_over_time" -> s"""
@@ -613,7 +614,8 @@ object PromqlQueries {
         inc / 3600.0 AS value FROM fin),
       grid6 AS (SELECT unnest(generate_series(${Start}, ${End}, ${SixH}))
         AS eval_ms)
-      SELECT event_type, eval_ms, round(max(value), 6) AS max_rate_6h
+      SELECT event_type, eval_ms,
+        floor(max(value) * 1e6 + 0.5) / 1e6 AS max_rate_6h
       FROM rate_tbl JOIN grid6
         ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${SixH}
       GROUP BY 1, 2""",

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -42,6 +42,16 @@ object TsdbQueries {
 
   private val sumV =
     sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double")
+
+  /** Grid round to 6 dp via exact IEEE ops (`floor(x·1e6 + 0.5)/1e6`) so
+    * both engines round an IDENTICAL double identically. Each engine's
+    * own `round()` disagrees at half boundaries — Spark rounds the
+    * shortest decimal string, DuckDB the scaled binary double; observed
+    * at sf0.1: 1193.16906249999.. → 062 (Spark) vs 063 (DuckDB). The
+    * SQL mirror is `floor(x * 1e6 + 0.5) / 1e6`. Inputs must already be
+    * engine-identical (decimal-accumulated sums, exact picks).
+    */
+  private[queries] def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — 5-min downsampling kernel (aggregate/aggregate.go:43-137)
@@ -118,9 +128,9 @@ object TsdbQueries {
       Rate.overSteps(ptsByType(s, dir), Seq("event_type"),
           Start, End, Hour, Hour)
         .select(col("event_type"), col("eval_ms"), col("n_samples"),
-          round(col("delta_raw"), 6).as("delta_raw"),
-          round(col("increase"), 6).as("increase"),
-          round(col("rate"), 6).as("rate"))),
+          r6(col("delta_raw")).as("delta_raw"),
+          r6(col("increase")).as("increase"),
+          r6(col("rate")).as("rate"))),
 
     // W3 — irate/idelta/resets: instant-pair functions, bit-exact
     "w3_irate_1h" -> ((s, dir) =>
@@ -171,11 +181,18 @@ object TsdbQueries {
     }),
 
     // W7/A7 — *_over_time via rangeBetween window at each sample
+    // avg as decimal-window-sum / count: DuckDB's segment-tree frames
+    // and Spark's sliding frames sum doubles in different orders, so a
+    // windowed FP avg differs by ulps cross-engine (observed at sf0.1
+    // astride a round(6) boundary); the decimal sum is exact and
+    // order-independent, making the quotient engine-identical unrounded
     "w7_over_time" -> ((s, dir) =>
       RangeWindows.overTime(ptsByType(s, dir), Seq("event_type"), Hour,
-          Seq(v => avg(v), v => count(v)), Seq("avg_1h", "n_1h"))
+          Seq(v => sum(v.cast("decimal(18,6)")), v => count(v)),
+          Seq("sum_dec", "n_1h"))
         .select(col("event_type"), col("ts_ms"), col("value"),
-          round(col("avg_1h"), 6).as("avg_1h"), col("n_1h"))),
+          (col("sum_dec").cast("double") / col("n_1h")).as("avg_1h"),
+          col("n_1h"))),
 
     // F1-F5 — label matchers: literal-alternate regex → IN, general regex,
     // negated equality (cassandra/index/index.go:3497-3763)
@@ -522,9 +539,11 @@ object TsdbQueries {
           min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
           (min(struct_pack(t := ts_ms, v := value))).v AS first_val,
           (max(struct_pack(t := ts_ms, v := value))).v AS last_val,
-          sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > eval_ms - ${Hour}
+          CAST(sum(CAST(
+            CASE WHEN prev_ts IS NOT NULL AND prev_ts > eval_ms - ${Hour}
                 AND prev_val IS NOT NULL AND value < prev_val
-              THEN prev_val ELSE 0.0 END) AS corr
+              THEN prev_val ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+            AS corr
         FROM prev JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
         GROUP BY 1, 2 HAVING count(value) >= 2
       ), ext AS (
@@ -608,8 +627,10 @@ object TsdbQueries {
 
     "w3_rate_1h" -> s"""
       WITH $RateFinSql
-      SELECT event_type, eval_ms, n_samples, round(delta, 6) AS delta_raw,
-        round(inc, 6) AS increase, round(inc / 3600.0, 6) AS rate
+      SELECT event_type, eval_ms, n_samples,
+        floor(delta * 1e6 + 0.5) / 1e6 AS delta_raw,
+        floor(inc * 1e6 + 0.5) / 1e6 AS increase,
+        floor((inc / 3600.0) * 1e6 + 0.5) / 1e6 AS rate
       FROM fin""",
 
     "w3_irate_1h" -> s"""
@@ -688,7 +709,9 @@ object TsdbQueries {
     "w7_over_time" -> s"""
       WITH pts AS ($PD)
       SELECT event_type, ts_ms, value,
-        round(avg(value) OVER w, 6) AS avg_1h, count(value) OVER w AS n_1h
+        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+          / count(value) OVER w AS avg_1h,
+        count(value) OVER w AS n_1h
       FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms
         RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)""",
 

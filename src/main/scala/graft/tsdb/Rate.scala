@@ -156,7 +156,13 @@ object Rate {
         // struct min/max: deterministic even under ts ties
         min(struct(col(tsMs), col(value))).getField(value).as("first_val"),
         max(struct(col(tsMs), col(value))).getField(value).as("last_val"),
-        sum(corrInWindow).as("corr"))
+        // DECIMAL accumulation (the a6/w2 `sumV` discipline): a window
+        // can hold many resets, and a plain double sum of their
+        // prev_vals is partition-order dependent — at sf0.1 a 14-reset
+        // window put the two engines an ulp apart, exactly astride a
+        // 6th-decimal rounding boundary. The decimal sum is an exact
+        // integer fold, order-independent and engine-identical.
+        sum(corrInWindow.cast("decimal(18,6)")).cast("double").as("corr"))
       .where(col("n_samples") >= 2)
 
     // Prometheus extrapolation, all in double ms so the DuckDB oracle can
