@@ -95,6 +95,25 @@ object Compiler {
     else if (q > 1) max(lit(Double.PositiveInfinity))
     else expr(s"percentile($vCol, $q)")
 
+  /** Population variance as exact decimal sums (Σx, Σx²) finished in
+    * double — order-independent and engine-identical, where the
+    * built-in `var_pop`'s streaming M2 accumulation is
+    * partition-order-dependent FP (observed at sf1: one row an ulp
+    * astride a 6th-decimal rounding boundary vs the oracle). The two
+    * decimal folds are exact integer arithmetic; the finishing
+    * `s2/n − (s1/n)²` runs on identical doubles in every engine, and
+    * the zero clamp keeps cancellation from emitting a negative
+    * variance (so stddev can't NaN). The oracle mirrors the op
+    * sequence exactly.
+    */
+  private def varPopDet(c: Column): Column = {
+    val d = c.cast("decimal(18,6)")
+    val n = count(c).cast("double")
+    val s1 = sum(d).cast("double")
+    val s2 = sum(d * d).cast("double")
+    greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0))
+  }
+
   /** One row per eval step: the query_range grid. */
   private def grid(spark: SparkSession, p: EvalParams): DataFrame =
     spark.range(0, (p.endMs - p.startMs) / p.stepMs + 1)
@@ -484,8 +503,8 @@ object Compiler {
               case "max_over_time" => max
               case "sum_over_time" => sum
               case "count_over_time" => c => count(c).cast("double")
-              case "stddev_over_time" => c => stddev_pop(c)
-              case "stdvar_over_time" => c => var_pop(c)
+              case "stddev_over_time" => c => sqrt(varPopDet(c))
+              case "stdvar_over_time" => c => varPopDet(c)
               case "present_over_time" => _ => max(lit(1.0))
               case "last_over_time" =>
                 c => max(struct(col(tCol), c)).getField(vCol)
@@ -547,8 +566,8 @@ object Compiler {
               case "max" => max(col("value"))
               case "count" => count(col("value")).cast("double")
               case "group" => max(lit(1.0)) // 1 per existing group
-              case "stddev" => stddev_pop(col("value"))
-              case "stdvar" => var_pop(col("value"))
+              case "stddev" => sqrt(varPopDet(col("value")))
+              case "stdvar" => varPopDet(col("value"))
               case "quantile" =>
                 quantileAgg("value", param.getOrElse(
                   throw new IllegalArgumentException("quantile needs q")))

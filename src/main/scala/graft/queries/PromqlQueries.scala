@@ -140,12 +140,11 @@ object PromqlQueries {
     // A6 — stddev/stdvar aggregators (yml:68-96 simpleAggrOp)
     "pql7_stddev_stdvar" -> ((s, dir) => {
       val src = srcBySeries(s, dir)
+      // unrounded: the decimal-sum variance is engine-identical bitwise
       val sd = Compiler.compile("stddev by (event_type) (events)", src, DayP)
-        .select(col("event_type"), col("eval_ms"),
-          round(col("value"), 6).as("sd"))
+        .select(col("event_type"), col("eval_ms"), col("value").as("sd"))
       val sv = Compiler.compile("stdvar by (event_type) (events)", src, DayP)
-        .select(col("event_type"), col("eval_ms"),
-          round(col("value"), 6).as("sv"))
+        .select(col("event_type"), col("eval_ms"), col("value").as("sv"))
       sd.join(sv, Seq("event_type", "eval_ms"))
     }),
 
@@ -453,10 +452,17 @@ object PromqlQueries {
       FROM inst GROUP BY 1, 2""",
 
     "pql7_stddev_stdvar" -> s"""
-      WITH $InstSeries
-      SELECT event_type, eval_ms, round(stddev_pop(value), 6) AS sd,
-        round(var_pop(value), 6) AS sv
-      FROM inst GROUP BY 1, 2""",
+      WITH $InstSeries,
+      v AS (SELECT event_type, eval_ms,
+          CAST(count(value) AS DOUBLE) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(value AS DECIMAL(18,6))
+            * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        FROM inst GROUP BY 1, 2)
+      SELECT event_type, eval_ms,
+        sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd,
+        greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS sv
+      FROM v""",
 
     "pql8_arith_mod_pow" -> s"""
       WITH $InstType

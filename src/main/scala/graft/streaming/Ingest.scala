@@ -101,15 +101,23 @@ object Ingest {
     */
   def windowedCounts(spark: SparkSession, dir: String, name: String): DataFrame = {
     val static = spark.read.parquet(s"$dir/events.parquet")
-    // The file-stream source lists a DIRECTORY; the test data is a single
-    // parquet file, so expose it through a temp dir of symlinks.
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // The file-stream source lists a DIRECTORY. Driver testdata ships
+    // events.parquet as a single FILE — expose it through a temp dir of
+    // symlinks; a Spark-written dataset (ScaleGen's sf1) is already a
+    // directory and streams directly (the symlink-to-directory form
+    // would list ZERO files: the source does not recurse through it).
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir: Option[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) None
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"), src)
+        Some(d)
+      }
     val stream = spark.readStream
       .schema(static.schema)
-      .parquet(streamDir.toString)
+      .parquet(streamDir.map(_.toString).getOrElse(src.toString))
       .withColumn("ts_ms", graft.Tables.tsMs(static))
       .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
     val agg = stream
@@ -138,9 +146,12 @@ object Ingest {
     // unload state-store providers + their maintenance thread — the last
     // streaming residue that can tax later batch queries in the session
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    // the symlink dir was only needed while the source listed it
-    java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
-    java.nio.file.Files.deleteIfExists(streamDir)
+    // the symlink dir (single-file sources only) was only needed while
+    // the source listed it
+    streamDir.foreach { d =>
+      java.nio.file.Files.deleteIfExists(d.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(d)
+    }
     out
   }
 }
