@@ -58,14 +58,16 @@ object Bench {
     for (pass <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
+      // per-query pin scope: each invocation re-pins, so the previous
+      // query's staged pins are dead — a scoped clear keeps a multi-pass
+      // run's staging disk bounded by ONE query's pins (not the whole
+      // suite × passes) without ever racing another unit of work
+      val scope = graft.store.Stage.open()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val sec = (System.nanoTime() - t0) / 1e9
+      graft.store.Stage.clear(spark, scope) // untimed: boundary hygiene
       System.err.println(f"[bench pass$pass] $name $sec%.2fs")
       results += (name -> math.min(sec, results.getOrElse(name, Double.MaxValue)))
-      // each invocation re-pins; the previous query's staged pins are
-      // dead — drop them so a multi-pass run's staging disk stays
-      // bounded by ONE query's pins, not the whole suite × passes
-      graft.store.Stage.clear(spark)
     }
 
     val calibLast = calib()

@@ -20,6 +20,10 @@ object Verify {
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
+      // per-query pin scope: this query's staged pins are dead once its
+      // parquet is written, and a scoped clear can never race a pin some
+      // OTHER unit of work still holds
+      val scope = graft.store.Stage.open()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -27,7 +31,7 @@ object Verify {
           f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally graft.store.Stage.clear(spark) // this query's pins are dead
+      } finally graft.store.Stage.clear(spark, scope)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -78,10 +78,20 @@ object LinearProbe {
     // prediction goes null with no error. raise_error is lazy (costs
     // nothing when arrays conform) and rides the pin write, so the
     // mismatch fails the fit loudly at materialization time.
+    // NULL feature arrays get their own branch: size(null) is null, so
+    // the === dims test would route them to the size-mismatch error with
+    // a message that misstates the problem. A null row is rejected (not
+    // passed through) — a silent null would zero its gradient
+    // contribution while still counting toward no row, skewing nothing
+    // but hiding data corruption.
     val f = graft.store.Stage.pin(features.select(col(id),
-      when(size(col(x)) === dims, col(x)).otherwise(raise_error(concat(
-        lit(s"LinearProbe: feature array size != dims=$dims for ${id}="),
-        col(id).cast("string")))).as("__x"),
+      when(col(x).isNull, raise_error(concat(
+        lit(s"LinearProbe: null feature array for ${id}="),
+        col(id).cast("string"))).cast("array<double>"))
+        .when(size(col(x)) === dims, col(x))
+        .otherwise(raise_error(concat(
+          lit(s"LinearProbe: feature array size != dims=$dims for ${id}="),
+          col(id).cast("string")))).as("__x"),
       col(y).cast("double").as("__y")), "probe-features")
     val pred: Column = // ordered fold: 0.0 + x₀w₀ + x₁w₁ + … (fused)
       graft.functions.VectorOps.vecDot(col("__x"), col("__w"))

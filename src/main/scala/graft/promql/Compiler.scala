@@ -106,12 +106,34 @@ object Compiler {
     * variance (so stddev can't NaN). The oracle mirrors the op
     * sequence exactly.
     */
+  /** Order-independent population variance on the decimal(18,6) grid.
+    *
+    * Accumulation is exact (decimal sums commute), so the result is
+    * parallelism-independent; the oracle (`pql7_stddev_stdvar`) uses the
+    * byte-identical formula. Two documented bounds of the discipline:
+    *
+    *  - '''magnitude''': `|v| < 1e12` (decimal(18,6) integral digits).
+    *    Beyond it DuckDB errors on the cast while Spark (non-ANSI)
+    *    silently NULLs it — `count(c)` would still count the row and the
+    *    variance would be silently wrong. The `count(c) =!= count(d)`
+    *    guard makes Spark fail as loudly as the oracle instead.
+    *  - '''cancellation''': the decimal sums are exact, but the final
+    *    `s2/n − (s1/n)²` difference is taken in double, so relative
+    *imprecision is amplified by ~`mean²/var`: with double's 2⁻⁵² ulp the
+    *    result keeps ~`16 − 2·log10(|mean|/σ)` significant digits. For
+    *    the engine's grid-rounded outputs (1e-6) that is exact while
+    *    `mean²/var ≲ 1e10`; a series whose mean/σ ratio exceeds ~1e5
+    *    needs a centered pre-pass (subtract a constant before querying).
+    */
   private def varPopDet(c: Column): Column = {
     val d = c.cast("decimal(18,6)")
     val n = count(c).cast("double")
     val s1 = sum(d).cast("double")
     val s2 = sum(d * d).cast("double")
-    greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0))
+    when(count(c) =!= count(d), raise_error(lit(
+      "stddev/stdvar: |value| >= 1e12 overflows the decimal(18,6) " +
+        "accumulation grid")).cast("double"))
+      .otherwise(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0)))
   }
 
   /** One row per eval step: the query_range grid. */

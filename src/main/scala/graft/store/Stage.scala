@@ -79,32 +79,93 @@ object Stage {
     val path = s"${baseDir(spark)}/$tag-${UUID.randomUUID()}"
     if (recording)
       recorded.add(tag -> df.queryExecution.executedPlan.toString)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(path)
-    created.add(path)
+    inFlight.incrementAndGet()
+    try df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+    finally inFlight.decrementAndGet()
+    Option(scopeOf.get).getOrElse(globalScope).paths.add(path)
     spark.read.schema(df.schema).parquet(path)
   }
 
-  private val created =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** A unit-of-work handle: every [[pin]] the opening thread creates
+    * while the scope is open registers here, and `clear(spark, scope)`
+    * deletes exactly those pins. This is what makes concurrent query
+    * builds safe: each build opens its own scope, so one query's
+    * boundary-clear can never delete another query's still-live pin
+    * (the failure mode of the old JVM-global queue — an opaque
+    * FileNotFoundException on the victim's next action).
+    */
+  final class PinScope private[Stage] () {
+    private[Stage] val paths =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  }
 
-  /** Delete every pin this JVM has created so far — the unit-of-work
-    * boundary of the pin lifecycle. Pins are UUID-fresh per [[pin]]
-    * call and are never reused across queries, so without this a
-    * long-lived process (a multi-pass bench, a query server, a cluster
-    * job with `graft.stage.dir` on shared storage — where the local
-    * temp-dir shutdown hook does not apply) accumulates corpus-scale
-    * parquet indefinitely. Call at job/pass boundaries ONLY: any
-    * still-alive DataFrame that reads a cleared pin will fail on next
-    * use. Tracked-path deletion (not a recursive base-dir wipe) so a
-    * shared `graft.stage.dir` loses exactly this job's pins.
+  private val globalScope = new PinScope
+  private val scopeOf = new ThreadLocal[PinScope]
+  private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Open a pin scope on the CURRENT thread: subsequent [[pin]] calls
+    * from this thread register to the returned scope until [[close]].
+    * Pins from other threads (streaming micro-batch workers, parallel
+    * builds that did not open their own scope) keep falling back to the
+    * JVM-global scope and are only reclaimed by the global
+    * `clear(spark)`.
+    */
+  def open(): PinScope = {
+    require(scopeOf.get == null,
+      "Stage.open: a pin scope is already open on this thread")
+    val s = new PinScope
+    scopeOf.set(s)
+    s
+  }
+
+  /** Close the current thread's scope WITHOUT deleting its pins (use
+    * when ownership transfers — e.g. a build whose pins outlive the
+    * builder).
+    */
+  def close(scope: PinScope): Unit =
+    if (scopeOf.get eq scope) scopeOf.remove()
+
+  /** Delete exactly `scope`'s pins and close the scope. */
+  def clear(spark: SparkSession, scope: PinScope): Unit = {
+    close(scope)
+    drain(spark, scope.paths)
+  }
+
+  /** Delete every GLOBALLY-scoped pin this JVM has created so far — the
+    * unit-of-work boundary of the un-scoped pin lifecycle. Pins are
+    * UUID-fresh per [[pin]] call and are never reused across queries, so
+    * without this a long-lived process (a multi-pass bench, a query
+    * server, a cluster job with `graft.stage.dir` on shared storage —
+    * where the local temp-dir shutdown hook does not apply) accumulates
+    * corpus-scale parquet indefinitely. Call at job/pass boundaries
+    * ONLY, and only under sequential execution: any still-alive
+    * DataFrame that reads a cleared pin will fail on next use —
+    * CONCURRENT query builds must each [[open]] their own [[PinScope]]
+    * and clear that instead. A clear racing another pin's
+    * materialization is detected and logged (the in-flight pin itself is
+    * safe — it registers only after its write completes — but its owner
+    * plainly did not expect the boundary). Tracked-path deletion (not a
+    * recursive base-dir wipe) so a shared `graft.stage.dir` loses
+    * exactly this job's pins.
     */
   def clear(spark: SparkSession): Unit = {
+    val racing = inFlight.get
+    if (racing > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"Stage.clear while $racing pin(s) are mid-" +
+        "materialization: concurrent unit-of-work detected - those " +
+        "pins' owners should use Stage.open()/clear(spark, scope)")
+    drain(spark, globalScope.paths)
+  }
+
+  private def drain(spark: SparkSession,
+      q: java.util.Queue[String]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    var p = created.poll()
+    var p = q.poll()
     while (p != null) {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).delete(hp, true)
-      p = created.poll()
+      p = q.poll()
     }
   }
 }

@@ -40,4 +40,30 @@ class StreamDedupSpec extends SparkSpec {
       spark0.catalog.dropTempView("sdedup_sink")
     }
   }
+
+  test("within one micro-batch the winner is deterministic: earliest " +
+    "event time, ties by smallest docId — independent of arrival order") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamDedup(input.toDS(), delayMs = 5000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_det_sink").start()
+    try {
+      // one batch, arrival order adversarial: the later-arriving row of
+      // "alpha" has the EARLIER event time (doc 9 must win over doc 10);
+      // "beta" ties on event time (doc 11 must win over doc 12)
+      input.addData(
+        Doc(10L, "alpha", 2000L), Doc(9L, "alpha", 1000L),
+        Doc(12L, "beta", 1500L), Doc(11L, "beta", 1500L))
+      q.processAllAvailable()
+      val ids = spark0.table("sdedup_det_sink").as[(Long, String, Long,
+        String)].collect().map(_._1).sorted.toSeq
+      assert(ids === Seq(9L, 11L))
+    } finally {
+      q.stop()
+      spark0.catalog.dropTempView("sdedup_det_sink")
+    }
+  }
 }
