@@ -887,13 +887,27 @@ object TsdbQueries {
         SELECT user_id, event_type, ts_ms, value FROM flushed),
       grid AS (SELECT unnest(generate_series(
         ${Jan10}, ${Jan25}, ${Hour})) AS eval_ms),
-      inst AS (SELECT user_id, event_type, eval_ms,
-        (max(struct_pack(t := ts_ms, v := value))).v AS value
-        FROM merged JOIN grid
-          ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${6 * Hour}
-        GROUP BY 1, 2, 3)
+      -- instant-vector lookback as an ASOF join: the naive
+      -- (merged JOIN grid ON ts <= eval AND ts > eval - 6h) range join
+      -- materializes points x window-steps and exhausts oracle memory
+      -- at sf1; the ASOF form sort-merges each (series, eval step) to
+      -- its single newest sample, then the lookback filter drops stale
+      -- matches. merged is (series, ts)-unique (LWW dedup upstream),
+      -- so the ASOF pick equals the old max(struct(t, v)).v
+      ser AS (SELECT DISTINCT user_id, event_type FROM merged),
+      sg AS (SELECT s.user_id, s.event_type, g.eval_ms
+        FROM ser s CROSS JOIN grid g),
+      -- the lookback bound rides a CASE projection, NOT a WHERE on the
+      -- join: DuckDB would push a join-key predicate into the ASOF ON
+      -- clause and reject it as a second inequality
+      inst AS (SELECT sg.user_id, sg.event_type, sg.eval_ms,
+        CASE WHEN m.ts_ms > sg.eval_ms - ${6 * Hour} THEN m.value END
+          AS value
+        FROM sg ASOF JOIN merged m
+          ON m.user_id = sg.user_id AND m.event_type = sg.event_type
+            AND m.ts_ms <= sg.eval_ms)
       SELECT event_type, eval_ms, round(sum(value), 6) AS value
-      FROM inst GROUP BY 1, 2""",
+      FROM inst WHERE value IS NOT NULL GROUP BY 1, 2""",
 
     "j2_series_expiry" -> s"""
       WITH pts AS ($P),
