@@ -369,33 +369,47 @@ final class HttpApi(spark: SparkSession,
     restoreMutable()
   }
 
-  // micro-batch buffer: per-post LAZY plans (LocalRelations — the rows
-  // live on the driver, zero Spark jobs until flush)
-  private var pendingLazy: Vector[(DataFrame, Long)] = Vector.empty
+  // micro-batch buffer: validated RAW rows per post. Driver memory only —
+  // zero Spark work on the HTTP path; the single background flusher owns
+  // ALL plan building (one encode + one ingest plan per FLUSH, where the
+  // pre-r11 shape built one lazy ingest plan per POST and folded them
+  // with an N-way unionByName at flush — measured as the small-post
+  // throughput bound, ~per-POST driver work that no storage design needs)
+  private final class PendingPost(val rows: Seq[PromRow], val seq: Long,
+      val ttlSec: Long, val minTs: Long, val tenant: String)
+  private var pending: Vector[PendingPost] = Vector.empty
   private var pendingRowCount = 0L
+  // single-flusher queue: pins happen in submission order OFF the HTTP
+  // threads, so concurrent posts never block on a Spark job; reads drain
+  // the queue ([[flushPending]]) for read-your-writes
+  private val flushExec =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "facade-flusher"); t.setDaemon(true); t
+    })
+  @volatile private var lastFlush: java.util.concurrent.Future[_] =
+    java.util.concurrent.CompletableFuture.completedFuture(null)
+  // flush snapshots submitted but not yet appended to `batches`
+  private val queuedFlushes = new java.util.concurrent.atomic.AtomicInteger(0)
+  // backpressure bound: a flusher lagging this many snapshots behind
+  // stalls the writer until the queue drains — bounded driver memory
+  private val MaxQueuedFlushes = 16
 
-  /** S1 ingest, append-only: validated label-map rows become a LAZY plan
-    * in the micro-batch buffer; [[flushPending]] pins buffered posts as
-    * ONE batch — O(buffered) work per flush; LWW conflict resolution
-    * happens at read ([[dedupedPoints]]) and at compaction.
+  /** S1 ingest, append-only: validated rows append to the raw micro-batch
+    * buffer; the background flusher pins buffered posts as ONE batch —
+    * O(buffered) work per flush; LWW conflict resolution happens at read
+    * ([[dedupedPoints]]) and at compaction.
     *
     * Returns the number of samples that pass validation and will be
     * written — the count a PRW 2.0 response reports in
     * `X-Prometheus-Remote-Write-Samples-Written`.
     */
   def write(series: Seq[PromSeries], tenant: String,
-      ttlSec: Long = DefaultTtlSec): Long = synchronized {
-    import spark.implicits._
+      ttlSec: Long = DefaultTtlSec): Long = {
     val rows = series.flatMap(s =>
       s.samples.map { case (t, v) => PromRow(s.labels, t, v) })
     if (rows.isEmpty) return 0L
     writesTotal.incrementAndGet()
     pointsWrittenTotal.addAndGet(rows.size.toLong)
-    writeSeq += 1
-    if (ttlSec != DefaultTtlSec) ttlSeen = true
-    val lazyBatch = Ingest.ingestLabeled(rows.toDF(), tenantLabel, tenant)
-      .withColumn("__seq", lit(writeSeq)) // per-POST seq: LWW across
-      .withColumn("__ttl_sec", lit(ttlSec)) // posts sharing one flush
     // label-name union + oldest-sample probe in plain Scala over the
     // request rows (they are already on the driver; mirroring
     // ingestLabeled's validation costs no extra Spark job per write)
@@ -412,38 +426,114 @@ final class HttpApi(spark: SparkSession,
       .flatMap(_.labels.collect {
         case (k, v) if v != null && v.nonEmpty && k != tenantLabel => k
       }).toSeq.distinct :+ tenantLabel
-    labelNames = (labelNames ++ batchNames).distinct.sorted
     val minTs =
       if (valid.isEmpty) Long.MaxValue else valid.iterator.map(_.ts_ms).min
-    pendingLazy :+= (lazyBatch, minTs)
-    pendingRowCount += rows.size
-    if (pendingLazy.size >= flushEveryPosts ||
-      pendingRowCount >= flushEveryRows) flushPending()
+    val overloaded = synchronized {
+      writeSeq += 1
+      if (ttlSec != DefaultTtlSec) ttlSeen = true
+      labelNames = (labelNames ++ batchNames).distinct.sorted
+      pending :+= new PendingPost(rows, writeSeq, ttlSec, minTs, tenant)
+      pendingRowCount += rows.size
+      // group commit: the post-count threshold submits only when the
+      // flusher is IDLE — while a pin is in flight, posts keep buffering
+      // and the next flush adapts its size to the pin latency (the
+      // reference's batch deadline plays this role; a fixed post count
+      // queues pins faster than they materialize and the backpressure
+      // stall becomes the ingest bound). The ROW threshold submits
+      // unconditionally — it is the driver-memory bound.
+      if ((pending.size >= flushEveryPosts && queuedFlushes.get == 0) ||
+        pendingRowCount >= flushEveryRows) submitFlush()
+      queuedFlushes.get >= MaxQueuedFlushes
+    }
+    if (overloaded) flushPending()
     valid.size.toLong
   }
 
-  /** Posts buffered but not yet pinned (tests/introspection). */
-  def bufferedPosts: Int = synchronized(pendingLazy.size)
+  /** Posts buffered but not yet submitted to the flusher
+    * (tests/introspection).
+    */
+  def bufferedPosts: Int = synchronized(pending.size)
 
-  /** Pin every buffered post as ONE batch — the flush's single Spark job.
+  /** Snapshot the buffer and queue its pin on the flusher. Caller MUST
+    * hold `this`. Returns the future of the LAST submitted flush —
+    * the flusher is single-threaded, so its completion implies every
+    * earlier flush completed too.
+    */
+  private def submitFlush(): java.util.concurrent.Future[_] = {
+    if (pending.nonEmpty) {
+      val snap = pending
+      pending = Vector.empty
+      pendingRowCount = 0L
+      queuedFlushes.incrementAndGet()
+      lastFlush = flushExec.submit(new Runnable {
+        def run(): Unit = pinBatch(snap)
+      })
+    }
+    lastFlush
+  }
+
+  /** Drain the flusher: every buffered post is pinned when this returns.
     * Called from reads (read-your-writes), compaction, and stop; without
     * reads, staleness is bounded by `flushEveryPosts`/`flushEveryRows`
     * (buffered rows are driver memory either way — durability starts at
-    * the cold spill, exactly as before).
+    * the cold spill, exactly as before). NEVER call while holding `this`:
+    * the flusher needs the lock for its append and would deadlock.
     */
-  private def flushPending(): Unit = synchronized {
-    if (pendingLazy.isEmpty) return
-    val batch = pendingLazy.map(_._1).reduce(_.unionByName(_))
+  private def flushPending(): Unit = {
+    val f = synchronized(submitFlush())
+    f.get()
+  }
+
+  /** Test hook: block until every queued flush has pinned (the count
+    * threshold submits asynchronously, so a spec asserting on
+    * [[pendingBatches]] right after a threshold write would race the
+    * flusher).
+    */
+  private[graft] def drainFlushes(): Unit = flushPending()
+
+  /** Pin one flush snapshot as ONE batch — runs on the flusher thread.
+    * One encoder pass + one ingest plan for the whole snapshot; only the
+    * batch append takes the write lock (the Spark job itself runs
+    * unlocked, so posts keep appending while a pin materializes).
+    */
+  private def pinBatch(snap: Vector[PendingPost]): Unit = {
+    import spark.implicits._
+    val flat = snap.flatMap(p => p.rows.map(r =>
+      (r.labels, r.ts_ms, r.value, p.seq, p.ttlSec, p.tenant)))
+    val df = flat.toDF(
+      "labels", "ts_ms", "value", "__seq", "__ttl_sec", "__tenant")
+    // per-post tenants ride the rows; ingestLabeled stamps the label from
+    // a column-less constant, so group by tenant value (facades serve ONE
+    // tenant label name — the per-row tenant VALUE is what varies)
+    val byTenant = flat.iterator.map(_._6).toSet
+    val ingested = byTenant.iterator.map { t =>
+      Ingest.ingestLabeled(df.where(col("__tenant") === t), tenantLabel, t)
+    }.reduce(_.unionByName(_))
+    // dashboard-sized flushes pin as ONE block: a LocalRelation inherits
+    // the session's default parallelism, and a 32-task job per flush is
+    // pure scheduling overhead for a few thousand rows (measured: the
+    // per-flush floor, not the encode, bounds small-post ingest). One
+    // partition per ~flushEveryRows keeps giant backfill flushes parallel.
+    val parts = math.max(1L, flat.size / flushEveryRows).toInt
+    val batch = ingested
+      .select("labels", "ts_ms", "value", "metric_id", "__seq", "__ttl_sec")
+      .coalesce(parts)
       .localCheckpoint(true)
-    val minTs = pendingLazy.map(_._2).min
-    pendingLazy = Vector.empty
-    pendingRowCount = 0L
-    batches :+= batch
-    batchMins :+= minTs
-    if (minTs < lastSpillCutoff) coldDirty = true
-    // bounded union depth, OFF the write path: the fold runs in the
-    // background over a snapshot prefix and is swapped in copy-on-write
-    maybeScheduleCompact()
+    val minTs = snap.map(_.minTs).min
+    synchronized {
+      batches :+= batch
+      batchMins :+= minTs
+      queuedFlushes.decrementAndGet()
+      // group-commit chaining: posts that buffered past the threshold
+      // while THIS pin materialized get their flush now — without it
+      // they would wait for the next write or read
+      if (pending.size >= flushEveryPosts ||
+        pendingRowCount >= flushEveryRows) submitFlush()
+      if (minTs < lastSpillCutoff) coldDirty = true
+      // bounded union depth, OFF the write path: the fold runs in the
+      // background over a snapshot prefix, swapped in copy-on-write
+      maybeScheduleCompact()
+    }
   }
 
   /** Schedule a background fold when the append depth crosses the
@@ -453,15 +543,25 @@ final class HttpApi(spark: SparkSession,
     * unfolded and unspilled indefinitely on an idle store).
     */
   private def maybeScheduleCompact(): Unit =
-    if (pendingBatches >= compactEvery &&
+    if (pinnedPending >= compactEvery &&
       compacting.compareAndSet(false, true))
       compactExec.execute { () =>
         try compactNow() finally compacting.set(false)
         maybeScheduleCompact()
       }
 
-  /** Batches appended since the last completed compaction. */
-  def pendingBatches: Int = {
+  /** Batches appended since the last completed compaction, INCLUDING
+    * flush snapshots queued on the flusher but not yet pinned — so
+    * "pendingBatches == 0" still means fully quiesced (pinned AND
+    * folded), exactly what restart/spill tests and operators poll for.
+    */
+  def pendingBatches: Int = pinnedPending + queuedFlushes.get
+
+  /** PINNED batches since the last completed compaction — the compact
+    * trigger counts only these (a queued-but-unpinned flush must not
+    * start a fold that would miss it).
+    */
+  private def pinnedPending: Int = {
     val (b, hc) = (batches, headCompacted)
     b.size - (if (hc && b.nonEmpty) 1 else 0)
   }
@@ -1209,14 +1309,18 @@ final class HttpApi(spark: SparkSession,
     s.getAddress.getPort
   }
 
-  def stop(): Unit = synchronized {
+  def stop(): Unit = {
+    // drain OUTSIDE the monitor: flushPending blocks on the flusher,
+    // which needs `this` for its batch append
     flushPending()
-    server.foreach(_.stop(0))
-    server = None
-    // the handler pool's threads are non-daemon — without this the JVM
-    // never exits after stop()
-    serverPool.foreach(_.shutdown())
-    serverPool = None
+    synchronized {
+      server.foreach(_.stop(0))
+      server = None
+      // the handler pool's threads are non-daemon — without this the JVM
+      // never exits after stop()
+      serverPool.foreach(_.shutdown())
+      serverPool = None
+    }
   }
 
   private def handle(h: HttpExchange): Unit =

@@ -233,7 +233,9 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.col
     val api2 = new HttpApi(spark, compactEvery = 3)
     api2.write(Seq(series("m", "a", i => 1.0 + i)), "default")
+    api2.drainFlushes() // group commit would share one batch otherwise
     api2.write(Seq(series("m", "a", i => 100.0 + i)), "default") // overwrite
+    api2.drainFlushes()
     assert(api2.pendingBatches === 2)
     // the STORED plan is a union of pinned batches — proof no write ran a
     // global groupBy (the old per-write O(total) rebuild)
@@ -731,7 +733,8 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(apiMb.bufferedPosts === 1)
     for (i <- 0 until 3)
       apiMb.write(Seq(series("mb", s"d$i", j => 4.0)), "default")
-    assert(apiMb.bufferedPosts === 0) // count threshold flushed
+    assert(apiMb.bufferedPosts === 0) // count threshold submitted
+    apiMb.drainFlushes() // the pin itself is async (single flusher)
     assert(apiMb.pendingBatches === 2)
     assert(apiMb.source().get.points
       .where(col("__name__") === "mb").count() === 60) // 6 series × 10
