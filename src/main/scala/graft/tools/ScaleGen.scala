@@ -35,9 +35,9 @@ import graft.GraftSession
   */
 object ScaleGen {
 
-  private def signFlip(i: Int, d: Int): Float = {
+  private def signFlip(tag: String, i: Int, d: Int): Float = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"sf$i-$d".getBytes("UTF-8"))
+    val h = md.digest(s"$tag$i-$d".getBytes("UTF-8"))
     if ((h(0) & 1) == 0) 1.0f else -1.0f
   }
 
@@ -45,6 +45,17 @@ object ScaleGen {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dstDir = if (args.length > 1) args(1) else "/root/repo/benchdata/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // second-decade stacking (sf1 → sf10): the source is itself a
+    // replicated generation, so (a) id strides must clear the WHOLE
+    // source id span — `strideMult` scales every stride by the source's
+    // own replica factor — and (b) the decorrelation seeds must differ
+    // from the source generation's, or replica i of this run would apply
+    // the EXACT sign pattern / token suffix the source's replica i
+    // already carries (identical vectors → cosine-1 cross-pairs, shared
+    // suffixed vocabulary → planted cross-replica shingle overlap)
+    val strideMult = if (args.length > 3) args(3).toLong else 1L
+    val tag = if (args.length > 4) args(4) else "r"
+    val seedTag = if (tag == "r") "sf" else s"sf-$tag-"
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[16]")
         .config("spark.sql.shuffle.partitions", 16))
@@ -77,10 +88,10 @@ object ScaleGen {
       val txt =
         if (i == 0) col("text")
         else array_join(
-          transform(split(col("text"), " "), t => concat(t, lit(s"_r$i"))),
+          transform(split(col("text"), " "), t => concat(t, lit(s"_$tag$i"))),
           " ")
       df.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i * 10000000L * strideMult)).as("doc_id"),
         txt.as("text"), col("lang"), col("source"),
         length(txt).cast("long").as("n_chars"))
     }
@@ -91,15 +102,18 @@ object ScaleGen {
       val emb =
         if (i == 0) col("embedding")
         else zip_with(col("embedding"),
-          array((0 until dims).map(d => lit(signFlip(i, d))): _*),
+          array((0 until dims).map(d => lit(signFlip(seedTag, i, d))): _*),
           (x, s) => (x * s).cast("float"))
-      df.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+      df.select((col("vec_id") + lit(i * 10000000L * strideMult)).as("vec_id"),
         emb.as("embedding"), col("label"))
     }
 
     replicate("events") { (df, i) =>
-      df.select((col("event_id") + lit(i * 1000000000000L)).as("event_id"),
-        col("ts"), (col("user_id") + lit(i * 1000000000L)).as("user_id"),
+      df.select(
+        (col("event_id") + lit(i * 1000000000000L * strideMult))
+          .as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * 1000000000L * strideMult)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }
 
