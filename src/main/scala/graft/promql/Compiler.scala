@@ -113,10 +113,11 @@ object Compiler {
     * byte-identical formula. Two documented bounds of the discipline:
     *
     *  - '''magnitude''': `|v| < 1e12` (decimal(18,6) integral digits).
-    *    Beyond it DuckDB errors on the cast while Spark (non-ANSI)
-    *    silently NULLs it — `count(c)` would still count the row and the
-    *    variance would be silently wrong. The `count(c) =!= count(d)`
-    *    guard makes Spark fail as loudly as the oracle instead.
+    *    Beyond it DuckDB errors on the cast; under ANSI (this engine's
+    *    session default) Spark's cast errors identically, and under a
+    *    non-ANSI deployment — where the cast would silently NULL while
+    *    `count(c)` still counts the row, making the variance silently
+    *    wrong — the `count(c) =!= count(d)` guard fails just as loudly.
     *  - '''cancellation''': the decimal sums are exact, but the final
     *    `s2/n − (s1/n)²` difference is taken in double, so relative
     *imprecision is amplified by ~`mean²/var`: with double's 2⁻⁵² ulp the
