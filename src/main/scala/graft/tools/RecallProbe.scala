@@ -20,13 +20,17 @@ import graft.similarity.Ann
   * trade being measured. Also reports each method's wall time on the
   * same session (warm), brute included as the cost baseline.
   *
-  * Usage: RecallProbe [sfDir] [nQueries] [k]
+  * Usage: RecallProbe [sfDir] [nQueries] [k] [nCells]
+  * (nCells sizes the IVF index — on clustered corpora set it to the
+  * expected cluster count; the probe also reports nProbe=8 and a
+  * 32-bit PQ so the sizing sweep brackets the recall@10 ≥ 0.9 target)
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nQ = args.lift(1).map(_.toInt).getOrElse(100)
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val nCells = args.lift(3).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]")
@@ -54,22 +58,28 @@ object RecallProbe {
 
     val (lsh, tLsh) = timed(Ann.lshTopK(emb, queries, k, nPlanes = 8))
     val idxPath = s"/tmp/graft_recall_ivf_${java.lang.ProcessHandle.current.pid}"
-    graft.store.Store.buildIvfIndex(spark, idxPath, emb, nCells = 8)
+    graft.store.Store.buildIvfIndex(spark, idxPath, emb, nCells = nCells)
     val (cells, asg) = graft.store.Store.readIvfIndex(spark, idxPath)
     val (ivf1, tIvf1) = timed(Ann.ivfTopK(emb, queries, k, cells, asg, nProbe = 1))
     val (ivf2, tIvf2) = timed(Ann.ivfTopK(emb, queries, k, cells, asg, nProbe = 2))
     val (ivf4, tIvf4) = timed(Ann.ivfTopK(emb, queries, k, cells, asg, nProbe = 4))
+    val (ivf8, tIvf8) = timed(Ann.ivfTopK(emb, queries, k, cells, asg, nProbe = 8))
+    val dims = emb.selectExpr("size(embedding)").head().getInt(0)
     val (pq, tPq) = timed(Ann.pqAdcTopK(emb, queries,
-      m = 4, subDim = 16, k = 8, iters = 2, topK = k))
+      m = 4, subDim = dims / 4, k = 8, iters = 2, topK = k))
+    val (pq32, tPq32) = timed(Ann.pqAdcTopK(emb, queries,
+      m = 8, subDim = dims / 8, k = 16, iters = 2, topK = k))
 
     val json =
-      s"""{"sf":"$sfDir","n_queries":$nQ,"k":$k,""" +
+      s"""{"sf":"$sfDir","n_queries":$nQ,"k":$k,"n_cells":$nCells,""" +
         s""""brute_sec":$tBrute,""" +
         s""""lsh8":{"recall":${recall(lsh)},"sec":$tLsh},""" +
         s""""ivf_p1":{"recall":${recall(ivf1)},"sec":$tIvf1},""" +
         s""""ivf_p2":{"recall":${recall(ivf2)},"sec":$tIvf2},""" +
         s""""ivf_p4":{"recall":${recall(ivf4)},"sec":$tIvf4},""" +
-        s""""pq_adc_m4k8":{"recall":${recall(pq)},"sec":$tPq}}"""
+        s""""ivf_p8":{"recall":${recall(ivf8)},"sec":$tIvf8},""" +
+        s""""pq_adc_m4k8":{"recall":${recall(pq)},"sec":$tPq},""" +
+        s""""pq_adc_m8k16":{"recall":${recall(pq32)},"sec":$tPq32}}"""
     println(json)
     spark.stop()
   }

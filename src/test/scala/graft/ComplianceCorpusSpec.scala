@@ -67,16 +67,29 @@ class ComplianceCorpusSpec extends SparkSpec {
 
   /** All substituted forms of a template: the default form, plus (in
     * full mode) each declared variant arg varied one at a time over the
-    * upstream value lists.
+    * upstream value lists, plus — for templates declaring two or more
+    * variant args — the FULL CROSS PRODUCT over every arg pair (r10
+    * verdict: the one-axis expansion caught day_of_year and quantile
+    * clamping; interactions like range × aggregation and offset ×
+    * dateFunc are the next place bugs hide).
     */
   private def expand(tpl: String, args: Seq[String],
       full: Boolean): Seq[String] = {
     val base = substitute(tpl)
     if (!full) Seq(base)
-    else (base +: args.flatMap { k =>
-      VariantValues.getOrElse(k, Nil).map(v =>
-        substitute(tpl, Variants.updated(k, v)))
-    }).distinct
+    else {
+      val oneAxis = args.flatMap { k =>
+        VariantValues.getOrElse(k, Nil).map(v =>
+          substitute(tpl, Variants.updated(k, v)))
+      }
+      val twoAxis = for {
+        (a, ai) <- args.zipWithIndex
+        b <- args.drop(ai + 1)
+        va <- VariantValues.getOrElse(a, Nil)
+        vb <- VariantValues.getOrElse(b, Nil)
+      } yield substitute(tpl, Variants.updated(a, va).updated(b, vb))
+      (base +: (oneAxis ++ twoAxis)).distinct
+    }
   }
 
   private final case class Tpl(query: String, shouldFail: Boolean,
