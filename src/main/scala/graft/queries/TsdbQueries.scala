@@ -436,36 +436,37 @@ object TsdbQueries {
       import graft.streaming.{HotBuffer, Prompb}
       import graft.promql.{EvalParams, PromSource}
       val SixH = 6 * Hour
-      // 0. one sample per (series, ts) — PromQL precondition, LWW on
-      //    event_id; the winning row keeps its event_id. The dedup is
-      //    referenced by BOTH write generations below — pin it once
-      //    (query-local boundary, d4 discipline: the chain is the job).
-      val base = pts(s, dir)
-        .groupBy("user_id", "event_type", "ts_ms")
-        .agg(max_by(struct(col("value"), col("event_id")),
-          col("event_id")).as("m"))
-        .select(col("user_id"), col("event_type"), col("ts_ms"),
-          col("m.value").as("value"), col("m.event_id").as("event_id"))
-        .localCheckpoint(true)
       // 1. remote-write payloads, one per (series, generation), ENCODED
-      //    ON EXECUTORS in one grouped pass; batch 2 is a later correction
-      //    write (doubled values) that must win last-write-wins end-to-end
-      val tagged = base.withColumn("__batch", lit(1)).unionByName(
-        base.where(pmod(col("event_id"), lit(7)) === 0)
-          .withColumn("value", col("value") * 2)
-          .withColumn("__batch", lit(2)))
-      val wire = tagged
-        .groupBy("user_id", "event_type", "__batch")
-        .agg(collect_list(struct(col("ts_ms"), col("value"))).as("samples"))
-        .map { r =>
-          val labels = Map(
+      //    ON EXECUTORS in ONE grouped pass that also performs the
+      //    per-(series, ts) LWW dedup (PromQL precondition, winner = max
+      //    event_id, the winning row keeps its event_id) — the pre-r11
+      //    shape materialized the dedup as its own shuffled aggregate +
+      //    pin and re-shuffled the tagged union by (series, batch):
+      //    three sequential tiers where one grouped pass suffices.
+      //    Batch 2 is a later correction write (doubled values, winner
+      //    event_id % 7 == 0) that must win last-write-wins end-to-end.
+      val wire = pts(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(collect_list(struct(col("ts_ms"), col("value"),
+          col("event_id"))).as("samples"))
+        .flatMap { r =>
+          def labels(batch: Int) = Map(
             "__name__" -> "events_value",
             "user_id" -> r.getAs[Long]("user_id").toString,
             "event_type" -> r.getAs[String]("event_type"),
-            "__batch" -> r.getAs[Int]("__batch").toString)
-          val samples = r.getAs[scala.collection.Seq[Row]]("samples")
-            .map(x => (x.getLong(0), x.getDouble(1))).toSeq
-          Prompb.encodeSnappy(Seq(Prompb.PromSeries(labels, samples)))
+            "__batch" -> batch.toString)
+          val lww = new scala.collection.mutable.HashMap[Long, (Double, Long)]
+          r.getAs[scala.collection.Seq[Row]]("samples").foreach { x =>
+            val (t, v, id) = (x.getLong(0), x.getDouble(1), x.getLong(2))
+            if (!lww.get(t).exists(_._2 >= id)) lww(t) = (v, id)
+          }
+          val b1 = lww.iterator.map { case (t, (v, _)) => (t, v) }.toSeq
+          val b2 = lww.iterator.collect {
+            case (t, (v, id)) if id % 7 == 0 => (t, v * 2) }.toSeq
+          Seq(Prompb.encodeSnappy(
+            Seq(Prompb.PromSeries(labels(1), b1)))) ++
+            (if (b2.nonEmpty) Seq(Prompb.encodeSnappy(
+              Seq(Prompb.PromSeries(labels(2), b2)))) else Nil)
         }(Encoders.BINARY)
       // 2. distributed wire decode → S1 ingest; the batch tag becomes the
       //    write sequence and leaves the series identity. Pinned once:
