@@ -167,7 +167,16 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = emb.unionByName(emb.where(col("vec_id") < 20)
         .withColumn("vec_id", col("vec_id") + 100000))
-      Ann.semdedup(corpus, SemK, KmeansIters, 0.9)
+      // SemDeDup's k ∝ n discipline, made real: the within-cell pair
+      // term is ~n²/2k, so a FIXED k turns quadratic one decade past the
+      // gate scales (the r11 sf10 curve measured it: ×12.5 for 10×
+      // data). Cells cap at ~1.5k vectors; the floor keeps k == SemK at
+      // every oracle-gated scale (sf0.01/0.1/1 → 32), so the static
+      // DuckDB chain stays byte-equivalent where it runs, and beyond
+      // the gate k grows with the corpus exactly as the published
+      // method prescribes (Abbas et al. 2023, §3).
+      val kEff = math.max(SemK, (corpus.count() / 1560L).toInt)
+      Ann.semdedup(corpus, kEff, KmeansIters, 0.9)
     }),
 
     // benchmark decontamination: training docs sharing any 5-gram with
