@@ -92,6 +92,10 @@ object PipelineQueries {
   private val PqSubDim = 16
   private val PqK = 8
   private val PqTopK = 3
+  // ADC rerank shortlist size: the recall lever of the two-stage
+  // pattern (v10) — exactness over the shortlist is restored by the
+  // rerank, so recall@topK == P(true neighbor ∈ ADC top-nCand)
+  private val PqRerankCand = 10
   // linear quality probe: 6 GD iterations at lr ½ (a power of two keeps
   // the weight update on exactly representable products)
   private val ProbeIters = 6
@@ -426,6 +430,16 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       Ann.pqAdcTopK(emb, emb.where(col("vec_id") < 5),
         PqM, PqSubDim, PqK, KmeansIters, PqTopK)
+    }),
+
+    // the production ADC pattern: codes-only candidate generation →
+    // exact cosine rerank over the shortlist (Jégou 2011 §V)
+    "v10_adc_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Ann.pqAdcRerank(emb, emb.where(col("vec_id") < 5),
+        PqM, PqSubDim, PqK, KmeansIters, PqRerankCand, PqTopK)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
     }),
 
     // multimodal: typed metadata without decode
@@ -1225,6 +1239,44 @@ object PipelineQueries {
         SELECT *, row_number() OVER (
           PARTITION BY q_id ORDER BY dist_adc ASC, nn_id ASC) AS rank
         FROM d) WHERE rank <= $PqTopK""",
+
+    // v10: v9's ADC chain truncated at PqRerankCand candidates, then an
+    // exact ordered-fold cosine rerank over just the shortlist
+    "v10_adc_rerank" -> s"""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      ${pqChainsSql(PqM, PqSubDim, PqK, KmeansIters)},
+      codes AS (${pqCodesSql(PqM)}),
+      cb AS (${(0 until PqM).map(s =>
+        s"SELECT CAST($s AS BIGINT) AS sub, cid, cen FROM cen${KmeansIters}_s$s")
+        .mkString("\n        UNION ALL ")}),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM v
+        WHERE vec_id < 5),
+      parts AS (SELECT q.q_id, c.vec_id AS nn_id, c.sub,
+          ${sqdistSql(
+            s"list_slice(q.q_emb, c.sub * $PqSubDim + 1, (c.sub + 1) * $PqSubDim)",
+            "cb.cen")} AS dp
+        FROM codes c
+        JOIN cb ON cb.sub = c.sub AND cb.cid = c.code
+        CROSS JOIN q
+        WHERE c.vec_id <> q.q_id),
+      d AS (SELECT q_id, nn_id,
+          list_reduce(list(dp ORDER BY sub), (x, y) -> x + y) AS dist_adc
+        FROM parts GROUP BY 1, 2),
+      cand AS (SELECT q_id, nn_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY dist_adc ASC, nn_id ASC) AS rank
+        FROM d) WHERE rank <= $PqRerankCand),
+      scored AS (SELECT c.q_id, c.nn_id,
+          ${dotSql("q.q_emb", "e.embedding")} /
+            (sqrt(${dotSql("q.q_emb", "q.q_emb")}) *
+             sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+        FROM cand c
+        JOIN v e ON e.vec_id = c.nn_id
+        JOIN q ON q.q_id = c.q_id)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= $PqTopK""",
 
     "v2_ann_lsh" -> s"""
       WITH planes AS (

@@ -560,4 +560,35 @@ object Ann {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("nn_id"), (-col("cos_sim")).as("dist_adc"))
   }
+
+  /** The production ADC pattern: PQ-ADC generates `nCand` candidates per
+    * query from CODES ONLY (the corpus embeddings never stream through
+    * the scoring join), then an exact cosine rerank over just those
+    * candidates picks the final top-k (Jégou et al. 2011 §V "IVFADC +
+    * re-ranking"). At 100 TB the first stage reads the code table
+    * (~64:1 smaller than the embeddings) and the second reads
+    * queries × nCand embedding rows by id — the candidate list
+    * broadcasts into the corpus scan, so full-precision vectors are
+    * touched only for ~nCand rows per query. Short PQ codes are recall-
+    * weak as a FINAL ranking (RecallProbe: 0.05-0.36@10) but strong as
+    * a candidate filter; the rerank restores exactness over the
+    * shortlist.
+    */
+  def pqAdcRerank(vectors: DataFrame, queries: DataFrame, m: Int,
+      subDim: Int, k: Int, iters: Int, nCand: Int, topK: Int,
+      id: String = "vec_id"): DataFrame = {
+    val cand = pqAdcTopK(vectors, queries, m, subDim, k, iters, nCand, id)
+      .select(col("q_id"), col("nn_id"))
+    val c = vectors.select(col(id).as("nn_id"),
+      col("embedding").cast("array<double>").as("nn_emb"))
+      .withColumn("nn_norm", norm2(col("nn_emb")))
+    val q = queries.select(col(id).as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_norm", norm2(col("q_emb")))
+    val scored = c.join(broadcast(cand), Seq("nn_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos",
+        cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
+    rankTopK(scored, topK)
+  }
 }
