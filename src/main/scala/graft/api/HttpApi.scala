@@ -497,6 +497,27 @@ final class HttpApi(spark: SparkSession,
     * unlocked, so posts keep appending while a pin materializes).
     */
   private def pinBatch(snap: Vector[PendingPost]): Unit = {
+    // Failure safety: the rows in `snap` were already acknowledged 200 to
+    // the writing client, so a pin failure must NOT drop them. On any
+    // throw, re-prepend the snapshot to `pending` (the next flush — or
+    // the read-side drain — re-pins it) and ALWAYS release the
+    // queuedFlushes slot, or the MaxQueuedFlushes backpressure threshold
+    // would be consumed forever. The exception still propagates through
+    // the Future so `flushPending().get()` surfaces it to the caller
+    // that forced the drain.
+    var pinned = false
+    try pinBatchImpl(snap, onPinned = () => pinned = true)
+    finally {
+      queuedFlushes.decrementAndGet()
+      if (!pinned) synchronized {
+        pending = snap ++ pending
+        pendingRowCount += snap.iterator.map(_.rows.size.toLong).sum
+      }
+    }
+  }
+
+  private def pinBatchImpl(
+      snap: Vector[PendingPost], onPinned: () => Unit): Unit = {
     import spark.implicits._
     val flat = snap.flatMap(p => p.rows.map(r =>
       (r.labels, r.ts_ms, r.value, p.seq, p.ttlSec, p.tenant)))
@@ -523,10 +544,13 @@ final class HttpApi(spark: SparkSession,
     synchronized {
       batches :+= batch
       batchMins :+= minTs
-      queuedFlushes.decrementAndGet()
+      onPinned()
       // group-commit chaining: posts that buffered past the threshold
       // while THIS pin materialized get their flush now — without it
-      // they would wait for the next write or read
+      // they would wait for the next write or read. (queuedFlushes is
+      // released by the caller's finally AFTER this block, so the chained
+      // flush transiently sees an extra count — harmless: pendingBatches
+      // only overcounts toward "not yet quiesced".)
       if (pending.size >= flushEveryPosts ||
         pendingRowCount >= flushEveryRows) submitFlush()
       if (minTs < lastSpillCutoff) coldDirty = true

@@ -45,6 +45,20 @@ object PipelineQueries {
         .withColumn("text", concat(col("text"), lit(" extra tail"))))
   }
 
+  /** d9's embedding-corpus row count, computed ONCE per table dir (the
+    * dynamic-k discipline needs the count to BUILD the plan, so one
+    * count job is unavoidable — but bench passes and repeated builds
+    * reuse the memo instead of re-scanning).
+    */
+  private val corpusRowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusRows(s: SparkSession, dir: String): Long =
+    corpusRowsMemo.computeIfAbsent(dir, _ => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      emb.unionByName(emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)).count()
+    })
+
   // decontamination uses LONGER shingles than near-dup LSH (published
   // practice: 8-13 gram overlap for GPT-3/Pile; 5 here fits the
   // synthetic doc lengths) and a deterministic benchmark slice, with
@@ -75,6 +89,12 @@ object PipelineQueries {
   // scales with the corpus to keep cells (and the quadratic) bounded —
   // 32 cells here vs the 8 of the generic clustering demo
   private val SemK = 32
+  // SemDeDup target cell size: kEff = max(SemK, n / SemCellRows) on
+  // BOTH engines (the oracle derives the same expression from count(*),
+  // so a corpus-size drift can never desynchronize k — the r11 ADVICE
+  // boundary fragility). ~1.5k rows/cell keeps the within-cell
+  // quadratic ~n·SemCellRows/2 — linear in the corpus.
+  private val SemCellRows = 1560
   // DSIR importance weights: two sources stand in for the curated seed
   // ("target") corpus; the hashed feature space is fixed-size regardless
   // of vocabulary, which is what makes the ratio table broadcast-safe
@@ -174,12 +194,13 @@ object PipelineQueries {
       // SemDeDup's k ∝ n discipline, made real: the within-cell pair
       // term is ~n²/2k, so a FIXED k turns quadratic one decade past the
       // gate scales (the r11 sf10 curve measured it: ×12.5 for 10×
-      // data). Cells cap at ~1.5k vectors; the floor keeps k == SemK at
-      // every oracle-gated scale (sf0.01/0.1/1 → 32), so the static
-      // DuckDB chain stays byte-equivalent where it runs, and beyond
-      // the gate k grows with the corpus exactly as the published
-      // method prescribes (Abbas et al. 2023, §3).
-      val kEff = math.max(SemK, (corpus.count() / 1560L).toInt)
+      // data). Cells cap at ~SemCellRows vectors; the ORACLE derives the
+      // SAME greatest(SemK, count // SemCellRows) from the corpus, so k
+      // agrees between engines at EVERY corpus size — including the
+      // dynamic branch (hash-gated on the midk corpus, r12) — and a
+      // small regeneration of a gated corpus flips both sides together
+      // (Abbas et al. 2023, §3).
+      val kEff = math.max(SemK, (corpusRows(s, dir) / SemCellRows).toInt)
       Ann.semdedup(corpus, kEff, KmeansIters, 0.9)
     }),
 
@@ -523,8 +544,14 @@ object PipelineQueries {
     * `KmeansIters` cannot silently desynchronize the two. Shared by v6
     * and d9.
     */
+  /** `limitSql`: optional SQL expression overriding the literal seed
+    * count `k` — lets an oracle derive k from the corpus itself (d9's
+    * dynamic-k discipline) so Spark and DuckDB can never disagree about
+    * k at any corpus size. Rendered through row_number (not LIMIT) so a
+    * scalar subquery is always legal.
+    */
   private def kmeansChainSql(k: Int, iters: Int, sfx: String = "",
-      src: String = "v"): String = {
+      src: String = "v", limitSql: String = ""): String = {
     def argminCte(name: String, dist: String) = s"""
       $name AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
           OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $dist)
@@ -548,9 +575,12 @@ object PipelineQueries {
       cen${i + 1}$sfx AS (SELECT cid, list(w ORDER BY dim) AS cen
         FROM m$i$sfx GROUP BY 1),"""
     }.mkString
+    val kSql = if (limitSql.nonEmpty) limitSql else k.toString
     s"""
-      cen0$sfx AS (SELECT vec_id AS cid, embedding AS cen FROM $src
-        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),$rounds
+      cen0$sfx AS (SELECT cid, cen FROM (SELECT vec_id AS cid,
+          embedding AS cen, row_number()
+            OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS __rn
+        FROM $src) WHERE __rn <= ($kSql)),$rounds
       ${distCte(s"dF$sfx", s"cen$iters$sfx")},
       ${argminCte(s"asg$sfx", s"dF$sfx")}"""
   }
@@ -1408,7 +1438,8 @@ object PipelineQueries {
       WITH v AS (SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20),
-      ${kmeansChainSql(SemK, KmeansIters)},
+      ${kmeansChainSql(SemK, KmeansIters,
+        limitSql = s"SELECT greatest($SemK, count(*) // $SemCellRows) FROM v")},
       cv AS (SELECT v.vec_id, v.embedding, a.cid
         FROM v JOIN asg a USING (vec_id))
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

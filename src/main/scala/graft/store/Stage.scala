@@ -97,6 +97,12 @@ object Stage {
   final class PinScope private[Stage] () {
     private[Stage] val paths =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // close()/clear() must run on the thread that opened the scope —
+    // the ThreadLocal can only be removed there. A cross-thread clear
+    // would silently leave the opener's ThreadLocal set, making its
+    // next open() throw "scope already open" with no visible cause, so
+    // the misuse is asserted at the clear site instead.
+    private[Stage] val opener: Thread = Thread.currentThread()
   }
 
   private val globalScope = new PinScope
@@ -122,8 +128,14 @@ object Stage {
     * when ownership transfers — e.g. a build whose pins outlive the
     * builder).
     */
-  def close(scope: PinScope): Unit =
+  def close(scope: PinScope): Unit = {
+    require(Thread.currentThread() eq scope.opener,
+      "Stage.close/clear must run on the thread that opened the scope " +
+        s"(opened on '${scope.opener.getName}', called from " +
+        s"'${Thread.currentThread().getName}') - the opener's " +
+        "ThreadLocal cannot be cleared from here")
     if (scopeOf.get eq scope) scopeOf.remove()
+  }
 
   /** Delete exactly `scope`'s pins and close the scope. */
   def clear(spark: SparkSession, scope: PinScope): Unit = {

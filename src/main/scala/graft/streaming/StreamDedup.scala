@@ -64,8 +64,12 @@ object StreamDedup {
       rows: Iterator[Wire], state: GroupState[Long]): Iterator[Seen] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
+      // Strict < to match EventTimeTimeout exactly: the engine fires the
+      // timeout only when the watermark EXCEEDS the stamp, so at exact
+      // equality a digest with no data has not yet timed out — a re-crawl
+      // arriving with data must be treated the same (still a duplicate).
       if (state.exists &&
-          state.get + delayMs <= state.getCurrentWatermarkMs())
+          state.get + delayMs < state.getCurrentWatermarkMs())
         state.remove()
       if (state.exists) Iterator.empty
       else {
