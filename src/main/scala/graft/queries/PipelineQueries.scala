@@ -116,6 +116,9 @@ object PipelineQueries {
   // pattern (v10) — exactness over the shortlist is restored by the
   // rerank, so recall@topK == P(true neighbor ∈ ADC top-nCand)
   private val PqRerankCand = 10
+  // v11 probe width over the v3 index's 8 cells (same ratio as the
+  // RecallProbe production sizing: scan ~nProbe/K of the corpus)
+  private val IvfNProbe = 2
   // linear quality probe: 6 GD iterations at lr ½ (a power of two keeps
   // the weight update on exactly representable products)
   private val ProbeIters = 6
@@ -459,6 +462,25 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       Ann.pqAdcRerank(emb, emb.where(col("vec_id") < 5),
         PqM, PqSubDim, PqK, KmeansIters, PqRerankCand, PqTopK)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
+    }),
+
+    // IVFADC + re-ranking composed end-to-end (Jégou 2011 §V): probe
+    // nProbe coarse cells, ADC-scan only those cells' PQ codes, exact
+    // rerank the shortlist. Same persisted index as v3 (path-identical,
+    // so one build serves both), same PQ settings as v9/v10 — the scan
+    // reduction vs v10 is the nProbe/K inverted-file prune
+    "v11_ivfadc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = "/tmp/graft_ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${java.lang.ProcessHandle.current.pid}"
+      graft.store.Store.buildIvfIndex(s, idxPath, emb, nCells = 8)
+      val (cells, asg) = graft.store.Store.readIvfIndex(s, idxPath)
+      Ann.ivfAdcRerank(emb.select(col("vec_id"), col("embedding")),
+          emb.where(col("vec_id") < 5), cells, asg,
+          PqM, PqSubDim, PqK, KmeansIters, IvfNProbe, PqRerankCand, PqTopK)
         .select(col("q_id"), col("rank").cast("long").as("rnk"),
           col("nn_id"), col("cos_sim"))
     }),
@@ -1288,6 +1310,76 @@ object PipelineQueries {
         FROM codes c
         JOIN cb ON cb.sub = c.sub AND cb.cid = c.code
         CROSS JOIN q
+        WHERE c.vec_id <> q.q_id),
+      d AS (SELECT q_id, nn_id,
+          list_reduce(list(dp ORDER BY sub), (x, y) -> x + y) AS dist_adc
+        FROM parts GROUP BY 1, 2),
+      cand AS (SELECT q_id, nn_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY dist_adc ASC, nn_id ASC) AS rank
+        FROM d) WHERE rank <= $PqRerankCand),
+      scored AS (SELECT c.q_id, c.nn_id,
+          ${dotSql("q.q_emb", "e.embedding")} /
+            (sqrt(${dotSql("q.q_emb", "q.q_emb")}) *
+             sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+        FROM cand c
+        JOIN v e ON e.vec_id = c.nn_id
+        JOIN q ON q.q_id = c.q_id)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= $PqTopK""",
+
+    // v11: v3's IVF chain (cells/asg/probes) + the PQ chains + v9's ADC
+    // arithmetic restricted to probed cells + v10's exact rerank — each
+    // stage byte-identical to its standalone oracle, only composed
+    "v11_ivfadc" -> s"""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      ia AS (SELECT vec_id, vec_id % 8 AS c FROM embeddings),
+      iw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ia a USING (vec_id) GROUP BY 1, 2),
+      icen AS (SELECT c, list(w ORDER BY d) AS cen FROM iw GROUP BY 1),
+      dc1 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN icen i),
+      ac1 AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM dc1 GROUP BY 1),
+      uw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ac1 a USING (vec_id) GROUP BY 1, 2),
+      cells AS (SELECT c, list(w ORDER BY d) AS cen FROM uw GROUP BY 1),
+      dc2 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN cells i),
+      ivfasg AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM dc2 GROUP BY 1),
+      probes AS (SELECT vec_id AS q_id, c FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, c) AS rn
+          FROM dc2 WHERE vec_id < 5) WHERE rn <= $IvfNProbe),
+      ${pqChainsSql(PqM, PqSubDim, PqK, KmeansIters)},
+      codes AS (${pqCodesSql(PqM)}),
+      cb AS (${(0 until PqM).map(s =>
+        s"SELECT CAST($s AS BIGINT) AS sub, cid, cen FROM cen${KmeansIters}_s$s")
+        .mkString("\n        UNION ALL ")}),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM v
+        WHERE vec_id < 5),
+      parts AS (SELECT q.q_id, c.vec_id AS nn_id, c.sub,
+          ${sqdistSql(
+            s"list_slice(q.q_emb, c.sub * $PqSubDim + 1, (c.sub + 1) * $PqSubDim)",
+            "cb.cen")} AS dp
+        FROM codes c
+        JOIN cb ON cb.sub = c.sub AND cb.cid = c.code
+        JOIN ivfasg ia2 ON ia2.vec_id = c.vec_id
+        JOIN probes p ON p.c = ia2.c
+        JOIN q ON q.q_id = p.q_id
         WHERE c.vec_id <> q.q_id),
       d AS (SELECT q_id, nn_id,
           list_reduce(list(dp ORDER BY sub), (x, y) -> x + y) AS dist_adc

@@ -579,6 +579,17 @@ object Ann {
       id: String = "vec_id"): DataFrame = {
     val cand = pqAdcTopK(vectors, queries, m, subDim, k, iters, nCand, id)
       .select(col("q_id"), col("nn_id"))
+    exactRerank(vectors, queries, cand, topK, id)
+  }
+
+  /** Exact-cosine rerank over a (q_id, nn_id) shortlist: the candidate
+    * list broadcasts into the corpus scan, so full-precision embeddings
+    * are touched for only queries × nCand rows (stage 2 of the ADC
+    * re-ranking pattern — shared by [[pqAdcRerank]] and
+    * [[ivfAdcRerank]]).
+    */
+  private def exactRerank(vectors: DataFrame, queries: DataFrame,
+      cand: DataFrame, topK: Int, id: String): DataFrame = {
     val c = vectors.select(col(id).as("nn_id"),
       col("embedding").cast("array<double>").as("nn_emb"))
       .withColumn("nn_norm", norm2(col("nn_emb")))
@@ -590,5 +601,63 @@ object Ann {
       .withColumn("cos",
         cosine(col("q_emb"), col("nn_emb"), col("q_norm"), col("nn_norm")))
     rankTopK(scored, topK)
+  }
+
+  /** IVFADC + re-ranking, composed end-to-end (Jégou et al. 2011 §V —
+    * the production billion-scale ANN operator): each query (1) probes
+    * its `nProbe` nearest coarse cells, (2) ADC-scans the PQ CODES of
+    * only those cells' inverted lists for an `nCand` shortlist, and
+    * (3) exact-cosine-reranks the shortlist from full-precision
+    * vectors. Codebooks are GLOBAL (raw vectors, not per-cell
+    * residuals — the FAISS `IVFx,PQy` layout without residual encoding;
+    * the oracle reproduces the same choice, and the residual variant
+    * would only change stage-2 accuracy, not the plan shape).
+    *
+    * Scale shape — the reason this beats [[pqAdcRerank]]: v10's ADC
+    * stage still streams the ENTIRE code table per query batch; here
+    * the probe list (queries × nProbe cell ids, broadcast) prunes the
+    * inverted file to ~nProbe/K of the corpus before any distance is
+    * computed. At 100 TB: cells (K rows) and codebooks (m·k centroids)
+    * broadcast; the codes+cell relation is the persisted index
+    * partitioned by cell, so a probe reads only its cells' partitions;
+    * full-precision vectors are fetched for queries × nCand rows.
+    * Per-query compute falls from O(N·m) to O(N·m·nProbe/K + nCand·d).
+    *
+    * `cells`/`asg` come from [[graft.store.Store.buildIvfIndex]] —
+    * build-once, probe-many, like v3.
+    */
+  def ivfAdcRerank(vectors: DataFrame, queries: DataFrame,
+      cells: DataFrame, asg: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int, nProbe: Int, nCand: Int, topK: Int,
+      id: String = "vec_id"): DataFrame = {
+    val v = vectors.select(col(id),
+      col("embedding").cast("array<double>").as("embedding"))
+    val cens = pqTrain(v, m, subDim, k, iters, id).localCheckpoint(true)
+    // per-query probe ranking over the K broadcast cells (v3's shape)
+    val w = Window.partitionBy(id).orderBy(col("dist"), col("c"))
+    val probes = assignCellsAll(queries, cells)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nProbe)
+      .select(col(id).as("q_id"), col("c"))
+    val q = queries.select(col(id).as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .join(probes, "q_id")
+    // inverted-file prune FIRST: the broadcast (q, cell) list hits the
+    // codes relation before any ADC arithmetic — only probed cells score
+    val codes = pqAssign(v, cens, m, subDim, id)
+      .select(col(id).as("nn_id"), col("codes"))
+      .join(asg.select(col(id).as("nn_id"), col("c")), "nn_id")
+    val scored = codes.join(broadcast(q), Seq("c"))
+      .where(col("nn_id") =!= col("q_id"))
+      .crossJoin(broadcast(cens))
+      .withColumn("cos", -aggregate(col("codes"), lit(0.0), (acc, cd) =>
+        acc + sqdist(subSlice(col("q_emb"), cd.getField("sub"), subDim),
+          element_at(filter(col("__cens"), e =>
+            e.getField("sub") === cd.getField("sub") &&
+              e.getField("cid") === cd.getField("cid")), 1)
+            .getField("cen"))))
+      .select(col("q_id"), col("nn_id"), col("cos"))
+    val cand = rankTopK(scored, nCand).select(col("q_id"), col("nn_id"))
+    exactRerank(vectors, queries, cand, topK, id)
   }
 }

@@ -109,6 +109,12 @@ object Stage {
   private val scopeOf = new ThreadLocal[PinScope]
   private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Pins currently mid-materialization (the write at [[pin]] started,
+    * not yet registered). Probe observability: LossProbe's during-pin
+    * window arms its executor kill on this going positive.
+    */
+  private[graft] def inFlightCount: Int = inFlight.get
+
   /** Open a pin scope on the CURRENT thread: subsequent [[pin]] calls
     * from this thread register to the returned scope until [[close]].
     * Pins from other threads (streaming micro-batch workers, parallel

@@ -214,6 +214,48 @@ class DedupSpec extends SparkSpec {
     assert(asg.select("vec_id").distinct().count() === corpus.count())
   }
 
+  test("IVFADC: full-probe + wide shortlist degrades to exact brute force; " +
+      "narrow probe only surfaces probed-cell candidates") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val n = emb.count().toInt
+    val queries = emb.where(col("vec_id") < 3)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_spec").toString + "/idx"
+    graft.store.Store.buildIvfIndex(spark, idxPath, emb, 4)
+    val (cells, asg) = graft.store.Store.readIvfIndex(spark, idxPath)
+    // nProbe = nCells and nCand >= n: the ADC stage can drop nothing, so
+    // the exact rerank over "all candidates" IS brute force — the
+    // composition provably loses only what the probe/shortlist prunes
+    val full = Ann.ivfAdcRerank(emb, queries, cells, asg,
+        m = 4, subDim = 16, k = 4, iters = 1,
+        nProbe = 4, nCand = n, topK = 3)
+      .select("q_id", "rank", "nn_id", "cos_sim")
+      .collect().map(_.toString).sorted
+    val brute = Ann.bruteForceTopK(emb, queries, 3)
+      .select("q_id", "rank", "nn_id", "cos_sim")
+      .collect().map(_.toString).sorted
+    assert(full === brute)
+    // narrow probe: every returned neighbor must live in one of its
+    // query's nProbe probed cells (the inverted-file prune is real)
+    val nProbe = 1
+    val got = Ann.ivfAdcRerank(emb, queries, cells, asg,
+      m = 4, subDim = 16, k = 4, iters = 1,
+      nProbe = nProbe, nCand = 8, topK = 3)
+    val probed = queries.crossJoin(broadcast(cells))
+      .withColumn("dist", Ann.sqdist(col("embedding"), col("cen")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("dist"), col("c"))))
+      .where(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c"))
+    val offCell = got.join(asg.withColumnRenamed("vec_id", "nn_id"), "nn_id")
+      .join(probed, Seq("q_id", "c"), "left_anti")
+    assert(offCell.count() === 0,
+      "no candidate may come from an unprobed cell")
+  }
+
   test("simhash: deterministic, and identical docs hash identically") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta")).toDF("doc_id", "text")
