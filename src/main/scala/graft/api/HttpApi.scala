@@ -87,6 +87,31 @@ final class HttpApi(spark: SparkSession,
   @volatile private var batches: Vector[DataFrame] = Vector.empty
   @volatile private var batchMins: Vector[Long] = Vector.empty // min ts_ms
   @volatile private var headCompacted = false
+  // Hot-batch pin medium. `localCheckpoint` stores UNREPLICATED blocks
+  // on one executor; BlockWhere demonstrated that killing the holder
+  // makes the batch unreadable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) —
+  // and these rows were ACKNOWLEDGED to the remote-write client and
+  // released from driver memory, so there is NO recompute path: on a
+  // real cluster that is silent-durability loss waiting for a node
+  // failure. When `graft.stage.dir` is set (the cluster-deployment
+  // signal, same as Stage's), hot batches therefore pin as staged
+  // parquet on shared storage instead — executor loss costs a re-read,
+  // never the data. Single-JVM facades (no stage.dir) keep the
+  // localCheckpoint fast path: driver and "executor" share a process,
+  // so the cliff does not exist there.
+  private val durableHot: Boolean =
+    spark.conf.getOption("graft.stage.dir").isDefined
+  private val hotScope = graft.store.Stage.detachedScope()
+  // staged path per batches[i] (parallel vector; "" = localCheckpoint).
+  // Superseded paths retire with ONE compaction generation of grace so
+  // in-flight readers finish their scans (the coldGen discipline).
+  @volatile private var batchPaths: Vector[String] = Vector.empty
+  @volatile private var retiredPins: Vector[String] = Vector.empty
+
+  /** Pin one hot relation on the configured medium. */
+  private def pinHot(df: DataFrame, tag: String): (DataFrame, String) =
+    if (durableHot) graft.store.Stage.pinIn(hotScope, df, tag)
+    else (df.localCheckpoint(true), "")
   // monotone spill frontier + overlap tracking: a write whose oldest
   // sample falls behind an earlier spill MAY duplicate keys already on
   // disk; only then do reads pay the LWW dedup shuffle over the cold tier
@@ -536,14 +561,14 @@ final class HttpApi(spark: SparkSession,
     // per-flush floor, not the encode, bounds small-post ingest). One
     // partition per ~flushEveryRows keeps giant backfill flushes parallel.
     val parts = math.max(1L, flat.size / flushEveryRows).toInt
-    val batch = ingested
+    val (batch, path) = pinHot(ingested
       .select("labels", "ts_ms", "value", "metric_id", "__seq", "__ttl_sec")
-      .coalesce(parts)
-      .localCheckpoint(true)
+      .coalesce(parts), "hot-batch")
     val minTs = snap.map(_.minTs).min
     synchronized {
       batches :+= batch
       batchMins :+= minTs
+      batchPaths :+= path
       onPinned()
       // group-commit chaining: posts that buffered past the threshold
       // while THIS pin materialized get their flush now — without it
@@ -580,6 +605,12 @@ final class HttpApi(spark: SparkSession,
     * folded), exactly what restart/spill tests and operators poll for.
     */
   def pendingBatches: Int = pinnedPending + queuedFlushes.get
+
+  /** Flush snapshots queued on the flusher but not yet pinned — probe
+    * observability: StreamLossProbe arms its executor kill on this
+    * going positive (a pin job actually in flight).
+    */
+  private[graft] def queuedFlushCount: Int = queuedFlushes.get
 
   /** PINNED batches since the last completed compaction — the compact
     * trigger counts only these (a queued-but-unpinned flush must not
@@ -646,7 +677,8 @@ final class HttpApi(spark: SparkSession,
     if (snap.isEmpty || (snap.size == 1 && headCompacted && !spillable))
       return
     val snapMin = snapMins.min
-    val folded0 = lwwDedup(unionAll(snap).get).localCheckpoint(true)
+    val (folded0, folded0Path) =
+      pinHot(lwwDedup(unionAll(snap).get), "hot-fold")
     // T9 dim upkeep: fold the snapshot's per-series TTLs into the pinned
     // dim BEFORE the swap (spilled rows leave memory here, so this is the
     // last cheap look at them). Series that max-merge back to the default
@@ -730,21 +762,24 @@ final class HttpApi(spark: SparkSession,
     // day-partitioned parquet store (APPEND — late duplicates resolve
     // read-side by __seq); the spill lands BEFORE the swap so a write
     // failure loses nothing
-    val (folded, foldedMin, spilledTo) = coldPath match {
-      case Some(_) if blocked => (folded0, snapMin, Long.MinValue)
+    val (folded, foldedPath, foldedMin, spilledTo) = coldPath match {
+      case Some(_) if blocked =>
+        (folded0, folded0Path, snapMin, Long.MinValue)
       case Some(path) =>
         val cutoff = System.currentTimeMillis() - hotRetainMs
         val spill = folded0.where(col("ts_ms") < cutoff)
-        if (spill.limit(1).count() == 0) (folded0, snapMin, Long.MinValue)
+        if (spill.limit(1).count() == 0)
+          (folded0, folded0Path, snapMin, Long.MinValue)
         else {
           graft.store.Store.writePoints(spill, path, Seq("metric_id"),
             org.apache.spark.sql.SaveMode.Append)
-          (folded0.where(col("ts_ms") >= cutoff).localCheckpoint(true),
-            cutoff, cutoff)
+          val (trimmed, tp) =
+            pinHot(folded0.where(col("ts_ms") >= cutoff), "hot-fold")
+          (trimmed, tp, cutoff, cutoff)
         }
-      case None => (folded0, snapMin, Long.MinValue)
+      case None => (folded0, folded0Path, snapMin, Long.MinValue)
     }
-    synchronized {
+    val dropNow = synchronized {
       val tailMins = batchMins.drop(snap.size)
       if (spilledTo != Long.MinValue) {
         // keys below the PREVIOUS frontier may already be on disk, and
@@ -754,10 +789,22 @@ final class HttpApi(spark: SparkSession,
         lastSpillCutoff = spilledTo
       }
       newDim.foreach(d => ttlDim = Some(d))
+      val snapPaths = batchPaths.take(snap.size)
       batches = folded +: batches.drop(snap.size)
       batchMins = foldedMin +: tailMins
+      batchPaths = foldedPath +: batchPaths.drop(snap.size)
       headCompacted = true
+      // retire superseded staged pins with ONE compaction generation of
+      // grace (readers holding plans over the old batches finish their
+      // scans — the coldGen discipline); the PREVIOUS generation's
+      // retirees delete now, outside the lock
+      val out = retiredPins
+      retiredPins = (snapPaths :+
+        (if (foldedPath != folded0Path) folded0Path else ""))
+        .filter(_.nonEmpty)
+      out
     }
+    dropNow.foreach(p => graft.store.Stage.drop(spark, p))
     // A5 at compaction: data behind the spill frontier is final (modulo
     // explicit backfill repair) — extend agg_5m up to it, incrementally
     if (spilledTo != Long.MinValue) preAggregate(spilledTo)
@@ -1344,6 +1391,14 @@ final class HttpApi(spark: SparkSession,
       // never exits after stop()
       serverPool.foreach(_.shutdown())
       serverPool = None
+    }
+    // reclaim this store's staged hot pins (retired AND live: the store
+    // is gone, so the hot tail's lifecycle ends here exactly as the
+    // localCheckpoint path's blocks end with the JVM — the durable tier
+    // holds everything the fold already spilled)
+    if (durableHot) {
+      synchronized { retiredPins = Vector.empty; batchPaths = Vector.empty }
+      graft.store.Stage.clearDetached(spark, hotScope)
     }
   }
 

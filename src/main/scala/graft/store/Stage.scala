@@ -74,7 +74,20 @@ object Stage {
     * read-back would widen everything to nullable) and makes empty
     * relations round-trip without schema inference.
     */
-  def pin(df: DataFrame, tag: String): DataFrame = {
+  def pin(df: DataFrame, tag: String): DataFrame =
+    pinIn(Option(scopeOf.get).getOrElse(globalScope), df, tag)._1
+
+  /** [[pin]] registering to an EXPLICIT scope instead of the calling
+    * thread's ambient one — for owners whose pins are created on other
+    * threads (HttpApi's flusher pins hot batches from its single-thread
+    * executor; the store, not the thread, owns their lifecycle). Returns
+    * the staged path too, so the owner can retire superseded pins
+    * individually (a whole-scope clear would also delete still-live
+    * ones). Scope obtained from [[detachedScope]] — never a
+    * thread-bound [[open]] scope from another thread.
+    */
+  def pinIn(scope: PinScope, df: DataFrame,
+      tag: String): (DataFrame, String) = {
     val spark = df.sparkSession
     val path = s"${baseDir(spark)}/$tag-${UUID.randomUUID()}"
     if (recording)
@@ -82,8 +95,26 @@ object Stage {
     inFlight.incrementAndGet()
     try df.write.mode(SaveMode.ErrorIfExists).parquet(path)
     finally inFlight.decrementAndGet()
-    Option(scopeOf.get).getOrElse(globalScope).paths.add(path)
-    spark.read.schema(df.schema).parquet(path)
+    scope.paths.add(path)
+    (spark.read.schema(df.schema).parquet(path), path)
+  }
+
+  /** A scope NOT bound to any thread (no ThreadLocal registration):
+    * pins enter it only via [[pinIn]], and it is cleared with
+    * [[clearDetached]] from any thread.
+    */
+  def detachedScope(): PinScope = new PinScope
+
+  /** Delete a detached scope's remaining pins (any thread). */
+  def clearDetached(spark: SparkSession, scope: PinScope): Unit =
+    drain(spark, scope.paths)
+
+  /** Delete ONE staged pin by path (retiring a superseded generation);
+    * no-op if the path was already cleared or never staged.
+    */
+  def drop(spark: SparkSession, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
   }
 
   /** A unit-of-work handle: every [[pin]] the opening thread creates

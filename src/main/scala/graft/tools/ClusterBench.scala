@@ -118,12 +118,23 @@ object ClusterBench {
         val m0 = spillMem.get; val d0 = spillDisk.get
         val t0 = System.nanoTime()
         val scope = graft.store.Stage.open()
+        // a query that fails in THIS mode (e.g. OOM-killed executor at a
+        // constrained heap) records an error fingerprint instead of
+        // killing the whole run — the other queries' evidence survives
         val fp =
           try {
-            val df = fn(spark, sfDir)
-            if (compare && pass == passes) Some(fingerprint(df))
-            else { df.count(); None }
-          } finally graft.store.Stage.clear(spark, scope)
+            try {
+              val df = fn(spark, sfDir)
+              if (compare && pass == passes) Some(fingerprint(df))
+              else { df.count(); None }
+            } finally graft.store.Stage.clear(spark, scope)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[cb] $name FAILED pass$pass: " +
+                s"${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").take(160)}")
+              Some(("ERROR:" + e.getClass.getSimpleName, -1L, -1L))
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         val sm = spillMem.get - m0; val sd = spillDisk.get - d0
         System.err.println(f"[cb ${spark.sparkContext.master.take(13)}" +

@@ -45,15 +45,20 @@ object LossProbe {
     "java.base/sun.util.calendar")
     .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
 
-  /** PIDs of live executor backends (children of the local-cluster
-    * workers), via /proc cmdline scan — no JDK tooling dependency.
+  /** PIDs of live executor backends OF THIS APP (children of the
+    * local-cluster workers), via /proc cmdline scan — no JDK tooling
+    * dependency. Filtering on the Spark application id is load-bearing:
+    * an unfiltered scan once SIGKILLed a CONCURRENT harness's executors
+    * (two local-cluster probes on one machine), sabotaging that run and
+    * making this one's "recovery" vacuous.
     */
-  private def executorPids(): Seq[Long] = {
+  private[tools] def executorPids(appId: String): Seq[Long] = {
     val proc = new java.io.File("/proc")
     proc.listFiles((_, n) => n.forall(_.isDigit)).toSeq.flatMap { d =>
       try {
         val cmd = new String(Files.readAllBytes(d.toPath.resolve("cmdline")))
-        if (cmd.contains("CoarseGrainedExecutorBackend")) Some(d.getName.toLong)
+        if (cmd.contains("CoarseGrainedExecutorBackend") &&
+          cmd.contains(appId)) Some(d.getName.toLong)
         else None
       } catch { case _: Throwable => None }
     }
@@ -86,30 +91,79 @@ object LossProbe {
       .config("spark.task.maxFailures", "4"))
       .getOrCreate()
     s2.sparkContext.setLogLevel("ERROR")
+    val appId = s2.sparkContext.applicationId
     val deadline = System.nanoTime() + 120L * 1000000000L
-    while (executorPids().size < 2 && System.nanoTime() < deadline)
+    while (executorPids(appId).size < 2 && System.nanoTime() < deadline)
       Thread.sleep(200)
-    require(executorPids().size >= 2,
+    require(executorPids(appId).size >= 2,
       "local-cluster did not start 2 executors")
+
+    // Kill window (args(2)): WHEN the executor dies relative to the pin
+    // lifecycle — r11 only exercised "between" (pins durable, kill
+    // before the consuming job). r12 adds the other two timing windows
+    // the discipline must survive:
+    //   during-pin     SIGKILL while a staged-parquet pin WRITE is
+    //                  in flight (Stage.pin's inFlight window) — the
+    //                  write job must finish via task retry on the
+    //                  survivor/replacement executor;
+    //   during-shuffle SIGKILL when the CONSUMING job submits its first
+    //                  stage — lost shuffle map output must recompute
+    //                  from the durable pin, not fail the job.
+    val window = if (args.length > 2) args(2) else "between"
+    val killed = new java.util.concurrent.atomic.AtomicLong(-1)
+    def killOne(tag: String): Unit = {
+      val victim = executorPids(appId).head
+      killed.set(victim)
+      System.err.println(s"[loss-probe] killing executor pid $victim ($tag)")
+      Runtime.getRuntime.exec(Array("kill", "-9", victim.toString)).waitFor()
+    }
+
+    val pinKiller =
+      if (window == "during-pin") {
+        val t = new Thread(() => {
+          val limit = System.nanoTime() + 120L * 1000000000L
+          while (graft.store.Stage.inFlightCount == 0 &&
+            System.nanoTime() < limit) Thread.sleep(2)
+          if (graft.store.Stage.inFlightCount > 0)
+            killOne("mid-pin-materialization")
+        }, "pin-killer")
+        t.setDaemon(true); t.start(); Some(t)
+      } else None
 
     // building the query runs its pin writes (Stage.pin is eager)
     val df = fn(s2, sfDir)
+    pinKiller.foreach(_.join(5000))
     val pinned = new java.io.File(stageDir).list()
     require(pinned != null && pinned.nonEmpty,
       s"$qname materialized no durable pin under $stageDir")
 
-    // kill one executor AFTER the pins exist, BEFORE consuming them
-    val victim = executorPids().head
-    System.err.println(s"[loss-probe] killing executor pid $victim " +
-      s"(pins: ${pinned.mkString(", ")})")
-    Runtime.getRuntime.exec(Array("kill", "-9", victim.toString)).waitFor()
-    Thread.sleep(1000) // let the scheduler notice the loss
+    window match {
+      case "between" =>
+        // kill AFTER the pins exist, BEFORE consuming them
+        killOne(s"between (pins: ${pinned.mkString(", ")})")
+        Thread.sleep(1000) // let the scheduler notice the loss
+      case "during-pin" =>
+        require(killed.get > 0,
+          "during-pin window never armed: no pin write observed")
+      case "during-shuffle" =>
+        // arm on the consuming job's first stage submission
+        s2.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            private val once = new java.util.concurrent.atomic.AtomicBoolean
+            override def onStageSubmitted(
+                e: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+                : Unit =
+              if (!once.getAndSet(true)) killOne("consuming-stage-submitted")
+          })
+      case other => sys.error(s"unknown kill window: $other")
+    }
 
     val got = df.collect().map(_.toString).sorted.toSeq
+    require(killed.get > 0, s"window $window never fired a kill")
     val pass = got == expected
     println(s"""{"loss_probe":"${if (pass) "pass" else "FAIL"}",""" +
-      s""""query":"$qname","rows":${got.size},""" +
-      s""""pins":${pinned.length},"killed_pid":$victim}""")
+      s""""query":"$qname","window":"$window","rows":${got.size},""" +
+      s""""pins":${pinned.length},"killed_pid":${killed.get}}""")
     s2.stop()
     if (!pass) {
       System.err.println(s"expected ${expected.size} rows, got ${got.size}")

@@ -1,0 +1,174 @@
+package graft.tools
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.api.HttpApi
+import graft.streaming.Prompb
+
+/** Scrape-soak with interleaved dashboard reads (VERDICT r11 #8): the
+  * r11 group-commit numbers were write-only; this sustains 200-pt
+  * scrape POSTs for minutes WITH concurrent query_range reads — each
+  * read drains the flush queue first (read-your-writes), so reads pay
+  * the pin latency the group commit defers — and reports:
+  *
+  *  - write throughput overall AND per 10 s bucket (stability: a
+  *    degrading flusher shows up as bucket decay, not in the mean);
+  *  - write p50/p99 POST latency;
+  *  - read p50/p99 latency (the read-your-writes cost, measured);
+  *  - max pendingBatches ever sampled (bounded queue = no growth);
+  *  - a final drain + exact point-count check (every acknowledged
+  *    point readable — the soak is also a correctness run).
+  *
+  * Reference workload shape: `tests/remote-storage-test2/main.go:31-40`
+  * (concurrent writer/reader agents over the same facade).
+  *
+  * Env: SB_SECONDS (default 120), SB_WRITERS (4), SB_READ_EVERY_MS
+  * (2000), SB_FLUSH_POSTS (8), SPARK_GRAFT_CPUS (32). One JSON line to
+  * stdout and SB_OUT (default SOAK_BENCH.json).
+  */
+object SoakBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val seconds = sys.env.getOrElse("SB_SECONDS", "120").toInt
+    val writers = sys.env.getOrElse("SB_WRITERS", "4").toInt
+    val readEveryMs = sys.env.getOrElse("SB_READ_EVERY_MS", "2000").toLong
+    val flushPosts = sys.env.getOrElse("SB_FLUSH_POSTS", "8").toInt
+    val perPost = 200
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val api = new HttpApi(spark, flushEveryPosts = flushPosts)
+    val port = api.start(0)
+    val t0ms = 1704067200000L
+
+    val stop = new AtomicBoolean(false)
+    val acked = new AtomicLong(0)
+    val postSeq = new AtomicLong(0)
+    val writeLatMs = new ConcurrentLinkedQueue[Double]()
+    val readLatMs = new ConcurrentLinkedQueue[Double]()
+    val ackedPerBucket = new java.util.concurrent.ConcurrentHashMap[
+      Long, AtomicLong]()
+    val maxPending = new AtomicLong(0)
+    val benchStart = System.nanoTime()
+
+    def bucketOf(): Long = (System.nanoTime() - benchStart) / 10000000000L
+
+    // one writer = one scrape agent: 20 series × 10 samples = 200 pts
+    // per POST, monotonically advancing timestamps, unique (series, ts)
+    // per post so the final count check is exact
+    def writerLoop(w: Int): Unit = {
+      val client = HttpClient.newHttpClient()
+      while (!stop.get) {
+        val p = postSeq.getAndIncrement()
+        val series = (0 until 20).map { s =>
+          Prompb.PromSeries(
+            Map("__name__" -> s"soak_metric_$s", "writer" -> s"w$w",
+              "job" -> "soak"),
+            (0 until 10).map(j =>
+              (t0ms + p * 10000L + j * 1000L, (p * 10 + j).toDouble)))
+        }
+        val body = Prompb.encodeSnappy(series)
+        val t1 = System.nanoTime()
+        val rc = client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .header("Content-Type", "application/x-protobuf")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray()).statusCode()
+        val ms = (System.nanoTime() - t1) / 1e6
+        require(rc == 204, s"write failed: $rc")
+        writeLatMs.add(ms)
+        acked.addAndGet(perPost.toLong)
+        ackedPerBucket.computeIfAbsent(bucketOf(), _ => new AtomicLong)
+          .addAndGet(perPost.toLong)
+      }
+    }
+
+    // the dashboard: a sum-by query over the last minutes; each read
+    // forces the flush-queue drain first (read-your-writes)
+    def readerLoop(): Unit = {
+      val client = HttpClient.newHttpClient()
+      val q = java.net.URLEncoder.encode(
+        "sum by (writer) (soak_metric_1)", "UTF-8")
+      while (!stop.get) {
+        // dashboard shape: a FIXED-width trailing window (last hour of
+        // event time), not the whole history — read cost stays constant
+        // across the soak, so latency drift isolates the flusher
+        val endSec = t0ms / 1000 + postSeq.get * 10 + 60
+        val startSec = math.max(t0ms / 1000, endSec - 3600)
+        val t1 = System.nanoTime()
+        val resp = client.send(HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/api/v1/query_range?query=$q" +
+              s"&start=$startSec&end=$endSec&step=60"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        val ms = (System.nanoTime() - t1) / 1e6
+        require(resp.statusCode() == 200, resp.body().take(200))
+        readLatMs.add(ms)
+        Thread.sleep(readEveryMs)
+      }
+    }
+
+    val monitor = new Thread(() => {
+      while (!stop.get) {
+        maxPending.updateAndGet(m => math.max(m, api.pendingBatches))
+        Thread.sleep(250)
+      }
+    }, "pending-monitor")
+
+    val threads = (0 until writers).map(w =>
+      new Thread(() => writerLoop(w), s"writer-$w")) :+
+      new Thread(() => readerLoop(), "reader") :+ monitor
+    threads.foreach(_.start())
+    Thread.sleep(seconds * 1000L)
+    stop.set(true)
+    threads.foreach(_.join(30000))
+    val soakSec = (System.nanoTime() - benchStart) / 1e9
+
+    // final correctness: drain and count — every acknowledged point
+    // must be stored exactly once (unique (series, ts) by construction)
+    val readBackN = api.rawPoints.map(_.count()).getOrElse(0L)
+    val countOk = readBackN == acked.get
+
+    def pct(q: ConcurrentLinkedQueue[Double], p: Double): Double = {
+      val a = q.toArray(Array.empty[java.lang.Double]).map(_.toDouble).sorted
+      if (a.isEmpty) -1 else a(math.min(a.length - 1, (p * a.length).toInt))
+    }
+    import scala.jdk.CollectionConverters._
+    // drop the partial last bucket: it biases stability downward
+    val full = ackedPerBucket.asScala.toSeq.sortBy(_._1).dropRight(1)
+      .map(_._2.get / 10.0)
+    val (bMin, bMax, bMean) =
+      if (full.isEmpty) (0.0, 0.0, 0.0)
+      else (full.min, full.max, full.sum / full.size)
+
+    api.stop()
+    val json =
+      s"""{"metric":"soak_pts_per_s","value":${acked.get / soakSec},""" +
+        s""""unit":"pts/s","seconds":$soakSec,"writers":$writers,""" +
+        s""""points":${acked.get},"posts":${postSeq.get},""" +
+        s""""flush_every_posts":$flushPosts,""" +
+        s""""write_p50_ms":${pct(writeLatMs, 0.5)},""" +
+        s""""write_p99_ms":${pct(writeLatMs, 0.99)},""" +
+        s""""reads":${readLatMs.size},""" +
+        s""""read_p50_ms":${pct(readLatMs, 0.5)},""" +
+        s""""read_p99_ms":${pct(readLatMs, 0.99)},""" +
+        s""""bucket_pts_per_s_min":$bMin,"bucket_pts_per_s_max":$bMax,""" +
+        s""""bucket_pts_per_s_mean":$bMean,"n_buckets":${full.size},""" +
+        s""""max_pending_batches":${maxPending.get},""" +
+        s""""readback_points":$readBackN,"count_ok":$countOk}"""
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SB_OUT", "SOAK_BENCH.json")),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    if (!countOk) sys.exit(1)
+  }
+}
