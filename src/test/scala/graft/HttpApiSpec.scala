@@ -1540,4 +1540,52 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     val ls = get(s"/api/v1/labels?match[]=${enc("node_load")}").body()
     assert(ls.contains(""""instance"""") && ls.contains(""""job""""), ls)
   }
+
+  test("durable hot pins: with graft.stage.dir set, batches and folds " +
+      "are staged parquet, superseded pins retire with one generation " +
+      "of grace, stop() reclaims the scope") {
+    // isolated session: newSession shares the context but NOT the
+    // SQLConf, so setting stage.dir here cannot flip other specs'
+    // facades into durable mode
+    val s2 = spark.newSession()
+    val stage = java.nio.file.Files
+      .createTempDirectory("httpapi-durable-stage").toString
+    s2.conf.set("graft.stage.dir", stage)
+    val api2 = new HttpApi(s2, compactEvery = 3)
+    def staged(): Seq[String] =
+      Option(new java.io.File(stage).list()).toSeq.flatten.toSeq
+    for (i <- 0 until 4) {
+      api2.write(Seq(PromSeries(
+        Map("__name__" -> "dur_metric", "inst" -> s"i$i"),
+        Seq((T0 + i * 60000L, i.toDouble)))), "default")
+      api2.drainFlushes()
+    }
+    // every pinned batch is a staged parquet dir, none a checkpoint
+    assert(staged().count(_.startsWith("hot-batch-")) >= 1, staged())
+    // compactEvery=3 crossed: the BACKGROUND fold runs on compactExec —
+    // wait for it (pendingBatches folds to 1)
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (api2.pendingBatches > 1 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    // a fold pin exists and the folded batches' paths moved to the
+    // retire queue (deleted at the NEXT fold, so right now both
+    // generations coexist on disk)
+    val afterFold = staged()
+    assert(afterFold.exists(_.startsWith("hot-fold-")), afterFold)
+    // the store still reads every point through the staged pins
+    val n = api2.rawPoints.get.count()
+    assert(n === 4, s"expected 4 points, got $n")
+    // two more folds retire the earlier generation: strictly fewer
+    // staged dirs than the all-generations high-water mark
+    for (i <- 4 until 10) {
+      api2.write(Seq(PromSeries(
+        Map("__name__" -> "dur_metric", "inst" -> s"i$i"),
+        Seq((T0 + i * 60000L, i.toDouble)))), "default")
+      api2.drainFlushes()
+    }
+    assert(api2.rawPoints.get.count() === 10)
+    api2.stop()
+    // stop() reclaims every staged pin of this store
+    assert(staged().isEmpty, staged())
+  }
 }
