@@ -41,6 +41,43 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("exact eviction boundary matches EventTimeTimeout: a re-crawl " +
+    "arriving when watermark == winnerTs + delay is still a duplicate") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[Doc]
+    val D = 5000L
+    val q = StreamDedup(input.toDS(), delayMs = D)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_bound_sink").start()
+    try {
+      // winner at ts 10000 → timeout stamp 15000
+      input.addData(Doc(1L, "edge", 10000L))
+      q.processAllAvailable()
+      // push the watermark to EXACTLY 15000 (max event 20000 − D) with
+      // an unrelated digest; the engine does NOT fire the timeout at
+      // equality — and in the SAME batch a re-crawl of "edge" arrives.
+      // The live-branch check must agree with the engine (strict <):
+      // the state survives, the re-crawl is dropped.
+      input.addData(Doc(2L, "mover", 20000L), Doc(3L, "edge", 14500L))
+      q.processAllAvailable()
+      // one more millisecond of watermark (> 15000): NOW the digest
+      // times out, and a later re-crawl passes
+      input.addData(Doc(4L, "mover2", 20001L))
+      q.processAllAvailable()
+      input.addData(Doc(5L, "edge", 19000L))
+      q.processAllAvailable()
+      val ids = spark0.table("sdedup_bound_sink")
+        .as[(Long, String, Long, String)].collect().map(_._1).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 4L, 5L),
+        "doc 3 (boundary re-crawl) must be dropped; doc 5 must pass")
+    } finally {
+      q.stop()
+      spark0.catalog.dropTempView("sdedup_bound_sink")
+    }
+  }
+
   test("within one micro-batch the winner is deterministic: earliest " +
     "event time, ties by smallest docId — independent of arrival order") {
     val spark0 = spark
