@@ -40,13 +40,19 @@ object SoakBench {
     val writers = sys.env.getOrElse("SB_WRITERS", "4").toInt
     val readEveryMs = sys.env.getOrElse("SB_READ_EVERY_MS", "2000").toLong
     val flushPosts = sys.env.getOrElse("SB_FLUSH_POSTS", "8").toInt
+    val compactEvery = sys.env.getOrElse("SB_COMPACT_EVERY", "16").toInt
     val perPost = 200
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val api = new HttpApi(spark, flushEveryPosts = flushPosts)
+    // sustained-scrape tuning: at ~35 pins/s the default compactEvery=64
+    // lets the read-side union grow ~86 deep between folds (r12 soak:
+    // read p50 13.7 s); a 16-batch fold cadence keeps the union shallow
+    // while the fold (one ~0.5 s background job) still amortizes
+    val api = new HttpApi(spark, flushEveryPosts = flushPosts,
+      compactEvery = compactEvery)
     val port = api.start(0)
     val t0ms = 1704067200000L
 
@@ -94,11 +100,17 @@ object SoakBench {
 
     // the dashboard: a sum-by query over the last minutes; each read
     // forces the flush-queue drain first (read-your-writes)
+    val drainLatMs = new ConcurrentLinkedQueue[Double]()
     def readerLoop(): Unit = {
       val client = HttpClient.newHttpClient()
       val q = java.net.URLEncoder.encode(
         "sum by (writer) (soak_metric_1)", "UTF-8")
       while (!stop.get) {
+        // attribution: how much of a read is the read-your-writes DRAIN
+        // (waiting out the queued pins) vs the query itself
+        val d0 = System.nanoTime()
+        api.drainFlushes()
+        drainLatMs.add((System.nanoTime() - d0) / 1e6)
         // dashboard shape: a FIXED-width trailing window (last hour of
         // event time), not the whole history — read cost stays constant
         // across the soak, so latency drift isolates the flusher
@@ -160,6 +172,8 @@ object SoakBench {
         s""""reads":${readLatMs.size},""" +
         s""""read_p50_ms":${pct(readLatMs, 0.5)},""" +
         s""""read_p99_ms":${pct(readLatMs, 0.99)},""" +
+        s""""drain_p50_ms":${pct(drainLatMs, 0.5)},""" +
+        s""""drain_p99_ms":${pct(drainLatMs, 0.99)},""" +
         s""""bucket_pts_per_s_min":$bMin,"bucket_pts_per_s_max":$bMax,""" +
         s""""bucket_pts_per_s_mean":$bMean,"n_buckets":${full.size},""" +
         s""""max_pending_batches":${maxPending.get},""" +
