@@ -24,7 +24,11 @@ import graft.tsdb.{MatchEq, Matcher, Matchers, MutableMapping}
   * (`types/types.go:172-189`): `X-SquirrelDB-Tenant` (F11),
   * `X-SquirrelDB-Forced-Matcher` (F10), `X-SquirrelDB-Max-Evaluated-Series`
   * (F13/W9), `X-SquirrelDB-Max-Evaluated-Points` (F14) and
-  * `X-SquirrelDB-TTL` (T9, `api/remotestorage/remotestorage.go:103-114`).
+  * `X-SquirrelDB-TTL` (T9, `api/remotestorage/remotestorage.go:103-114`),
+  * plus `X-SquirrelDB-Max-Staleness` (seconds) — a facade extension of
+  * the reference's T6 read-slack trade ([[maybeDrainForRead]]): reads
+  * that tolerate bounded staleness skip the read-your-writes queue
+  * drain under write saturation.
   *
   * Storage: an APPEND-ONLY hot store (S10 — the reference's temporary
   * store appends batches per metric while background goroutines flush,
@@ -169,6 +173,7 @@ final class HttpApi(spark: SparkSession,
   private val queriesTotal = new java.util.concurrent.atomic.AtomicLong
   private val readRequestsTotal = new java.util.concurrent.atomic.AtomicLong
   private val preAggRoutedTotal = new java.util.concurrent.atomic.AtomicLong
+  private val staleReadsTotal = new java.util.concurrent.atomic.AtomicLong
 
   // mutable-label dimension (M4): (tenant, name) -> real label name;
   // (tenant, name, value) -> associated real values. Durable-backed when
@@ -418,6 +423,18 @@ final class HttpApi(spark: SparkSession,
   // backpressure bound: a flusher lagging this many snapshots behind
   // stalls the writer until the queue drains — bounded driver memory
   private val MaxQueuedFlushes = 16
+  // bounded-staleness reads: every post acked at or before this wall
+  // instant is PINNED (visible in `batches`). Advanced by the flusher
+  // when a snapshot's append lands (all earlier posts are in that or an
+  // earlier snapshot — the flusher is single-threaded FIFO) and by
+  // [[maybeDrainForRead]] when it observes the fully-quiesced state
+  // under the lock. A failed pin re-prepends its snapshot and does NOT
+  // advance this, so the bound stays conservative.
+  @volatile private var pinnedThroughWallMs: Long = System.currentTimeMillis()
+  // per-request read-staleness budget (ms), set from the
+  // X-SquirrelDB-Max-Staleness header by [[handle]] on the handler
+  // thread and removed in its finally; null = strict read-your-writes
+  private val readStalenessMs = new ThreadLocal[java.lang.Long]
 
   /** S1 ingest, append-only: validated rows append to the raw micro-batch
     * buffer; the background flusher pins buffered posts as ONE batch —
@@ -487,11 +504,16 @@ final class HttpApi(spark: SparkSession,
   private def submitFlush(): java.util.concurrent.Future[_] = {
     if (pending.nonEmpty) {
       val snap = pending
+      // caller holds `this`, so no post can be appending concurrently:
+      // every post acked before this instant is in `snap` or an earlier
+      // snapshot — when THIS pin lands, pinnedThroughWallMs may advance
+      // here (FIFO flusher ⇒ earlier snapshots landed first)
+      val snapWallMs = System.currentTimeMillis()
       pending = Vector.empty
       pendingRowCount = 0L
       queuedFlushes.incrementAndGet()
       lastFlush = flushExec.submit(new Runnable {
-        def run(): Unit = pinBatch(snap)
+        def run(): Unit = pinBatch(snap, snapWallMs)
       })
     }
     lastFlush
@@ -516,12 +538,41 @@ final class HttpApi(spark: SparkSession,
     */
   private[graft] def drainFlushes(): Unit = flushPending()
 
+  /** The read-side drain, staleness-aware. Default (no header) is strict
+    * read-your-writes: drain the flush queue before serving. A read
+    * carrying `X-SquirrelDB-Max-Staleness: S` (seconds) instead accepts
+    * any view that includes every sample acked ≥ S ago — under write
+    * saturation that turns a multi-second queue drain into serving the
+    * already-pinned state, the same freshness/latency trade as the
+    * reference's T6 read-side slack (`batch/batch.go:72-74,800-806`
+    * widens memory-store reads by `memoryOverreadMs` rather than forcing
+    * alignment). The guarantee is real, not merely "skip the drain": when the
+    * pinned state is OLDER than the budget the read still drains.
+    */
+  private def maybeDrainForRead(): Unit = {
+    val budget = readStalenessMs.get
+    if (budget == null || budget.longValue <= 0) { flushPending(); return }
+    val quiesced = synchronized {
+      val q = pending.isEmpty && queuedFlushes.get == 0
+      // fully quiesced under the lock ⇒ everything acked is pinned NOW
+      // (write() appends under `this`; queuedFlushes releases only after
+      // the snapshot's append or re-prepend)
+      if (q) pinnedThroughWallMs = System.currentTimeMillis()
+      q
+    }
+    if (quiesced) return
+    if (System.currentTimeMillis() - pinnedThroughWallMs <= budget.longValue)
+      staleReadsTotal.incrementAndGet()
+    else flushPending()
+  }
+
   /** Pin one flush snapshot as ONE batch — runs on the flusher thread.
     * One encoder pass + one ingest plan for the whole snapshot; only the
     * batch append takes the write lock (the Spark job itself runs
     * unlocked, so posts keep appending while a pin materializes).
     */
-  private def pinBatch(snap: Vector[PendingPost]): Unit = {
+  private def pinBatch(
+      snap: Vector[PendingPost], snapWallMs: Long): Unit = {
     // Failure safety: the rows in `snap` were already acknowledged 200 to
     // the writing client, so a pin failure must NOT drop them. On any
     // throw, re-prepend the snapshot to `pending` (the next flush — or
@@ -531,13 +582,24 @@ final class HttpApi(spark: SparkSession,
     // the Future so `flushPending().get()` surfaces it to the caller
     // that forced the drain.
     var pinned = false
-    try pinBatchImpl(snap, onPinned = () => pinned = true)
+    try pinBatchImpl(snap, onPinned = () => {
+      pinned = true
+      // onPinned runs under `this` right after the batch append: the
+      // snapshot's rows are now readable, so the staleness bound moves
+      pinnedThroughWallMs = math.max(pinnedThroughWallMs, snapWallMs)
+    })
     finally {
-      queuedFlushes.decrementAndGet()
+      // re-prepend BEFORE releasing the slot: a staleness-bounded read's
+      // quiesce check (pending.isEmpty && queuedFlushes == 0) must never
+      // observe a failed snapshot's rows in neither place — holding the
+      // slot until the rows are back in `pending` keeps the transient
+      // error on the "not yet quiesced" side, matching the overcount
+      // discipline documented at the submit site
       if (!pinned) synchronized {
         pending = snap ++ pending
         pendingRowCount += snap.iterator.map(_.rows.size.toLong).sum
       }
+      queuedFlushes.decrementAndGet()
     }
   }
 
@@ -931,7 +993,7 @@ final class HttpApi(spark: SparkSession,
     */
   private def mergedDeduped(fromMs: Long = Long.MinValue,
       toMs: Long = Long.MaxValue): Option[DataFrame] = {
-    flushPending() // read-your-writes across the micro-batch buffer
+    maybeDrainForRead() // read-your-writes across the micro-batch buffer
     val (bs, hc) = (batches, headCompacted)
     // time bounds apply BELOW the dedup aggregate (ts_ms is a grouping
     // key, so this is where the scan-level pruning comes from)
@@ -1404,6 +1466,14 @@ final class HttpApi(spark: SparkSession,
 
   private def handle(h: HttpExchange): Unit =
     try {
+      // bounded-staleness opt-in rides a header so it covers EVERY read
+      // endpoint (query, query_range, series, labels, remote read) without
+      // threading a parameter through each handler; the ThreadLocal is
+      // safe because every read builds and consumes its frames
+      // synchronously on this handler thread ([[maybeDrainForRead]] runs
+      // eagerly at frame-build time, not at lazy plan execution)
+      Option(h.getRequestHeaders.getFirst("X-SquirrelDB-Max-Staleness"))
+        .foreach(s => readStalenessMs.set((s.trim.toDouble * 1000).toLong))
       val path = h.getRequestURI.getPath
       (h.getRequestMethod, path) match {
         case (_, "/api/v1/write") => handleWrite(h)
@@ -1514,7 +1584,10 @@ final class HttpApi(spark: SparkSession,
         try respond(h, 422, PromJson.error("execution",
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
         catch { case _: Exception => () }
-    } finally h.close()
+    } finally {
+      readStalenessMs.remove()
+      h.close()
+    }
 
   /** PRW write (S1). v2 responses carry the 2.0 written-stats headers
     * (the reference serves them via the upstream write handler,
@@ -2033,7 +2106,10 @@ final class HttpApi(spark: SparkSession,
           readRequestsTotal.get) +
         c("graft_preagg_routed_total",
           "Queries served from pre-aggregated data",
-          preAggRoutedTotal.get)
+          preAggRoutedTotal.get) +
+        c("graft_stale_reads_total",
+          "Reads served from pinned state under a staleness budget",
+          staleReadsTotal.get)
     respondBytes(h, 200, body.getBytes(UTF_8),
       "text/plain; version=0.0.4")
   }

@@ -29,8 +29,9 @@ import graft.streaming.Prompb
   * (concurrent writer/reader agents over the same facade).
   *
   * Env: SB_SECONDS (default 120), SB_WRITERS (4), SB_READ_EVERY_MS
-  * (2000), SB_FLUSH_POSTS (8), SPARK_GRAFT_CPUS (32). One JSON line to
-  * stdout and SB_OUT (default SOAK_BENCH.json).
+  * (2000), SB_FLUSH_POSTS (8), SB_READ_STALENESS_SEC (0 = strict
+  * read-your-writes), SPARK_GRAFT_CPUS (32). One JSON line to stdout
+  * and SB_OUT (default SOAK_BENCH.json).
   */
 object SoakBench {
 
@@ -41,6 +42,11 @@ object SoakBench {
     val readEveryMs = sys.env.getOrElse("SB_READ_EVERY_MS", "2000").toLong
     val flushPosts = sys.env.getOrElse("SB_FLUSH_POSTS", "8").toInt
     val compactEvery = sys.env.getOrElse("SB_COMPACT_EVERY", "16").toInt
+    // > 0 switches the dashboard reader to bounded-staleness mode: every
+    // read carries X-SquirrelDB-Max-Staleness and skips the
+    // read-your-writes drain while the pinned view is fresh enough
+    val readStaleSec =
+      sys.env.getOrElse("SB_READ_STALENESS_SEC", "0").toDouble
     val perPost = 200
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]")
@@ -107,20 +113,27 @@ object SoakBench {
         "sum by (writer) (soak_metric_1)", "UTF-8")
       while (!stop.get) {
         // attribution: how much of a read is the read-your-writes DRAIN
-        // (waiting out the queued pins) vs the query itself
-        val d0 = System.nanoTime()
-        api.drainFlushes()
-        drainLatMs.add((System.nanoTime() - d0) / 1e6)
+        // (waiting out the queued pins) vs the query itself. A
+        // staleness-budgeted dashboard (SB_READ_STALENESS_SEC > 0) skips
+        // the drain by design — that is the knob being measured.
+        if (readStaleSec <= 0) {
+          val d0 = System.nanoTime()
+          api.drainFlushes()
+          drainLatMs.add((System.nanoTime() - d0) / 1e6)
+        }
         // dashboard shape: a FIXED-width trailing window (last hour of
         // event time), not the whole history — read cost stays constant
         // across the soak, so latency drift isolates the flusher
         val endSec = t0ms / 1000 + postSeq.get * 10 + 60
         val startSec = math.max(t0ms / 1000, endSec - 3600)
         val t1 = System.nanoTime()
-        val resp = client.send(HttpRequest.newBuilder(URI.create(
-            s"http://127.0.0.1:$port/api/v1/query_range?query=$q" +
-              s"&start=$startSec&end=$endSec&step=60"))
-          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        val rb = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/api/v1/query_range?query=$q" +
+            s"&start=$startSec&end=$endSec&step=60"))
+        if (readStaleSec > 0)
+          rb.header("X-SquirrelDB-Max-Staleness", readStaleSec.toString)
+        val resp = client.send(
+          rb.GET().build(), HttpResponse.BodyHandlers.ofString())
         val ms = (System.nanoTime() - t1) / 1e6
         require(resp.statusCode() == 200, resp.body().take(200))
         readLatMs.add(ms)
@@ -170,6 +183,7 @@ object SoakBench {
         s""""write_p50_ms":${pct(writeLatMs, 0.5)},""" +
         s""""write_p99_ms":${pct(writeLatMs, 0.99)},""" +
         s""""reads":${readLatMs.size},""" +
+        s""""read_staleness_sec":$readStaleSec,""" +
         s""""read_p50_ms":${pct(readLatMs, 0.5)},""" +
         s""""read_p99_ms":${pct(readLatMs, 0.99)},""" +
         s""""drain_p50_ms":${pct(drainLatMs, 0.5)},""" +

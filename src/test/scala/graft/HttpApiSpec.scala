@@ -1588,4 +1588,46 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     // stop() reclaims every staged pin of this store
     assert(staged().isEmpty, staged())
   }
+
+  test("bounded-staleness reads: X-SquirrelDB-Max-Staleness serves pinned " +
+    "state without draining while the bound holds, drains once it lapses") {
+    val apiBS = new HttpApi(spark, flushEveryPosts = 100) // no auto-flush
+    val portBS = apiBS.start(0)
+    def getBS(headers: (String, String)*): String = {
+      val b = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$portBS/api/v1/query_range?query=${enc("bs")}" +
+          s"&start=${T0 / 1000}&end=${T9 / 1000}&step=60"))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val r = client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200, r.body())
+      r.body()
+    }
+    // one pinned batch + one buffered (unpinned) post
+    apiBS.write(Seq(series("bs", "a", i => 1.0)), "default")
+    apiBS.drainFlushes()
+    apiBS.write(Seq(series("bs", "b", i => 2.0)), "default")
+    assert(apiBS.bufferedPosts === 1)
+    // a wide budget serves the pinned view only — the buffer is untouched
+    val stale = getBS("X-SquirrelDB-Max-Staleness" -> "3600")
+    assert(stale.contains(""""instance":"a""""))
+    assert(!stale.contains(""""instance":"b""""), stale)
+    assert(apiBS.bufferedPosts === 1) // drain skipped
+    // the default read keeps strict read-your-writes: drains, sees both
+    val strict = getBS()
+    assert(strict.contains(""""instance":"a""""))
+    assert(strict.contains(""""instance":"b""""))
+    assert(apiBS.bufferedPosts === 0)
+    // quiesced store: a budgeted read is exact (fast path, still no drain)
+    val quiesced = getBS("X-SquirrelDB-Max-Staleness" -> "3600")
+    assert(quiesced.contains(""""instance":"b""""))
+    // a LAPSED budget forces the drain — the guarantee is "everything
+    // older than S is visible", not "never drain"
+    apiBS.write(Seq(series("bs", "c", i => 3.0)), "default")
+    assert(apiBS.bufferedPosts === 1)
+    Thread.sleep(80) // pinned state is now older than the 20 ms budget
+    val lapsed = getBS("X-SquirrelDB-Max-Staleness" -> "0.02")
+    assert(lapsed.contains(""""instance":"c""""))
+    assert(apiBS.bufferedPosts === 0)
+    apiBS.stop()
+  }
 }
