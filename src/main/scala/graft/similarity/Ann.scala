@@ -536,25 +536,105 @@ object Ann {
     */
   def pqAdcTopK(vectors: DataFrame, queries: DataFrame, m: Int, subDim: Int,
       k: Int, iters: Int, topK: Int, id: String = "vec_id"): DataFrame = {
+    val (cens, codes) = pqIndex(vectors, m, subDim, k, iters, id)
+    pqAdcTopKWith(codes, cens, queries, subDim, topK, id)
+  }
+
+  /** Build-once PQ index: the pinned one-row codebook relation and the
+    * per-id code table `(nn_id, codes)` — the persisted artifacts of the
+    * ADC family. At 100 TB these are written next to the IVF index and
+    * reused probe-after-probe; the inline [[pqAdcTopK]]/[[pqAdcRerank]]/
+    * [[ivfAdcRerank]] entry points train per call only to keep each
+    * oracle chain self-contained. The codebook row feeds BOTH the encode
+    * projection and the ADC scoring lookup — pinned once (m·k centroids,
+    * aggregate-small per the SCALE.md discipline) so the training
+    * chain's corpus scans run once, not once per consumer.
+    */
+  def pqIndex(vectors: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      id: String = "vec_id"): (DataFrame, DataFrame) = {
     val v = vectors.select(col(id),
       col("embedding").cast("array<double>").as("embedding"))
-    // the codebook row feeds BOTH the encode projection and the ADC
-    // scoring lookup — pin it once (m·k centroids, aggregate-small per
-    // the SCALE.md discipline) so the training chain's corpus scans run
-    // once, not once per consumer
     val cens = pqTrain(v, m, subDim, k, iters, id).localCheckpoint(true)
-    val q = queries.select(col(id).as("q_id"),
-      col("embedding").cast("array<double>").as("q_emb"))
-    val scored = pqAssign(v, cens, m, subDim, id)
+    val codes = pqAssign(v, cens, m, subDim, id)
       .select(col(id).as("nn_id"), col("codes"))
-      .crossJoin(broadcast(cens))
+    (cens, codes)
+  }
+
+  /** Positional reshape of the one-row codebook relation: `__poscid(s)`
+    * = the sub-s codeword ids sorted ascending, `__poscen(s)` = their
+    * centroids in the same order — the O(1)-addressable layout behind
+    * the ADC distance table (cid labels are seed vec_ids per the
+    * [[kmeans]] discipline, so they need a dense re-index before any
+    * array lookup can replace the per-pair codebook scan).
+    */
+  private def censPositional(cens: DataFrame, m: Int): DataFrame =
+    cens.select(
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(sort_array(filter(col("__cens"),
+          c => c.getField("sub") === s)), c => c.getField("cid")))
+        .as("__poscid"),
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(sort_array(filter(col("__cens"),
+          c => c.getField("sub") === s)), c => c.getField("cen")))
+        .as("__poscen"))
+
+  /** Code table re-indexed to codebook POSITIONS: (sub, cid) → (sub,
+    * pos) with pos 1-based into `__poscid(sub)`. One O(m·k) projection
+    * per corpus row — amortized index work, paid once per scan instead
+    * of once per (query, row) pair.
+    */
+  private def codesPositional(codes: DataFrame,
+      censPos: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(censPos))
+      .withColumn("__codesp", transform(col("codes"), cd =>
+        struct(cd.getField("sub").as("sub"),
+          array_position(
+            element_at(col("__poscid"),
+              (cd.getField("sub") + 1).cast("int")),
+            cd.getField("cid")).cast("int").as("pos"))))
+      .select(col("nn_id"), col("__codesp"))
+
+  /** The per-query ADC distance table (Jégou et al. 2011 §III.B): m·k
+    * subspace distances precomputed ONCE per query — `__lut(s)(p)` =
+    * sqdist(query sub-slice s, codeword p of subspace s). The scoring
+    * join then costs m O(1) array lookups per (query, row) pair instead
+    * of m codebook scans + m subDim-dim sqdists; the summed doubles are
+    * the SAME values in the SAME order, so rankings (and the hash
+    * oracles) are bit-identical to the direct form.
+    */
+  private def queriesWithLut(queries: DataFrame, censPos: DataFrame,
+      subDim: Int, id: String): DataFrame =
+    queries.select(col(id).as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .crossJoin(broadcast(censPos))
+      .withColumn("__lut", transform(col("__poscen"), (cenArr, s) =>
+        transform(cenArr, cen =>
+          sqdist(subSlice(col("q_emb"), s, subDim), cen))))
+      .select(col("q_id"), col("__lut"))
+
+  /** ADC score via the distance table: ordered sum over the row's m
+    * positional codes of `__lut(sub)(pos)` (negated — ranking ascends).
+    */
+  private def adcScore(lut: Column, codesp: Column): Column =
+    -aggregate(codesp, lit(0.0), (acc, cd) =>
+      acc + element_at(
+        element_at(lut, (cd.getField("sub") + 1).cast("int")),
+        cd.getField("pos")))
+
+  /** [[pqAdcTopK]] over a prebuilt [[pqIndex]] — the query-only half of
+    * the build-once/probe-many split (codes may themselves be pinned or
+    * read from the persisted index).
+    */
+  def pqAdcTopKWith(codes: DataFrame, cens: DataFrame, queries: DataFrame,
+      subDim: Int, topK: Int, id: String = "vec_id"): DataFrame = {
+    // m from the codebook row itself (one-row action on a pinned frame)
+    val m = cens.select(size(array_distinct(
+      transform(col("__cens"), c => c.getField("sub"))))).head().getInt(0)
+    val censPos = censPositional(cens, m)
+    val q = queriesWithLut(queries, censPos, subDim, id)
+    val scored = codesPositional(codes, censPos)
       .join(broadcast(q), col("nn_id") =!= col("q_id"))
-      .withColumn("cos", -aggregate(col("codes"), lit(0.0), (acc, c) =>
-        acc + sqdist(subSlice(col("q_emb"), c.getField("sub"), subDim),
-          element_at(filter(col("__cens"), e =>
-            e.getField("sub") === c.getField("sub") &&
-              e.getField("cid") === c.getField("cid")), 1)
-            .getField("cen"))))
+      .withColumn("cos", adcScore(col("__lut"), col("__codesp")))
       .select(col("q_id"), col("nn_id"), col("cos"))
     rankTopK(scored, topK)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
@@ -577,7 +657,15 @@ object Ann {
   def pqAdcRerank(vectors: DataFrame, queries: DataFrame, m: Int,
       subDim: Int, k: Int, iters: Int, nCand: Int, topK: Int,
       id: String = "vec_id"): DataFrame = {
-    val cand = pqAdcTopK(vectors, queries, m, subDim, k, iters, nCand, id)
+    val (cens, codes) = pqIndex(vectors, m, subDim, k, iters, id)
+    pqAdcRerankWith(vectors, queries, codes, cens, subDim, nCand, topK, id)
+  }
+
+  /** [[pqAdcRerank]] over a prebuilt [[pqIndex]] — query-only. */
+  def pqAdcRerankWith(vectors: DataFrame, queries: DataFrame,
+      codes: DataFrame, cens: DataFrame, subDim: Int, nCand: Int,
+      topK: Int, id: String = "vec_id"): DataFrame = {
+    val cand = pqAdcTopKWith(codes, cens, queries, subDim, nCand, id)
       .select(col("q_id"), col("nn_id"))
     exactRerank(vectors, queries, cand, topK, id)
   }
@@ -630,32 +718,34 @@ object Ann {
       cells: DataFrame, asg: DataFrame, m: Int, subDim: Int, k: Int,
       iters: Int, nProbe: Int, nCand: Int, topK: Int,
       id: String = "vec_id"): DataFrame = {
-    val v = vectors.select(col(id),
-      col("embedding").cast("array<double>").as("embedding"))
-    val cens = pqTrain(v, m, subDim, k, iters, id).localCheckpoint(true)
+    val (cens, codes) = pqIndex(vectors, m, subDim, k, iters, id)
+    ivfAdcRerankWith(vectors, queries, cells, asg, codes, cens, subDim,
+      nProbe, nCand, topK, id)
+  }
+
+  /** [[ivfAdcRerank]] over prebuilt IVF + PQ indexes — query-only. */
+  def ivfAdcRerankWith(vectors: DataFrame, queries: DataFrame,
+      cells: DataFrame, asg: DataFrame, codes: DataFrame, cens: DataFrame,
+      subDim: Int, nProbe: Int, nCand: Int, topK: Int,
+      id: String = "vec_id"): DataFrame = {
     // per-query probe ranking over the K broadcast cells (v3's shape)
     val w = Window.partitionBy(id).orderBy(col("dist"), col("c"))
     val probes = assignCellsAll(queries, cells)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= nProbe)
       .select(col(id).as("q_id"), col("c"))
-    val q = queries.select(col(id).as("q_id"),
-        col("embedding").cast("array<double>").as("q_emb"))
+    val m = cens.select(size(array_distinct(
+      transform(col("__cens"), c => c.getField("sub"))))).head().getInt(0)
+    val censPos = censPositional(cens, m)
+    val q = queriesWithLut(queries, censPos, subDim, id)
       .join(probes, "q_id")
     // inverted-file prune FIRST: the broadcast (q, cell) list hits the
     // codes relation before any ADC arithmetic — only probed cells score
-    val codes = pqAssign(v, cens, m, subDim, id)
-      .select(col(id).as("nn_id"), col("codes"))
+    val coded = codesPositional(codes, censPos)
       .join(asg.select(col(id).as("nn_id"), col("c")), "nn_id")
-    val scored = codes.join(broadcast(q), Seq("c"))
+    val scored = coded.join(broadcast(q), Seq("c"))
       .where(col("nn_id") =!= col("q_id"))
-      .crossJoin(broadcast(cens))
-      .withColumn("cos", -aggregate(col("codes"), lit(0.0), (acc, cd) =>
-        acc + sqdist(subSlice(col("q_emb"), cd.getField("sub"), subDim),
-          element_at(filter(col("__cens"), e =>
-            e.getField("sub") === cd.getField("sub") &&
-              e.getField("cid") === cd.getField("cid")), 1)
-            .getField("cen"))))
+      .withColumn("cos", adcScore(col("__lut"), col("__codesp")))
       .select(col("q_id"), col("nn_id"), col("cos"))
     val cand = rankTopK(scored, nCand).select(col("q_id"), col("nn_id"))
     exactRerank(vectors, queries, cand, topK, id)

@@ -24,7 +24,11 @@ import graft.GraftSession
   * (vec_id, embedding array<float>, label).
   *
   * Usage: ClusterGen [srcEmbeddings=sf0.1] [dstDir] [nClusters=32]
-  *   [sigma=0.15] [seed=20260814]
+  *   [sigma=0.15] [seed=20260814] [nRows=src count]
+  *
+  * `nRows` overrides the source row count (dims still come from the
+  * source schema) — the IVFADC head-to-head needs a corpus big enough
+  * that ADC arithmetic, not per-query fixed floors, dominates.
   */
 object ClusterGen {
   def main(args: Array[String]): Unit = {
@@ -43,7 +47,7 @@ object ClusterGen {
     // shape from the source table: same row count and dims, so probe
     // timings compare like-for-like with the structure-free corpus
     val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val n = src.count()
+    val n = args.lift(5).map(_.toLong).getOrElse(src.count())
     val dims = src.selectExpr("size(embedding)").head().getInt(0)
 
     val rnd = new java.util.Random(seed)

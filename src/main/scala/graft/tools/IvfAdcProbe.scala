@@ -6,16 +6,31 @@ import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.similarity.Ann
 
-/** v10 vs v11 at production settings: both run PQ-ADC candidate
-  * generation + exact rerank; v10 ([[Ann.pqAdcRerank]]) ADC-scans the
-  * ENTIRE code table per query, v11 ([[Ann.ivfAdcRerank]]) prunes the
-  * inverted file to each query's nProbe nearest cells first (Jégou 2011
-  * §V). On a corpus whose cluster structure matches the index
-  * (ClusterGen's mixture → nCells = 32, the RecallProbe sizing), the
-  * expected ADC-pair reduction is ~K/nProbe; this probe MEASURES the
-  * pair counts, wall times, and recall@k of both against brute force.
+/** v10 vs v11 at production settings, build-once/probe-many: both run
+  * PQ-ADC candidate generation + exact rerank; v10
+  * ([[Ann.pqAdcRerankWith]]) ADC-scans the ENTIRE code table per query,
+  * v11 ([[Ann.ivfAdcRerankWith]]) prunes the inverted file to each
+  * query's nProbe nearest cells first (Jégou 2011 §V). On a corpus
+  * whose cluster structure matches the index (ClusterGen's mixture →
+  * nCells = 32, the RecallProbe sizing), the expected ADC-pair
+  * reduction is ~K/nProbe; this probe MEASURES pair counts, wall times,
+  * and recall@k of both against brute force.
   *
-  * Usage: IvfAdcProbe [sfDir] [nQueries] [k] [nCells] [nProbe] [m] [pqK]
+  * The indexes (coarse IVF cells + PQ codebooks + code table) are built
+  * ONCE and pinned before any query is timed — at 100 TB they are
+  * persisted artifacts amortized over every probe, so folding their
+  * construction into per-query wall time (as the inline oracle entry
+  * points do, to stay self-contained) would overstate query cost by a
+  * large constant. Build time is reported separately.
+  *
+  * The shortlist width sweeps (`nCandList`): ADC ranking quality is
+  * scale-sensitive — a fixed nCand that recalls well at 2k rows is far
+  * too narrow at 100k (the PQ code space m=8 × pqK=16 can't separate
+  * 100k vectors into a 40-row shortlist) — so the probe reports the
+  * recall/latency frontier rather than one point.
+  *
+  * Usage: IvfAdcProbe [sfDir] [nQueries] [k] [nCells] [nProbe] [m]
+  *   [pqK] [nCandList=4k,20k',100k'] [out=IVFADC_PROBE.json]
   */
 object IvfAdcProbe {
   def main(args: Array[String]): Unit = {
@@ -26,7 +41,9 @@ object IvfAdcProbe {
     val nProbe = args.lift(4).map(_.toInt).getOrElse(4)
     val m = args.lift(5).map(_.toInt).getOrElse(8)
     val pqK = args.lift(6).map(_.toInt).getOrElse(16)
-    val nCand = 4 * k
+    val nCandList = args.lift(7).getOrElse(s"${4 * k},${20 * k},${100 * k}")
+      .split(",").map(_.trim.toInt).toSeq
+    val outPath = args.lift(8).getOrElse("IVFADC_PROBE.json")
     val iters = 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
@@ -35,15 +52,20 @@ object IvfAdcProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
     val queries = emb.where(col("vec_id") < nQ)
     val n = emb.count()
     val dims = emb.selectExpr("size(embedding)").head().getInt(0)
 
+    // ---- build phase (timed separately): IVF cells + PQ index, pinned
+    val tB0 = System.nanoTime()
     val idxPath =
       s"/tmp/graft_ivfadc_${java.lang.ProcessHandle.current.pid}"
     graft.store.Store.buildIvfIndex(spark, idxPath, emb, nCells = nCells)
     val (cells, asg) = graft.store.Store.readIvfIndex(spark, idxPath)
+    val (cens, codes0) = Ann.pqIndex(emb, m, dims / m, pqK, iters)
+    val codes = codes0.localCheckpoint(true) // the persisted code table
+    val tBuild = (System.nanoTime() - tB0) / 1e9
 
     def timed(f: => DataFrame): (DataFrame, Double) = {
       val t0 = System.nanoTime()
@@ -54,15 +76,6 @@ object IvfAdcProbe {
     val truthN = truth.count()
     def recall(a: DataFrame): Double =
       a.join(truth, Seq("q_id", "nn_id")).count().toDouble / truthN
-
-    // warmup both paths (codegen), then timed
-    Ann.pqAdcRerank(emb, queries, m, dims / m, pqK, iters, nCand, k).count()
-    Ann.ivfAdcRerank(emb, queries, cells, asg, m, dims / m, pqK, iters,
-      nProbe, nCand, k).count()
-    val (v10, tV10) = timed(
-      Ann.pqAdcRerank(emb, queries, m, dims / m, pqK, iters, nCand, k))
-    val (v11, tV11) = timed(Ann.ivfAdcRerank(emb, queries, cells, asg,
-      m, dims / m, pqK, iters, nProbe, nCand, k))
 
     // ADC pair counts: v10 scores every (query, corpus) pair; v11 only
     // pairs whose corpus vector lives in a probed cell
@@ -80,14 +93,33 @@ object IvfAdcProbe {
     val pairsV11 = probeList.join(cellSizes, "c")
       .agg(sum("sz")).head().getLong(0) - nQ // self-pairs excluded
 
-    println(s"""{"probe":"ivfadc_vs_adc","sf":"$sfDir","n":$n,""" +
-      s""""n_queries":$nQ,"k":$k,"n_cells":$nCells,"n_probe":$nProbe,""" +
-      s""""m":$m,"pq_k":$pqK,"n_cand":$nCand,"brute_sec":$tBrute,""" +
-      s""""v10_full_adc":{"recall":${recall(v10)},"sec":$tV10,""" +
-      s""""adc_pairs":$pairsV10},""" +
-      s""""v11_ivfadc":{"recall":${recall(v11)},"sec":$tV11,""" +
-      s""""adc_pairs":$pairsV11},""" +
-      f""""pair_reduction":${pairsV10.toDouble / pairsV11}%.2f}""")
+    // warmup both paths (codegen) at the narrowest shortlist
+    Ann.pqAdcRerankWith(emb, queries, codes, cens, dims / m,
+      nCandList.head, k).count()
+    Ann.ivfAdcRerankWith(emb, queries, cells, asg, codes, cens, dims / m,
+      nProbe, nCandList.head, k).count()
+
+    val sweep = nCandList.map { nCand =>
+      val (v10, tV10) = timed(Ann.pqAdcRerankWith(
+        emb, queries, codes, cens, dims / m, nCand, k))
+      val (v11, tV11) = timed(Ann.ivfAdcRerankWith(
+        emb, queries, cells, asg, codes, cens, dims / m, nProbe, nCand, k))
+      s"""{"n_cand":$nCand,""" +
+        s""""v10_full_adc":{"recall":${recall(v10)},"sec":$tV10},""" +
+        s""""v11_ivfadc":{"recall":${recall(v11)},"sec":$tV11}}"""
+    }
+
+    val json =
+      s"""{"probe":"ivfadc_vs_adc","sf":"$sfDir","n":$n,""" +
+        s""""n_queries":$nQ,"k":$k,"n_cells":$nCells,"n_probe":$nProbe,""" +
+        s""""m":$m,"pq_k":$pqK,"index_build_sec":$tBuild,""" +
+        s""""brute_sec":$tBrute,"adc_pairs_v10":$pairsV10,""" +
+        s""""adc_pairs_v11":$pairsV11,""" +
+        f""""pair_reduction":${pairsV10.toDouble / pairsV11}%.2f,""" +
+        s""""sweep":[${sweep.mkString(",")}]}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
