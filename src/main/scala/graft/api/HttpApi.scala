@@ -26,7 +26,7 @@ import graft.tsdb.{MatchEq, Matcher, Matchers, MutableMapping}
   * (F13/W9), `X-SquirrelDB-Max-Evaluated-Points` (F14) and
   * `X-SquirrelDB-TTL` (T9, `api/remotestorage/remotestorage.go:103-114`),
   * plus `X-SquirrelDB-Max-Staleness` (seconds) — a facade extension of
-  * the reference's T6 read-slack trade ([[maybeDrainForRead]]): reads
+  * the reference's T6 read-slack trade ([[readView]]): reads
   * that tolerate bounded staleness skip the read-your-writes queue
   * drain under write saturation.
   *
@@ -91,6 +91,12 @@ final class HttpApi(spark: SparkSession,
   @volatile private var batches: Vector[DataFrame] = Vector.empty
   @volatile private var batchMins: Vector[Long] = Vector.empty // min ts_ms
   @volatile private var headCompacted = false
+  // wall stamp per batch: every post acked at or before batchWallMs(i)
+  // is contained in batches(0..i) (FIFO flusher; the stamp is captured
+  // under `this` at flush-snapshot time). After a compaction swap,
+  // batchWallMs(0) is the stamp of the newest FOLDED batch — the instant
+  // the compacted head alone is a complete view of ([[readView]] tier 1).
+  @volatile private var batchWallMs: Vector[Long] = Vector.empty
   // Hot-batch pin medium. `localCheckpoint` stores UNREPLICATED blocks
   // on one executor; BlockWhere demonstrated that killing the holder
   // makes the batch unreadable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) —
@@ -174,6 +180,8 @@ final class HttpApi(spark: SparkSession,
   private val readRequestsTotal = new java.util.concurrent.atomic.AtomicLong
   private val preAggRoutedTotal = new java.util.concurrent.atomic.AtomicLong
   private val staleReadsTotal = new java.util.concurrent.atomic.AtomicLong
+  private val staleHeadReadsTotal =
+    new java.util.concurrent.atomic.AtomicLong
 
   // mutable-label dimension (M4): (tenant, name) -> real label name;
   // (tenant, name, value) -> associated real values. Durable-backed when
@@ -427,7 +435,7 @@ final class HttpApi(spark: SparkSession,
   // instant is PINNED (visible in `batches`). Advanced by the flusher
   // when a snapshot's append lands (all earlier posts are in that or an
   // earlier snapshot — the flusher is single-threaded FIFO) and by
-  // [[maybeDrainForRead]] when it observes the fully-quiesced state
+  // [[readView]] when it observes the fully-quiesced state
   // under the lock. A failed pin re-prepends its snapshot and does NOT
   // advance this, so the bound stays conservative.
   @volatile private var pinnedThroughWallMs: Long = System.currentTimeMillis()
@@ -538,32 +546,55 @@ final class HttpApi(spark: SparkSession,
     */
   private[graft] def drainFlushes(): Unit = flushPending()
 
-  /** The read-side drain, staleness-aware. Default (no header) is strict
-    * read-your-writes: drain the flush queue before serving. A read
-    * carrying `X-SquirrelDB-Max-Staleness: S` (seconds) instead accepts
-    * any view that includes every sample acked ≥ S ago — under write
-    * saturation that turns a multi-second queue drain into serving the
-    * already-pinned state, the same freshness/latency trade as the
-    * reference's T6 read-side slack (`batch/batch.go:72-74,800-806`
-    * widens memory-store reads by `memoryOverreadMs` rather than forcing
-    * alignment). The guarantee is real, not merely "skip the drain": when the
-    * pinned state is OLDER than the budget the read still drains.
+  /** The hot-batch view a read should scan, staleness-aware. Default
+    * (no header) is strict read-your-writes: drain the flush queue, then
+    * serve everything. A read carrying `X-SquirrelDB-Max-Staleness: S`
+    * (seconds) instead accepts any view that includes every sample
+    * acked ≥ S ago — and gets the CHEAPEST such view (freshness is the
+    * constraint, latency the objective; the same freshness/latency trade
+    * as the reference's T6 read-side slack — `batch/batch.go:72-74,
+    * 800-806` widens memory-store reads by `memoryOverreadMs` rather
+    * than forcing alignment):
+    *
+    *  1. the compacted HEAD alone, when its stamp covers the budget —
+    *     ONE pinned, already-deduped relation, constant scan depth no
+    *     matter how hard the writers are pushing (under sustained load
+    *     folds recur every `compactEvery` pins, so the head is typically
+    *     well under a minute stale — the r12 soak measured the
+    *     pinned-union tier at 17 s p50 purely from union depth + pin
+    *     contention, which is the cost this tier removes);
+    *  2. the full pinned union, when the head is too old but
+    *     [[pinnedThroughWallMs]] still covers the budget;
+    *  3. a strict drain — the guarantee is real: a lapsed budget reads
+    *     exactly what a header-less read would.
     */
-  private def maybeDrainForRead(): Unit = {
+  private def readView(): (Vector[DataFrame], Boolean) = {
     val budget = readStalenessMs.get
-    if (budget == null || budget.longValue <= 0) { flushPending(); return }
-    val quiesced = synchronized {
+    if (budget == null || budget.longValue <= 0) {
+      flushPending(); return (batches, headCompacted)
+    }
+    val (quiesced, bs, hc, walls) = synchronized {
       val q = pending.isEmpty && queuedFlushes.get == 0
       // fully quiesced under the lock ⇒ everything acked is pinned NOW
       // (write() appends under `this`; queuedFlushes releases only after
       // the snapshot's append or re-prepend)
       if (q) pinnedThroughWallMs = System.currentTimeMillis()
-      q
+      (q, batches, headCompacted, batchWallMs)
     }
-    if (quiesced) return
-    if (System.currentTimeMillis() - pinnedThroughWallMs <= budget.longValue)
+    if (quiesced) return (bs, hc)
+    val now = System.currentTimeMillis()
+    if (hc && bs.nonEmpty && walls.nonEmpty &&
+      now - walls.head <= budget.longValue) {
       staleReadsTotal.incrementAndGet()
-    else flushPending()
+      staleHeadReadsTotal.incrementAndGet()
+      (Vector(bs.head), true)
+    } else if (now - pinnedThroughWallMs <= budget.longValue) {
+      staleReadsTotal.incrementAndGet()
+      (bs, hc)
+    } else {
+      flushPending()
+      (batches, headCompacted)
+    }
   }
 
   /** Pin one flush snapshot as ONE batch — runs on the flusher thread.
@@ -587,6 +618,7 @@ final class HttpApi(spark: SparkSession,
       // onPinned runs under `this` right after the batch append: the
       // snapshot's rows are now readable, so the staleness bound moves
       pinnedThroughWallMs = math.max(pinnedThroughWallMs, snapWallMs)
+      batchWallMs :+= snapWallMs
     })
     finally {
       // re-prepend BEFORE releasing the slot: a staleness-bounded read's
@@ -725,7 +757,8 @@ final class HttpApi(spark: SparkSession,
   private def compactNow(): Unit = compactLock.synchronized {
     // (batches, batchMins) snapshot under the write lock — a concurrent
     // write could otherwise publish the new vector before its mins entry
-    val (snap, snapMins) = synchronized((batches, batchMins))
+    val (snap, snapMins, snapWalls) =
+      synchronized((batches, batchMins, batchWallMs))
     // snapshot the block flag ONCE: re-reading the volatile at each gate
     // lets a concurrent block+unblock skip the sidecar yet still spill —
     // reintroducing the stale-sidecar hazard the ordering below fixes
@@ -855,6 +888,11 @@ final class HttpApi(spark: SparkSession,
       batches = folded +: batches.drop(snap.size)
       batchMins = foldedMin +: tailMins
       batchPaths = foldedPath +: batchPaths.drop(snap.size)
+      // the fold's view-completeness stamp: the newest folded batch's
+      // (max for the restart-less empty-stamp edge, where a pre-stamp
+      // head carries 0 — monotonicity keeps tier 1 conservative)
+      batchWallMs = snapWalls.take(snap.size)
+        .foldLeft(0L)(math.max) +: batchWallMs.drop(snap.size)
       headCompacted = true
       // retire superseded staged pins with ONE compaction generation of
       // grace (readers holding plans over the old batches finish their
@@ -993,8 +1031,9 @@ final class HttpApi(spark: SparkSession,
     */
   private def mergedDeduped(fromMs: Long = Long.MinValue,
       toMs: Long = Long.MaxValue): Option[DataFrame] = {
-    maybeDrainForRead() // read-your-writes across the micro-batch buffer
-    val (bs, hc) = (batches, headCompacted)
+    // read-your-writes across the micro-batch buffer (or the cheapest
+    // staleness-budgeted view when the request opted in)
+    val (bs, hc) = readView()
     // time bounds apply BELOW the dedup aggregate (ts_ms is a grouping
     // key, so this is where the scan-level pruning comes from)
     def bounded(df: DataFrame): DataFrame =
@@ -1470,7 +1509,7 @@ final class HttpApi(spark: SparkSession,
       // endpoint (query, query_range, series, labels, remote read) without
       // threading a parameter through each handler; the ThreadLocal is
       // safe because every read builds and consumes its frames
-      // synchronously on this handler thread ([[maybeDrainForRead]] runs
+      // synchronously on this handler thread ([[readView]] runs
       // eagerly at frame-build time, not at lazy plan execution)
       Option(h.getRequestHeaders.getFirst("X-SquirrelDB-Max-Staleness"))
         .foreach(s => readStalenessMs.set((s.trim.toDouble * 1000).toLong))
@@ -2109,7 +2148,10 @@ final class HttpApi(spark: SparkSession,
           preAggRoutedTotal.get) +
         c("graft_stale_reads_total",
           "Reads served from pinned state under a staleness budget",
-          staleReadsTotal.get)
+          staleReadsTotal.get) +
+        c("graft_stale_head_reads_total",
+          "Budgeted reads served from the compacted head alone",
+          staleHeadReadsTotal.get)
     respondBytes(h, 200, body.getBytes(UTF_8),
       "text/plain; version=0.0.4")
   }

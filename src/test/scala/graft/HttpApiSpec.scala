@@ -1630,4 +1630,45 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(apiBS.bufferedPosts === 0)
     apiBS.stop()
   }
+
+  test("bounded-staleness tier 1: a fresh compacted head serves ALONE " +
+    "(constant scan depth) — pinned-but-unfolded tail batches excluded") {
+    val api2 = new HttpApi(spark, flushEveryPosts = 100) // no auto-flush
+    val port2 = api2.start(0)
+    def get2(headers: (String, String)*): String = {
+      val b = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port2/api/v1/query_range?query=${enc("bs2")}" +
+          s"&start=${T0 / 1000}&end=${T9 / 1000}&step=60"))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val r = client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200, r.body())
+      r.body()
+    }
+    // head = fold(a); tail = pinned batch b; buffer = unpinned post c
+    api2.write(Seq(series("bs2", "a", i => 1.0)), "default")
+    api2.drainFlushes()
+    api2.compact()
+    api2.write(Seq(series("bs2", "b", i => 2.0)), "default")
+    api2.drainFlushes()
+    api2.write(Seq(series("bs2", "c", i => 3.0)), "default")
+    assert(api2.bufferedPosts === 1)
+    // a wide budget with a FRESH fold serves the head alone: the pinned
+    // tail (b) is newer than the fold stamp, so the bound does not
+    // require it — the read scans ONE relation regardless of tail depth
+    val headOnly = get2("X-SquirrelDB-Max-Staleness" -> "3600")
+    assert(headOnly.contains(""""instance":"a""""))
+    assert(!headOnly.contains(""""instance":"b""""), headOnly)
+    assert(!headOnly.contains(""""instance":"c""""), headOnly)
+    assert(api2.bufferedPosts === 1) // drain skipped
+    // strict read: drains and sees all three
+    val strict = get2()
+    assert(strict.contains(""""instance":"a"""") &&
+      strict.contains(""""instance":"b"""") &&
+      strict.contains(""""instance":"c""""))
+    // after the strict drain the store is quiesced: a budgeted read is
+    // exact again (tier-0 fast path), including the tail
+    val quiesced = get2("X-SquirrelDB-Max-Staleness" -> "3600")
+    assert(quiesced.contains(""""instance":"c""""))
+    api2.stop()
+  }
 }
