@@ -104,6 +104,11 @@ object PipelineQueries {
   // analog for the whitespace-flat synthetic docs); kNN classification
   // votes over the brute-force top-5
   private val ChunkTokens = 12
+  // exact-substring dedup (Lee et al. 2021): duplicated-run window
+  // length in tokens — the paper uses 50 BPE tokens on web corpora;
+  // 10 fits the short synthetic docs while keeping chance collisions
+  // of the small vocabulary from flagging everything
+  private val SubstrWindow = 10
   private val KnnK = 5
   // product quantization: 4 subspaces × 16 dims (embedding dim 64),
   // 8 codewords per subspace, the shared 2-iteration Lloyd discipline;
@@ -325,6 +330,13 @@ object PipelineQueries {
     // keep gates docs whose content is mostly recycled
     "x16_chunk_dedup" -> ((s, dir) =>
       TextOps.chunkDedup(corpus(s, dir), ChunkTokens)),
+
+    // exact duplicated-substring spans (Lee et al. 2021 ExactSubstr):
+    // position-exact rolling-window dedup — maximal duplicated spans
+    // per doc with span/token accounting; sees runs x16's fixed chunk
+    // grid straddles
+    "x21_substring_dedup" -> ((s, dir) =>
+      TextOps.substringDedup(corpus(s, dir), SubstrWindow)),
 
     // corpus-LM quality scoring: per-doc NLL under an add-one bigram LM
     // estimated from the corpus itself (CCNet/Moore-Lewis LM signal);
@@ -1145,6 +1157,40 @@ object PipelineQueries {
         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
         (sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 2 < count(*)) AS keep
       FROM ch JOIN df d USING (chunk) GROUP BY 1""",
+
+    // rolling k-token windows → global duplicate set → flagged start
+    // positions → gaps-and-islands span merge; all-integer, engine-exact
+    "x21_substring_dedup" -> s"""
+      WITH corpus AS ($CorpusSql),
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      wins AS (SELECT doc_id, p,
+          array_to_string(toks[p:(p + ${SubstrWindow - 1})], ' ') AS w
+        FROM t, unnest(generate_series(1,
+          len(toks) - ${SubstrWindow - 1})) AS u(p)
+        WHERE len(toks) >= $SubstrWindow),
+      dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+      dp AS (SELECT doc_id, p FROM wins SEMI JOIN dup USING (w)),
+      isl AS (SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + ${SubstrWindow - 1}) OVER (
+              PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -2147483648) + 1 THEN 1 ELSE 0 END AS nw
+        FROM dp),
+      isl2 AS (SELECT doc_id, p, sum(nw) OVER (
+          PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl),
+      spans AS (SELECT doc_id, island, min(p) AS s,
+          max(p + ${SubstrWindow - 1}) AS e
+        FROM isl2 GROUP BY 1, 2),
+      perdoc AS (SELECT doc_id, count(*) AS dup_spans,
+          sum(e - s + 1)::BIGINT AS dup_tokens
+        FROM spans GROUP BY 1)
+      SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+        coalesce(d.dup_spans, 0)::BIGINT AS dup_spans,
+        coalesce(d.dup_tokens, 0)::BIGINT AS dup_tokens,
+        (len(t.toks) - coalesce(d.dup_tokens, 0))::BIGINT AS keep_tokens
+      FROM t LEFT JOIN perdoc d USING (doc_id)""",
 
     // add-one bigram LM over the corpus; per-bigram ln quantized to a
     // BIGINT 1e-9 grid so the order-independent sums hash-match Spark

@@ -659,6 +659,78 @@ object TextOps {
       .select(col(id), col("n_bigrams"), col("ml_q"))
   }
 
+  /** Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the ExactSubstr method): a run of `windowTokens` consecutive
+    * tokens that occurs more than once ANYWHERE in the corpus
+    * (including twice in the same document) marks every position it
+    * covers as duplicated; overlapping or adjacent duplicated windows
+    * merge into maximal spans per document (gaps-and-islands over the
+    * flagged start positions), and each doc reports its span count,
+    * duplicated-token total, and surviving-token count — the numbers
+    * the paper's span-removal step consumes.
+    *
+    * The paper builds a suffix array on one machine; the distributed
+    * re-expression is a rolling token window: ONE corpus-tokens-sized
+    * (doc, pos, window) relation — pinned, because both the global
+    * duplicate set and the position join consume it — one
+    * hash-aggregate on the window text for the duplicate set, a
+    * left-semi join back, then one per-doc window pass (running
+    * max-end → island ids → span extents). All arithmetic is integer,
+    * so the result is engine-exact. At 100 TB the window key becomes
+    * xxhash64(window) instead of the text (the text key here keeps the
+    * engine-vs-oracle comparison exact; a 64-bit key admits ~1e-9
+    * false-duplicate positions at 1e10 windows, which the span merge
+    * absorbs), the window aggregate is the one corpus-sized shuffle,
+    * and the per-doc pass shuffles on doc id — no pairwise work
+    * anywhere. (x16 chunkDedup is the cheap non-overlapping variant;
+    * this is the position-exact one — x16 cannot see a duplicated run
+    * that straddles a chunk boundary, this can.)
+    */
+  def substringDedup(docs: DataFrame, windowTokens: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val k = windowTokens
+    def toks = split(col(text), " ")
+    // window start positions 1..n-k+1; Spark's sequence(1, 0) steps
+    // DOWN (yields [1, 0]) where the oracle's generate_series(1, 0) is
+    // empty, so short docs guard to an explicit empty array
+    val starts = when(size(toks) >= k,
+      sequence(lit(1), size(toks) - lit(k - 1)))
+      .otherwise(typedLit(Seq.empty[Int]))
+    val e = graft.store.Stage.pin(docs
+      .select(col(id), col(text), explode(starts).as("p"))
+      .select(col(id), col("p"),
+        array_join(slice(toks, col("p"), lit(k)), " ").as("w")),
+      "substr-windows")
+    val dup = e.groupBy("w").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("w")
+    val dupPos = e.join(dup, Seq("w"), "left_semi").select(col(id), col("p"))
+    // gaps-and-islands: a flagged start opens a NEW span iff it begins
+    // past the running max end + 1 (adjacent coverage merges); each
+    // position appears once per doc, so the order is total
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("p"))
+    val prevEnd = max(col("p") + lit(k - 1))
+      .over(wo.rowsBetween(Long.MinValue, -1))
+    val spans = dupPos
+      .withColumn("__new",
+        when(prevEnd.isNull || col("p") > prevEnd + lit(1), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wo))
+      .groupBy(col(id), col("__isl"))
+      .agg(min("p").as("__s"), max(col("p") + lit(k - 1)).as("__e"))
+    val perDoc = spans.groupBy(col(id))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("__e") - col("__s") + 1).cast("long").as("dup_tokens"))
+    docs.select(col(id), size(toks).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+          .as("keep_tokens"))
+  }
+
   def chunkDedup(docs: DataFrame, chunkTokens: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val toks = split(col(text), " ")

@@ -650,6 +650,34 @@ class DedupSpec extends SparkSpec {
       5L -> ((1L, 0L, true))))
   }
 
+  test("substringDedup: maximal duplicated spans — cross-doc runs, " +
+    "within-doc repeats, adjacency merge, short docs, separated spans") {
+    import graft.text.TextOps
+    // k=3 windows. docs 1/2 share the 5-token run "a b c d e" (one
+    // merged span each); doc 3 repeats its own 3-gram, and the island
+    // merge chains overlapping coverage across the whole doc; doc 4 has
+    // no duplicated window; doc 5 is shorter than the window (no
+    // windows at all); doc 6 carries TWO duplicated runs separated by a
+    // unique gap wider than the merge adjacency — two spans
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e y z"),
+      (3L, "p q r p q r p"),
+      (4L, "u v w q"),
+      (5L, "s t"),
+      (6L, "a b c z1 z2 z3 c d e")).toDF("doc_id", "text")
+    val got = TextOps.substringDedup(docs, 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      1L -> ((8L, 1L, 5L, 3L)),
+      2L -> ((8L, 1L, 5L, 3L)),
+      3L -> ((7L, 1L, 7L, 0L)),
+      4L -> ((4L, 0L, 0L, 4L)),
+      5L -> ((2L, 0L, 0L, 2L)),
+      6L -> ((9L, 2L, 6L, 3L))))
+  }
+
   test("knnClassify: majority label wins, vote ties break to the " +
     "smaller label") {
     import graft.similarity.Ann
