@@ -30,6 +30,18 @@ import graft.tsdb.{MatchEq, Matcher, Matchers, MutableMapping}
   * that tolerate bounded staleness skip the read-your-writes queue
   * drain under write saturation.
   *
+  * Scheduler isolation: read queries are tagged into the `graft-reads`
+  * pool and pin/fold jobs into `graft-writes` (no-op under default FIFO).
+  * An embedding app that serves dashboards DURING sustained ingest
+  * should build the session with `spark.scheduler.mode=FAIR` and an
+  * allocation file granting `graft-reads` a minShare (SoakBench writes
+  * the reference file: minShare 16, weight 8): a saturated write side
+  * floods the scheduler with short pin jobs, and because a read
+  * alternates short stages with driver-side planning, plain 1:1 FAIR
+  * hands every slot back to the write pool at each stage boundary —
+  * a minShare is what actually bounds read latency (measured: 0.44 s
+  * quiesced, 13-15 s under 43k pts/s with 1:1 FAIR, see SCALE.md).
+  *
   * Storage: an APPEND-ONLY hot store (S10 — the reference's temporary
   * store appends batches per metric while background goroutines flush,
   * `redis/temporarystore/redis.go:156-220`, `batch/batch.go:368-503`).
@@ -504,6 +516,12 @@ final class HttpApi(spark: SparkSession,
     */
   def bufferedPosts: Int = synchronized(pending.size)
 
+  /** (budgeted reads served without a drain, of those served from the
+    * compacted head alone) — tier attribution for [[readView]], used by
+    * the soak harness to report how often each tier actually fired. */
+  def staleReadCounts: (Long, Long) =
+    (staleReadsTotal.get, staleHeadReadsTotal.get)
+
   /** Snapshot the buffer and queue its pin on the flusher. Caller MUST
     * hold `this`. Returns the future of the LAST submitted flush —
     * the flusher is single-threaded, so its completion implies every
@@ -612,6 +630,10 @@ final class HttpApi(spark: SparkSession,
     // would be consumed forever. The exception still propagates through
     // the Future so `flushPending().get()` surfaces it to the caller
     // that forced the drain.
+    // the write-side pool: under FAIR mode the pin stream shares task
+    // slots with concurrent reads instead of starving them (see handle())
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      "graft-writes")
     var pinned = false
     try pinBatchImpl(snap, onPinned = () => {
       pinned = true
@@ -755,6 +777,9 @@ final class HttpApi(spark: SparkSession,
   private val compactLock = new Object
 
   private def compactNow(): Unit = compactLock.synchronized {
+    // fold jobs ride the write-side pool too (see handle())
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      "graft-writes")
     // (batches, batchMins) snapshot under the write lock — a concurrent
     // write could otherwise publish the new vector before its mins entry
     val (snap, snapMins, snapWalls) =
@@ -1473,7 +1498,15 @@ final class HttpApi(spark: SparkSession,
     s.createContext("/debug/", handle _)
     s.createContext("/ready", handle _)
     s.createContext("/metrics", handle _)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // one thread per in-flight request (the Go reference's
+    // goroutine-per-connection shape): a FIXED pool convoys — when the
+    // write side hits the MaxQueuedFlushes backpressure, every pool
+    // thread can be a BLOCKED write and reads queue at the HTTP layer
+    // for the whole backpressure stall (measured: read p50 12.4 s under
+    // 4 saturating writers on a 4-thread pool, with the handler itself
+    // accounting for <4 s — see SCALE.md). Admission stays bounded:
+    // writes still block their own thread at the backpressure gate.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
     s.setExecutor(pool)
     s.start()
     server = Some(s)
@@ -1505,6 +1538,16 @@ final class HttpApi(spark: SparkSession,
 
   private def handle(h: HttpExchange): Unit =
     try {
+      // scheduler-pool isolation: read queries run on this handler
+      // thread, pins/folds on the flusher/compactor threads — tagging
+      // them into separate pools means that under `spark.scheduler.mode=
+      // FAIR` (set by the embedding app at session build; a no-op under
+      // default FIFO) a dashboard read gets task slots IMMEDIATELY
+      // instead of queueing behind the continuous stream of pin jobs a
+      // saturated write side submits (measured: the same head-only read
+      // is ~4.7 s quiesced vs ~13 s behind a FIFO pin queue)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+        "graft-reads")
       // bounded-staleness opt-in rides a header so it covers EVERY read
       // endpoint (query, query_range, series, labels, remote read) without
       // threading a parameter through each handler; the ThreadLocal is
@@ -1912,15 +1955,27 @@ final class HttpApi(spark: SparkSession,
       println(s"[graft debug-query] query_range query=$q start=$start " +
         s"end=$end step=$step bounds=[$mint,$maxt]")
     }
+    // slow-read phase log: a read that crosses 3 s prints where it went
+    // (source = readView/drain + hot-union build; plan = eval plan build
+    // + analysis; exec = optimize + jobs + JSON serialization) — the
+    // saturation diagnostics this was built on live in SCALE.md
+    val tA = System.nanoTime()
     pickSource(h, ast, step, mint, maxt) match {
       case None => respond(h, 200,
         PromJson.success("""{"resultType":"matrix","result":[]}"""))
       case Some(src) =>
+        val tB = System.nanoTime()
         val df = unalias(QueryService.queryRange(q, src, p,
           requestOptions(h)))
         if (verbose) println(df.queryExecution.optimizedPlan.toString)
         val labels = df.columns.filterNot(Set("eval_ms", "value")).toSeq
+        val tC = System.nanoTime()
         respond(h, 200, PromJson.matrix(df, labels))
+        val tD = System.nanoTime()
+        if (tD - tA > 3e9) println(
+          f"[graft slow-read] total=${(tD - tA) / 1e9}%.2fs " +
+            f"source=${(tB - tA) / 1e9}%.2fs plan=${(tC - tB) / 1e9}%.2fs " +
+            f"exec=${(tD - tC) / 1e9}%.2fs query=$q")
     }
   }
 

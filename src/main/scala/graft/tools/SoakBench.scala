@@ -48,15 +48,85 @@ object SoakBench {
     val readStaleSec =
       sys.env.getOrElse("SB_READ_STALENESS_SEC", "0").toDouble
     val perPost = 200
+    // FAIR + an allocation file: the facade tags reads and pins into
+    // separate pools; the graft-reads minShare GUARANTEES a pending read
+    // task slots ahead of the write side's continuous pin stream
+    // (measured: the same head-only read is 0.44 s quiesced but 13-15 s
+    // under 43k pts/s ingest with plain 1:1 FAIR — read jobs alternate
+    // short stages with driver-side planning, so without a minShare the
+    // saturated write pool reclaims every slot at each stage boundary)
+    val poolsXml = java.nio.file.Files.createTempFile("graft-pools", ".xml")
+    java.nio.file.Files.write(poolsXml,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="graft-reads">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>8</weight><minShare>16</minShare>
+        |  </pool>
+        |  <pool name="graft-writes">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1</weight><minShare>0</minShare>
+        |  </pool>
+        |</allocations>""".stripMargin.getBytes("UTF-8"))
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file",
+          poolsXml.toString)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // sustained-scrape tuning: at ~35 pins/s the default compactEvery=64
     // lets the read-side union grow ~86 deep between folds (r12 soak:
     // read p50 13.7 s); a 16-batch fold cadence keeps the union shallow
     // while the fold (one ~0.5 s background job) still amortizes
+    // per-pool job attribution: wall time vs summed executor task time
+    // separates "read jobs are slow" (CPU contention: wall ≈ taskSum /
+    // slots) from "read jobs are waiting" (queued: wall >> taskSum /
+    // slots). Pool comes from the job's submitted properties.
+    final class PoolStat {
+      val jobs = new AtomicLong; val wallMs = new AtomicLong
+      val taskMs = new AtomicLong
+    }
+    val poolStats =
+      new java.util.concurrent.ConcurrentHashMap[String, PoolStat]()
+    val slowJobs = new ConcurrentLinkedQueue[String]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[
+      Int, (String, Long)]()
+    val jobTask = new java.util.concurrent.ConcurrentHashMap[
+      Int, AtomicLong]()
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val pool = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.scheduler.pool")))
+            .getOrElse("default")
+          jobStart.put(e.jobId, (pool, e.time))
+          jobTask.put(e.jobId, new AtomicLong)
+          e.stageIds.foreach(s => stageJob.put(s, e.jobId))
+        }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          for (j <- Option(stageJob.get(e.stageInfo.stageId));
+               t <- Option(jobTask.get(j)))
+            t.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          for ((pool, t0) <- Option(jobStart.remove(e.jobId))) {
+            val wall = e.time - t0
+            val task = Option(jobTask.remove(e.jobId)).fold(0L)(_.get)
+            val st = poolStats.computeIfAbsent(pool, _ => new PoolStat)
+            st.jobs.incrementAndGet(); st.wallMs.addAndGet(wall)
+            st.taskMs.addAndGet(task)
+            if (wall > 1000)
+              slowJobs.add(s"job=${e.jobId} pool=$pool wall=${wall}ms " +
+                s"task=${task}ms")
+          }
+      })
+
     val api = new HttpApi(spark, flushEveryPosts = flushPosts,
       compactEvery = compactEvery)
     val port = api.start(0)
@@ -65,6 +135,32 @@ object SoakBench {
     val stop = new AtomicBoolean(false)
     val acked = new AtomicLong(0)
     val postSeq = new AtomicLong(0)
+
+    // SB_PREFILL_POSTS > 0: bulk-load that many writer-shaped posts
+    // through api.write BEFORE the clock starts, then drain + compact —
+    // a quiesced store of known size, so a writers=0 run isolates the
+    // READ floor (the pure query cost over the pinned head, no
+    // contention, no drain). Combine with SB_FLUSH_POSTS=512 so the
+    // prefill pins in ~100-row-thousand batches instead of per-8.
+    val prefill = sys.env.getOrElse("SB_PREFILL_POSTS", "0").toInt
+    if (prefill > 0) {
+      val t0 = System.nanoTime()
+      (0 until prefill).foreach { _ =>
+        val p = postSeq.getAndIncrement()
+        api.write((0 until 20).map { s =>
+          Prompb.PromSeries(
+            Map("__name__" -> s"soak_metric_$s", "writer" -> "w0",
+              "job" -> "soak"),
+            (0 until 10).map(j =>
+              (t0ms + p * 10000L + j * 1000L, (p * 10 + j).toDouble)))
+        }, "default")
+        acked.addAndGet(200L)
+      }
+      api.drainFlushes()
+      api.compact()
+      println(f"[soak] prefill: $prefill posts (${acked.get} pts) in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, compacted")
+    }
     val writeLatMs = new ConcurrentLinkedQueue[Double]()
     val readLatMs = new ConcurrentLinkedQueue[Double]()
     val ackedPerBucket = new java.util.concurrent.ConcurrentHashMap[
@@ -157,6 +253,12 @@ object SoakBench {
     threads.foreach(_.join(30000))
     val soakSec = (System.nanoTime() - benchStart) / 1e9
 
+    // tier attribution BEFORE the final drain (which would route every
+    // later read through the exact path): how many budgeted reads were
+    // served without a drain at all, and of those how many from the
+    // compacted head alone (constant scan depth)
+    val (staleReads, staleHeadReads) = api.staleReadCounts
+
     // final correctness: drain and count — every acknowledged point
     // must be stored exactly once (unique (series, ts) by construction)
     val readBackN = api.rawPoints.map(_.count()).getOrElse(0L)
@@ -174,6 +276,13 @@ object SoakBench {
       if (full.isEmpty) (0.0, 0.0, 0.0)
       else (full.min, full.max, full.sum / full.size)
 
+    import scala.jdk.CollectionConverters._
+    poolStats.asScala.toSeq.sortBy(_._1).foreach { case (pool, st) =>
+      println(f"[soak] pool=$pool jobs=${st.jobs.get} " +
+        f"wall=${st.wallMs.get / 1000.0}%.1fs task=${st.taskMs.get / 1000.0}%.1fs")
+    }
+    slowJobs.asScala.toSeq.takeRight(40).foreach(s => println(s"[soak] $s"))
+
     api.stop()
     val json =
       s"""{"metric":"soak_pts_per_s","value":${acked.get / soakSec},""" +
@@ -186,6 +295,8 @@ object SoakBench {
         s""""read_staleness_sec":$readStaleSec,""" +
         s""""read_p50_ms":${pct(readLatMs, 0.5)},""" +
         s""""read_p99_ms":${pct(readLatMs, 0.99)},""" +
+        s""""stale_reads":$staleReads,""" +
+        s""""stale_head_reads":$staleHeadReads,""" +
         s""""drain_p50_ms":${pct(drainLatMs, 0.5)},""" +
         s""""drain_p99_ms":${pct(drainLatMs, 0.99)},""" +
         s""""bucket_pts_per_s_min":$bMin,"bucket_pts_per_s_max":$bMax,""" +
