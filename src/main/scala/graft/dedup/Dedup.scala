@@ -87,12 +87,16 @@ object Dedup {
     */
   private def shingleHashes(docs: DataFrame, shingleLen: Int,
       id: String, text: String): DataFrame =
-    docs
-      .select(col(id), shingles(col(text), shingleLen).as("sh"))
-      // digest once per shingle; the k permutations are pure arithmetic
-      // over the digest array within the same projection
-      .select(col(id), transform(col("sh"),
-        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("xs"))
+    docs.select(col(id), xsCol(col(text), shingleLen).as("xs"))
+
+  /** The per-doc shingle-hash array (digest once per distinct shingle;
+    * the k permutations are pure arithmetic over this array) — shared by
+    * the batch LSH chain and [[graft.streaming.StreamNearDup]], so the
+    * streaming gate's buckets are bit-identical to d3's.
+    */
+  private[graft] def xsCol(text: Column, shingleLen: Int): Column =
+    transform(shingles(text, shingleLen),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
 
   /** The k per-permutation signature expressions over the `xs` array. */
   private def sigExprs(k: Int): Seq[Column] = {
@@ -132,24 +136,33 @@ object Dedup {
     * shape — at 100 TB the explode→groupBy round trip of the long form
     * shuffles k rows per document for no reason.
     */
-  def lshBucketsDirect(docs: DataFrame, k: Int, shingleLen: Int,
-      rowsPerBand: Int, id: String = "doc_id", text: String = "text"): DataFrame = {
+  /** The nBands per-band bucket-digest expressions over the k named
+    * signature columns `__s0..__s{k-1}` — factored so the batch path and
+    * the streaming gate share the exact digest layout.
+    */
+  private[graft] def bandDigestCols(k: Int, rowsPerBand: Int): Seq[Column] = {
     require(k < 100000, s"k=$k exceeds the $HPad-digit h-prefix pad")
-    val sigCols = sigExprs(k).zipWithIndex.map { case (c, h) => c.as(s"__s$h") }
     val nBands = (k + rowsPerBand - 1) / rowsPerBand
-    val bandCols = (0 until nBands).map { band =>
+    (0 until nBands).map { band =>
       val entries = (band * rowsPerBand until math.min((band + 1) * rowsPerBand, k))
         .map(h => concat(lit(s"%0${HPad}d:".format(h)), col(s"__s$h")))
       // concat_ws skips null entries the way collect_list drops null hk
       // rows in the long form (empty shingle set → all-null sigs → md5(""))
       md5(concat_ws(",", entries: _*))
     }
+  }
+
+  /** The k signature columns, named `__s0..` for [[bandDigestCols]]. */
+  private[graft] def sigNamedCols(k: Int): Seq[Column] =
+    sigExprs(k).zipWithIndex.map { case (c, h) => c.as(s"__s$h") }
+
+  def lshBucketsDirect(docs: DataFrame, k: Int, shingleLen: Int,
+      rowsPerBand: Int, id: String = "doc_id", text: String = "text"): DataFrame =
     shingleHashes(docs, shingleLen, id, text)
-      .select(col(id) +: sigCols: _*)
-      .select(col(id), posexplode(array(bandCols: _*)))
+      .select(col(id) +: sigNamedCols(k): _*)
+      .select(col(id), posexplode(array(bandDigestCols(k, rowsPerBand): _*)))
       .toDF(id, "band", "bucket")
       .select("band", "bucket", id)
-  }
 
   /** Candidate pairs (a < b) sharing at least one LSH bucket, with skew
     * control: a within-bucket self-join is quadratic in bucket size, and
