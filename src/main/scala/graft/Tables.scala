@@ -76,6 +76,16 @@ object GraftSession {
       // JVM case mapping is identical for this engine's data and matches
       // the DuckDB oracle.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // the default 100-entry codegen class cache thrashes on a
+      // multi-query session: any ~30+-stage workload (the bench suite,
+      // a dashboard-serving facade) evicts every other query's
+      // generated classes and pays the janino compile again on EVERY
+      // run — measured at sf0.1: e2e_stream_slice 3.33 → 1.79 s and
+      // d7 4.73 → 3.56 s min-of-3 when run AFTER other queries, with
+      // identical plans. 5000 entries covers the whole suite;
+      // ReservedCodeCacheSize=1g (run_verify.sh / build.sbt) holds the
+      // compiled code comfortably.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32): SparkSession = {
