@@ -422,6 +422,26 @@ object PipelineQueries {
           col("nn_id"), col("cos_sim"))
     }),
 
+    // incremental IVF maintenance (FAISS IndexIVF.add): the quantizer is
+    // trained on the BASE corpus only; the delta (vec_id < 40 — which
+    // includes every query vector, so the probe provably finds the
+    // upserted rows) is assigned against the frozen centroids and
+    // appended as its own idempotent generation; probes read the union
+    "v12_ivf_upsert" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = "/tmp/graft_ivfup_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${java.lang.ProcessHandle.current.pid}"
+      graft.store.Store.buildIvfIndex(s, idxPath,
+        emb.where(col("vec_id") >= 40), nCells = 8)
+      graft.store.Store.upsertIvfIndex(s, idxPath,
+        emb.where(col("vec_id") < 40), "delta0")
+      val (cells, asg) = graft.store.Store.readIvfIndex(s, idxPath)
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), 5, cells, asg)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
+    }),
+
     // per-label embedding centroids (long format): posexplode + one
     // decimal-accumulated hash aggregate — |labels|×dims output rows
     "v4_label_centroids" -> ((s, dir) =>
@@ -1493,6 +1513,57 @@ object PipelineQueries {
             p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
             (x, y) -> x + y) AS dist
         FROM embeddings e CROSS JOIN icen i),
+      a1 AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM d1 GROUP BY 1),
+      uw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      cells AS (SELECT c, list(w ORDER BY d) AS cen FROM uw GROUP BY 1),
+      d2 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN cells i),
+      asg AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM d2 GROUP BY 1),
+      probes AS (SELECT vec_id AS q_id, c FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, c) AS rn
+          FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
+      q AS (SELECT p.q_id, e.embedding AS q_emb, p.c
+        FROM probes p JOIN embeddings e ON e.vec_id = p.q_id),
+      cand AS (SELECT q.q_id, q.q_emb, a.vec_id AS nn_id, e.embedding AS nn_emb
+        FROM q JOIN asg a USING (c)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> q.q_id),
+      scored AS (SELECT q_id, nn_id,
+          ${dotSql("q_emb", "nn_emb")} /
+            (sqrt(${dotSql("q_emb", "q_emb")}) *
+             sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
+        FROM cand)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= 5""",
+
+    // v3's chain with the quantizer trained on the BASE only (vec_id >=
+    // 40); the final assignment d2 runs over ALL vectors against the
+    // same frozen cells, which IS base-asg ∪ upsert-asg (same argmin,
+    // same centroids) — the oracle needs no separate upsert step
+    "v12_ivf_upsert" -> s"""
+      WITH base AS (SELECT * FROM embeddings WHERE vec_id >= 40),
+      vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        CAST(unnest(embedding) AS DOUBLE) AS x FROM base),
+      ia AS (SELECT vec_id, vec_id % 8 AS c FROM base),
+      iw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ia a USING (vec_id) GROUP BY 1, 2),
+      icen AS (SELECT c, list(w ORDER BY d) AS cen FROM iw GROUP BY 1),
+      d1 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM base e CROSS JOIN icen i),
       a1 AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
         FROM d1 GROUP BY 1),
       uw AS (SELECT a.c, v.d,

@@ -257,14 +257,53 @@ object Store {
     true
   }
 
-  /** Read back (cells, asg) for probing. The partition column `c` is
-    * restored to long (partition-value inference narrows it to int).
+  /** Incremental IVF maintenance — the FAISS `IndexIVF.add` discipline
+    * (Johnson et al. 2017, faiss `IndexIVF::add_core`): NEW vectors are
+    * assigned to the EXISTING centroids (the quantizer is frozen —
+    * retraining it would invalidate every stored assignment) and
+    * appended to the inverted file as their own GENERATION directory
+    * (`asg_up_<batchTag>`), idempotent per batch tag, so a replayed
+    * ingest job cannot double-insert. [[readIvfIndex]] unions all
+    * generations. Centroid drift under sustained inserts is handled the
+    * way production systems handle it: rebuild the quantizer offline
+    * when recall degrades — never on the write path. At 100 TB the
+    * upsert is one broadcast-centroid assignment pass over the delta
+    * (delta-sized, cells broadcast) and one partitioned append.
+    */
+  def upsertIvfIndex(spark: SparkSession, indexPath: String,
+      delta: DataFrame, batchTag: String): Boolean = {
+    import graft.similarity.Ann
+    val dir = s"$indexPath/asg_up_$batchTag"
+    if (Files.isDirectory(Paths.get(dir))) return false
+    // assign against the cells READ BACK, like buildIvfIndex: the
+    // persisted index stays self-consistent with what probes will see
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    Ann.assignCells(delta, cells).select(col("vec_id"), col("c"))
+      .repartition(col("c"))
+      .write.partitionBy("c").mode(SaveMode.ErrorIfExists).parquet(dir)
+    true
+  }
+
+  /** Read back (cells, asg) for probing — asg is the union of the base
+    * inverted file and every upsert generation. The partition column `c`
+    * is restored to long (partition-value inference narrows it to int).
     */
   def readIvfIndex(spark: SparkSession,
       indexPath: String): (DataFrame, DataFrame) = {
     val cells = spark.read.parquet(s"$indexPath/cells")
-    val asg = spark.read.parquet(s"$indexPath/asg")
-      .withColumn("c", col("c").cast("long"))
+    val gens = java.nio.file.Files.list(Paths.get(indexPath)).iterator()
+    val asgDirs = new scala.collection.mutable.ArrayBuffer[String]
+    gens.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n == "asg" || n.startsWith("asg_up_")) asgDirs += p.toString
+    }
+    // each generation is its own partitioned root — loaded separately
+    // and unioned (one reader over multiple partition roots is ambiguous
+    // for partition discovery and Spark rejects it)
+    val asg = asgDirs.toSeq.sorted
+      .map(d => spark.read.parquet(d)
+        .select(col("vec_id"), col("c").cast("long").as("c")))
+      .reduce(_.unionByName(_))
     (cells, asg)
   }
 

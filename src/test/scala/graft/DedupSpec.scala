@@ -214,6 +214,46 @@ class DedupSpec extends SparkSpec {
     assert(asg.select("vec_id").distinct().count() === corpus.count())
   }
 
+  test("IVF upsert: delta assigned against frozen centroids as its own " +
+    "generation; idempotent per tag; probes find upserted vectors") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") >= 20)
+    // delta clones of base vectors: after upsert, each query's top-1
+    // must be its exact clone — provably served from the upserted file
+    val delta = base.where(col("vec_id") < 25)
+      .withColumn("vec_id", col("vec_id") + 200000)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfup_spec").toString + "/idx"
+    graft.store.Store.buildIvfIndex(spark, idxPath, base, 8)
+    val cellsBefore = spark.read.parquet(s"$idxPath/cells")
+      .collect().map(_.toString).sorted
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath, delta, "b1"))
+    // idempotence: a replayed ingest of the same batch tag is a no-op
+    assert(!graft.store.Store.upsertIvfIndex(spark, idxPath, delta, "b1"))
+    // the quantizer is frozen: upsert must not touch the centroids
+    val cellsAfter = spark.read.parquet(s"$idxPath/cells")
+      .collect().map(_.toString).sorted
+    assert(cellsAfter === cellsBefore)
+    val (cells, asg) = graft.store.Store.readIvfIndex(spark, idxPath)
+    assert(asg.count() === base.count() + delta.count())
+    val corpus = base.unionByName(delta)
+    val got = Ann.ivfTopK(corpus, base.where(col("vec_id") < 25), 3,
+        cells, asg)
+      .where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (20L until 25L).foreach { q =>
+      assert(got(q) === q + 200000, s"query $q top-1 should be its " +
+        "upserted clone")
+    }
+    // a SECOND generation stacks (distinct tag), and the union sees it
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath,
+      delta.withColumn("vec_id", col("vec_id") + 100000), "b2"))
+    val (_, asg2) = graft.store.Store.readIvfIndex(spark, idxPath)
+    assert(asg2.count() === base.count() + 2 * delta.count())
+  }
+
   test("IVFADC: full-probe + wide shortlist degrades to exact brute force; " +
       "narrow probe only surfaces probed-cell candidates") {
     import graft.similarity.Ann
