@@ -33,6 +33,8 @@ object PipelineQueries {
   private val MaxBucket = 32
   // near-dup clustering keeps pairs at/above this verified similarity
   private val ClusterThreshold = 0.5
+  // x23 split buckets: md5-prefix mod 20 → 5% test / 5% val / 90% train
+  private val SplitBuckets = 20
 
   /** documents ∪ exact re-crawl ∪ near-dup re-crawl. */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -57,6 +59,22 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       emb.unionByName(emb.where(col("vec_id") < 20)
         .withColumn("vec_id", col("vec_id") + 100000)).count()
+    })
+
+  /** v13's measured predicate selectivity (|label%3=0| / |embeddings|),
+    * one count job per table dir, memoized like [[corpusRows]] — the
+    * adaptive filtered-ANN chooser needs it to PICK the plan, so it is
+    * index-build-time metadata, not per-query work.
+    */
+  private val filteredSelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def filteredSelectivity(s: SparkSession, dir: String): Double =
+    filteredSelMemo.computeIfAbsent(dir, _ => {
+      val r = Tables.embeddings(s, dir)
+        .agg(count(lit(1)).as("n"),
+          count(when(col("label") % 3 === 0, 1)).as("m"))
+        .head()
+      r.getLong(1).toDouble / r.getLong(0)
     })
 
   // decontamination uses LONGER shingles than near-dup LSH (published
@@ -367,6 +385,24 @@ object PipelineQueries {
       TextOps.shardAssign(
         Tables.documents(s, dir).select("doc_id"), NShards)),
 
+    // inter-source shingle-overlap matrix: the corpus-composition audit
+    // behind mixture design (how much content two sources double-count)
+    "x22_source_overlap" -> ((s, dir) =>
+      TextOps.sourceOverlap(
+        Tables.documents(s, dir).select("source", "text"), ShingleLen)),
+
+    // split-leakage guard: verified near-dup pairs (the d4 chain) whose
+    // members hash into DIFFERENT train/val/test splits — the
+    // eval-contamination audit a training run performs after splitting.
+    // The planted re-crawls guarantee positives: doc_id and doc_id+10000
+    // are exact dups with independent md5 split hashes, so ~10% of those
+    // pairs cross a split boundary at any scale.
+    "x23_split_leakage" -> ((s, dir) =>
+      TextOps.splitLeakage(
+        Dedup.jaccard(corpus(s, dir),
+          candidates(s, dir).localCheckpoint(true), ShingleLen),
+        ClusterThreshold, SplitBuckets)),
+
     // weighted source mixing: each source keeps its ceil(w·|src|) docs
     // with the smallest md5(id) — the mixture-construction step; the
     // weights dim is broadcast, sampling is one per-source window
@@ -438,6 +474,30 @@ object PipelineQueries {
         emb.where(col("vec_id") < 40), "delta0")
       val (cells, asg) = graft.store.Store.readIvfIndex(s, idxPath)
       Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), 5, cells, asg)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
+    }),
+
+    // filtered ANN over the SHARED v3 index (one persisted build serves
+    // v3/v11/v13 — the production pattern: per-query metadata predicates
+    // against one index, FAISS IDSelector / Milvus filtered search). The
+    // label % 3 = 0 predicate keeps ~0.4 of the corpus (labels uniform
+    // 0..9 by generator construction at every sf), comfortably above the
+    // nProbe/nCells = 0.25 crossover, so the adaptive chooser takes the
+    // in-cell post-filter branch at every gated scale and the oracle
+    // mirrors that branch; the selective-predicate pre-filter branch
+    // (brute-force == exact by construction) is spec-gated (AnnSpec).
+    // Selectivity itself is MEASURED from the corpus (one memoized count
+    // job), not assumed — the d9 dynamic-k discipline.
+    "v13_ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = "/tmp/graft_ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${java.lang.ProcessHandle.current.pid}"
+      graft.store.Store.buildIvfIndex(s, idxPath, emb, nCells = 8)
+      val (cells, asg) = graft.store.Store.readIvfIndex(s, idxPath)
+      Ann.filteredTopK(emb, emb.where(col("vec_id") < 10), 5, cells, asg,
+        col("label") % 3 === 0, filteredSelectivity(s, dir), nCells = 8)
         .select(col("q_id"), col("rank").cast("long").as("rnk"),
           col("nn_id"), col("cos_sim"))
     }),
@@ -1084,6 +1144,65 @@ object PipelineQueries {
         row_number() OVER (PARTITION BY shard ORDER BY hm, doc_id) AS pos
       FROM h""",
 
+    // distinct (source, shingle) pairs → per-source sizes + pairwise
+    // intersections; the complete pair frame keeps zero-overlap pairs
+    "x22_source_overlap" -> s"""
+      WITH toks AS (SELECT source, string_split(text, ' ') AS tk
+        FROM documents),
+      idx AS (SELECT source, tk,
+        unnest(generate_series(1, len(tk) - ${ShingleLen - 1})) AS i
+        FROM toks WHERE len(tk) >= $ShingleLen),
+      sh AS (SELECT DISTINCT source,
+        array_to_string(tk[i:i + ${ShingleLen - 1}], ' ') AS sh FROM idx),
+      sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b,
+          count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source)
+      SELECT p.src_a, p.src_b, coalesce(i.n_inter, 0) AS n_inter,
+        sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS n_union,
+        CASE WHEN sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) > 0
+          THEN round(coalesce(i.n_inter, 0)::DOUBLE /
+            (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))::DOUBLE, 6)
+        END AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON sa.source = p.src_a
+      JOIN sizes sb ON sb.source = p.src_b
+      LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b""",
+
+    // the d4 verification chain + md5-prefix split assignment; emitted
+    // pairs are the verified near-dups that CROSS a split boundary
+    "x23_split_leakage" -> s"""
+      WITH $SigSql, $CandSql,
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+        GROUP BY 1, 2),
+      ver AS (SELECT c.doc_a, c.doc_b,
+          round(coalesce(i.n_inter, 0)::DOUBLE /
+            nullif(coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+              - coalesce(i.n_inter, 0), 0)::DOUBLE, 6) AS j
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+        LEFT JOIN sizes sb ON sb.doc_id = c.doc_b),
+      sp AS (SELECT doc_id,
+        CASE (CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT))
+            % $SplitBuckets
+          WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+        FROM corpus)
+      SELECT v.doc_a, v.doc_b, sa.split AS split_a, sb.split AS split_b,
+        v.j AS jaccard
+      FROM ver v
+      JOIN sp sa ON sa.doc_id = v.doc_a
+      JOIN sp sb ON sb.doc_id = v.doc_b
+      WHERE v.j >= $ClusterThreshold AND sa.split <> sb.split""",
+
     "x10_source_mix" -> s"""
       WITH w AS (SELECT * FROM (VALUES ${MixWeights
         .map { case (src, wt) => s"('$src', $wt)" }.mkString(", ")})
@@ -1536,6 +1655,58 @@ object PipelineQueries {
         FROM q JOIN asg a USING (c)
         JOIN embeddings e ON e.vec_id = a.vec_id
         WHERE a.vec_id <> q.q_id),
+      scored AS (SELECT q_id, nn_id,
+          ${dotSql("q_emb", "nn_emb")} /
+            (sqrt(${dotSql("q_emb", "q_emb")}) *
+             sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
+        FROM cand)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= 5""",
+
+    // v3's chain (same shared index) with the metadata predicate applied
+    // in-cell at the candidate step — the broad-predicate branch of the
+    // adaptive filtered search. Selectivity ~0.4 (uniform labels) vs the
+    // 0.25 crossover: the branch choice is stable at every gated scale,
+    // and the Spark side MEASURES it (filteredSelectivity) rather than
+    // assuming it.
+    "v13_ann_filtered" -> s"""
+      WITH vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      ia AS (SELECT vec_id, vec_id % 8 AS c FROM embeddings),
+      iw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ia a USING (vec_id) GROUP BY 1, 2),
+      icen AS (SELECT c, list(w ORDER BY d) AS cen FROM iw GROUP BY 1),
+      d1 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN icen i),
+      a1 AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM d1 GROUP BY 1),
+      uw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      cells AS (SELECT c, list(w ORDER BY d) AS cen FROM uw GROUP BY 1),
+      d2 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN cells i),
+      asg AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM d2 GROUP BY 1),
+      probes AS (SELECT vec_id AS q_id, c FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, c) AS rn
+          FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
+      q AS (SELECT p.q_id, e.embedding AS q_emb, p.c
+        FROM probes p JOIN embeddings e ON e.vec_id = p.q_id),
+      cand AS (SELECT q.q_id, q.q_emb, a.vec_id AS nn_id, e.embedding AS nn_emb
+        FROM q JOIN asg a USING (c)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> q.q_id AND e.label % 3 = 0),
       scored AS (SELECT q_id, nn_id,
           ${dotSql("q_emb", "nn_emb")} /
             (sqrt(${dotSql("q_emb", "q_emb")}) *

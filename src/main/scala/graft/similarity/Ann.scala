@@ -241,6 +241,38 @@ object Ann {
     vectors.crossJoin(broadcast(cells))
       .withColumn("dist", sqdist(col("embedding"), col("cen")))
 
+  /** Filtered vector search over a SHARED index — the production
+    * "filtered ANN" pattern (FAISS `IDSelector`, Milvus/Qdrant filtered
+    * search; reference: `api/remotestorage` couples every read with label
+    * matchers the same way): ONE IVF index serves every per-query metadata
+    * predicate, so the filter is applied at probe time rather than baked
+    * into the index. Strategy is selectivity-adaptive — the standard
+    * two-regime plan:
+    *
+    *   - '''selective predicate''' (`selectivity < nProbe/nCells`): the
+    *     filtered subset is already smaller than the corpus slice a probe
+    *     would scan, so brute-force it EXACTLY (pre-filter). The index is
+    *     bypassed; recall is 1 by construction, and the scan is
+    *     `selectivity · |corpus|` rows.
+    *   - '''broad predicate''': probe the `nProbe` nearest cells as usual
+    *     and apply the predicate in-cell (post-filter). The scan is
+    *     `(nProbe/K) · |corpus|` rows regardless of the filter; recall
+    *     inherits the IVF cell-miss bound.
+    *
+    * The crossover `nProbe/nCells` equates the two scan costs, so the
+    * chosen branch is never the larger scan. `selectivity` is the caller's
+    * measured `|σ(corpus)| / |corpus|` (a count the caller can memoize per
+    * corpus+predicate — it is index-build-time metadata, not per-query
+    * work).
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: DataFrame, asg: DataFrame, pred: Column, selectivity: Double,
+      nCells: Int, nProbe: Int = 2): DataFrame =
+    if (selectivity < nProbe.toDouble / nCells)
+      bruteForceTopK(corpus.where(pred), queries, k)
+    else
+      ivfTopK(corpus.where(pred), queries, k, cells, asg, nProbe)
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join (only
     * same-bucket vectors are compared — linear in bucket sizes, never
     * O(n²)), then the exact cosine filter. The corpus-side dedup analogue

@@ -277,6 +277,93 @@ object TextOps {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Pairwise inter-source shingle overlap — the corpus-composition
+    * audit behind mixture design: how much n-gram content do two crawl
+    * sources share? (High overlap → double-counted content when both
+    * sources are mixed at full weight; the measurement that motivates
+    * per-source dedup or weight adjustment before training.) Emits one
+    * row per unordered source pair with the distinct-shingle
+    * intersection, union, and Jaccard.
+    *
+    * Scale path: the corpus collapses to distinct (source, shingle)
+    * pairs in one hash aggregate, then each shingle's source SET (≤ |S|
+    * entries, a few dozen for any real corpus) is built in a second —
+    * the pair explosion is bounded by |S|²/2 per shingle and the output
+    * by |S|²/2 rows total, so nothing downstream of the two aggregates
+    * ever sees corpus-scale data and NO shingle-keyed self-join of the
+    * corpus happens (the naive pairing join would shuffle the shingle
+    * set twice and explode on hot shingles).
+    */
+  def sourceOverlap(docs: DataFrame, shingleLen: Int): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(graft.dedup.Dedup.shingles(col("text"), shingleLen)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    // per-shingle sorted source set → ordered pairs (a before b in the
+    // sorted array ⇒ src_a < src_b), counted per pair
+    val perShingle = sh.groupBy("sh")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+    val inter = perShingle
+      .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
+      .select(col("src_a"),
+        explode(slice(col("srcs"), col("i") + 2, size(col("srcs"))))
+          .as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_inter"))
+    // complete pair frame (zero-overlap pairs included): sources dim is
+    // tiny, both joins broadcast
+    val srcs = docs.select("source").distinct()
+    srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .where(col("src_a") < col("src_b"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_sh").as("n_b"))), "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard", when(col("n_union") > 0,
+        round(col("n_inter").cast("double") / col("n_union").cast("double"),
+          6)))
+      .select("src_a", "src_b", "n_inter", "n_union", "jaccard")
+  }
+
+  /** Seedless train/val/test assignment by id hash — [[shardAssign]]'s
+    * md5-prefix discipline applied to split construction: bucket
+    * `h mod nBuckets`, bucket 0 → test, 1 → val, rest → train (5/5/90 at
+    * the default 20). Pure projection; any engine reproduces the exact
+    * membership.
+    */
+  def hashSplit(id: Column, nBuckets: Int = 20): Column = {
+    val h = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    when(pmod(h, lit(nBuckets.toLong)) === 0, lit("test"))
+      .when(pmod(h, lit(nBuckets.toLong)) === 1, lit("val"))
+      .otherwise(lit("train"))
+  }
+
+  /** Split-leakage guard: verified near-duplicate pairs whose members
+    * land in DIFFERENT splits — the eval-contamination check a training
+    * run performs after hash-splitting (a test doc with a train-side
+    * near-dup inflates eval scores; published practice is to audit the
+    * split against the dedup graph, not assume hashing is enough).
+    * `verified` is [[graft.dedup.Dedup.jaccard]]'s output
+    * (doc_a, doc_b, jaccard); pairs at/above `threshold` are near-dups.
+    * Output is candidate-bounded (a filter + projection over the
+    * verified pair set — no new corpus-scale work beyond the dedup chain
+    * the pipeline already ran).
+    */
+  def splitLeakage(verified: DataFrame, threshold: Double,
+      nBuckets: Int = 20): DataFrame =
+    verified.where(col("jaccard") >= threshold)
+      .withColumn("split_a", hashSplit(col("doc_a"), nBuckets))
+      .withColumn("split_b", hashSplit(col("doc_b"), nBuckets))
+      .where(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+
   /** TF-IDF top-k keyword extraction per document — the classic
     * keyword/topic signal a curation pipeline attaches to each doc
     * (domain tagging, topic balancing). tf is the raw in-document token

@@ -787,4 +787,106 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._3).sliding(2).forall(p => p(0) < p(1)),
       "ADC distance increases with rank")
   }
+
+  test("filteredTopK: selective predicate bypasses the index exactly; " +
+    "broad predicate post-filters in-cell") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 5)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivff_spec").toString + "/idx"
+    graft.store.Store.buildIvfIndex(spark, idxPath, emb, 8)
+    val (cells, asg) = graft.store.Store.readIvfIndex(spark, idxPath)
+    // selective branch (label=7 keeps ~10% < nProbe/K=0.25): recall 1 by
+    // construction — the answer IS the exact brute force over the
+    // filtered subset, and the plan never touches the index parquet
+    val narrowPred = col("label") === 7
+    val narrowSel = 0.1
+    val narrow = Ann.filteredTopK(emb, queries, 3, cells, asg,
+      narrowPred, narrowSel, nCells = 8)
+    assert(!narrow.queryExecution.executedPlan.toString.contains(idxPath),
+      "pre-filter branch must bypass the index")
+    val exact = Ann.bruteForceTopK(emb.where(narrowPred), queries, 3)
+      .collect().map(_.toString).sorted
+    assert(narrow.collect().map(_.toString).sorted === exact)
+    // broad branch (label%3=0 keeps ~40% > 0.25): the index IS probed,
+    // and every neighbor satisfies the predicate AND lives in one of its
+    // query's probed cells (in-cell post-filter, not a global scan)
+    val broadPred = col("label") % 3 === 0
+    val broad = Ann.filteredTopK(emb, queries, 3, cells, asg,
+      broadPred, 0.408, nCells = 8)
+    assert(broad.queryExecution.executedPlan.toString.contains(idxPath),
+      "post-filter branch must probe the index")
+    val rows = broad.join(
+      emb.select(col("vec_id").as("nn_id"), col("label")), "nn_id")
+    assert(rows.count() > 0)
+    assert(rows.where(!(col("label") % 3 === 0)).count() === 0,
+      "every neighbor must satisfy the predicate")
+    val probed = queries.crossJoin(broadcast(cells))
+      .withColumn("dist", Ann.sqdist(col("embedding"), col("cen")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("dist"), col("c"))))
+      .where(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c"))
+    val offCell = broad
+      .join(asg.withColumnRenamed("vec_id", "nn_id"), "nn_id")
+      .join(probed, Seq("q_id", "c"), "left_anti")
+    assert(offCell.count() === 0,
+      "no candidate may come from an unprobed cell")
+  }
+
+  test("sourceOverlap: exact pairwise shingle intersections, zero-overlap " +
+    "pairs kept, sub-length docs contribute nothing") {
+    import graft.text.TextOps
+    val docs = Seq(
+      ("s1", "a b c d"), //   shingles {a b c, b c d}
+      ("s2", "b c d e"), //   shingles {b c d, c d e}
+      ("s3", "x y z w"), //   shingles {x y z, y z w} — disjoint
+      ("s3", "x y")) //       sub-length: no shingles
+      .toDF("source", "text")
+    val got = TextOps.sourceOverlap(docs, 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(got(("s1", "s2")) === ((1L, 3L, 0.333333)))
+    assert(got(("s1", "s3")) === ((0L, 4L, 0.0)))
+    assert(got(("s2", "s3")) === ((0L, 4L, 0.0)))
+  }
+
+  test("hashSplit/splitLeakage: splits match the md5 definition; only " +
+    "cross-split pairs at/above the threshold are emitted") {
+    import graft.text.TextOps
+    // mirror of the hashSplit definition, computed locally
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 20 match {
+        case 0 => "test"; case 1 => "val"; case _ => "train"
+      }
+    }
+    val ids = (0L until 200L)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), TextOps.hashSplit(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach(id => assert(got(id) === splitOf(id), s"id $id"))
+    assert(Set("train", "val", "test").subsetOf(got.values.toSet),
+      "200 ids should hit all three splits")
+    // leakage: pick one genuinely cross-split and one same-split id pair
+    val crossA = ids.find(i => splitOf(i) == "test").get
+    val crossB = ids.find(i => splitOf(i) == "train").get
+    val sameA +: sameB +: _ =
+      ids.filter(i => splitOf(i) == "train").take(2).toList
+    val verified = Seq(
+      (crossA, crossB, 0.9), //  cross-split, above threshold → emitted
+      (sameA, sameB, 0.9), //    same split → dropped
+      (crossA, sameB, 0.3)) //   below threshold → dropped
+      .toDF("doc_a", "doc_b", "jaccard")
+    val leaks = TextOps.splitLeakage(verified, 0.5).collect()
+    assert(leaks.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((crossA, crossB)))
+    assert(leaks.head.getString(2) === "test" &&
+      leaks.head.getString(3) === "train")
+  }
 }
