@@ -1665,14 +1665,18 @@ object PipelineQueries {
           PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
         FROM scored) WHERE rnk <= 5""",
 
-    // v3's chain (same shared index) with the metadata predicate applied
-    // in-cell at the candidate step — the broad-predicate branch of the
-    // adaptive filtered search. Selectivity ~0.4 (uniform labels) vs the
-    // 0.25 crossover: the branch choice is stable at every gated scale,
-    // and the Spark side MEASURES it (filteredSelectivity) rather than
-    // assuming it.
+    // BOTH branches of the adaptive filtered search, guarded by the SAME
+    // measured-selectivity decision the Spark side computes (the d9
+    // dynamic-k discipline: the oracle derives the branch from the data,
+    // so a corpus regeneration that moves selectivity across the
+    // nProbe/nCells = 0.25 crossover flips both engines together).
+    // ivf_res = v3's chain with the predicate applied in-cell;
+    // brute_res = v1's exact chain over the filtered corpus.
     "v13_ann_filtered" -> s"""
-      WITH vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      WITH sel AS (SELECT
+        count(*) FILTER (WHERE label % 3 = 0)::DOUBLE / count(*) AS s
+        FROM embeddings),
+      vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
         CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       ia AS (SELECT vec_id, vec_id % 8 AS c FROM embeddings),
       iw AS (SELECT a.c, v.d,
@@ -1711,11 +1715,27 @@ object PipelineQueries {
           ${dotSql("q_emb", "nn_emb")} /
             (sqrt(${dotSql("q_emb", "q_emb")}) *
              sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
-        FROM cand)
-      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        FROM cand),
+      ivf_res AS (SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
         SELECT *, row_number() OVER (
           PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
-        FROM scored) WHERE rnk <= 5""",
+        FROM scored) WHERE rnk <= 5),
+      bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < 10),
+      bc AS (SELECT vec_id AS nn_id, embedding AS nn_emb FROM embeddings
+        WHERE label % 3 = 0),
+      bscored AS (SELECT q_id, nn_id,
+        ${dotSql("q_emb", "nn_emb")} /
+          (sqrt(${dotSql("q_emb", "q_emb")}) *
+           sqrt(${dotSql("nn_emb", "nn_emb")})) AS cos
+        FROM bc CROSS JOIN bq WHERE nn_id <> q_id),
+      brute_res AS (SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM bscored) WHERE rnk <= 5)
+      SELECT * FROM ivf_res WHERE NOT (SELECT s FROM sel) < 0.25
+      UNION ALL
+      SELECT * FROM brute_res WHERE (SELECT s FROM sel) < 0.25""",
 
     // v3's chain with the quantizer trained on the BASE only (vec_id >=
     // 40); the final assignment d2 runs over ALL vectors against the
