@@ -682,6 +682,14 @@ object Compiler {
                   gLabels, boolMode)
             }
         }
+
+      // Prometheus: a subquery is a RANGE vector — valid only as a range
+      // function's argument (handled there); at instant-vector position
+      // query_range rejects it with this same error class, so raise the
+      // typed error instead of a MatchError
+      case sq: Subquery => throw new IllegalArgumentException(
+        s"invalid expression type range vector (subquery $sq) for " +
+          "instant vector evaluation")
     }
 
   /** vector ◦ scalar (either order). The scalar is a literal column when

@@ -55,6 +55,14 @@ class PromqlSpec extends SparkSpec {
       intercept[Exception](Parser.parse(bad))
   }
 
+  test("compile: top-level subquery raises the typed range-vector error") {
+    // Prometheus query_range: "invalid expression type range vector" — a
+    // subquery is only valid as a range function's argument
+    val e = intercept[IllegalArgumentException](
+      Compiler.compile("events[10m:1m]", src, p))
+    assert(e.getMessage.contains("range vector"))
+  }
+
   test("compile: instant selector == instantBucketed") {
     val got = Compiler.compile("""events{event_type="click"}""", src, p)
     val want = RangeWindows.instantBucketed(
