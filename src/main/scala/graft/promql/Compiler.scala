@@ -914,6 +914,11 @@ object Compiler {
       case "acos" => math.acos(v); case "atan" => math.atan(v)
       case "sinh" => math.sinh(v); case "cosh" => math.cosh(v)
       case "tanh" => math.tanh(v)
+      // same log-form identities Spark's Asinh/Acosh/Atanh expressions
+      // evaluate, so the constant-folded and column paths agree
+      case "asinh" => math.log(v + math.sqrt(v * v + 1.0))
+      case "acosh" => math.log(v + math.sqrt(v * v - 1.0))
+      case "atanh" => 0.5 * math.log((1.0 + v) / (1.0 - v))
       case "deg" => math.toDegrees(v); case "rad" => math.toRadians(v)
       case "clamp" => math.min(math.max(v, ps.head), ps(1))
       case "clamp_min" => math.max(v, ps.head)
@@ -937,6 +942,8 @@ object Compiler {
       case "sin" => sin(v); case "cos" => cos(v); case "tan" => tan(v)
       case "asin" => asin(v); case "acos" => acos(v); case "atan" => atan(v)
       case "sinh" => sinh(v); case "cosh" => cosh(v); case "tanh" => tanh(v)
+      case "asinh" => asinh(v); case "acosh" => acosh(v)
+      case "atanh" => atanh(v)
       case "deg" => degrees(v); case "rad" => radians(v)
       case "clamp" =>
         val Seq(lo, hi) = ps

@@ -30,7 +30,7 @@ object Parser {
   val MathFunctions: Set[String] = Set(
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
     "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
-    "deg", "rad")
+    "asinh", "acosh", "atanh", "deg", "rad")
 
   /** Math functions taking trailing scalar parameters. */
   val ParamMathFunctions: Set[String] = Set(
@@ -367,6 +367,9 @@ private final class Parser(input: String) {
       } else if (name == "time" && peek == '(') {
         eat('('); eat(')')
         FuncCall("time", NumLit(0))
+      } else if (name == "pi" && peek == '(') {
+        eat('('); eat(')')
+        NumLit(math.Pi) // pi() is a scalar constant (promql/functions.go)
       } else if ((name == "vector" || name == "scalar") && peek == '(') {
         eat('(')
         val arg = parseExpr(0)

@@ -206,10 +206,14 @@ object PromqlQueries {
         .select(col("eval_ms"), isnan(col("value")).as("is_nan"))),
 
     // §2.7 — trig functions + the atan2 binary operator (Prometheus 2.31
-    // surface; transcendentals rounded — libm vs Java last-ulp)
+    // surface; transcendentals rounded — libm vs Java last-ulp). The
+    // inverse hyperbolics use domain-safe arguments (acosh ≥ 1, |atanh| < 1
+    // for any sample value) and pi() exercises the scalar-constant path.
     "pql17_trig" -> ((s, dir) =>
       Compiler.compile(
-        "sin(events / 100) + cos(events / 100) + rad(deg(atan(events)))",
+        """sin(events / 100) + cos(events / 100) + rad(deg(atan(events)))
+           + asinh(events / 1000) + acosh(abs(events) / 1000 + 1)
+           + atanh(1 / (abs(events) + 2)) + pi()""",
         srcByType(s, dir), HourP)
         .join(Compiler.compile("events atan2 vector(2)", srcByType(s, dir),
             HourP).select(col("event_type"), col("eval_ms"),
@@ -538,7 +542,15 @@ object PromqlQueries {
       WITH $InstType
       SELECT event_type, eval_ms,
         round(sin(value / 100.0) + cos(value / 100.0) +
-          radians(degrees(atan(value))), 6) AS trig,
+          radians(degrees(atan(value)))
+          + ln(value / 1000.0 + sqrt((value / 1000.0) * (value / 1000.0)
+              + 1.0))
+          + ln(abs(value) / 1000.0 + 1.0
+              + sqrt((abs(value) / 1000.0 + 1.0) * (abs(value) / 1000.0
+                + 1.0) - 1.0))
+          + 0.5 * ln((1.0 + 1.0 / (abs(value) + 2.0))
+              / (1.0 - 1.0 / (abs(value) + 2.0)))
+          + pi(), 6) AS trig,
         round(atan2(value, 2.0), 6) AS at2
       FROM inst""",
 

@@ -674,6 +674,23 @@ class PromqlSpec extends SparkSpec {
     assert(abSome.count() === (End - Start) / Hour + 1 - present)
   }
 
+  test("compile: inverse hyperbolics and pi()") {
+    // pi() is a scalar constant; deg(pi()) folds to 180
+    assert(Compiler.compile("deg(pi())", src, p).head().getDouble(0)
+      === 180.0)
+    // column path: atanh(tanh(x)) == x up to fp on real data
+    val rt = Compiler.compile("atanh(tanh(events / 1000))", src, p)
+      .join(Compiler.compile("events / 1000", src, p)
+          .withColumnRenamed("value", "want"),
+        Seq("eval_ms", "event_type"))
+    assert(rt.where(abs(col("value") - col("want")) > 1e-9).count() === 0L)
+    // const-fold path agrees with the column identities
+    assert(Compiler.compile("asinh(0)", src, p).head().getDouble(0) === 0.0)
+    assert(Compiler.compile("acosh(1)", src, p).head().getDouble(0) === 0.0)
+    assert(math.abs(Compiler.compile("atanh(0.5)", src, p).head().getDouble(0)
+      - 0.5 * math.log(3.0)) < 1e-15)
+  }
+
   test("compile: count_over_time and offset shift") {
     val got = Compiler.compile("count_over_time(events[1d] offset 1d)", src, p)
     val want = RangeWindows.rangeBucketed(
