@@ -7,7 +7,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.promql.{EvalParams, FuncCall, Parser, PromSource, Selector}
+import graft.promql.{EvalParams, FuncCall, LabelCall, Parser, PromSource,
+  Selector}
 import graft.streaming.{Ingest, Otlp, Prompb, PrompbV2}
 import graft.tsdb.{MatchEq, Matcher, Matchers, MutableMapping}
 
@@ -2012,11 +2013,15 @@ final class HttpApi(spark: SparkSession,
         val df = unalias(QueryService.queryRange(q, src, p,
           requestOptions(h)))
         val labels = df.columns.filterNot(Set("eval_ms", "value")).toSeq
-        // presentation ordering for a top-level sort/sort_desc — applied
+        // presentation ordering for a top-level sort function — applied
         // HERE, not in the plan
-        val order = ast match {
-          case FuncCall("sort", _, _) => Some(false)
-          case FuncCall("sort_desc", _, _) => Some(true)
+        val order: Option[PromJson.VecOrder] = ast match {
+          case FuncCall("sort", _, _) => Some(PromJson.ByValue(false))
+          case FuncCall("sort_desc", _, _) => Some(PromJson.ByValue(true))
+          case LabelCall("sort_by_label", _, names) =>
+            Some(PromJson.ByLabels(names, desc = false))
+          case LabelCall("sort_by_label_desc", _, names) =>
+            Some(PromJson.ByLabels(names, desc = true))
           case _ => None
         }
         respond(h, 200, PromJson.vector(df, labels, order))

@@ -79,23 +79,48 @@ object PromJson {
     success(s"""{"resultType":"matrix","result":[${entries.mkString(",")}]}""")
   }
 
-  /** Instant-query result → `vector` JSON. `order`: `Some(false)` = sort
-    * ascending by value, `Some(true)` = sort_desc — the presentation
+  /** Presentation ordering for a top-level sort function — applied at
+    * serialization, never in the compiled plan.
+    */
+  sealed trait VecOrder
+  /** sort / sort_desc: by sample value. */
+  final case class ByValue(desc: Boolean) extends VecOrder
+  /** sort_by_label / sort_by_label_desc (Prometheus 3.x experimental
+    * funcSortByLabel): by the named labels in argument order (a missing
+    * label compares as "", Prometheus labels.Get semantics), full label
+    * set as a stable tiebreak.
+    */
+  final case class ByLabels(names: Seq[String], desc: Boolean)
+    extends VecOrder
+
+  /** Instant-query result → `vector` JSON. `order`: the presentation
     * ordering the compiler deliberately leaves out of the plan.
     */
   def vector(df: DataFrame, labels: Seq[String],
-      order: Option[Boolean] = None): String = {
+      order: Option[VecOrder] = None): String = {
     val present = labels.filter(df.columns.contains)
     val rows0 = df.collect().toSeq.map(r =>
       (rowLabels(r, present), r.getAs[Long]("eval_ms"),
         r.getAs[Double]("value")))
+    def labelKey(ls: Seq[(String, String)]): String =
+      ls.map(lv => lv._1 + "\u0000" + lv._2).mkString("\u0001")
     val rows = order match {
-      case Some(desc) =>
+      case Some(ByValue(desc)) =>
         // NaN sorts last in both directions (Prometheus funcSort)
         val (nan, num) = rows0.partition(_._3.isNaN)
         (if (desc) num.sortBy(-_._3) else num.sortBy(_._3)) ++ nan
-      case None => rows0.sortBy(_._1.map(lv => lv._1 + "\u0000" + lv._2)
-        .mkString("\u0001"))
+      case Some(ByLabels(names, desc)) =>
+        val dir = if (desc) -1 else 1
+        rows0.sortWith { (a, b) =>
+          val la = a._1.toMap; val lb = b._1.toMap
+          val cmp = names.iterator
+            .map(n => dir * la.getOrElse(n, "").compareTo(
+              lb.getOrElse(n, "")))
+            .find(_ != 0)
+            .getOrElse(labelKey(a._1).compareTo(labelKey(b._1)))
+          cmp < 0
+        }
+      case None => rows0.sortBy(r => labelKey(r._1))
     }
     val entries = rows.map { case (ls, t, v) =>
       s"""{"metric":${metricJson(ls)},"value":[${fmtTs(t)},"${fmtValue(v)}"]}"""

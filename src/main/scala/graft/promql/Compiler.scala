@@ -95,6 +95,23 @@ object Compiler {
     else if (q > 1) max(lit(Double.PositiveInfinity))
     else expr(s"percentile($vCol, $q)")
 
+  /** φ-quantile of an already-sorted array with the same linear
+    * interpolation `percentile` (and Prometheus promql/quantile.go)
+    * uses: `v[lo] + (v[hi] − v[lo]) · (rank − lo)` at
+    * `rank = φ·(n−1)` — so a quantile of a DERIVED array (mad's
+    * deviation pass) matches the engines' native quantile bit-for-bit
+    * on the same doubles.
+    */
+  private def arrayQuantile(sortedArr: Column, phi: Double): Column = {
+    val n = size(sortedArr)
+    val rank = lit(phi) * (n - lit(1)).cast("double")
+    val lo = floor(rank).cast("int")
+    val hi = least(lo + lit(1), n - lit(1))
+    val vlo = element_at(sortedArr, lo + lit(1))
+    val vhi = element_at(sortedArr, hi + lit(1))
+    vlo + (vhi - vlo) * (rank - lo.cast("double"))
+  }
+
   /** Population variance as exact decimal sums (Σx, Σx²) finished in
     * double — order-independent and engine-identical, where the
     * built-in `var_pop`'s streaming M2 accumulation is
@@ -245,6 +262,14 @@ object Compiler {
             val df = inner.df.withColumn(dst,
               concat_ws(sep, srcs.map(labelCol): _*))
             Vec(df, (inner.labels :+ dst).distinct, scalar = false,
+              nameCol = inner.nameCol)
+          // Prometheus 3.x experimental funcSortByLabel(Desc): like
+          // sort/sort_desc, purely presentation — the result SET is
+          // unchanged and range queries ignore it entirely, so the plan
+          // stays unsorted and api.PromJson orders the serialized output
+          // when it is the top-level expression
+          case "sort_by_label" | "sort_by_label_desc" =>
+            Vec(inner.df, inner.labels, scalar = false,
               nameCol = inner.nameCol)
         }
 
@@ -492,11 +517,14 @@ object Compiler {
               .groupBy((labels.map(col) :+ col("eval_ms")): _*)
               .agg(count(lit(1)).as("__n"), v.as("value"))
               .where(col("__n") >= 2).drop("__n")
-          case "holt_winters" =>
+          // Prometheus 3.x renames holt_winters to
+          // double_exponential_smoothing (same Holt 1957 recurrence;
+          // promql/functions.go funcDoubleExponentialSmoothing)
+          case "holt_winters" | "double_exponential_smoothing" =>
             val (sf, tf) = (params.lift(0), params.lift(1)) match {
               case (Some(a), Some(b)) => (a, b)
               case _ => throw new IllegalArgumentException(
-                "holt_winters needs sf and tf")
+                s"$fn needs sf and tf")
             }
             val hw = udaf(new graft.tsdb.HoltWintersAgg(sf, tf))
             RangeWindows.withEvalSteps(base, p.startMs, p.endMs, p.stepMs,
@@ -531,6 +559,29 @@ object Compiler {
               case "present_over_time" => _ => max(lit(1.0))
               case "last_over_time" =>
                 c => max(struct(col(tCol), c)).getField(vCol)
+              // Prometheus 3.x experimental window functions. mad is
+              // median(|v − median(v)|) with the same linear
+              // interpolation as quantile_over_time; the window's sample
+              // list is bounded by the range selector, the same
+              // per-group buffering `percentile` itself does. The ts_of
+              // family returns the sample TIMESTAMP (seconds, float):
+              // ties on the extreme value resolve to the LATEST sample
+              // (funcTsOfMinOverTime/funcTsOfMaxOverTime update on <=/>=
+              // as they scan forward in time).
+              case "mad_over_time" => c => {
+                val arr = sort_array(collect_list(c))
+                val m = arrayQuantile(arr, 0.5)
+                arrayQuantile(sort_array(transform(arr, x => abs(x - m))),
+                  0.5)
+              }
+              case "ts_of_last_over_time" =>
+                _ => max(col(tCol)).cast("double") / 1000.0
+              case "ts_of_max_over_time" =>
+                c => max(struct(c.as("__v"), col(tCol).as("__t")))
+                  .getField("__t").cast("double") / 1000.0
+              case "ts_of_min_over_time" =>
+                c => (min(struct(c.as("__v"), (-col(tCol)).as("__t")))
+                  .getField("__t") * lit(-1L)).cast("double") / 1000.0
               case other =>
                 throw new IllegalArgumentException(s"unsupported function $other")
             }
@@ -570,6 +621,47 @@ object Compiler {
               .where(col("__rk") <= k).drop("__rk")
             // topk/bottomk return input series unchanged → name survives
             Vec(df, inner.labels, scalar = false, nameCol = inner.nameCol)
+
+          // Prometheus 3.x experimental sampling aggregations
+          // (promql/engine.go aggregationK, LIMITK / LIMIT_RATIO):
+          // deterministic per-series selection from a uniform hash of
+          // the series' labels. limitk keeps the k smallest-hash series
+          // present in each (group, step); limit_ratio keeps the hash
+          // slice u ≤ r for r ≥ 0 and the complementary u > 1+r for
+          // r < 0, so limit_ratio(r, v) or limit_ratio(r−1, v) ≡ v with
+          // the two halves disjoint. The hash is the engine's md5-based
+          // uniform (Prometheus uses xxhash of the labelset — same
+          // determinism/complementarity contract, different constants,
+          // so the particular subset differs; both are documented as a
+          // pseudo-random deterministic sample). Selection keeps the
+          // input series unchanged, like topk.
+          case "limitk" | "limit_ratio" =>
+            val prm = param.getOrElse(
+              throw new IllegalArgumentException(s"$op needs a parameter"))
+            val sortedLabels = inner.labels.sorted
+            val hashStr = concat_ws("\u0001", sortedLabels.map(l =>
+              concat_ws("\u0002", lit(l),
+                coalesce(col(l).cast("string"), lit("")))): _*)
+            // 12 hex digits → uniform u ∈ (0, 1] on a 2⁴⁸ grid
+            val u = (conv(substring(md5(hashStr), 1, 12), 16, 10)
+              .cast("long") + 1L).cast("double") / 281474976710656.0
+            val df = op match {
+              case "limitk" =>
+                val k = prm.toInt
+                val lblTuple = struct(sortedLabels.map(l =>
+                  coalesce(col(l).cast("string"), lit(""))): _*)
+                val w = Window
+                  .partitionBy((groupLabels.map(col) :+ col("eval_ms")): _*)
+                  .orderBy(u.asc, lblTuple.asc)
+                inner.df.withColumn("__rk", row_number().over(w))
+                  .where(col("__rk") <= k).drop("__rk")
+              case _ =>
+                val r = math.max(-1.0, math.min(1.0, prm))
+                inner.df.where(
+                  if (r >= 0) u <= lit(r) else u > lit(1.0 + r))
+            }
+            Vec(df, inner.labels, scalar = false, nameCol = inner.nameCol)
+
           case "count_values" =>
             // one output series per (group, distinct value): the value
             // becomes a new label, the new value is the count

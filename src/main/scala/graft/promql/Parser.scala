@@ -15,7 +15,11 @@ object Parser {
     "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "absent_over_time", "deriv", "predict_linear", "holt_winters")
+    "absent_over_time", "deriv", "predict_linear", "holt_winters",
+    // Prometheus 3.x: holt_winters renamed + the experimental
+    // mad/ts_of family (promql/functions.go)
+    "double_exponential_smoothing", "mad_over_time",
+    "ts_of_min_over_time", "ts_of_max_over_time", "ts_of_last_over_time")
 
   /** Range functions whose scalar parameter PRECEDES the range argument
     * (`quantile_over_time(0.9, m[5m])`).
@@ -24,7 +28,7 @@ object Parser {
 
   val AggOps: Set[String] = Set("sum", "avg", "min", "max", "count",
     "group", "stddev", "stdvar", "topk", "bottomk", "quantile",
-    "count_values")
+    "count_values", "limitk", "limit_ratio")
 
   /** Per-sample math functions over any vector expression. */
   val MathFunctions: Set[String] = Set(
@@ -37,7 +41,8 @@ object Parser {
     "clamp", "clamp_min", "clamp_max", "round")
 
   /** Aggregations taking a leading scalar parameter. */
-  val ParamAggOps: Set[String] = Set("topk", "bottomk", "quantile")
+  val ParamAggOps: Set[String] = Set("topk", "bottomk", "quantile",
+    "limitk", "limit_ratio")
 
   /** Instant-vector functions over any vector expression. */
   val InstantFunctions: Set[String] = Set("timestamp", "sort", "sort_desc")
@@ -375,7 +380,8 @@ private final class Parser(input: String) {
         val arg = parseExpr(0)
         eat(')')
         FuncCall(name, arg)
-      } else if ((name == "label_replace" || name == "label_join") &&
+      } else if ((name == "label_replace" || name == "label_join" ||
+        name == "sort_by_label" || name == "sort_by_label_desc") &&
         peek == '(') {
         eat('(')
         val arg = parseExpr(0)

@@ -245,6 +245,31 @@ object PipelineQueries {
       Dedup.decontaminate(train, bench, DecontShingleLen)
     }),
 
+    // semantic decontamination: training vectors within cosine 0.95 of
+    // any benchmark vector — the embedding-space complement of d8's
+    // shingle overlap (catches paraphrased leakage). Planted EXACT
+    // copies (cos = 1) under negative ids guarantee positives at every
+    // SF; the bench slice is id-capped so it stays benchmark-sized
+    // (and broadcastable) at any corpus scale.
+    "d10_semantic_decon" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val bench = emb.where(col("vec_id") % 17 === 3 &&
+        col("vec_id") < 2000)
+      val train = emb.where(!(col("vec_id") % 17 === 3 &&
+          col("vec_id") < 2000))
+        .unionByName(bench.where(col("vec_id") < 200)
+          .withColumn("vec_id", -col("vec_id") - 1))
+      // two tiers: the production threshold (planted exact copies are
+      // the only hits) and a low cut through the ORGANIC cosine tail,
+      // so the gate exercises the τ comparison on continuous values,
+      // not just on cos = 1 plants
+      Ann.semanticDecon(train, bench, 0.95).withColumn("tier", lit("hi"))
+        .unionByName(Ann.semanticDecon(train, bench, 0.35)
+          .withColumn("tier", lit("lo")))
+        .select(col("tier"), col("vec_id"), col("n_bench_hits"),
+          col("max_sim"), col("worst_bench_id"))
+    }),
+
     // text quality features + composite score
     "x1_text_quality" -> ((s, dir) =>
       TextOps.quality(Tables.documents(s, dir))
@@ -918,6 +943,29 @@ object PipelineQueries {
         FROM bidx)
       SELECT doc_id, count(*) AS n_overlap
       FROM tsh WHERE sh IN (SELECT sh FROM bsh) GROUP BY 1""",
+
+    "d10_semantic_decon" -> s"""
+      WITH bench AS (SELECT vec_id AS b_id, embedding AS b_emb
+        FROM embeddings WHERE vec_id % 17 = 3 AND vec_id < 2000),
+      train AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE NOT (vec_id % 17 = 3 AND vec_id < 2000)
+        UNION ALL
+        SELECT -b_id - 1, b_emb FROM bench WHERE b_id < 200),
+      scored AS (SELECT t.vec_id, b.b_id,
+        ${dotSql("t.embedding", "b.b_emb")} /
+          (sqrt(${dotSql("t.embedding", "t.embedding")}) *
+           sqrt(${dotSql("b.b_emb", "b.b_emb")})) AS cos
+        FROM train t CROSS JOIN bench b)
+      SELECT 'hi' AS tier, vec_id, count(*) AS n_bench_hits,
+        (max(struct_pack(c := cos, nb := -b_id))).c AS max_sim,
+        -((max(struct_pack(c := cos, nb := -b_id))).nb) AS worst_bench_id
+      FROM scored WHERE cos >= 0.95 GROUP BY 1, 2
+      UNION ALL
+      SELECT 'lo', vec_id, count(*),
+        (max(struct_pack(c := cos, nb := -b_id))).c,
+        -((max(struct_pack(c := cos, nb := -b_id))).nb)
+      FROM scored WHERE cos >= 0.35 GROUP BY 1, 2""",
 
     "x6_pii_scrub" -> s"""
       WITH corpus AS (SELECT doc_id,

@@ -244,6 +244,44 @@ object PromqlQueries {
         srcByType(s, dir), HourP)
         .select(col("event_type"), col("eval_ms"), col("value"))),
 
+    // §2.6 — Prometheus 3.x experimental sampling aggregations: limitk
+    // keeps the 2 smallest-hash series per step, limit_ratio the u ≤ 0.4
+    // hash slice, limit_ratio(-0.6) its exact complement — the md5
+    // selection hash is replayed verbatim by the oracle, so the gate
+    // pins which series survive, not just how many
+    "pql20_limit_sampling" -> ((s, dir) => {
+      val src = srcByType(s, dir)
+      def one(q: String, tag: String) =
+        Compiler.compile(q, src, HourP).withColumn("which", lit(tag))
+      one("limitk(2, max by (event_type) (events))", "k")
+        .unionByName(one(
+          "limit_ratio(0.4, max by (event_type) (events))", "r"))
+        .unionByName(one(
+          "limit_ratio(-0.6, max by (event_type) (events))", "rc"))
+        .select(col("which"), col("event_type"), col("eval_ms"),
+          col("value"))
+    }),
+
+    // §2.7 — 3.x experimental window functions: mad_over_time (median
+    // absolute deviation, interpolated like quantile_over_time) and the
+    // ts_of family (timestamp of the window's min/max/last sample,
+    // seconds; value ties resolve to the latest sample)
+    "pql21_mad_tsof" -> ((s, dir) => {
+      val src = srcByType(s, dir)
+      def one(q: String, n: String) =
+        Compiler.compile(q, src, HourP)
+          .select(col("event_type"), col("eval_ms"), col("value").as(n))
+      Compiler.compile("mad_over_time(events[6h])", src, HourP)
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("mad"))
+        .join(one("ts_of_max_over_time(events[6h])", "ts_max"),
+          Seq("event_type", "eval_ms"))
+        .join(one("ts_of_min_over_time(events[6h])", "ts_min"),
+          Seq("event_type", "eval_ms"))
+        .join(one("ts_of_last_over_time(events[6h])", "ts_last"),
+          Seq("event_type", "eval_ms"))
+    }),
+
     // §2.7 — date functions through the compiler: components of the
     // chosen sample's own timestamp (corpus dateFunc family)
     "pql16_date_fns" -> ((s, dir) => {
@@ -515,6 +553,44 @@ object PromqlQueries {
         FROM inst WHERE event_type = 'signup' GROUP BY 1, 2)
       SELECT m.user_id, 'signup' AS event_type, m.eval_ms, m.mv * s.sv AS value
       FROM m JOIN s ON m.user_id = s.user_id AND m.eval_ms = s.eval_ms""",
+
+    "pql20_limit_sampling" -> s"""
+      WITH $InstType,
+      u AS (SELECT event_type,
+        (CAST('0x' || substr(md5('event_type' || chr(2) || event_type),
+          1, 12) AS BIGINT) + 1) / 281474976710656.0 AS u
+        FROM (SELECT DISTINCT event_type FROM inst)),
+      rk AS (SELECT i.event_type, i.eval_ms, i.value,
+        row_number() OVER (PARTITION BY i.eval_ms
+          ORDER BY u.u, i.event_type) AS rnk
+        FROM inst i JOIN u USING (event_type))
+      SELECT 'k' AS which, event_type, eval_ms, value FROM rk WHERE rnk <= 2
+      UNION ALL
+      SELECT 'r', i.event_type, i.eval_ms, i.value
+      FROM inst i JOIN u USING (event_type) WHERE u.u <= 0.4
+      UNION ALL
+      SELECT 'rc', i.event_type, i.eval_ms, i.value
+      FROM inst i JOIN u USING (event_type) WHERE u.u > 0.4""",
+
+    "pql21_mad_tsof" -> s"""
+      WITH pts AS ($PD), grid AS ($Grid),
+      w AS (SELECT event_type, eval_ms, value, ts_ms
+        FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${SixH}),
+      m AS (SELECT event_type, eval_ms, quantile_cont(value, 0.5) AS med
+        FROM w GROUP BY 1, 2),
+      d AS (SELECT w.event_type, w.eval_ms,
+        quantile_cont(abs(w.value - m.med), 0.5) AS mad
+        FROM w JOIN m ON w.event_type = m.event_type
+          AND w.eval_ms = m.eval_ms GROUP BY 1, 2),
+      t AS (SELECT event_type, eval_ms,
+        (max(struct_pack(v := value, t := ts_ms))).t AS tmax,
+        -((min(struct_pack(v := value, t := -ts_ms))).t) AS tmin,
+        max(ts_ms) AS tlast FROM w GROUP BY 1, 2)
+      SELECT d.event_type, d.eval_ms, round(d.mad, 6) AS mad,
+        t.tmax / 1000.0 AS ts_max, t.tmin / 1000.0 AS ts_min,
+        t.tlast / 1000.0 AS ts_last
+      FROM d JOIN t ON d.event_type = t.event_type
+        AND d.eval_ms = t.eval_ms""",
 
     "pql19_absent" -> s"""
       WITH $InstType

@@ -297,6 +297,44 @@ object Ann {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** Semantic decontamination: every training vector whose embedding
+    * lies within cosine `tau` of ANY benchmark vector, with the hit
+    * count and the strongest-matching benchmark id — the
+    * embedding-space analogue of n-gram decontamination
+    * ([[graft.dedup.Dedup.decontaminate]]): it catches the paraphrased
+    * / re-rendered benchmark leakage exact shingle overlap misses
+    * (the published embedding-similarity decontamination step of
+    * modern pretraining pipelines; cross-set SemDeDup).
+    *
+    * Scale shape: the benchmark side is benchmark-sized (thousands of
+    * rows however large the corpus) and BROADCASTS; the training
+    * corpus streams through ONE scan with a per-row pass over the
+    * broadcast bench vectors — corpus embeddings never shuffle, and
+    * the output is bounded by the contaminated set. Cosines use the
+    * ordered-fold [[cosine]] (bit-identical across engines), so the
+    * τ cut selects the same survivors everywhere; the strongest-match
+    * tie (two bench copies at equal cosine) resolves to the smaller
+    * bench id.
+    */
+  def semanticDecon(train: DataFrame, bench: DataFrame,
+      tau: Double): DataFrame = {
+    val b = broadcast(bench
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .withColumn("b_norm", norm2(col("b_emb"))))
+    val t = train.select(col("vec_id"), col("embedding").as("t_emb"))
+      .withColumn("t_norm", norm2(col("t_emb")))
+    t.crossJoin(b)
+      .withColumn("cos",
+        cosine(col("t_emb"), col("b_emb"), col("t_norm"), col("b_norm")))
+      .where(col("cos") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(struct(col("cos").as("c"), (-col("b_id")).as("nb"))).as("__m"))
+      .select(col("vec_id"), col("n_bench_hits"),
+        col("__m.c").as("max_sim"),
+        (-col("__m.nb")).cast("long").as("worst_bench_id"))
+  }
+
   /** 2^49 — the fixed-point accumulation grid of [[groupCentroids]]. A
     * power of two, so `x * CentroidScale` is an EXACT double (only the
     * exponent shifts) and `floor` of it is unambiguous in every engine —

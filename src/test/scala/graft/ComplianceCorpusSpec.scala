@@ -41,7 +41,10 @@ class ComplianceCorpusSpec extends SparkSpec {
     "offset" -> Seq("1m", "5m", "10m"),
     "simpleAggrOp" -> Seq("sum", "avg", "max", "min", "count",
       "stddev", "stdvar"),
-    "topBottomOp" -> Seq("topk", "bottomk"),
+    // 3.x adds the experimental sampling aggregations with the same
+    // param-first shape (a ratio of 3 clamps to 1 → identity, still a
+    // valid query)
+    "topBottomOp" -> Seq("topk", "bottomk", "limitk", "limit_ratio"),
     "quantile" -> Seq("-0.5", "0.1", "0.5", "0.75", "0.95", "0.99",
       "1", "1.5"),
     "arithBinOp" -> Seq("+", "-", "*", "/", "%", "^"),
@@ -49,8 +52,12 @@ class ComplianceCorpusSpec extends SparkSpec {
     "binOp" -> Seq("+", "-", "*", "/", "%", "^", "==", "!=", "<", ">",
       "<=", ">="),
     "simpleMathFunc" -> Seq("abs", "ceil", "floor", "exp", "ln",
-      "log2", "log10", "sqrt"),
-    "simpleTimeAggrOp" -> Seq("sum", "avg", "max", "min", "count"),
+      "log2", "log10", "sqrt", "asinh", "acosh", "atanh"),
+    // the suffix list feeds `{{.simpleTimeAggrOp}}_over_time(...)`:
+    // 3.x's mad / ts_of family joins the classical aggregations
+    "simpleTimeAggrOp" -> Seq("sum", "avg", "max", "min", "count",
+      "stddev", "stdvar", "last", "present", "mad",
+      "ts_of_min", "ts_of_max", "ts_of_last"),
     "extrapolatedRateFunc" -> Seq("rate", "delta", "increase"),
     "instantRateFunc" -> Seq("irate", "idelta"),
     "clampFunc" -> Seq("clamp_min", "clamp_max"),

@@ -674,6 +674,70 @@ class PromqlSpec extends SparkSpec {
     assert(abSome.count() === (End - Start) / Hour + 1 - present)
   }
 
+  test("printer round-trips the 3.x additions") {
+    for (q <- Seq(
+      "limitk(2, max by (event_type) (events))",
+      "limit_ratio(-0.7, events)",
+      """sort_by_label_desc(events, "event_type", "user_id")""",
+      "mad_over_time(events[5m])",
+      "ts_of_max_over_time(events[1h])",
+      "ts_of_min_over_time(events[1h])",
+      "ts_of_last_over_time(events[1h])",
+      "double_exponential_smoothing(events[10m], 0.3, 0.1)",
+      "asinh(events) + acosh(events) - atanh(events)"))
+      assert(Parser.parse(Printer.print(Parser.parse(q))) ===
+        Parser.parse(q), q)
+  }
+
+  test("compile: double_exponential_smoothing is holt_winters") {
+    val hw = Compiler.compile("holt_winters(events[6h], 0.4, 0.2)", src, p)
+    val de = Compiler.compile(
+      "double_exponential_smoothing(events[6h], 0.4, 0.2)", src, p)
+    assert(rows(hw) === rows(de))
+  }
+
+  test("compile: limitk / limit_ratio determinism and complementarity") {
+    val all = rows(Compiler.compile("max by (event_type) (events)", src, p))
+    val keep = rows(Compiler.compile(
+      "limit_ratio(0.3, max by (event_type) (events))", src, p))
+    val comp = rows(Compiler.compile(
+      "limit_ratio(-0.7, max by (event_type) (events))", src, p))
+    // the two hash slices partition the vector exactly
+    assert((keep ++ comp) === all)
+    assert(keep.intersect(comp) === Set.empty)
+    // a series is in or out as a whole (per-series hash, not per-sample)
+    val keepTypes = keep.map(_._1)
+    assert(keep === all.filter(r => keepTypes(r._1)))
+    // limitk: k series per step, stable across repeated evaluation
+    val k1 = rows(Compiler.compile(
+      "limitk(2, max by (event_type) (events))", src, p))
+    assert(k1 === rows(Compiler.compile(
+      "limitk(2, max by (event_type) (events))", src, p)))
+    // k per step, capped by how many series are live at that step
+    val liveByStep = all.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(k1.groupBy(_._2).forall { case (step, picked) =>
+      picked.size == math.min(2, liveByStep(step)) })
+    assert(k1.subsetOf(all))
+    // k beyond the series count degrades to the identity
+    assert(rows(Compiler.compile(
+      "limitk(99, max by (event_type) (events))", src, p)) === all)
+  }
+
+  test("sort_by_label orders serialization only") {
+    val pp = EvalParams(End, End, Hour, lookbackMs = Hour) // single instant
+    val df = Compiler.compile(
+      """sort_by_label_desc(max by (event_type) (events), "event_type")""",
+      src, pp)
+    // the compiled PLAN is presentation-unordered (same set as unsorted)
+    assert(rows(df) === rows(Compiler.compile(
+      "max by (event_type) (events)", src, pp)))
+    val json = graft.api.PromJson.vector(df, Seq("event_type"),
+      Some(graft.api.PromJson.ByLabels(Seq("event_type"), desc = true)))
+    val order = """"event_type":"([a-z_]+)"""".r
+      .findAllMatchIn(json).map(_.group(1)).toSeq
+    assert(order === order.sorted.reverse && order.nonEmpty)
+  }
+
   test("compile: inverse hyperbolics and pi()") {
     // pi() is a scalar constant; deg(pi()) folds to 180
     assert(Compiler.compile("deg(pi())", src, p).head().getDouble(0)
