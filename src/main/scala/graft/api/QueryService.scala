@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.promql.{Compiler, EvalParams, Expr, Parser, PromSource,
-  Selector, FuncCall, LabelCall, Subquery, Agg, BinOp}
+  Selector, FuncCall, InfoCall, LabelCall, Subquery, Agg, BinOp}
 import graft.tsdb.{Matcher, MatchEq, Matchers, MutableMapping, MutableProvider}
 
 /** The reference's per-request wrapper chain (§3.1:
@@ -78,6 +78,15 @@ object QueryService {
       case Subquery(b, r, _, off) => go(b, ctxOffset + off, ctxBack + r)
       case FuncCall(_, a, _) => go(a, ctxOffset, ctxBack)
       case LabelCall(_, a, _) => go(a, ctxOffset, ctxBack)
+      case InfoCall(a, sel, _) =>
+        go(a, ctxOffset, ctxBack)
+        // the info selector evaluates as an instant vector (lookback);
+        // absent → the compiler's implicit target_info selector, same span
+        sel match {
+          case Some(s) => go(s, ctxOffset, ctxBack)
+          case None => go(Selector(Some("target_info"), Seq.empty, None, 0L),
+            ctxOffset, ctxBack)
+        }
       case a: Agg => go(a.body, ctxOffset, ctxBack)
       case b: BinOp =>
         go(b.lhs, ctxOffset, ctxBack); go(b.rhs, ctxOffset, ctxBack)
@@ -104,6 +113,10 @@ object QueryService {
         Seq(enclosing.fold("avg")(graft.tsdb.PreAgg.columnFor))
       case FuncCall(fn, a, _) => go(a, Some(fn))
       case LabelCall(_, a, _) => go(a, enclosing)
+      case InfoCall(a, _, _) =>
+        // the info side reads the avg column (gauge); disagreement with
+        // the metric side falls back to raw, never the wrong column
+        go(a, enclosing) :+ graft.tsdb.PreAgg.columnFor("info")
       case Subquery(b, _, _, _) => go(b, enclosing)
       case a: Agg => go(a.body, enclosing)
       case b: BinOp => go(b.lhs, enclosing) ++ go(b.rhs, enclosing)
@@ -131,6 +144,15 @@ object QueryService {
         s.copy(matchers = Matchers.withForced(rewritten, injected))
       case FuncCall(fn, a, ps) => FuncCall(fn, go(a), ps)
       case LabelCall(fn, a, ss) => LabelCall(fn, go(a), ss)
+      case InfoCall(a, sel, names) =>
+        // tenant/forced matchers apply to the info selector too — an
+        // explicit one via the selector rewrite, an implicit one by
+        // materializing it here so injection has a selector to land on;
+        // the parse-time data-label names are preserved so injection
+        // never widens the copied-label set
+        val s = sel.getOrElse(Selector(Some("target_info"),
+          Seq.empty, None, 0L))
+        InfoCall(go(a), Some(go(s).asInstanceOf[Selector]), names)
       case Subquery(b, r, st, off) => Subquery(go(b), r, st, off)
       case a: Agg => a.copy(by = alias(a.by), body = go(a.body))
       case b: BinOp => b.copy(lhs = go(b.lhs), rhs = go(b.rhs),

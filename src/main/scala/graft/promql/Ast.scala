@@ -60,6 +60,18 @@ final case class FuncCall(fn: String, arg: Expr,
 final case class LabelCall(fn: String, arg: Expr,
     strArgs: Seq[String]) extends Expr
 
+/** `info(v[, {data-label-selector}])` — Prometheus 3.x experimental:
+  * decorate each sample of `v` with the data labels of the matching
+  * `target_info` series (identifying labels: instance, job). The
+  * optional selector restricts/retargets which info series match and
+  * which data labels are copied. `dataNames` — the USER-written
+  * non-__name__ matcher names, pinned at parse time so the per-request
+  * wrapper chain can inject tenant/forced matchers into `sel` without
+  * widening the copied-label set.
+  */
+final case class InfoCall(arg: Expr, sel: Option[Selector],
+    dataNames: Seq[String] = Nil) extends Expr
+
 /** `expr[range:step]` — the inner expression evaluated on its own step
   * grid, consumed by a range function as a derived series (W6). `offsetMs`
   * shifts the whole subquery window (`x[5m:10s] offset 5m`).

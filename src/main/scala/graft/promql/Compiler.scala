@@ -273,6 +273,82 @@ object Compiler {
               nameCol = inner.nameCol)
         }
 
+      // info(v[, {sel}]) — Prometheus 3.x experimental (promql/info.go):
+      // decorate each sample of v with the data labels of the matching
+      // `target_info` series at that step (identifying labels: instance,
+      // job — hardcoded upstream for target_info). An explicit selector
+      // restricts which info series match AND which data labels are
+      // copied (its non-__name__ matcher names, pinned at PARSE time in
+      // `dataNames` so the per-request tenant/forced injection cannot
+      // widen the set); without one, every info-side label that is
+      // neither identifying nor the name is copied. A copied label
+      // OVERWRITES the sample's own value where the info series defines
+      // it (labels-builder Set semantics); samples with no matching info
+      // series pass through unchanged (left join); MORE than one
+      // matching info series for a sample raises, like the engine's
+      // "found multiple matches" error. Identifying-label matching
+      // treats a missing label as "" (the PromQL empty-matches-missing
+      // convention), so an info series keyed by job alone still matches
+      // samples without an instance.
+      case InfoCall(arg, selOpt, dataNames) =>
+        val inner = compileVec(arg, src, p, enclosing)
+        val sel0 = selOpt.getOrElse(Selector(None, Seq.empty, None, 0L))
+        val named =
+          if (sel0.name.isDefined ||
+            sel0.matchers.exists(_.label == "__name__")) sel0
+          else sel0.copy(name = Some("target_info"))
+        val infoVec = compileVec(named, src, p, Some("info"))
+        val idLabels = Seq("instance", "job").filter(infoVec.labels.contains)
+        if (idLabels.isEmpty) throw new IllegalArgumentException(
+          "info() needs identifying labels (instance, job) on the source")
+        // the default copy set never includes __-internal labels
+        // (__name__, tenant) — upstream copies only the info series'
+        // DATA labels; sources that expose internals as columns must
+        // not have them overwritten
+        val dataLabels =
+          (if (dataNames.nonEmpty) dataNames
+           else infoVec.labels.filterNot(idLabels.contains)
+             .filterNot(_.startsWith("__")))
+            .filter(infoVec.labels.contains)
+        if (dataLabels.isEmpty) inner
+        else {
+          // one info row per (identity, step) or a loud error: the agg
+          // collapses the instant vector and raises when two distinct
+          // info series share the identifying tuple at a step
+          val aggCols = dataLabels.map(d =>
+            when(count(lit(1)) > 1, raise_error(lit(
+              "info(): found multiple matching info series for an " +
+                "identifying label set")).cast("string"))
+              .otherwise(max(col(d).cast("string"))).as(s"__info_$d"))
+          val infoSide = infoVec.df
+            .groupBy((idLabels.map(l =>
+              coalesce(col(l).cast("string"), lit("")).as(s"__id_$l")) :+
+              col("eval_ms").as("__info_ms")): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+          val cond = idLabels.map { l =>
+            val lhs =
+              if (inner.labels.contains(l))
+                coalesce(inner.df(l).cast("string"), lit(""))
+              else lit("")
+            lhs === infoSide(s"__id_$l")
+          }.reduce(_ && _) && inner.df("eval_ms") === infoSide("__info_ms")
+          val joined0 = inner.df.join(infoSide, cond, "left")
+            .drop(infoSide("__info_ms"))
+          val joined = idLabels.foldLeft(joined0)((d, l) =>
+            d.drop(infoSide(s"__id_$l")))
+          // Set semantics: the info value wins where defined, the
+          // sample's own label rides through everywhere else
+          val df = dataLabels.foldLeft(joined) { (d, dl) =>
+            val own =
+              if (inner.labels.contains(dl)) col(dl).cast("string")
+              else lit(null).cast("string")
+            d.withColumn(dl, coalesce(col(s"__info_$dl"), own))
+              .drop(s"__info_$dl")
+          }
+          Vec(df, (inner.labels ++ dataLabels).distinct, scalar = false,
+            nameCol = inner.nameCol)
+        }
+
       // time(): the evaluation timestamp (seconds) at every step — a
       // per-step scalar (PromQL scalar type), joined on eval_ms downstream
       case FuncCall("time", _, _) =>

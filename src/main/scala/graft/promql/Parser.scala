@@ -380,6 +380,22 @@ private final class Parser(input: String) {
         val arg = parseExpr(0)
         eat(')')
         FuncCall(name, arg)
+      } else if (name == "info" && peek == '(') {
+        eat('(')
+        val arg = parseExpr(0)
+        val sel =
+          if (tryEat(",")) {
+            ws()
+            parseSelector() match {
+              case s if s.rangeMs.isDefined =>
+                fail("info data-label selector cannot be a range selector")
+              case s => Some(s)
+            }
+          } else None
+        eat(')')
+        InfoCall(arg, sel,
+          sel.map(_.matchers.map(_.label).filter(_ != "__name__").distinct)
+            .getOrElse(Nil))
       } else if ((name == "label_replace" || name == "label_join" ||
         name == "sort_by_label" || name == "sort_by_label_desc") &&
         peek == '(') {

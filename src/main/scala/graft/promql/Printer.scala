@@ -30,6 +30,8 @@ object Printer {
       (s"$fn(${print(arg)}" +: params.map(num)).mkString(", ") + ")"
     case LabelCall(fn, arg, strs) =>
       (s"$fn(${print(arg)}" +: strs.map(q)).mkString(", ") + ")"
+    case InfoCall(arg, sel, _) =>
+      s"info(${print(arg)}${sel.map(s => ", " + print(s)).getOrElse("")})"
     case Agg(op, by, without, body, param, strParam) =>
       val grouping =
         if (without) s" without (${by.map(ln).mkString(", ")}) "

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -282,6 +282,31 @@ object PromqlQueries {
           Seq("event_type", "eval_ms"))
     }),
 
+    // §2.7 — info() (Prometheus 3.x experimental): each events sample
+    // decorated with the dc data label of the target_info series sharing
+    // its (job, instance) identity at that step. The fixture plants one
+    // target_info series per (job, instance) with samples at the SAME
+    // timestamps as the metric, so every instant row decorates and the
+    // oracle can derive dc deterministically from the identity.
+    "pql22_info" -> ((s, dir) => {
+      val base = ptsBySeries(s, dir)
+      def shaped(name: String, v: Column, dc: Column) = base.select(
+        lit(name).as("__mname"),
+        col("event_type").as("job"),
+        col("user_id").cast("string").as("instance"),
+        dc.as("dc"), col("ts_ms"), v.as("value"))
+      val pts = shaped("events", col("value"), lit(null).cast("string"))
+        .unionByName(shaped("target_info", lit(1.0),
+          concat(lit("dc-"), pmod(col("user_id"), lit(3)).cast("string"))))
+      val src = PromSource(pts, Seq("job", "instance", "dc"), {
+        case "__name__" => col("__mname")
+        case other => col(other)
+      })
+      Compiler.compile("info(events)", src, DayP)
+        .select(col("job"), col("instance"), col("dc"), col("eval_ms"),
+          col("value"))
+    }),
+
     // §2.7 — date functions through the compiler: components of the
     // chosen sample's own timestamp (corpus dateFunc family)
     "pql16_date_fns" -> ((s, dir) => {
@@ -553,6 +578,12 @@ object PromqlQueries {
         FROM inst WHERE event_type = 'signup' GROUP BY 1, 2)
       SELECT m.user_id, 'signup' AS event_type, m.eval_ms, m.mv * s.sv AS value
       FROM m JOIN s ON m.user_id = s.user_id AND m.eval_ms = s.eval_ms""",
+
+    "pql22_info" -> s"""
+      WITH $InstSeries
+      SELECT event_type AS job, user_id::VARCHAR AS instance,
+        'dc-' || (user_id % 3)::VARCHAR AS dc, eval_ms, value
+      FROM inst""",
 
     "pql20_limit_sampling" -> s"""
       WITH $InstType,

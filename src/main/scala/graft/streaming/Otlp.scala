@@ -46,14 +46,34 @@ object Otlp {
         }
         val base = translateResource(resourceAttrs)
         // second pass: metrics
+        val block = Seq.newBuilder[PromSeries]
         eachField(bytes, from, to) {
           case (2, f2, t2) => // ScopeMetrics
             eachField(bytes, f2, t2) {
               case (2, f3, t3) => // Metric
-                out ++= decodeMetric(bytes, f3, t3, base)
+                block ++= decodeMetric(bytes, f3, t3, base)
               case _ => ()
             }
           case _ => ()
+        }
+        val series = block.result()
+        out ++= series
+        // target_info synthesis (the upstream otlptranslator's
+        // addResourceTargetInfo, which the reference gets via the
+        // Prometheus OTLP endpoint it enables): non-identifying resource
+        // attributes become the data labels of ONE `target_info` sample
+        // per resource, value 1, stamped at the block's most recent
+        // data-point timestamp. Emitted only when the resource has an
+        // identity (job/instance) AND at least one extra attribute —
+        // exactly the upstream gate.
+        val extras = resourceAttrs.view
+          .filterKeys(k => k != "service.name" && k != "service.instance.id")
+          .map { case (k, v) => sanitize(k) -> v }.toMap
+        if (base.nonEmpty && extras.nonEmpty && series.nonEmpty) {
+          val maxTs = series.iterator.flatMap(_.samples.map(_._1)).max
+          out += PromSeries(
+            base ++ extras + ("__name__" -> "target_info"),
+            Seq((maxTs, 1.0)))
         }
       case _ => ()
     }
@@ -177,7 +197,8 @@ object Otlp {
       tsNano: Long, value: Double)
 
   def encodeExportRequest(serviceName: String, instance: String,
-      points: Seq[OtlpPoint]): Array[Byte] = {
+      points: Seq[OtlpPoint],
+      resourceAttrs: Map[String, String] = Map.empty): Array[Byte] = {
     def kv(k: String, v: String): Array[Byte] = {
       val av = new java.io.ByteArrayOutputStream()
       writeLenDelim(av, 1, v.getBytes("UTF-8")) // string_value
@@ -210,6 +231,9 @@ object Otlp {
     val resource = new java.io.ByteArrayOutputStream()
     writeLenDelim(resource, 1, kv("service.name", serviceName))
     writeLenDelim(resource, 1, kv("service.instance.id", instance))
+    resourceAttrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      writeLenDelim(resource, 1, kv(k, v))
+    }
     val rm = new java.io.ByteArrayOutputStream()
     writeLenDelim(rm, 1, resource.toByteArray)
     writeLenDelim(rm, 2, scope.toByteArray)

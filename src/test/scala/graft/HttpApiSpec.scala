@@ -323,6 +323,47 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       resp.contains(""""instance":"oi1""""), resp)
   }
 
+  test("OTLP target_info synthesis + PromQL info() decoration") {
+    import graft.streaming.Otlp
+    val payload = Otlp.encodeExportRequest("svc2", "oi2",
+      (0 until 5).map(i =>
+        Otlp.OtlpPoint("otlp_info_metric", Map.empty,
+          (T0 + i * 60000L) * 1000000L, 40.0 + i)),
+      resourceAttrs = Map("k8s.cluster.name" -> "c-west",
+        "deployment.environment" -> "prod"))
+    val r = post("/api/v1/otlp/v1/metrics", payload, "application/x-protobuf")
+    assert(r.statusCode() === 204)
+    val t = (T0 + 4 * 60000L) / 1000
+    // the synthesized info series is queryable itself…
+    val ti = get(s"/api/v1/query?query=${enc("target_info")}&time=$t").body()
+    assert(ti.contains(""""k8s_cluster_name":"c-west"""") &&
+      ti.contains(""""deployment_environment":"prod"""") &&
+      ti.contains(""""job":"svc2""""), ti)
+    // …and info() copies its data labels onto the metric's samples
+    val dec = get(s"/api/v1/query?query=${enc("info(otlp_info_metric)")}" +
+      s"&time=$t").body()
+    assert(dec.contains(""""__name__":"otlp_info_metric"""") &&
+      dec.contains(""""k8s_cluster_name":"c-west"""") &&
+      dec.contains(""""deployment_environment":"prod""""), dec)
+    // the selector form restricts the copied labels
+    val one = get(s"/api/v1/query?query=" +
+      enc("""info(otlp_info_metric, {k8s_cluster_name=~".+"})""") +
+      s"&time=$t").body()
+    assert(one.contains(""""k8s_cluster_name":"c-west"""") &&
+      !one.contains("deployment_environment"), one)
+    // samples from other resources (no matching target_info) pass through
+    val plain = Otlp.encodeExportRequest("svc3", "oi3",
+      Seq(Otlp.OtlpPoint("otlp_plain_metric", Map.empty,
+        (T0 + 4 * 60000L) * 1000000L, 9.0)))
+    assert(post("/api/v1/otlp/v1/metrics", plain,
+      "application/x-protobuf").statusCode() === 204)
+    val other = get(
+      s"/api/v1/query?query=${enc("info(otlp_plain_metric)")}" +
+        s"&time=$t").body()
+    assert(other.contains(""""__name__":"otlp_plain_metric"""") &&
+      !other.contains("k8s_cluster_name"), other)
+  }
+
   test("mutable labels: CRUD + matcher rewrite + decoration + label APIs") {
     val mt = Seq("X-SquirrelDB-Tenant" -> "mt")
     post("/api/v1/write", Prompb.encodeSnappy(Seq(

@@ -689,6 +689,47 @@ class PromqlSpec extends SparkSpec {
         Parser.parse(q), q)
   }
 
+  test("info(): identity join decorates, missing info passes through, " +
+    "multiple matches raise") {
+    val spark0 = spark
+    import spark0.implicits._
+    val t0 = Start + Hour
+    def mk(rows: Seq[(String, String, String, String, Long, Double)]) = {
+      val pts = rows.toDF("__mname", "job", "instance", "dc", "ts_ms",
+        "value")
+      PromSource(pts, Seq("job", "instance", "dc"), {
+        case "__name__" => col("__mname")
+        case other => col(other)
+      })
+    }
+    val s2 = mk(Seq(
+      ("m", "api", "i1", null, t0, 1.0),
+      ("m", "api", "i2", null, t0, 2.0),
+      ("target_info", "api", "i1", "west", t0, 1.0)))
+    val pp = EvalParams(t0, t0, Hour)
+    val got = Compiler.compile("info(m)", s2, pp)
+      .select("job", "instance", "dc", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
+        r.getDouble(3))).toSet
+    assert(got === Set(("api", "i1", Some("west"), 1.0),
+      ("api", "i2", None, 2.0)))
+    // the explicit selector restricts matching AND the copied labels
+    val none = Compiler.compile("""info(m, {dc="east"})""", s2, pp)
+      .where(col("dc").isNotNull).count()
+    assert(none === 0L)
+    // parse-time data names survive printing
+    val q = """info(m, {dc=~".+"})"""
+    assert(Parser.parse(Printer.print(Parser.parse(q))) === Parser.parse(q))
+    // two info series sharing (job, instance) at a step → loud error
+    val dup = mk(Seq(
+      ("m", "api", "i1", null, t0, 1.0),
+      ("target_info", "api", "i1", "west", t0, 1.0),
+      ("target_info", "api", "i1", "east", t0, 1.0)))
+    val e = intercept[Exception](
+      Compiler.compile("info(m)", dup, pp).collect())
+    assert(e.getMessage != null)
+  }
+
   test("compile: double_exponential_smoothing is holt_winters") {
     val hw = Compiler.compile("holt_winters(events[6h], 0.4, 0.2)", src, p)
     val de = Compiler.compile(
