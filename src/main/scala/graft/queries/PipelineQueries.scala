@@ -189,6 +189,14 @@ object PipelineQueries {
       Dedup.jaccard(corpus(s, dir),
         candidates(s, dir).localCheckpoint(true), ShingleLen)),
 
+    // edit-distance verification over the SAME candidate set as d4:
+    // character-level similarity on a 500-char prefix cap (the
+    // planted "+ extra tail" re-crawls land near 1.0; unrelated
+    // LSH collisions fall low)
+    "d11_edit_verify" -> ((s, dir) =>
+      Dedup.editVerify(corpus(s, dir),
+        candidates(s, dir).localCheckpoint(true), 500)),
+
     // SimHash (60-bit) per document
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
@@ -826,6 +834,21 @@ object PipelineQueries {
     "d3_lsh_candidates" -> s"""
       WITH $SigSql, $CandSql
       SELECT doc_a, doc_b FROM cand""",
+
+    "d11_edit_verify" -> s"""
+      WITH $SigSql, $CandSql,
+      txt AS (SELECT doc_id, substr(text, 1, 500) AS t FROM corpus)
+      SELECT c.doc_a, c.doc_b,
+        levenshtein(coalesce(a.t, ''), coalesce(b.t, '')) AS edit_dist,
+        CASE WHEN greatest(length(coalesce(a.t, '')),
+            length(coalesce(b.t, ''))) > 0
+          THEN 1.0 - levenshtein(coalesce(a.t, ''), coalesce(b.t, ''))
+            / CAST(greatest(length(coalesce(a.t, '')),
+                length(coalesce(b.t, ''))) AS DOUBLE)
+        END AS edit_sim
+      FROM cand c
+      LEFT JOIN txt a ON a.doc_id = c.doc_a
+      LEFT JOIN txt b ON b.doc_id = c.doc_b""",
 
     "d4_jaccard_verify" -> s"""
       WITH $SigSql, $CandSql,

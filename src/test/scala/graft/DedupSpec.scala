@@ -854,6 +854,31 @@ class DedupSpec extends SparkSpec {
     assert(got(("s2", "s3")) === ((0L, 4L, 0.0)))
   }
 
+  test("editVerify: exact distances, prefix cap, absent member as empty") {
+    val docs = Seq(
+      (1L, "kitten sat here"),
+      (2L, "sitting sat here"),
+      (3L, "kitten sat here"),
+      (4L, "completely different body of text"),
+      // beyond-cap divergence is invisible at capChars = 15
+      (5L, "kitten sat here EXTRA DIVERGENT TAIL"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 99L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.editVerify(docs, pairs, capChars = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // lev("kitten sat here", "sitting sat her") = classic kitten→sitting
+    // 3 edits + the trailing 'e' truncated by the cap on doc 2 only
+    assert(got((1L, 3L)) === ((0L, Some(1.0))))
+    assert(got((1L, 5L)) === ((0L, Some(1.0)))) // tail cut by the cap
+    assert(got((1L, 2L))._1 === 4L)
+    assert(got((1L, 4L))._1 > 5L)
+    // absent member: distance = |a| (vs ""), similarity 0
+    assert(got((1L, 99L)) === ((15L, Some(0.0))))
+  }
+
   test("hashSplit/splitLeakage: splits match the md5 definition; only " +
     "cross-split pairs at/above the threshold are emitted") {
     import graft.text.TextOps
