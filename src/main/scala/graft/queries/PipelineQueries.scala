@@ -209,6 +209,30 @@ object PipelineQueries {
           candidates(s, dir).localCheckpoint(true), ShingleLen),
         ClusterThreshold)),
 
+    // quality-aware cluster retention: instead of d7's min-id canonical,
+    // keep the HIGHEST-quality member of each duplicate cluster (ties →
+    // smallest id) — the retention rule curation pipelines actually want
+    // (the re-crawl with the cleaner text wins, not the one crawled
+    // first). Composes two verified chains: d7's connected components
+    // and x1's quality score; the per-cluster argmax is one bounded
+    // aggregate over the cluster-membership relation (cluster count ≤
+    // candidate pairs, orders below the corpus at 100 TB).
+    "d12_cluster_best" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val clusters = Dedup.dupClusters(
+        Dedup.jaccard(c, candidates(s, dir).localCheckpoint(true),
+          ShingleLen), ClusterThreshold)
+      val q = TextOps.quality(c).select(col("doc_id"), col("quality_score"))
+      clusters.join(q, "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("quality_score").as("q"),
+            (-col("doc_id")).as("nid"))).as("__m"))
+        .select(col("cluster"), col("n_docs"),
+          (-col("__m.nid")).cast("long").as("keep_id"),
+          col("__m.q").as("best_q"))
+    }),
+
     // embedding-cosine near-dup: SRP-bucketed pair generation + exact
     // cosine filter; planted re-ingested vectors guarantee positives
     "d6_embedding_neardup" -> ((s, dir) => {
@@ -898,6 +922,52 @@ object PipelineQueries {
       SELECT src AS doc_id, min(lbl) AS cluster,
         (min(lbl) = src) AS keep
       FROM reach GROUP BY 1""",
+
+    "d12_cluster_best" -> s"""
+      WITH RECURSIVE $SigSql, $CandSql,
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+        GROUP BY 1, 2),
+      ver AS (SELECT c.doc_a, c.doc_b,
+          round(coalesce(i.n_inter, 0)::DOUBLE /
+            nullif(coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+              - coalesce(i.n_inter, 0), 0)::DOUBLE, 6) AS j
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+        LEFT JOIN sizes sb ON sb.doc_id = c.doc_b),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver
+        WHERE j >= $ClusterThreshold
+        UNION
+        SELECT doc_b, doc_a FROM ver WHERE j >= $ClusterThreshold),
+      reach AS (
+        SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.src = e.dst),
+      cl AS (SELECT src AS doc_id, min(lbl) AS cluster
+        FROM reach GROUP BY 1),
+      qual AS (SELECT doc_id,
+        least(len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE
+            / 64.0, 1.0) * 0.5 +
+          least(len(regexp_extract_all(lower(text),
+              '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE /
+            greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+              1)::DOUBLE * 5.0, 1.0) * 0.3 +
+          (1.0 - least(len(regexp_extract_all(text,
+              '[^a-zA-Z0-9\\s]'))::DOUBLE /
+            greatest(length(text), 1)::DOUBLE * 10.0, 1.0)) * 0.2
+          AS quality_score
+        FROM corpus)
+      SELECT cluster, count(*) AS n_docs,
+        -((max(struct_pack(q := quality_score, nid := -doc_id))).nid)
+          AS keep_id,
+        (max(struct_pack(q := quality_score, nid := -doc_id))).q AS best_q
+      FROM cl JOIN qual USING (doc_id)
+      GROUP BY 1""",
 
     "d5_simhash" -> s"""
       WITH tok AS (SELECT DISTINCT doc_id,
