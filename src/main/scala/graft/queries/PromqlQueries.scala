@@ -69,6 +69,35 @@ object PromqlQueries {
       case "user_id" => col("user_id").cast("string")
     })
 
+  /** Hourly per-type cumulative le-buckets derived from events — the
+    * classic-histogram fixture pql4/pql23 evaluate over.
+    */
+  private def histSrc(s: SparkSession, dir: String): PromSource = {
+    val hourly = pts(s, dir)
+      .withColumn("hour_ms", col("ts_ms") - pmod(col("ts_ms"), lit(Hour)))
+      .groupBy("event_type", "hour_ms")
+      .agg(count(when(col("value") <= 50, 1)).as("c1"),
+        count(when(col("value") <= 100, 1)).as("c2"),
+        count(when(col("value") <= 200, 1)).as("c3"),
+        count(when(col("value") <= 500, 1)).as("c4"),
+        count(lit(1)).as("c5"))
+    val buckets = hourly.select(col("event_type"),
+        col("hour_ms").as("ts_ms"), explode(array(
+          struct(lit("50").as("le"), col("c1").cast("double").as("value")),
+          struct(lit("100").as("le"), col("c2").cast("double").as("value")),
+          struct(lit("200").as("le"), col("c3").cast("double").as("value")),
+          struct(lit("500").as("le"), col("c4").cast("double").as("value")),
+          struct(lit("+Inf").as("le"), col("c5").cast("double").as("value"))
+        )).as("b"))
+      .select(col("event_type"), col("ts_ms"),
+        col("b.le").as("le"), col("b.value").as("value"))
+    PromSource(buckets, Seq("event_type", "le"), {
+      case "__name__" => lit("m")
+      case "event_type" => col("event_type")
+      case "le" => col("le")
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PromQL end-to-end: parse → compile → DataFrame plan (SURVEY §7.1.6)
     "pql1_rate_sum" -> ((s, dir) =>
@@ -96,33 +125,24 @@ object PromqlQueries {
     // §2.7/A6 — histogram_quantile compiled over le-labelled cumulative
     // buckets (compliance yml:233): hourly per-type histograms derived
     // from the events table, quantile interpolated per (series-minus-le)
-    "pql4_hist_quantile" -> ((s, dir) => {
-      val hourly = pts(s, dir)
-        .withColumn("hour_ms", col("ts_ms") - pmod(col("ts_ms"), lit(Hour)))
-        .groupBy("event_type", "hour_ms")
-        .agg(count(when(col("value") <= 50, 1)).as("c1"),
-          count(when(col("value") <= 100, 1)).as("c2"),
-          count(when(col("value") <= 200, 1)).as("c3"),
-          count(when(col("value") <= 500, 1)).as("c4"),
-          count(lit(1)).as("c5"))
-      val buckets = hourly.select(col("event_type"),
-          col("hour_ms").as("ts_ms"), explode(array(
-            struct(lit("50").as("le"), col("c1").cast("double").as("value")),
-            struct(lit("100").as("le"), col("c2").cast("double").as("value")),
-            struct(lit("200").as("le"), col("c3").cast("double").as("value")),
-            struct(lit("500").as("le"), col("c4").cast("double").as("value")),
-            struct(lit("+Inf").as("le"), col("c5").cast("double").as("value"))
-          )).as("b"))
-        .select(col("event_type"), col("ts_ms"),
-          col("b.le").as("le"), col("b.value").as("value"))
-      val hsrc = PromSource(buckets, Seq("event_type", "le"), {
-        case "__name__" => lit("m")
-        case "event_type" => col("event_type")
-        case "le" => col("le")
-      })
-      Compiler.compile("histogram_quantile(0.9, m)", hsrc, HourP)
-        .select(col("event_type"), col("eval_ms"), col("value").as("p90"))
-    }),
+    "pql4_hist_quantile" -> ((s, dir) =>
+      Compiler.compile("histogram_quantile(0.9, m)", histSrc(s, dir), HourP)
+        .select(col("event_type"), col("eval_ms"), col("value").as("p90"))),
+
+    // §2.7/W3 — THE production histogram query: p90 latency from
+    // per-bucket RATES (histogram_quantile over rate(bucket[6h])). Pins
+    // the composition end-to-end: the le label must survive the rate
+    // grouping, and the bucket interpolation runs over extrapolated
+    // per-second rates — including the count-based target-bucket rule
+    // on whatever (not necessarily monotone) rated values come out,
+    // which the oracle replicates literally. NaN steps (empty windows)
+    // are filtered on BOTH sides.
+    "pql23_hist_rate" -> ((s, dir) =>
+      Compiler.compile("histogram_quantile(0.9, rate(m[6h]))",
+          histSrc(s, dir), HourP)
+        .where(!isnan(col("value")))
+        .select(col("event_type"), col("eval_ms"),
+          round(col("value"), 6).as("p90"))),
 
     // A6/W8 — bottomk via the compiler (compliance yml:100 topBottomOp)
     "pql5_bottomk" -> ((s, dir) =>
@@ -504,6 +524,49 @@ object PromqlQueries {
             200.0 + (500.0 - 200.0) * ((0.9 * c5 - c3) / (c4 - c3))
           ELSE 500.0 END AS p90
       FROM b""",
+
+    "pql23_hist_rate" -> {
+      val bAgg = s"""SELECT event_type, ts_ms - ts_ms % ${Hour} AS ts_ms,
+        CAST(count(*) FILTER (value <= 50) AS DOUBLE) AS c1,
+        CAST(count(*) FILTER (value <= 100) AS DOUBLE) AS c2,
+        CAST(count(*) FILTER (value <= 200) AS DOUBLE) AS c3,
+        CAST(count(*) FILTER (value <= 500) AS DOUBLE) AS c4,
+        CAST(count(*) AS DOUBLE) AS c5
+        FROM ($P) GROUP BY 1, 2"""
+      val bucketRows = Seq("50" -> "c1", "100" -> "c2", "200" -> "c3",
+        "500" -> "c4", "+Inf" -> "c5").map { case (le, c) =>
+        s"SELECT event_type, '$le' AS le, ts_ms, $c AS value FROM ($bAgg)"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH ${TsdbQueries.rateFin(bucketRows, Seq("event_type", "le"), SixH)},
+      rq AS (SELECT event_type, eval_ms,
+          max(CASE WHEN le = '50' THEN inc END) / 21600.0 AS r1,
+          max(CASE WHEN le = '100' THEN inc END) / 21600.0 AS r2,
+          max(CASE WHEN le = '200' THEN inc END) / 21600.0 AS r3,
+          max(CASE WHEN le = '500' THEN inc END) / 21600.0 AS r4,
+          max(CASE WHEN le = '+Inf' THEN inc END) / 21600.0 AS r5
+        FROM fin GROUP BY 1, 2),
+      rq2 AS (SELECT *, 0.9 * r5 AS rk,
+          CAST(r1 < 0.9 * r5 AS INT) + CAST(r2 < 0.9 * r5 AS INT) +
+          CAST(r3 < 0.9 * r5 AS INT) + CAST(r4 < 0.9 * r5 AS INT) +
+          CAST(r5 < 0.9 * r5 AS INT) AS lo
+        FROM rq WHERE r1 IS NOT NULL AND r2 IS NOT NULL
+          AND r3 IS NOT NULL AND r4 IS NOT NULL AND r5 IS NOT NULL),
+      q AS (SELECT event_type, eval_ms,
+        CASE
+          WHEN lo >= 4 THEN 500.0
+          WHEN lo = 0 THEN CASE WHEN r1 = 0.0 THEN 'NaN'::DOUBLE
+            ELSE 0.0 + 50.0 * ((rk - 0.0) / r1) END
+          WHEN lo = 1 THEN CASE WHEN r2 - r1 = 0.0 THEN 'NaN'::DOUBLE
+            ELSE 50.0 + 50.0 * ((rk - r1) / (r2 - r1)) END
+          WHEN lo = 2 THEN CASE WHEN r3 - r2 = 0.0 THEN 'NaN'::DOUBLE
+            ELSE 100.0 + 100.0 * ((rk - r2) / (r3 - r2)) END
+          ELSE CASE WHEN r4 - r3 = 0.0 THEN 'NaN'::DOUBLE
+            ELSE 200.0 + 300.0 * ((rk - r3) / (r4 - r3)) END
+        END AS p90 FROM rq2)
+      SELECT event_type, eval_ms, round(p90, 6) AS p90
+      FROM q WHERE NOT isnan(p90)"""
+    },
 
     "pql5_bottomk" -> s"""
       WITH $InstType

@@ -539,6 +539,54 @@ object TsdbQueries {
     * `fin` (columns incl. eval_ms, n_samples, delta, inc) — shared by the
     * w3 oracle and the w6 subquery oracle.
     */
+  /** The Prometheus extrapolated-rate chain as DuckDB SQL over an
+    * arbitrary keyed sample stream: `ptsSql` must produce
+    * (keys…, ts_ms, value); the chain ends in `fin` carrying `inc`
+    * (the extrapolated increase per `rangeMs` window on the hourly
+    * grid). `RateFinSql` is the (event_type, 1h) instance the pql1/w3
+    * oracles consume.
+    */
+  private[queries] def rateFin(ptsSql: String, keys: Seq[String],
+      rangeMs: Long): String = {
+    val ks = keys.mkString(", ")
+    s"""
+      pts AS ($ptsSql), prev AS (
+        SELECT $ks, ts_ms, value,
+          lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts
+        FROM pts WINDOW w AS (PARTITION BY $ks ORDER BY ts_ms)
+      ), grid AS ($Grid), agg AS (
+        SELECT $ks, eval_ms, count(value) AS n_samples,
+          min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
+          (min(struct_pack(t := ts_ms, v := value))).v AS first_val,
+          (max(struct_pack(t := ts_ms, v := value))).v AS last_val,
+          CAST(sum(CAST(
+            CASE WHEN prev_ts IS NOT NULL AND prev_ts > eval_ms - ${rangeMs}
+                AND prev_val IS NOT NULL AND value < prev_val
+              THEN prev_val ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+            AS corr
+        FROM prev JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${rangeMs}
+        GROUP BY $ks, eval_ms HAVING count(value) >= 2
+      ), ext AS (
+        SELECT *, last_val - first_val + corr AS delta,
+          CAST(last_ts - first_ts AS DOUBLE) AS si,
+          CAST(first_ts - (eval_ms - ${rangeMs}) AS DOUBLE) AS ds0,
+          CAST(eval_ms - last_ts AS DOUBLE) AS de,
+          CAST(last_ts - first_ts AS DOUBLE) / CAST(n_samples - 1 AS DOUBLE) AS ad
+        FROM agg
+      ), ext2 AS (
+        SELECT *,
+          CASE WHEN ds0 >= ad * 1.1 THEN ad / 2.0 ELSE ds0 END AS es0,
+          CASE WHEN de >= ad * 1.1 THEN ad / 2.0 ELSE de END AS ee,
+          CASE WHEN delta > 0 AND first_val >= 0
+            THEN si * (first_val / delta) END AS dz
+        FROM ext
+      ), fin AS (
+        SELECT *, delta * ((si +
+            (CASE WHEN dz IS NOT NULL AND dz < es0 THEN dz ELSE es0 END) +
+            ee) / si) AS inc
+        FROM ext2)"""
+  }
+
   private[queries] val RateFinSql = s"""
       pts AS ($PD), prev AS (
         SELECT event_type, ts_ms, value,
