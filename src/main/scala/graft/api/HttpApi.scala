@@ -1589,6 +1589,11 @@ final class HttpApi(spark: SparkSession,
             """{"version":"2.x-compat","application":"graft"}"""))
         case (_, "/api/v1/status/config") =>
           respond(h, 200, PromJson.success("""{"yaml":""}"""))
+        case (_, "/api/v1/status/flags") =>
+          respond(h, 200, PromJson.success("{}"))
+        case (_, "/api/v1/query_exemplars") =>
+          respond(h, 200, PromJson.success("[]"))
+        case (_, "/api/v1/status/tsdb") => handleStatusTsdb(h)
         case (_, "/ready") =>
           respondBytes(h, 200, "SquirrelDB-compatible API ready\n"
             .getBytes(UTF_8), "text/plain")
@@ -2107,6 +2112,67 @@ final class HttpApi(spark: SparkSession,
     * when unfiltered) plus the tenant's mutable names (M3,
     * `cassandra/mutable/index.go:127-185`).
     */
+  /** /api/v1/status/tsdb — the upstream TSDB-status payload (Grafana's
+    * TSDB page): head stats plus the four top-10 cardinality tables,
+    * computed from the live deduped view. The per-table aggregates run
+    * over the DISTINCT-series relation (dimension-sized by definition),
+    * so everything after the one dedup pass is tiny; this is a status
+    * endpoint, priced like the debug index dumps, not the query path.
+    * `chunkCount` maps to the sample count — the closest analogue in a
+    * store without head chunks. Top-10 ties break by name for a
+    * deterministic payload.
+    */
+  private def handleStatusTsdb(h: HttpExchange): Unit = {
+    def entries(rows: Seq[(String, Long)]): String =
+      rows.map { case (n, v) =>
+        s"""{"name":"${PromJson.escape(n)}","value":$v}"""
+      }.mkString("[", ",", "]")
+    val empty = """{"headStats":{"numSeries":0,"numLabelPairs":0,""" +
+      """"chunkCount":0,"minTime":0,"maxTime":0},""" +
+      """"seriesCountByMetricName":[],"labelValueCountByLabelName":[],""" +
+      """"memoryInBytesByLabelName":[],"seriesCountByLabelValuePair":[]}"""
+    dedupedPoints() match {
+      case None => respond(h, 200, PromJson.success(empty))
+      case Some(df) =>
+        import spark.implicits._
+        val stats = df.agg(min("ts_ms"), max("ts_ms"), count(lit(1))).head()
+        if (stats.isNullAt(0)) { respond(h, 200, PromJson.success(empty)); return }
+        val (minT, maxT, nPts) =
+          (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+        // MAP columns can't feed distinct(); the canonical series id can
+        // (labels are constant per metric_id by construction)
+        val dist = df.groupBy("metric_id")
+          .agg(first(col("labels")).as("labels"))
+        val pairs = dist
+          .select(explode(col("labels")).as(Seq("k", "v")))
+          .localCheckpoint(true) // four aggregates read it, one pass each
+        val numSeries = dist.count()
+        val numPairs = pairs.distinct().count()
+        def top10(d: DataFrame): Seq[(String, Long)] = d
+          .orderBy(col("value").desc, col("name").asc).limit(10)
+          .as[(String, Long)].collect().toSeq
+        val byMetric = top10(dist
+          .select(element_at(col("labels"), "__name__").as("name"))
+          .where(col("name").isNotNull)
+          .groupBy("name").agg(count(lit(1)).as("value")))
+        val valuesByName = top10(pairs.groupBy(col("k").as("name"))
+          .agg(countDistinct(col("v")).as("value")))
+        val bytesByName = top10(pairs.groupBy(col("k").as("name"))
+          .agg(sum(length(col("v"))).as("value")))
+        val byPair = top10(pairs
+          .select(concat(col("k"), lit("="), col("v")).as("name"))
+          .groupBy("name").agg(count(lit(1)).as("value")))
+        respond(h, 200, PromJson.success(
+          s"""{"headStats":{"numSeries":$numSeries,""" +
+            s""""numLabelPairs":$numPairs,"chunkCount":$nPts,""" +
+            s""""minTime":$minT,"maxTime":$maxT},""" +
+            s""""seriesCountByMetricName":${entries(byMetric)},""" +
+            s""""labelValueCountByLabelName":${entries(valuesByName)},""" +
+            s""""memoryInBytesByLabelName":${entries(bytesByName)},""" +
+            s""""seriesCountByLabelValuePair":${entries(byPair)}}"""))
+    }
+  }
+
   private def handleLabels(h: HttpExchange): Unit = {
     import spark.implicits._
     val ps = params(h)

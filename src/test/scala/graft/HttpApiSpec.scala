@@ -364,6 +364,36 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       !other.contains("k8s_cluster_name"), other)
   }
 
+  test("/api/v1/status/tsdb: head stats + top-10 cardinality tables") {
+    writeFixture()
+    val body = get("/api/v1/status/tsdb").body()
+    assert(body.contains("numSeries"), body)
+    def num(field: String): Long =
+      ("\"" + field + "\":(\\d+)").r.findFirstMatchIn(body).get.group(1).toLong
+    assert(num("numSeries") >= 4L) // at least the fixture's series
+    assert(num("numLabelPairs") >= 6L)
+    assert(num("chunkCount") >= 40L) // fixture samples
+    assert(num("minTime") > 0L && num("maxTime") >= num("minTime"))
+    // the fixture metrics appear with their series counts
+    assert(body.contains("""{"name":"http_requests_total","value":"""), body)
+    val jobNode = """\{"name":"job=node","value":(\d+)\}""".r
+      .findFirstMatchIn(body)
+    assert(jobNode.exists(_.group(1).toLong >= 4L), body)
+    // every table is ≤10 entries, sorted by value desc
+    for (tbl <- Seq("seriesCountByMetricName", "labelValueCountByLabelName",
+        "memoryInBytesByLabelName", "seriesCountByLabelValuePair")) {
+      val arr = (tbl + "\":\\[(.*?)\\]").r.findFirstMatchIn(body).get.group(1)
+      val vals = """"value":(\d+)""".r.findAllMatchIn(arr)
+        .map(_.group(1).toLong).toSeq
+      assert(vals.nonEmpty && vals.size <= 10, tbl)
+      assert(vals === vals.sorted.reverse, tbl)
+    }
+    // the stub corners of the status surface
+    assert(get("/api/v1/status/flags").body().contains("success"))
+    assert(get("/api/v1/query_exemplars?query=up").body()
+      .contains(""""data":[]"""))
+  }
+
   test("mutable labels: CRUD + matcher rewrite + decoration + label APIs") {
     val mt = Seq("X-SquirrelDB-Tenant" -> "mt")
     post("/api/v1/write", Prompb.encodeSnappy(Seq(
