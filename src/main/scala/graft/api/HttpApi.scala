@@ -1574,6 +1574,9 @@ final class HttpApi(spark: SparkSession,
             Parser.parse(required(params(h), "query")))
           respond(h, 200,
             PromJson.success("\"" + PromJson.escape(formatted) + "\""))
+        case (_, "/api/v1/parse_query") =>
+          respond(h, 200, PromJson.success(
+            AstJson.translate(Parser.parse(required(params(h), "query")))))
         // the rest of the upstream v1 surface a dashboard client probes —
         // served empty/static, like the reference's engine-less deployment
         case (_, "/api/v1/metadata") => respond(h, 200, PromJson.success("{}"))

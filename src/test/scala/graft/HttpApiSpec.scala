@@ -394,6 +394,42 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       .contains(""""data":[]"""))
   }
 
+  test("/api/v1/parse_query serves the translateAST tree") {
+    val body = get("/api/v1/parse_query?query=" + enc(
+      """sum by (job) (rate(http_requests_total{code=~"5.."}[5m]))
+         / on(job) group_left (env) max by (job, env) (up offset 1h)""")
+    ).body()
+    // aggregation over a call over a matrixSelector, with the metric
+    // name doubled into a __name__ matcher and durations in ms
+    assert(body.contains(""""type":"aggregation","op":"sum""""), body)
+    assert(body.contains(""""type":"call","func":{"name":"rate"}"""), body)
+    assert(body.contains(""""type":"matrixSelector","range":300000"""),
+      body)
+    assert(body.contains(
+      """{"name":"__name__","type":"=","value":"http_requests_total"}"""),
+      body)
+    assert(body.contains(
+      """{"name":"code","type":"=~","value":"5.."}"""), body)
+    assert(body.contains(""""grouping":["job"],"without":false"""), body)
+    // the binary side: matching card + include labels + rhs offset
+    assert(body.contains(""""type":"binaryExpr","op":"/""""), body)
+    assert(body.contains(
+      """"card":"many-to-one","labels":["job"],"on":true,"include":["env"]"""),
+      body)
+    assert(body.contains(""""offset":3600000"""), body)
+    // histogram_quantile keeps the user's param-first argument order
+    val hq = get("/api/v1/parse_query?query=" +
+      enc("histogram_quantile(0.9, m)")).body()
+    assert(hq.contains(
+      """"args":[{"type":"numberLiteral","val":"0.9"}"""), hq)
+    // @ start() serializes as startOrEnd
+    val at = get("/api/v1/parse_query?query=" + enc("up @ start()")).body()
+    assert(at.contains(""""startOrEnd":"start""""), at)
+    // malformed input is a 400-class error payload, not a 500
+    val bad = get("/api/v1/parse_query?query=" + enc("sum by ("))
+    assert(bad.body().contains("error"), bad.body())
+  }
+
   test("mutable labels: CRUD + matcher rewrite + decoration + label APIs") {
     val mt = Seq("X-SquirrelDB-Tenant" -> "mt")
     post("/api/v1/write", Prompb.encodeSnappy(Seq(
