@@ -145,6 +145,75 @@ private final class Parser(input: String) {
     if (peek == '-') { pos += 1; -duration() } else duration()
   }
 
+  /** Duration EXPRESSION in a bracketed position (Prometheus 3.x
+    * experimental `promql-duration-expr`): arithmetic over duration
+    * literals and unitless numbers — both plain scalar SECONDS in the
+    * upstream model, so `5m * 2` is 300·2 s and `[60]` is a minute —
+    * with the usual precedence (`^` right-associative, then `* / %`,
+    * then `+ -`), parens, and unary minus; evaluated at parse time.
+    * Applied only inside `[...]` (range and subquery positions), where
+    * `]`/`:` delimit the expression unambiguously — an `offset` keeps
+    * the plain-literal grammar so `x offset 1h + y` still parses as a
+    * binary op over vectors, exactly like upstream.
+    */
+  private def durationExpr(): Long = {
+    val sec = durExpr(0)
+    val ms = math.round(sec * 1000.0)
+    if (ms <= 0) fail("duration expression must be positive")
+    ms
+  }
+
+  private def durExpr(min: Int): Double = {
+    var lhs = durAtom()
+    var going = true
+    while (going) {
+      ws()
+      val op = if (eof) ' ' else peek
+      val prec = op match {
+        case '+' | '-' => 1
+        case '*' | '/' | '%' => 2
+        case '^' => 3
+        case _ => 0
+      }
+      if (prec == 0 || prec < min) going = false
+      else {
+        pos += 1
+        val rhs = durExpr(if (op == '^') prec else prec + 1)
+        lhs = op match {
+          case '+' => lhs + rhs
+          case '-' => lhs - rhs
+          case '*' => lhs * rhs
+          case '/' => lhs / rhs
+          case '%' => lhs % rhs
+          case '^' => math.pow(lhs, rhs)
+        }
+      }
+    }
+    lhs
+  }
+
+  private def durAtom(): Double = {
+    ws()
+    if (peek == '(') {
+      pos += 1
+      val v = durExpr(0)
+      ws(); eat(')')
+      v
+    } else if (peek == '-') {
+      pos += 1
+      -durAtom()
+    } else {
+      // digits immediately followed by a unit → duration literal
+      // (including 1h30m concatenation); anything else → bare number
+      // of seconds
+      var p = pos
+      while (p < input.length && input(p).isDigit) p += 1
+      val isDur = p > pos && p < input.length &&
+        (input.startsWith("ms", p) || "smhdw".contains(input(p)))
+      if (isDur) duration().toDouble / 1000.0 else number()
+    }
+  }
+
   /** `5m`, `90s`, `1h30m` (concatenation sums), units ms/s/m/h/d/w. */
   private def duration(): Long = {
     ws()
@@ -269,9 +338,9 @@ private final class Parser(input: String) {
     }
     if (peek == '[' && !isRangeSel) {
       pos += 1
-      val r = duration()
+      val r = durationExpr()
       eat(':')
-      val st = duration()
+      val st = durationExpr()
       eat(']')
       val off = if (keywordOp("offset")) { pos += 6; signedDuration() } else 0L
       Subquery(e, r, st, off)
@@ -448,7 +517,7 @@ private final class Parser(input: String) {
     if (peek == '[') {
       val save = pos
       pos += 1
-      val d = duration()
+      val d = durationExpr()
       ws()
       if (peek == ':') pos = save // subquery — handled by the suffix rule
       else {

@@ -674,6 +674,31 @@ class PromqlSpec extends SparkSpec {
     assert(abSome.count() === (End - Start) / Hour + 1 - present)
   }
 
+  test("parser: duration expressions in bracketed positions") {
+    def rng(q: String): Long =
+      Parser.parse(q).asInstanceOf[FuncCall].arg match {
+        case s: Selector => s.rangeMs.get
+        case sub: Subquery => sub.rangeMs
+        case other => fail(s"unexpected $other")
+      }
+    assert(rng("rate(m[2 * 30m])") === 3600000L)
+    assert(rng("rate(m[(2 + 3) * 1m])") === 300000L)
+    assert(rng("rate(m[1h - 30m])") === 1800000L)
+    assert(rng("rate(m[60])") === 60000L) // bare number = seconds
+    assert(rng("rate(m[2^3 * 1s])") === 8000L)
+    assert(rng("rate(m[1h30m])") === 5400000L) // classic concatenation
+    // subqueries take expressions on both sides of ':'
+    assert(Parser.parse("rate(m[2*1h:3*10s])") ===
+      Parser.parse("rate(m[2h:30s])"))
+    // non-positive results are rejected
+    intercept[Exception](Parser.parse("rate(m[1m - 1m])"))
+    // an offset keeps the literal grammar: + binds as a vector binop
+    assert(Parser.parse("m offset 1h + n") ===
+      BinOp("+", Selector(Some("m"), Seq.empty, None, 3600000L),
+        Selector(Some("n"), Seq.empty, None, 0L),
+        Seq.empty, Seq.empty, groupLeft = false))
+  }
+
   test("printer round-trips the 3.x additions") {
     for (q <- Seq(
       "limitk(2, max by (event_type) (events))",
