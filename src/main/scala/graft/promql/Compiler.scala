@@ -95,12 +95,15 @@ object Compiler {
     else if (q > 1) max(lit(Double.PositiveInfinity))
     else expr(s"percentile($vCol, $q)")
 
-  /** φ-quantile of an already-sorted array with the same linear
-    * interpolation `percentile` (and Prometheus promql/quantile.go)
-    * uses: `v[lo] + (v[hi] − v[lo]) · (rank − lo)` at
-    * `rank = φ·(n−1)` — so a quantile of a DERIVED array (mad's
-    * deviation pass) matches the engines' native quantile bit-for-bit
-    * on the same doubles.
+  /** φ-quantile of an already-sorted array in the Prometheus
+    * promql/quantile.go form: `v[lo] + (v[hi] − v[lo]) · (rank − lo)`
+    * at `rank = φ·(n−1)`. Algebraically the same interpolation as
+    * Spark's `percentile` and DuckDB's `quantile_cont`, but NOT
+    * bit-identical to `percentile` (whose `lo·(1−f) + hi·f` form
+    * rounds differently in the last ulp — property-fuzzed in
+    * PromqlSpec); quantiles of DERIVED arrays (mad's deviation pass)
+    * therefore ship grid-rounded through the gates, the same round-6
+    * discipline `quantile_over_time` already uses.
     */
   private def arrayQuantile(sortedArr: Column, phi: Double): Column = {
     val n = size(sortedArr)

