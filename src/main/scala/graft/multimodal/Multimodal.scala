@@ -162,6 +162,75 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash over decoded BMP pixels — the classic
+    * image near-dup fingerprint (dHash: downscale to a (gw+1)×gh luma
+    * grid, one bit per adjacent-column comparison). Everything is EXACT
+    * integer arithmetic so the hash is bit-identical across engines and
+    * partitionings: luma is the integer Rec.601 form
+    * `299·R + 587·G + 114·B`, grid cells accumulate integer sums and
+    * counts (cell of pixel x = `x·cols/width`, of STORAGE row s =
+    * `s·gh/height` — BMP rows are stored bottom-up and the hash is
+    * defined over storage order, mirrored exactly by the oracle), and
+    * the mean comparison cross-multiplies: `sumA·cntB > sumB·cntA` —
+    * no division, no FP, no tie ambiguity. An empty cell (width < cols)
+    * compares as 0-vs-0 → bit unset, deterministically.
+    *
+    * Near-dup semantics: small local edits move one cell's sum by a few
+    * luma units and rarely cross a comparison margin, so re-encodes and
+    * minor retouches collide; the downstream grouping is an exact
+    * hash-agg — the image-side analogue of d1's digest dedup, with
+    * [[graft.dedup.Dedup]]'s banding available above it when Hamming
+    * tolerance is needed at scale. `mapPartitions` is justified as
+    * binary container parsing, like [[decodeMedia]].
+    */
+  def imageDHash(assets: Dataset[Asset], gw: Int = 8,
+      gh: Int = 8): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val b = a.payload
+      require(BmpCodec.matches(b), "imageDHash expects BMP payloads")
+      val off = le32(b, 10)
+      val width = le32(b, 18)
+      val height = le32(b, 22)
+      require(le16(b, 28) == 24 && le32(b, 30) == 0,
+        "only 24bpp uncompressed BMP supported")
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      val cols = gw + 1
+      val sums = Array.ofDim[Long](cols * gh)
+      val cnts = Array.ofDim[Long](cols * gh)
+      var s = 0
+      while (s < height) {
+        val by = s * gh / height
+        val base0 = off + s * rowBytes
+        var x = 0
+        while (x < width) {
+          val i = base0 + x * 3
+          val l = 114L * (b(i) & 0xFF) + 587L * (b(i + 1) & 0xFF) +
+            299L * (b(i + 2) & 0xFF)
+          val c = by * cols + x * cols / width
+          sums(c) += l
+          cnts(c) += 1
+          x += 1
+        }
+        s += 1
+      }
+      var hash = 0L
+      var by = 0
+      while (by < gh) {
+        var bx = 0
+        while (bx < gw) {
+          val i = by * cols + bx
+          if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+            hash |= 1L << (by * gw + bx)
+          bx += 1
+        }
+        by += 1
+      }
+      (a.asset_id, width, height, hash)
+    }).toDF("asset_id", "width", "height", "dhash")
+  }
+
   /** RIFF/WAVE with a PCM `fmt ` chunk and 16-bit samples: channels,
     * rate and duration from the headers; mean level = RMS amplitude of
     * all samples normalized to [0,1].

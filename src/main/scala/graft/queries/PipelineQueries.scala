@@ -685,6 +685,34 @@ object PipelineQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           round(col("meanLevel"), 6).as("mean_luma"))
+    }),
+
+    // multimodal: perceptual dHash near-dup over REAL decoded BMPs —
+    // exact integer grid sums + cross-multiplied comparisons, so the
+    // 12-bit (4×4 grid) hash is engine-identical; planted exact copies
+    // (+100000) must land in their base's hash group, planted one-pixel
+    // retouches (+200000) land wherever the margins put them — the
+    // oracle recomputes the same bits analytically either way
+    "mm5_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      def pix(id: Long, bump: Int)(x: Int, y: Int): (Int, Int, Int) = (
+        ((((id * 3 + 11 * x + y) % 256) +
+          (if (bump > 0 && x == 0 && y == 0) 1 else 0)) % 256).toInt,
+        ((id * 2 + x + 7 * y) % 256).toInt,
+        ((id + 3 * x + 5 * y) % 256).toInt)
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 4 + (id % 4).toInt
+          def mk(aid: Long, bump: Int) =
+            Multimodal.Asset(aid, Multimodal.BmpCodec.encode(w, h,
+              pix(id, bump)))
+          Seq(mk(id, 0)) ++ (if (id < 40)
+            Seq(mk(id + 100000, 0), mk(id + 200000, 1)) else Nil)
+        }
+      Multimodal.imageDHash(assets, gw = 3, gh = 4)
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_assets"), min("asset_id").as("keep_id"))
     })
   )
 
@@ -2030,6 +2058,40 @@ object PipelineQueries {
         FROM px)
       SELECT doc_id, w AS width, h AS height,
         round(sum(l) / (w * h), 6) AS mean_luma
-      FROM lum GROUP BY doc_id, w, h"""
+      FROM lum GROUP BY doc_id, w, h""",
+
+    // mm5: the dHash bits recomputed analytically — integer Rec.601
+    // luma, grid cell of STORAGE row s = (h-1-y) (BMP bottom-up order,
+    // matching the decoder), cross-multiplied mean comparisons
+    "mm5_image_dhash" -> """
+      WITH par AS (SELECT doc_id, 16 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+        FROM documents),
+      arms AS (
+        SELECT doc_id AS base_id, doc_id AS aid, 0 AS bump, w, h FROM par
+        UNION ALL
+        SELECT doc_id, doc_id + 100000, 0, w, h FROM par WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id, doc_id + 200000, 1, w, h FROM par WHERE doc_id < 40),
+      px AS (SELECT base_id, aid, bump, w, h, xs.x, ys.y FROM arms,
+        LATERAL (SELECT unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x) xs,
+        LATERAL (SELECT unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y) ys),
+      lum AS (SELECT aid,
+          ((h - 1 - y) * 4) // h AS by, (x * 4) // w AS bx,
+          299 * (((base_id * 3 + 11 * x + y) % 256 +
+            CASE WHEN bump = 1 AND x = 0 AND y = 0 THEN 1 ELSE 0 END) % 256)
+          + 587 * ((base_id * 2 + x + 7 * y) % 256)
+          + 114 * ((base_id + 3 * x + 5 * y) % 256) AS l
+        FROM px),
+      blocks AS (SELECT aid, by, bx, sum(l) AS sl, count(*) AS c
+        FROM lum GROUP BY 1, 2, 3),
+      bits AS (SELECT a.aid, a.by, a.bx,
+          CASE WHEN a.sl * b.c > b.sl * a.c THEN 1 ELSE 0 END AS bit
+        FROM blocks a JOIN blocks b
+          ON a.aid = b.aid AND a.by = b.by AND b.bx = a.bx + 1),
+      hashes AS (SELECT aid,
+          CAST(sum(bit * (1::BIGINT << (by * 3 + bx))) AS BIGINT) AS dhash
+        FROM bits GROUP BY 1)
+      SELECT dhash, count(*) AS n_assets, min(aid) AS keep_id
+      FROM hashes GROUP BY 1"""
   )
 }

@@ -196,6 +196,33 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(snd.meanLevel - 0.5) < 1e-9) // constant ±0.5 → RMS 0.5
     assert(out(3L).kind === "opaque")
   }
+
+  test("imageDHash: exact copies collide, gradients set the expected " +
+    "bits, one-pixel retouches stay within Hamming 1") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a left-to-right brightness ramp: every adjacent-column comparison
+    // is right>left → all bits UNSET; the vertical ramp flips none either
+    val ramp = Multimodal.BmpCodec.encode(16, 8,
+      (x, _) => (x * 16, x * 16, x * 16))
+    val rampRev = Multimodal.BmpCodec.encode(16, 8,
+      (x, _) => (240 - x * 16, 240 - x * 16, 240 - x * 16))
+    val retouch = Multimodal.BmpCodec.encode(16, 8,
+      (x, y) => if (x == 0 && y == 0) (1, 0, 0)
+        else (x * 16, x * 16, x * 16))
+    val assets = Seq(
+      Multimodal.Asset(1L, ramp), Multimodal.Asset(2L, ramp),
+      Multimodal.Asset(3L, rampRev), Multimodal.Asset(4L, retouch)).toDS()
+    val got = Multimodal.imageDHash(assets, gw = 3, gh = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) === got(2L)) // exact copy → identical hash
+    assert(got(1L) === 0L) // ascending ramp: left < right everywhere
+    assert(got(3L) === (1L << 12) - 1) // descending ramp: all 12 bits
+    // a one-pixel +1 in a 4×2-pixel cell cannot flip a 16-luma-unit
+    // margin: distance 0 — and never more than the one affected bit
+    assert(java.lang.Long.bitCount(got(1L) ^ got(4L)) <= 1)
+    assert(got(4L) === got(1L))
+  }
 }
 
 class PointOpsSpec extends SparkSpec {
