@@ -171,6 +171,31 @@ object PipelineQueries {
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(corpus(s, dir))),
 
+    // dedup impact report: per-source token accounting before/after the
+    // exact-dedup keep list — the number a data team actually reads off
+    // a dedup run ("which sources are mostly duplicates, what fraction
+    // of the token budget survives"). Two shuffles (digest keep-list +
+    // per-source aggregate), per-source output — trivially 100 TB-safe.
+    "x24_dedup_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("h"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val keep = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+      docs.join(keep, "h")
+        .withColumn("keep", col("doc_id") === col("keep_id"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L))
+            .as("tokens_kept"))
+        // exact integer sums → the ratio divides identical doubles
+        .withColumn("dup_token_ratio",
+          lit(1.0) - col("tokens_kept").cast("double") /
+            col("tokens_total").cast("double"))
+    }),
+
     // MinHash signatures (k salted digests, long format)
     "d2_minhash_sig" -> ((s, dir) =>
       Dedup.minhash(corpus(s, dir), MinhashK, ShingleLen)),
@@ -878,6 +903,22 @@ object PipelineQueries {
       SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         count(*) AS n_docs
       FROM corpus GROUP BY 1""",
+
+    "x24_dedup_report" -> """
+      WITH t AS (SELECT doc_id, source,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+            AS BIGINT) AS n_tok,
+          md5(text) AS h FROM documents),
+      k AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY 1)
+      SELECT source, count(*) AS n_docs,
+        CAST(count(*) FILTER (t.doc_id = k.keep_id) AS BIGINT) AS n_kept,
+        CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        CAST(sum(CASE WHEN t.doc_id = k.keep_id THEN n_tok ELSE 0 END)
+          AS BIGINT) AS tokens_kept,
+        1.0 - CAST(sum(CASE WHEN t.doc_id = k.keep_id THEN n_tok
+            ELSE 0 END) AS DOUBLE)
+          / CAST(sum(n_tok) AS DOUBLE) AS dup_token_ratio
+      FROM t JOIN k USING (h) GROUP BY 1""",
 
     "d2_minhash_sig" -> s"""
       WITH $SigSql
