@@ -298,6 +298,63 @@ object Multimodal {
     }
   }
 
+  /** Energy-contour fingerprint over decoded 16-bit PCM — the audio
+    * sibling of [[imageDHash]] (the sign-of-energy-delta family behind
+    * classic audio near-dup fingerprints, reduced to one band): the
+    * sample stream splits into `blocks` time blocks (sample i → block
+    * `i·blocks/n`), each accumulates the EXACT integer energy
+    * `Σ s²` (Long — 16-bit samples cap a block's energy at 2³⁰·n, no
+    * overflow below ~2⁵³ samples per block), and bit b is set iff
+    * block b+1's mean energy exceeds block b's, compared
+    * cross-multiplied (`sumB·cntA > sumA·cntB`) — no FP anywhere, so
+    * the fingerprint is bit-identical across engines and
+    * partitionings. Re-encodes and small local edits preserve the
+    * energy contour; grouping is an exact hash-agg like mm5's.
+    */
+  def audioFingerprint(assets: Dataset[Asset],
+      blocks: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val b = a.payload
+      require(WavCodec.matches(b), "audioFingerprint expects WAV payloads")
+      var pos = 12
+      var dataFrom = -1
+      var dataLen = 0
+      var rate = 0
+      while (pos + 8 <= b.length) {
+        val tag = new String(b, pos, 4, "US-ASCII")
+        val len = le32(b, pos + 4)
+        tag match {
+          case "fmt " => rate = le32(b, pos + 12)
+          case "data" => dataFrom = pos + 8; dataLen = len
+          case _ => ()
+        }
+        pos += 8 + len + (len & 1)
+      }
+      require(dataFrom >= 0, "missing data chunk")
+      val n = dataLen / 2
+      val sums = Array.ofDim[Long](blocks)
+      val cnts = Array.ofDim[Long](blocks)
+      var i = 0
+      while (i < n) {
+        val s = le16(b, dataFrom + 2 * i).toShort.toLong
+        val blk = (i.toLong * blocks / n).toInt
+        sums(blk) += s * s
+        cnts(blk) += 1
+        i += 1
+      }
+      var fp = 0L
+      var blk = 0
+      while (blk < blocks - 1) {
+        if (sums(blk + 1) * cnts(blk) > sums(blk) * cnts(blk + 1))
+          fp |= 1L << blk
+        blk += 1
+      }
+      (a.asset_id, n.toLong, rate, fp)
+    }).toDF("asset_id", "n_samples", "sample_rate", "fingerprint")
+  }
+
   /** Partition-at-a-time media decode routing by container magic — BMP
     * and WAV are parsed FOR REAL; anything else gets the documented
     * stub features under kind "opaque". Same `mapInPandas`-style batch

@@ -738,6 +738,30 @@ object PipelineQueries {
       Multimodal.imageDHash(assets, gw = 3, gh = 4)
         .groupBy("dhash")
         .agg(count(lit(1)).as("n_assets"), min("asset_id").as("keep_id"))
+    }),
+
+    // multimodal: the audio sibling — sign-of-energy-delta fingerprint
+    // over REAL decoded PCM, all-integer (block energy sums +
+    // cross-multiplied comparisons); planted exact re-encodes collide
+    "mm6_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = 64 + (id % 64).toInt
+          // an id-dependent per-block amplitude envelope gives every
+          // asset its own energy CONTOUR (a flat fixture collapses all
+          // fingerprints into one group and gates nothing)
+          val samples = (0 until n).map { i =>
+            val env = (id + (i * 8 / n) * (id % 5 + 1)) % 8 + 1
+            (env * (((id * 31 + i * 7) % 64) - 32) * 16).toInt
+          }
+          val wav = Multimodal.WavCodec.encode(8000, samples)
+          Seq(Multimodal.Asset(id, wav)) ++
+            (if (id < 40) Seq(Multimodal.Asset(id + 100000, wav)) else Nil)
+        }
+      Multimodal.audioFingerprint(assets, blocks = 8)
+        .groupBy("fingerprint")
+        .agg(count(lit(1)).as("n_assets"), min("asset_id").as("keep_id"))
     })
   )
 
@@ -2133,6 +2157,31 @@ object PipelineQueries {
           CAST(sum(bit * (1::BIGINT << (by * 3 + bx))) AS BIGINT) AS dhash
         FROM bits GROUP BY 1)
       SELECT dhash, count(*) AS n_assets, min(aid) AS keep_id
-      FROM hashes GROUP BY 1"""
+      FROM hashes GROUP BY 1""",
+
+    // mm6: the energy-contour bits recomputed analytically over the
+    // same deterministic sample formula mm3 pins
+    "mm6_audio_fingerprint" -> """
+      WITH par AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+      arms AS (
+        SELECT doc_id AS base_id, doc_id AS aid, n FROM par
+        UNION ALL
+        SELECT doc_id, doc_id + 100000, n FROM par WHERE doc_id < 40),
+      s AS (SELECT base_id, aid, n,
+        unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM arms),
+      vals AS (SELECT aid, (i * 8) // n AS blk,
+        ((base_id + ((i * 8) // n) * (base_id % 5 + 1)) % 8 + 1)
+          * (((base_id * 31 + i * 7) % 64) - 32) * 16 AS v FROM s),
+      blocks AS (SELECT aid, blk, sum(v * v) AS se, count(*) AS c
+        FROM vals GROUP BY 1, 2),
+      bits AS (SELECT a.aid, a.blk,
+          CASE WHEN b.se * a.c > a.se * b.c THEN 1 ELSE 0 END AS bit
+        FROM blocks a JOIN blocks b
+          ON a.aid = b.aid AND b.blk = a.blk + 1),
+      fps AS (SELECT aid,
+          CAST(sum(bit * (1::BIGINT << blk)) AS BIGINT) AS fingerprint
+        FROM bits GROUP BY 1)
+      SELECT fingerprint, count(*) AS n_assets, min(aid) AS keep_id
+      FROM fps GROUP BY 1"""
   )
 }

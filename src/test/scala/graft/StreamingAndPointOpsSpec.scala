@@ -223,6 +223,28 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(got(1L) ^ got(4L)) <= 1)
     assert(got(4L) === got(1L))
   }
+
+  test("audioFingerprint: energy-contour bits, exact re-encode collides") {
+    val spark0 = spark
+    import spark0.implicits._
+    // amplitude staircase over 8 blocks of 8 samples (alternating sign
+    // so the waveform is a real oscillation, energy still monotone)
+    def stair(asc: Boolean): Array[Byte] = Multimodal.WavCodec.encode(8000,
+      (0 until 64).map { i =>
+        val blk = i / 8
+        val amp = (if (asc) blk + 1 else 8 - blk) * 100
+        if (i % 2 == 0) amp else -amp
+      })
+    val assets = Seq(
+      Multimodal.Asset(1L, stair(asc = true)),
+      Multimodal.Asset(2L, stair(asc = true)),
+      Multimodal.Asset(3L, stair(asc = false))).toDS()
+    val got = Multimodal.audioFingerprint(assets, blocks = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) === got(2L)) // byte-identical re-encode
+    assert(got(1L) === (1L << 7) - 1) // ascending: all 7 deltas positive
+    assert(got(3L) === 0L) // descending: none
+  }
 }
 
 class PointOpsSpec extends SparkSpec {
