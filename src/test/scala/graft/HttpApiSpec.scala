@@ -364,6 +364,34 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       !other.contains("k8s_cluster_name"), other)
   }
 
+  test("info() is tenant-scoped: another tenant's target_info never " +
+    "decorates") {
+    import graft.streaming.Otlp
+    // tenant A owns a target_info at (svc9, oi9); tenant B has a metric
+    // with the SAME identity — info(m) under B must pass through bare
+    // (the implicit selector is materialized in the rewrite precisely so
+    // tenant injection lands on it)
+    val withInfo = Otlp.encodeExportRequest("svc9", "oi9",
+      Seq(Otlp.OtlpPoint("iso_metric", Map.empty, T0 * 1000000L, 1.0)),
+      resourceAttrs = Map("k8s.cluster.name" -> "c-secret"))
+    assert(post("/api/v1/otlp/v1/metrics", withInfo,
+      "application/x-protobuf",
+      Seq("X-SquirrelDB-Tenant" -> "tenA")).statusCode() === 204)
+    val bare = Otlp.encodeExportRequest("svc9", "oi9",
+      Seq(Otlp.OtlpPoint("iso_metric", Map.empty, T0 * 1000000L, 2.0)))
+    assert(post("/api/v1/otlp/v1/metrics", bare,
+      "application/x-protobuf",
+      Seq("X-SquirrelDB-Tenant" -> "tenB")).statusCode() === 204)
+    val t = T0 / 1000
+    val a = get(s"/api/v1/query?query=${enc("info(iso_metric)")}&time=$t",
+      Seq("X-SquirrelDB-Tenant" -> "tenA")).body()
+    assert(a.contains(""""k8s_cluster_name":"c-secret""""), a)
+    val b = get(s"/api/v1/query?query=${enc("info(iso_metric)")}&time=$t",
+      Seq("X-SquirrelDB-Tenant" -> "tenB")).body()
+    assert(b.contains(""""__name__":"iso_metric"""") &&
+      !b.contains("c-secret"), b)
+  }
+
   test("/api/v1/status/tsdb: head stats + top-10 cardinality tables") {
     writeFixture()
     val body = get("/api/v1/status/tsdb").body()
