@@ -592,13 +592,19 @@ final class HttpApi(spark: SparkSession,
     if (budget == null || budget.longValue <= 0) {
       flushPending(); return (batches, headCompacted)
     }
-    val (quiesced, bs, hc, walls) = synchronized {
+    val (quiesced, bs, hc, walls, pinnedThrough) = synchronized {
       val q = pending.isEmpty && queuedFlushes.get == 0
       // fully quiesced under the lock ⇒ everything acked is pinned NOW
       // (write() appends under `this`; queuedFlushes releases only after
       // the snapshot's append or re-prepend)
       if (q) pinnedThroughWallMs = System.currentTimeMillis()
-      (q, batches, headCompacted, batchWallMs)
+      // the stamp must be captured WITH the batch snapshot: a pin landing
+      // after this block advances pinnedThroughWallMs for the NEW
+      // `batches`, not for the `bs` captured here — checking the live
+      // volatile below would let tier 2 serve a snapshot missing rows
+      // acked longer ago than the budget (rows can sit in `pending` far
+      // longer than their snapshot's wall stamp suggests)
+      (q, batches, headCompacted, batchWallMs, pinnedThroughWallMs)
     }
     if (quiesced) return (bs, hc)
     val now = System.currentTimeMillis()
@@ -607,7 +613,7 @@ final class HttpApi(spark: SparkSession,
       staleReadsTotal.incrementAndGet()
       staleHeadReadsTotal.incrementAndGet()
       (Vector(bs.head), true)
-    } else if (now - pinnedThroughWallMs <= budget.longValue) {
+    } else if (now - pinnedThrough <= budget.longValue) {
       staleReadsTotal.incrementAndGet()
       (bs, hc)
     } else {

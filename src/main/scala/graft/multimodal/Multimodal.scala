@@ -171,8 +171,9 @@ object Multimodal {
     * counts (cell of pixel x = `x·cols/width`, of STORAGE row s =
     * `s·gh/height` — BMP rows are stored bottom-up and the hash is
     * defined over storage order, mirrored exactly by the oracle), and
-    * the mean comparison cross-multiplies: `sumA·cntB > sumB·cntA` —
-    * no division, no FP, no tie ambiguity. An empty cell (width < cols)
+    * the mean comparison cross-multiplies at 128 bits ([[prodGt]]):
+    * `sumA·cntB > sumB·cntA` — no division, no FP, no tie ambiguity,
+    * no wrap at any image size. An empty cell (width < cols)
     * compares as 0-vs-0 → bit unset, deterministically.
     *
     * Near-dup semantics: small local edits move one cell's sum by a few
@@ -183,6 +184,24 @@ object Multimodal {
     * tolerance is needed at scale. `mapPartitions` is justified as
     * binary container parsing, like [[decodeMedia]].
     */
+  /** `a·b > c·d` over non-negative longs, exact at ANY magnitude: full
+    * 128-bit product compare (`Math.multiplyHigh` high word + unsigned
+    * low word). The naive 64-bit cross-multiply silently wraps once a
+    * block holds ~1e5-1e6 high-amplitude 16-bit samples (a few minutes
+    * of 44.1 kHz audio) or ~1e8-pixel grid cells — wrap flips the
+    * comparison sign and breaks the bit-identical contract. The DuckDB
+    * oracle side is already exact (its integer `sum()` is HUGEINT, so
+    * its cross-multiply runs at 128 bits); this keeps the Scala side in
+    * lockstep. Operands are non-negative (sums of squares / luma,
+    * counts), so the signed high word IS the unsigned high word.
+    */
+  private def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   def imageDHash(assets: Dataset[Asset], gw: Int = 8,
       gh: Int = 8): DataFrame = {
     val spark = assets.sparkSession
@@ -221,7 +240,7 @@ object Multimodal {
         var bx = 0
         while (bx < gw) {
           val i = by * cols + bx
-          if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+          if (prodGt(sums(i), cnts(i + 1), sums(i + 1), cnts(i)))
             hash |= 1L << (by * gw + bx)
           bx += 1
         }
@@ -306,7 +325,9 @@ object Multimodal {
     * `Σ s²` (Long — 16-bit samples cap a block's energy at 2³⁰·n, no
     * overflow below ~2⁵³ samples per block), and bit b is set iff
     * block b+1's mean energy exceeds block b's, compared
-    * cross-multiplied (`sumB·cntA > sumA·cntB`) — no FP anywhere, so
+    * cross-multiplied at 128 bits ([[prodGt]] — the accumulators are
+    * safe to 2⁵³ samples but their 64-bit PRODUCT wraps after only
+    * ~1e5-1e6 high-amplitude samples per block) — no FP anywhere, so
     * the fingerprint is bit-identical across engines and
     * partitionings. Re-encodes and small local edits preserve the
     * energy contour; grouping is an exact hash-agg like mm5's.
@@ -347,7 +368,7 @@ object Multimodal {
       var fp = 0L
       var blk = 0
       while (blk < blocks - 1) {
-        if (sums(blk + 1) * cnts(blk) > sums(blk) * cnts(blk + 1))
+        if (prodGt(sums(blk + 1), cnts(blk), sums(blk), cnts(blk + 1)))
           fp |= 1L << blk
         blk += 1
       }

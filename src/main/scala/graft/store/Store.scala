@@ -250,11 +250,39 @@ object Store {
     Ann.ivfCells(corpus, nCells)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/cells")
     val cells = spark.read.parquet(s"$indexPath/cells")
-    Ann.assignCells(corpus, cells).select(col("vec_id"), col("c"))
-      .repartition(col("c"))
-      .write.partitionBy("c").mode(SaveMode.Overwrite)
-      .parquet(s"$indexPath/asg")
+    commitDir(s"$indexPath/asg") { tmp =>
+      Ann.assignCells(corpus, cells).select(col("vec_id"), col("c"))
+        .repartition(col("c"))
+        .write.partitionBy("c").mode(SaveMode.Overwrite).parquet(tmp)
+    }
     true
+  }
+
+  /** Crash-safe directory commit: run `write` against a dot-prefixed
+    * sibling temp dir, then atomically rename it to `dst`. The
+    * existence check that gates idempotent replay (`buildIvfIndex`,
+    * [[upsertIvfIndex]]) is only valid if existence implies a COMPLETE
+    * write — a crash mid-write must leave nothing at `dst`, or every
+    * replay would see the partial directory, return false, and silently
+    * drop the delta (ADVICE r13). The dot prefix also hides the
+    * in-flight dir from [[readIvfIndex]]'s generation listing. A stale
+    * temp from a previous crash is deleted first (it is retryable by
+    * construction — nothing ever reads it).
+    */
+  private def commitDir(dst: String)(write: String => Unit): Unit = {
+    val dstPath = Paths.get(dst)
+    val tmpPath = dstPath.resolveSibling("." + dstPath.getFileName + ".tmp")
+    if (Files.isDirectory(tmpPath)) {
+      Files.walk(tmpPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    write(tmpPath.toString)
+    try Files.move(tmpPath, dstPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmpPath, dstPath)
+    }
   }
 
   /** Incremental IVF maintenance — the FAISS `IndexIVF.add` discipline
@@ -276,11 +304,17 @@ object Store {
     val dir = s"$indexPath/asg_up_$batchTag"
     if (Files.isDirectory(Paths.get(dir))) return false
     // assign against the cells READ BACK, like buildIvfIndex: the
-    // persisted index stays self-consistent with what probes will see
+    // persisted index stays self-consistent with what probes will see.
+    // Temp-write + atomic rename ([[commitDir]]): directory existence is
+    // the idempotency check, so it must only become true on a COMPLETE
+    // generation — a crash mid-write must leave replay able to finish,
+    // not no-op on the partial dir.
     val cells = spark.read.parquet(s"$indexPath/cells")
-    Ann.assignCells(delta, cells).select(col("vec_id"), col("c"))
-      .repartition(col("c"))
-      .write.partitionBy("c").mode(SaveMode.ErrorIfExists).parquet(dir)
+    commitDir(dir) { tmp =>
+      Ann.assignCells(delta, cells).select(col("vec_id"), col("c"))
+        .repartition(col("c"))
+        .write.partitionBy("c").mode(SaveMode.Overwrite).parquet(tmp)
+    }
     true
   }
 

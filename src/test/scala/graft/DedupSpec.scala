@@ -254,6 +254,36 @@ class DedupSpec extends SparkSpec {
     assert(asg2.count() === base.count() + 2 * delta.count())
   }
 
+  test("IVF upsert after a simulated crash (ADVICE r13): a stale temp " +
+    "directory neither blocks the replay nor leaks into reads") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") >= 20)
+    val delta = base.where(col("vec_id") < 25)
+      .withColumn("vec_id", col("vec_id") + 200000)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfcrash_spec").toString + "/idx"
+    graft.store.Store.buildIvfIndex(spark, idxPath, base, 8)
+    // simulate a crash mid-write: the in-flight generation exists only
+    // as the dot-prefixed temp (partial parquet junk inside), never at
+    // the final path — that is what the atomic-rename commit guarantees
+    val tmp = java.nio.file.Paths.get(idxPath, ".asg_up_bX.tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // the temp dir is invisible to reads (no half-written generation)
+    val (_, asgBefore) = graft.store.Store.readIvfIndex(spark, idxPath)
+    assert(asgBefore.count() === base.count())
+    // the replayed upsert of that batch COMPLETES (pre-fix: directory
+    // existence made every replay return false and the delta was lost)
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath, delta, "bX"))
+    val (_, asgAfter) = graft.store.Store.readIvfIndex(spark, idxPath)
+    assert(asgAfter.count() === base.count() + delta.count())
+    // and a genuine replay of the now-committed batch is still a no-op
+    assert(!graft.store.Store.upsertIvfIndex(spark, idxPath, delta, "bX"))
+    assert(!java.nio.file.Files.exists(tmp))
+  }
+
   test("IVFADC: full-probe + wide shortlist degrades to exact brute force; " +
       "narrow probe only surfaces probed-cell candidates") {
     import graft.similarity.Ann

@@ -245,6 +245,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) === (1L << 7) - 1) // ascending: all 7 deltas positive
     assert(got(3L) === 0L) // descending: none
   }
+
+  test("audioFingerprint mean compare survives 64-bit product overflow " +
+    "(ADVICE r13): blocks large enough that sum·cnt wraps a Long") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two blocks of 260k samples at amplitudes 30000 / 32767: each
+    // block's energy sum ≈ 2^47.8, so sum·cnt ≈ 2^65.8 wraps a Long —
+    // and for THESE values the wrapped signed compare gives the WRONG
+    // answer (verified below), while block 1's true mean energy is
+    // strictly higher, so exact arithmetic must set bit 0
+    val c = 260000
+    val samples = new Array[Int](2 * c)
+    var i = 0
+    while (i < 2 * c) {
+      val amp = if (i < c) 30000 else 32767
+      samples(i) = if (i % 2 == 0) amp else -amp
+      i += 1
+    }
+    val wav = Multimodal.WavCodec.encode(8000,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(samples))
+    // the guard that proves this test bites: the naive 64-bit
+    // cross-multiply disagrees with exact (BigInt) arithmetic here
+    val s0 = c.toLong * 30000L * 30000L
+    val s1 = c.toLong * 32767L * 32767L
+    assert((BigInt(s1) * c > BigInt(s0) * c) !== (s1 * c > s0 * c),
+      "test data must trigger the 64-bit wrap")
+    val got = Multimodal.audioFingerprint(
+      Seq(Multimodal.Asset(1L, wav)).toDS(), blocks = 2).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(3) === 1L) // bit 0 set: block 1 louder, exactly
+  }
 }
 
 class PointOpsSpec extends SparkSpec {
