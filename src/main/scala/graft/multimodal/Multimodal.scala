@@ -376,6 +376,50 @@ object Multimodal {
     }).toDF("asset_id", "n_samples", "sample_rate", "fingerprint")
   }
 
+  /** Banded-Hamming near-duplicate pairs over 64-bit perceptual
+    * fingerprints ([[imageDHash]] / [[audioFingerprint]] outputs) — the
+    * Hamming-tolerant grouping those scaladocs promise, same discipline
+    * as [[graft.dedup.Dedup]]'s MinHash banding: split each hash into
+    * `bands` equal bit-bands, candidate two assets on ANY band equality
+    * (pigeonhole: a pair within Hamming distance < `bands` must agree
+    * on at least one band — `bands > maxHamming` makes recall EXACTLY 1,
+    * not probabilistic), then verify candidates by 64-bit popcount of
+    * the XOR. Exact dups (distance 0) and near-dups pass together.
+    *
+    * Scale shape: one projection computes the band values (arithmetic
+    * shift + mask — engine-agnostic: masking keeps only bits below the
+    * band width, so sign extension cannot leak in), one equi-join on
+    * (band, value) builds candidates — at 64 bits and bands=4, a
+    * 16-bit band space keeps collision groups near-singleton for any
+    * well-spread perceptual hash, so candidates ≈ true pairs + O(n²/2¹⁶)
+    * noise — and the popcount verify touches candidates only. No
+    * all-pairs stage anywhere.
+    */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands > maxHamming && 64 % bands == 0,
+      "recall-1 guarantee needs bands > maxHamming and bands | 64")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val banded = hashes.select(col(idCol), col(hashCol))
+      .withColumn("__bvs", array((0 until bands).map(b =>
+        shiftrightunsigned(col(hashCol), b * bits)
+          .bitwiseAND(lit(mask))): _*))
+      .select(col(idCol), col(hashCol),
+        posexplode(col("__bvs")).as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"),
+      col(idCol).as("id_a"), col(hashCol).as("h_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col(idCol).as("id_b"), col(hashCol).as("h_b"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Partition-at-a-time media decode routing by container magic — BMP
     * and WAV are parsed FOR REAL; anything else gets the documented
     * stub features under kind "opaque". Same `mapInPandas`-style batch

@@ -659,6 +659,27 @@ object PipelineQueries {
           col("nn_id"), col("cos_sim"))
     }),
 
+    // residual-encoded IVFADC (Jégou 2011 §II-C eq. 12-14, the FAISS
+    // IVFx,PQy default): v11's exact probe/prune/rerank shape, but the
+    // PQ codebooks train on residuals x − centroid(cell) and the ADC
+    // LUT is per (query, probed cell) — the code budget spends its
+    // resolution on the informative remainder, closing v11's shortlist
+    // recall ceiling (IVFADC_PROBE_r13). Same persisted IVF index as
+    // v3/v11/v13
+    "v14_ivfadc_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = "/tmp/graft_ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${java.lang.ProcessHandle.current.pid}"
+      graft.store.Store.buildIvfIndex(s, idxPath, emb, nCells = 8)
+      val (cells, asg) = graft.store.Store.readIvfIndex(s, idxPath)
+      Ann.ivfAdcResidualRerank(emb.select(col("vec_id"), col("embedding")),
+          emb.where(col("vec_id") < 5), cells, asg,
+          PqM, PqSubDim, PqK, KmeansIters, IvfNProbe, PqRerankCand, PqTopK)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
+    }),
+
     // multimodal: typed metadata without decode
     "mm1_asset_meta" -> ((s, dir) =>
       Multimodal.assetMetadata(Tables.documents(s, dir))),
@@ -762,6 +783,54 @@ object PipelineQueries {
       Multimodal.audioFingerprint(assets, blocks = 8)
         .groupBy("fingerprint")
         .agg(count(lit(1)).as("n_assets"), min("asset_id").as("keep_id"))
+    }),
+
+    // multimodal: banded-Hamming near-dup over FULL 64-bit dHashes —
+    // mm5's grouping is exact-hash only; here near-dups within Hamming
+    // 3 pair up through 4×16-bit band candidates (recall exactly 1 by
+    // pigeonhole: bands > maxHamming), verified by popcount. Taller
+    // images (h ≥ 8) populate every grid row, so all 64 bits carry
+    // signal. Planted exact copies pair at distance 0; one-pixel
+    // retouches at ≤ 1
+    "mm7_hamming_neardup" -> ((s, dir) => {
+      import s.implicits._
+      // NOT mm5's linear-gradient formula: any per-channel pattern that
+      // reads id only through `id mod 256` ALIASES — ids 256 apart
+      // render identical images, those groups grow linearly with the
+      // corpus, and the pair output goes quadratic at sf1. Six
+      // independent 20-bit md5 seeds give ~48 bits of pattern entropy
+      // (two mixed (x,y)-polynomial terms per channel), so accidental
+      // image-identical pairs are vanishing at ANY gated scale and only
+      // the planted arms pair up. The oracle derives the same seeds via
+      // DuckDB's md5 (memory: md5↔conv is the cross-engine seeding
+      // discipline)
+      def seeds(id: Long): IndexedSeq[Long] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hx = md.digest(id.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (0 until 6).map(k =>
+          java.lang.Long.parseLong(hx.substring(5 * k, 5 * k + 5), 16))
+      }
+      def pix(sd: IndexedSeq[Long], bump: Int)(x: Int, y: Int)
+          : (Int, Int, Int) = (
+        ((((sd(0) * (x + 3) * (y + 7) + sd(1) * (x + 5) * (y + 3)) % 256) +
+          (if (bump > 0 && x == 0 && y == 0) 1 else 0)) % 256).toInt,
+        ((sd(2) * (x + 3) * (y + 7) + sd(3) * (x + 5) * (y + 3)) % 256).toInt,
+        ((sd(4) * (x + 3) * (y + 7) + sd(5) * (x + 5) * (y + 3)) % 256).toInt)
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 8 + (id % 8).toInt
+          val sd = seeds(id)
+          def mk(aid: Long, bump: Int) =
+            Multimodal.Asset(aid, Multimodal.BmpCodec.encode(w, h,
+              pix(sd, bump)))
+          Seq(mk(id, 0)) ++ (if (id < 40)
+            Seq(mk(id + 100000, 0), mk(id + 200000, 1)) else Nil)
+        }
+      val hashes = Multimodal.imageDHash(assets, gw = 8, gh = 8)
+      Multimodal.hammingNearDupPairs(hashes, "asset_id", "dhash",
+        bands = 4, maxHamming = 3)
     })
   )
 
@@ -1819,6 +1888,86 @@ object PipelineQueries {
           PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
         FROM scored) WHERE rnk <= $PqTopK""",
 
+    // v14: v11's chain with TWO residual twists, each mirrored exactly —
+    // the PQ chains train on `v` = residuals (one double-subtraction
+    // projection against the assigned cell's centroid), and the ADC
+    // parts join goes through qres (query residual w.r.t. the PROBED
+    // cell), so every distance is eq. 13's asymmetric residual form
+    "v14_ivfadc_residual" -> s"""
+      WITH raw AS (SELECT vec_id, embedding FROM embeddings),
+      vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      ia AS (SELECT vec_id, vec_id % 8 AS c FROM embeddings),
+      iw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ia a USING (vec_id) GROUP BY 1, 2),
+      icen AS (SELECT c, list(w ORDER BY d) AS cen FROM iw GROUP BY 1),
+      dc1 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN icen i),
+      ac1 AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM dc1 GROUP BY 1),
+      uw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ac1 a USING (vec_id) GROUP BY 1, 2),
+      cells AS (SELECT c, list(w ORDER BY d) AS cen FROM uw GROUP BY 1),
+      dc2 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN cells i),
+      ivfasg AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM dc2 GROUP BY 1),
+      probes AS (SELECT vec_id AS q_id, c FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, c) AS rn
+          FROM dc2 WHERE vec_id < 5) WHERE rn <= $IvfNProbe),
+      v AS (SELECT e.vec_id, list_transform(list_zip(e.embedding, i.cen),
+          p -> CAST(p[1] AS DOUBLE) - p[2]) AS embedding
+        FROM embeddings e JOIN ivfasg a USING (vec_id)
+        JOIN cells i ON i.c = a.c),
+      ${pqChainsSql(PqM, PqSubDim, PqK, KmeansIters)},
+      codes AS (${pqCodesSql(PqM)}),
+      cb AS (${(0 until PqM).map(s =>
+        s"SELECT CAST($s AS BIGINT) AS sub, cid, cen FROM cen${KmeansIters}_s$s")
+        .mkString("\n        UNION ALL ")}),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM raw
+        WHERE vec_id < 5),
+      qres AS (SELECT p.q_id, p.c,
+          list_transform(list_zip(q.q_emb, i.cen),
+            z -> CAST(z[1] AS DOUBLE) - z[2]) AS q_emb
+        FROM probes p JOIN q ON q.q_id = p.q_id
+        JOIN cells i ON i.c = p.c),
+      parts AS (SELECT qr.q_id, c.vec_id AS nn_id, c.sub,
+          ${sqdistSql(
+            s"list_slice(qr.q_emb, c.sub * $PqSubDim + 1, (c.sub + 1) * $PqSubDim)",
+            "cb.cen")} AS dp
+        FROM codes c
+        JOIN cb ON cb.sub = c.sub AND cb.cid = c.code
+        JOIN ivfasg ia2 ON ia2.vec_id = c.vec_id
+        JOIN qres qr ON qr.c = ia2.c
+        WHERE c.vec_id <> qr.q_id),
+      d AS (SELECT q_id, nn_id,
+          list_reduce(list(dp ORDER BY sub), (x, y) -> x + y) AS dist_adc
+        FROM parts GROUP BY 1, 2),
+      cand AS (SELECT q_id, nn_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY dist_adc ASC, nn_id ASC) AS rank
+        FROM d) WHERE rank <= $PqRerankCand),
+      scored AS (SELECT c.q_id, c.nn_id,
+          ${dotSql("q.q_emb", "e.embedding")} /
+            (sqrt(${dotSql("q.q_emb", "q.q_emb")}) *
+             sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+        FROM cand c
+        JOIN raw e ON e.vec_id = c.nn_id
+        JOIN q ON q.q_id = c.q_id)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= $PqTopK""",
+
     "v2_ann_lsh" -> s"""
       WITH planes AS (
         SELECT j, d,
@@ -2182,6 +2331,65 @@ object PipelineQueries {
           CAST(sum(bit * (1::BIGINT << blk)) AS BIGINT) AS fingerprint
         FROM bits GROUP BY 1)
       SELECT fingerprint, count(*) AS n_assets, min(aid) AS keep_id
-      FROM fps GROUP BY 1"""
+      FROM fps GROUP BY 1""",
+
+    // mm7: mm5's analytic dHash at the full 8×8 grid (bit 63 assembled
+    // through HUGEINT then wrapped to signed BIGINT — DuckDB's BIGINT
+    // << 63 overflows), then the SAME band-candidate join the Spark
+    // side runs (16-bit arithmetic-shift+mask band values; masking
+    // makes sign extension irrelevant) and the popcount verify
+    "mm7_hamming_neardup" -> """
+      WITH par AS (SELECT doc_id, 16 + doc_id % 8 AS w, 8 + doc_id % 8 AS h,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 5) AS BIGINT) AS s0,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 6, 5) AS BIGINT) AS s1,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 11, 5) AS BIGINT) AS s2,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 16, 5) AS BIGINT) AS s3,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 21, 5) AS BIGINT) AS s4,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 26, 5) AS BIGINT) AS s5
+        FROM documents),
+      arms AS (
+        SELECT doc_id AS aid, 0 AS bump, w, h, s0, s1, s2, s3, s4, s5
+          FROM par
+        UNION ALL
+        SELECT doc_id + 100000, 0, w, h, s0, s1, s2, s3, s4, s5 FROM par
+          WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 200000, 1, w, h, s0, s1, s2, s3, s4, s5 FROM par
+          WHERE doc_id < 40),
+      px AS (SELECT aid, bump, w, h, s0, s1, s2, s3, s4, s5, xs.x, ys.y
+        FROM arms,
+        LATERAL (SELECT unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x) xs,
+        LATERAL (SELECT unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y) ys),
+      lum AS (SELECT aid,
+          ((h - 1 - y) * 8) // h AS by, (x * 9) // w AS bx,
+          299 * (((s0 * (x + 3) * (y + 7) + s1 * (x + 5) * (y + 3)) % 256 +
+            CASE WHEN bump = 1 AND x = 0 AND y = 0 THEN 1 ELSE 0 END) % 256)
+          + 587 * ((s2 * (x + 3) * (y + 7) + s3 * (x + 5) * (y + 3)) % 256)
+          + 114 * ((s4 * (x + 3) * (y + 7) + s5 * (x + 5) * (y + 3)) % 256) AS l
+        FROM px),
+      blocks AS (SELECT aid, by, bx, sum(l) AS sl, count(*) AS c
+        FROM lum GROUP BY 1, 2, 3),
+      bits AS (SELECT a.aid, a.by, a.bx,
+          CASE WHEN a.sl * b.c > b.sl * a.c THEN 1 ELSE 0 END AS bit
+        FROM blocks a JOIN blocks b
+          ON a.aid = b.aid AND a.by = b.by AND b.bx = a.bx + 1),
+      hsums AS (SELECT aid,
+          sum(bit * (1::HUGEINT << (by * 8 + bx))) AS s FROM bits
+        GROUP BY 1),
+      hashes AS (SELECT aid, CAST(CASE
+          WHEN s >= 9223372036854775808::HUGEINT
+          THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+          AS dhash
+        FROM hsums),
+      bands AS (SELECT aid, dhash, b.band,
+          (dhash >> (b.band * 16)) & 65535 AS bv
+        FROM hashes,
+          (SELECT unnest(generate_series(0, 3)) AS band) b),
+      cand AS (SELECT DISTINCT a.aid AS id_a, b.aid AS id_b,
+          a.dhash AS ha, b.dhash AS hb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.aid < b.aid)
+      SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 3"""
   )
 }

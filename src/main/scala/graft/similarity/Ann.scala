@@ -766,10 +766,10 @@ object Ann {
     * its `nProbe` nearest coarse cells, (2) ADC-scans the PQ CODES of
     * only those cells' inverted lists for an `nCand` shortlist, and
     * (3) exact-cosine-reranks the shortlist from full-precision
-    * vectors. Codebooks are GLOBAL (raw vectors, not per-cell
-    * residuals — the FAISS `IVFx,PQy` layout without residual encoding;
-    * the oracle reproduces the same choice, and the residual variant
-    * would only change stage-2 accuracy, not the plan shape).
+    * vectors. Codebooks are GLOBAL over raw vectors (the layout without
+    * residual encoding; the oracle reproduces the same choice).
+    * [[ivfAdcResidualRerank]] is the residual-encoded upgrade (eq.
+    * 12-14) — same plan shape, higher shortlist recall.
     *
     * Scale shape — the reason this beats [[pqAdcRerank]]: v10's ADC
     * stage still streams the ENTIRE code table per query batch; here
@@ -811,6 +811,102 @@ object Ann {
       .join(probes, "q_id")
     // inverted-file prune FIRST: the broadcast (q, cell) list hits the
     // codes relation before any ADC arithmetic — only probed cells score
+    val coded = codesPositional(codes, censPos)
+      .join(asg.select(col(id).as("nn_id"), col("c")), "nn_id")
+    val scored = coded.join(broadcast(q), Seq("c"))
+      .where(col("nn_id") =!= col("q_id"))
+      .withColumn("cos", adcScore(col("__lut"), col("__codesp")))
+      .select(col("q_id"), col("nn_id"), col("cos"))
+    val cand = rankTopK(scored, nCand).select(col("q_id"), col("nn_id"))
+    exactRerank(vectors, queries, cand, topK, id)
+  }
+
+  /** Residual relation of an IVF-assigned corpus: each vector minus its
+    * cell's centroid, `r(x) = x − q₁(x)` (Jégou et al. 2011 §II-C).
+    * Cells broadcast (K rows); the subtraction is a pure projection.
+    */
+  private def residuals(vectors: DataFrame, cells: DataFrame,
+      asg: DataFrame, id: String): DataFrame =
+    vectors.select(col(id),
+        col("embedding").cast("array<double>").as("embedding"))
+      .join(asg.select(col(id), col("c")), id)
+      .join(broadcast(cells.select(col("c"), col("cen"))), "c")
+      .select(col(id),
+        zip_with(col("embedding"), col("cen"), (x, c) => x - c)
+          .as("embedding"))
+
+  /** Residual-encoded PQ index (Jégou et al. 2011 §II-C eq. 12-14, the
+    * FAISS `IVFx,PQy` default): codebooks are GLOBAL but trained on the
+    * RESIDUALS `x − q₁(x)`, and every vector's codes quantize its
+    * residual. Residual energy is a fraction of raw vector energy
+    * (the coarse quantizer explains the cell-mean component), so the
+    * same m·k code budget spends its resolution on the informative
+    * remainder — the recall gap v11's raw-vector codebooks leave at
+    * high nCand closes without touching the plan shape. Same
+    * build-once artifacts as [[pqIndex]]: one-row codebooks + the
+    * per-id code table.
+    */
+  def pqIndexResidual(vectors: DataFrame, cells: DataFrame,
+      asg: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      id: String = "vec_id"): (DataFrame, DataFrame) = {
+    val r = residuals(vectors, cells, asg, id)
+    val cens = pqTrain(r, m, subDim, k, iters, id).localCheckpoint(true)
+    val codes = pqAssign(r, cens, m, subDim, id)
+      .select(col(id).as("nn_id"), col("codes"))
+    (cens, codes)
+  }
+
+  /** Residual-encoded IVFADC + re-ranking — [[ivfAdcRerank]] upgraded
+    * per Jégou et al. 2011 §II-C eq. 12-14: codes quantize residuals,
+    * so the ADC distance for a candidate in cell c estimates
+    * `‖(q − cen(c)) − pq(r(x))‖²` and the LUT becomes per
+    * (query, PROBED CELL) — nProbe tables of m·k entries per query
+    * instead of one (eq. 14's stated cost), still
+    * queries × nProbe × m·k doubles, broadcast-small. Everything
+    * downstream is v11's shape: the broadcast (query, cell, lut) list
+    * prunes the inverted file BEFORE any ADC arithmetic, candidates
+    * rank through the bounded [[TopKAgg]], and the exact rerank
+    * touches full-precision vectors for queries × nCand rows only.
+    */
+  def ivfAdcResidualRerank(vectors: DataFrame, queries: DataFrame,
+      cells: DataFrame, asg: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int, nProbe: Int, nCand: Int, topK: Int,
+      id: String = "vec_id"): DataFrame = {
+    val (cens, codes) =
+      pqIndexResidual(vectors, cells, asg, m, subDim, k, iters, id)
+    ivfAdcResidualRerankWith(vectors, queries, cells, asg, codes, cens,
+      subDim, nProbe, nCand, topK, id)
+  }
+
+  /** [[ivfAdcResidualRerank]] over prebuilt IVF + residual-PQ indexes —
+    * query-only.
+    */
+  def ivfAdcResidualRerankWith(vectors: DataFrame, queries: DataFrame,
+      cells: DataFrame, asg: DataFrame, codes: DataFrame, cens: DataFrame,
+      subDim: Int, nProbe: Int, nCand: Int, topK: Int,
+      id: String = "vec_id"): DataFrame = {
+    val w = Window.partitionBy(id).orderBy(col("dist"), col("c"))
+    val probes = assignCellsAll(queries, cells)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nProbe)
+      .select(col(id).as("q_id"), col("c"))
+    val m = cens.select(size(array_distinct(
+      transform(col("__cens"), c => c.getField("sub"))))).head().getInt(0)
+    val censPos = censPositional(cens, m)
+    // per-(query, probed cell) RESIDUAL, then its ADC table: lut rows
+    // key on (q_id, c) — a candidate in cell c is scored against the
+    // query residual w.r.t. THAT cell, the asymmetry eq. 13 prescribes
+    val q = queries.select(col(id).as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .join(probes, "q_id")
+      .join(broadcast(cells.select(col("c"), col("cen"))), "c")
+      .select(col("q_id"), col("c"),
+        zip_with(col("q_emb"), col("cen"), (x, c) => x - c).as("q_emb"))
+      .crossJoin(broadcast(censPos))
+      .withColumn("__lut", transform(col("__poscen"), (cenArr, s) =>
+        transform(cenArr, cen =>
+          sqdist(subSlice(col("q_emb"), s, subDim), cen))))
+      .select(col("q_id"), col("c"), col("__lut"))
     val coded = codesPositional(codes, censPos)
       .join(asg.select(col(id).as("nn_id"), col("c")), "nn_id")
     val scored = coded.join(broadcast(q), Seq("c"))

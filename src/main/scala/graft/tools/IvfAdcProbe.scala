@@ -66,6 +66,13 @@ object IvfAdcProbe {
     val (cens, codes0) = Ann.pqIndex(emb, m, dims / m, pqK, iters)
     val codes = codes0.localCheckpoint(true) // the persisted code table
     val tBuild = (System.nanoTime() - tB0) / 1e9
+    // the residual-encoded PQ index (v14, Jégou eq. 12-14) — same code
+    // budget (m × pqK), codebooks trained on x − centroid(cell)
+    val tR0 = System.nanoTime()
+    val (censR, codesR0) =
+      Ann.pqIndexResidual(emb, cells, asg, m, dims / m, pqK, iters)
+    val codesR = codesR0.localCheckpoint(true)
+    val tBuildR = (System.nanoTime() - tR0) / 1e9
 
     def timed(f: => DataFrame): (DataFrame, Double) = {
       val t0 = System.nanoTime()
@@ -98,21 +105,27 @@ object IvfAdcProbe {
       nCandList.head, k).count()
     Ann.ivfAdcRerankWith(emb, queries, cells, asg, codes, cens, dims / m,
       nProbe, nCandList.head, k).count()
+    Ann.ivfAdcResidualRerankWith(emb, queries, cells, asg, codesR, censR,
+      dims / m, nProbe, nCandList.head, k).count()
 
     val sweep = nCandList.map { nCand =>
       val (v10, tV10) = timed(Ann.pqAdcRerankWith(
         emb, queries, codes, cens, dims / m, nCand, k))
       val (v11, tV11) = timed(Ann.ivfAdcRerankWith(
         emb, queries, cells, asg, codes, cens, dims / m, nProbe, nCand, k))
+      val (v14, tV14) = timed(Ann.ivfAdcResidualRerankWith(
+        emb, queries, cells, asg, codesR, censR, dims / m, nProbe, nCand, k))
       s"""{"n_cand":$nCand,""" +
         s""""v10_full_adc":{"recall":${recall(v10)},"sec":$tV10},""" +
-        s""""v11_ivfadc":{"recall":${recall(v11)},"sec":$tV11}}"""
+        s""""v11_ivfadc":{"recall":${recall(v11)},"sec":$tV11},""" +
+        s""""v14_ivfadc_residual":{"recall":${recall(v14)},"sec":$tV14}}"""
     }
 
     val json =
       s"""{"probe":"ivfadc_vs_adc","sf":"$sfDir","n":$n,""" +
         s""""n_queries":$nQ,"k":$k,"n_cells":$nCells,"n_probe":$nProbe,""" +
         s""""m":$m,"pq_k":$pqK,"index_build_sec":$tBuild,""" +
+        s""""residual_index_build_sec":$tBuildR,""" +
         s""""brute_sec":$tBrute,"adc_pairs_v10":$pairsV10,""" +
         s""""adc_pairs_v11":$pairsV11,""" +
         f""""pair_reduction":${pairsV10.toDouble / pairsV11}%.2f,""" +

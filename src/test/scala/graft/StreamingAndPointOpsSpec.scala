@@ -276,6 +276,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got(0).getLong(3) === 1L) // bit 0 set: block 1 louder, exactly
   }
+
+  test("hammingNearDupPairs: exact recall within maxHamming (pigeonhole), " +
+    "shared-band-but-over-threshold pairs verified OUT, sign-bit band ok") {
+    val spark0 = spark
+    import spark0.implicits._
+    val hs = Seq(
+      1L -> 0L, 2L -> 0L, // exact dup
+      3L -> 1L, // distance 1 from 0
+      // 3 bits spread over bands 0/1/2; band 3 still matches hash 0,
+      // so 1↔4 candidates through band 3 and verifies IN at distance 3
+      4L -> ((1L << 1) | (1L << 17) | (1L << 33)),
+      // one more bit in band 3: 4↔5 at distance 1; 1↔5 shares NO band
+      // (one differing bit in each) AND is over threshold — never a pair
+      5L -> ((1L << 1) | (1L << 17) | (1L << 33) | (1L << 49)),
+      6L -> -1L, // all-ones, far from everything above
+      7L -> (-1L ^ (1L << 63)) // distance 1 from 6 through the sign bit
+    ).toDF("id", "h")
+    val got = Multimodal.hammingNearDupPairs(hs, "id", "h",
+        bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (1L, 4L, 3L), (2L, 4L, 3L), (4L, 5L, 1L), (6L, 7L, 1L)))
+    // the recall-1 precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingNearDupPairs(hs, "id", "h", bands = 3,
+        maxHamming = 3)
+    }
+  }
 }
 
 class PointOpsSpec extends SparkSpec {
