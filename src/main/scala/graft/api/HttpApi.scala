@@ -76,6 +76,12 @@ final class HttpApi(spark: SparkSession,
     defaultTenant: String = "default",
     lookbackMs: Long = 300000L,
     compactEvery: Int = 64,
+    // write-cadence DELTA folds (r13): every `deltaFoldEvery` pins the
+    // raw tail collapses into one deduped "mid" batch — an LSM-style
+    // middle level between the compacted head and the raw pins, so a
+    // bounded-staleness read scans ≤ ~(compactEvery/deltaFoldEvery +
+    // deltaFoldEvery) relations instead of up to compactEvery. 0 = off.
+    deltaFoldEvery: Int = 8,
     maxBytesInFrame: Int = 1 << 20, // reference api.go:60 (1 MiB)
     durablePath: Option[String] = None, // S8 cold tier (parquet)
     hotRetainMs: Long = 2 * 3600000L,
@@ -104,6 +110,13 @@ final class HttpApi(spark: SparkSession,
   @volatile private var batches: Vector[DataFrame] = Vector.empty
   @volatile private var batchMins: Vector[Long] = Vector.empty // min ts_ms
   @volatile private var headCompacted = false
+  // structural invariant: batches = [head?] ++ <midBatches mid folds> ++
+  // raw pin tail. Mids are produced by [[deltaFoldNow]]; the full fold
+  // collapses everything (head + mids + raws) and resets the count.
+  @volatile private var midBatches = 0
+  // pins since the last FULL fold — the compaction trigger. The vector
+  // length no longer measures it once delta folds shrink the tail.
+  @volatile private var pinsSinceFullFold = 0
   // wall stamp per batch: every post acked at or before batchWallMs(i)
   // is contained in batches(0..i) (FIFO flusher; the stamp is captured
   // under `this` at flush-snapshot time). After a compaction swap,
@@ -575,15 +588,17 @@ final class HttpApi(spark: SparkSession,
     * 800-806` widens memory-store reads by `memoryOverreadMs` rather
     * than forcing alignment):
     *
-    *  1. the compacted HEAD alone, when its stamp covers the budget —
-    *     ONE pinned, already-deduped relation, constant scan depth no
-    *     matter how hard the writers are pushing (under sustained load
-    *     folds recur every `compactEvery` pins, so the head is typically
-    *     well under a minute stale — the r12 soak measured the
-    *     pinned-union tier at 17 s p50 purely from union depth + pin
-    *     contention, which is the cost this tier removes);
-    *  2. the full pinned union, when the head is too old but
-    *     [[pinnedThroughWallMs]] still covers the budget;
+    *  1. the shortest batch PREFIX whose completeness stamp covers the
+    *     budget — with the head compacted every `compactEvery` pins and
+    *     the raw tail delta-folded every `deltaFoldEvery` pins (r13),
+    *     the typical hit is [head, a few mids]: bounded scan depth no
+    *     matter how hard the writers are pushing. (The r12 shape served
+    *     either the head ALONE or the FULL `compactEvery`-deep union;
+    *     its read p99 paid that deep union whenever the head stamp
+    *     missed the budget — the r12 soak measured 3.66 s p99 against a
+    *     248 ms p50 from exactly this cliff.)
+    *  2. the full pinned union, when even the newest batch stamp is too
+    *     old but [[pinnedThroughWallMs]] still covers the budget;
     *  3. a strict drain — the guarantee is real: a lapsed budget reads
     *     exactly what a header-less read would.
     */
@@ -608,11 +623,18 @@ final class HttpApi(spark: SparkSession,
     }
     if (quiesced) return (bs, hc)
     val now = System.currentTimeMillis()
-    if (hc && bs.nonEmpty && walls.nonEmpty &&
-      now - walls.head <= budget.longValue) {
+    // shortest PREFIX whose completeness stamp covers the budget:
+    // walls(i) stamps "every post acked at or before walls(i) is in
+    // batches[0..i]" (FIFO flusher), so any prefix is a consistent
+    // earlier view of the store and the stamps ascend — the first
+    // covering index is the cheapest adequate view. i == 0 with a
+    // compacted head is the original tier 1; with delta folds the
+    // typical hit is [head, a few mids], never the raw tail.
+    val i = walls.indexWhere(w => now - w <= budget.longValue)
+    if (i >= 0) {
       staleReadsTotal.incrementAndGet()
-      staleHeadReadsTotal.incrementAndGet()
-      (Vector(bs.head), true)
+      if (i == 0 && hc) staleHeadReadsTotal.incrementAndGet()
+      (bs.take(i + 1), hc)
     } else if (now - pinnedThrough <= budget.longValue) {
       staleReadsTotal.incrementAndGet()
       (bs, hc)
@@ -702,6 +724,7 @@ final class HttpApi(spark: SparkSession,
       if (pending.size >= flushEveryPosts ||
         pendingRowCount >= flushEveryRows) submitFlush()
       if (minTs < lastSpillCutoff) coldDirty = true
+      pinsSinceFullFold += 1
       // bounded union depth, OFF the write path: the fold runs in the
       // background over a snapshot prefix, swapped in copy-on-write
       maybeScheduleCompact()
@@ -714,13 +737,22 @@ final class HttpApi(spark: SparkSession,
     * next write to cross the threshold again (a batch could sit
     * unfolded and unspilled indefinitely on an idle store).
     */
-  private def maybeScheduleCompact(): Unit =
-    if (pinnedPending >= compactEvery &&
-      compacting.compareAndSet(false, true))
+  private def maybeScheduleCompact(): Unit = {
+    val full = pinsSinceFullFold >= compactEvery
+    val delta = !full && deltaFoldEvery > 0 && rawTailLen >= deltaFoldEvery
+    if ((full || delta) && compacting.compareAndSet(false, true))
       compactExec.execute { () =>
-        try compactNow() finally compacting.set(false)
+        try { if (full) compactNow() else deltaFoldNow() }
+        finally compacting.set(false)
         maybeScheduleCompact()
       }
+  }
+
+  /** Raw (unfolded) pins at the tail of the batch vector. */
+  private def rawTailLen: Int = {
+    val (b, hc, mids) = (batches, headCompacted, midBatches)
+    b.size - (if (hc && b.nonEmpty) 1 else 0) - mids
+  }
 
   /** Batches appended since the last completed compaction, INCLUDING
     * flush snapshots queued on the flusher but not yet pinned — so
@@ -734,6 +766,12 @@ final class HttpApi(spark: SparkSession,
     * going positive (a pin job actually in flight).
     */
   private[graft] def queuedFlushCount: Int = queuedFlushes.get
+
+  /** Mid (delta-folded) batches between head and raw tail (tests/soak). */
+  private[graft] def midCount: Int = midBatches
+
+  /** Total pinned hot relations: head + mids + raw tail (tests/soak). */
+  private[graft] def hotDepth: Int = batches.size
 
   /** PINNED batches since the last completed compaction — the compact
     * trigger counts only these (a queued-but-unpinned flush must not
@@ -782,6 +820,54 @@ final class HttpApi(spark: SparkSession,
   // one compaction at a time) WITHOUT blocking writes, which append under
   // `this`-lock only
   private val compactLock = new Object
+
+  /** Write-cadence DELTA fold (the r13 read-tail fix): collapse the raw
+    * pin tail into ONE deduped "mid" batch. Folding a CONTIGUOUS run of
+    * batches preserves read-side LWW exactly — per-(series, ts) argmax
+    * over (__seq, value) is associative, the same property the full
+    * fold's prefix swap already relies on. No spill, no TTL/expiry dim
+    * upkeep, no pre-agg — all durable-tier work stays on the full
+    * fold's `compactEvery` cadence; this fold exists purely to bound a
+    * bounded-staleness read's union depth (p99 was paying a
+    * `compactEvery`-deep scan whenever the head stamp missed the
+    * budget). Cost per fold is O(deltaFoldEvery pins), off the read
+    * path, on the write-side scheduler pool.
+    */
+  private def deltaFoldNow(): Unit = compactLock.synchronized {
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      "graft-writes")
+    val (snap, snapMins, snapWalls, snapPaths, prefixLen) = synchronized {
+      ((batches, batchMins, batchWallMs, batchPaths,
+        (if (headCompacted && batches.nonEmpty) 1 else 0) + midBatches))
+    }
+    val raw = snap.drop(prefixLen)
+    if (raw.size < 2) return
+    val (folded, foldedPath) =
+      pinHot(lwwDedup(unionAll(raw).get), "hot-midfold")
+    val dropNow = synchronized {
+      // the prefix [0, prefixLen) is stable (folds serialize on
+      // compactLock) and appends only extend the tail, so the
+      // take/drop arithmetic below cannot misalign
+      batches = batches.take(prefixLen) ++
+        (folded +: batches.drop(snap.size))
+      batchMins = batchMins.take(prefixLen) ++
+        (snapMins.slice(prefixLen, snap.size).min +:
+          batchMins.drop(snap.size))
+      batchPaths = batchPaths.take(prefixLen) ++
+        (foldedPath +: batchPaths.drop(snap.size))
+      // the mid's completeness stamp = its newest member's (the prefix
+      // through this mid contains every post acked at or before it)
+      batchWallMs = batchWallMs.take(prefixLen) ++
+        (snapWalls.slice(prefixLen, snap.size).foldLeft(0L)(math.max) +:
+          batchWallMs.drop(snap.size))
+      midBatches += 1
+      val out = retiredPins
+      retiredPins =
+        snapPaths.slice(prefixLen, snap.size).filter(_.nonEmpty)
+      out
+    }
+    dropNow.foreach(p => graft.store.Stage.drop(spark, p))
+  }
 
   private def compactNow(): Unit = compactLock.synchronized {
     // fold jobs ride the write-side pool too (see handle())
@@ -926,6 +1012,10 @@ final class HttpApi(spark: SparkSession,
       batchWallMs = snapWalls.take(snap.size)
         .foldLeft(0L)(math.max) +: batchWallMs.drop(snap.size)
       headCompacted = true
+      // everything folded — mids included; pins appended DURING the
+      // fold (the remaining raw tail) count toward the next full fold
+      midBatches = 0
+      pinsSinceFullFold = batches.size - 1
       // retire superseded staged pins with ONE compaction generation of
       // grace (readers holding plans over the old batches finish their
       // scans — the coldGen discipline); the PREVIOUS generation's

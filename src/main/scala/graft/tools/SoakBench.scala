@@ -127,8 +127,23 @@ object SoakBench {
           }
       })
 
+    // hour-scale configuration (VERDICT r13 #3): SB_DURABLE_PATH enables
+    // the cold tier (folds spill points older than SB_HOT_RETAIN_SEC, so
+    // hot memory is bounded over arbitrarily long runs); SB_STAGE_DIR
+    // switches hot pins to staged parquet (the durable-pin medium whose
+    // directory growth the timeline tracks)
+    val durablePath = sys.env.get("SB_DURABLE_PATH")
+    val hotRetainSec = sys.env.getOrElse("SB_HOT_RETAIN_SEC", "600").toLong
+    val stageDir = sys.env.get("SB_STAGE_DIR")
+    stageDir.foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      spark.conf.set("graft.stage.dir", d)
+    }
+    durablePath.foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     val api = new HttpApi(spark, flushEveryPosts = flushPosts,
-      compactEvery = compactEvery)
+      compactEvery = compactEvery, durablePath = durablePath,
+      hotRetainMs = hotRetainSec * 1000L)
     val port = api.start(0)
     val t0ms = 1704067200000L
 
@@ -161,8 +176,36 @@ object SoakBench {
       println(f"[soak] prefill: $prefill posts (${acked.get} pts) in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s, compacted")
     }
+    // warm the read path's codegen BEFORE the clock: the first
+    // query_range pays janino compilation of the whole eval plan
+    // (~2 s) — a steady-state latency series should not count the
+    // process's first-ever compile as a read observation (the write
+    // side gets the same treatment implicitly via the prefill/first
+    // pins). SB_WARMUP_READS=0 disables.
+    locally {
+      val warmups = sys.env.getOrElse("SB_WARMUP_READS", "2").toInt
+      if (warmups > 0) {
+        api.write(Seq(Prompb.PromSeries(
+          Map("__name__" -> "soak_metric_1", "writer" -> "warm",
+            "job" -> "soak"),
+          Seq((t0ms, 0.0)))), "default")
+        acked.addAndGet(1L) // the warmup point is in the store too
+        val client = HttpClient.newHttpClient()
+        val q = java.net.URLEncoder.encode(
+          "sum by (writer) (soak_metric_1)", "UTF-8")
+        (0 until warmups).foreach { _ =>
+          client.send(HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/api/v1/query_range?query=$q" +
+              s"&start=${t0ms / 1000}&end=${t0ms / 1000 + 3600}&step=60"))
+            .GET().build(), HttpResponse.BodyHandlers.ofString())
+        }
+      }
+    }
+
     val writeLatMs = new ConcurrentLinkedQueue[Double]()
     val readLatMs = new ConcurrentLinkedQueue[Double]()
+    // per-sample-window read latencies, drained by the timeline monitor
+    val windowReadLat = new ConcurrentLinkedQueue[Double]()
     val ackedPerBucket = new java.util.concurrent.ConcurrentHashMap[
       Long, AtomicLong]()
     val maxPending = new AtomicLong(0)
@@ -233,13 +276,74 @@ object SoakBench {
         val ms = (System.nanoTime() - t1) / 1e6
         require(resp.statusCode() == 200, resp.body().take(200))
         readLatMs.add(ms)
+        windowReadLat.add(ms)
         Thread.sleep(readEveryMs)
       }
     }
 
+    // hour-scale timeline (VERDICT r13 #3): every SB_SAMPLE_SEC the
+    // monitor snapshots the steady-state gauges — a leak (staging dir,
+    // hot depth, pending queue, heap) shows up as monotonic growth in
+    // the series, which a single end-of-run number cannot show
+    val sampleSec = sys.env.getOrElse("SB_SAMPLE_SEC", "30").toLong
+    val timeline = new ConcurrentLinkedQueue[String]()
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.isDirectory(root)) return 0L
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(f => scala.util.Try(
+          java.nio.file.Files.size(f)).getOrElse(0L)).sum()
+      finally s.close()
+    }
+    def coldGens(): Int = durablePath.fold(0) { d =>
+      val f = new java.io.File(d)
+      Option(f.listFiles()).fold(0)(_.count(x =>
+        x.isDirectory && x.getName.startsWith("g")))
+    }
+    // SB_COLD_COMPACT_EVERY_SEC > 0: rewrite the cold tier into its next
+    // snapshot generation on a timer (the out-of-band maintenance job a
+    // deployment would cron) — the hour soak watches generations retire
+    // rather than accumulate
+    val coldCompactEverySec =
+      sys.env.getOrElse("SB_COLD_COMPACT_EVERY_SEC", "0").toLong
     val monitor = new Thread(() => {
+      var lastSample = System.nanoTime()
+      var lastAcked = 0L
+      var lastColdCompact = System.nanoTime()
       while (!stop.get) {
         maxPending.updateAndGet(m => math.max(m, api.pendingBatches))
+        if (coldCompactEverySec > 0 && durablePath.isDefined &&
+          System.nanoTime() - lastColdCompact >=
+            coldCompactEverySec * 1000000000L) {
+          lastColdCompact = System.nanoTime()
+          scala.util.Try(api.compactCold())
+        }
+        if (System.nanoTime() - lastSample >= sampleSec * 1000000000L) {
+          lastSample = System.nanoTime()
+          val wallS = (System.nanoTime() - benchStart) / 1e9
+          val a = acked.get
+          // drain this window's read latencies (poll() on the empty
+          // queue unboxes to 0.0, and a real latency is never 0)
+          val rl = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var x = windowReadLat.poll()
+          while (x != 0.0) { rl += x; x = windowReadLat.poll() }
+          val sortedRl = rl.toArray.sorted
+          def wp(p: Double): Double =
+            if (sortedRl.isEmpty) -1
+            else sortedRl(math.min(sortedRl.length - 1,
+              (p * sortedRl.length).toInt))
+          val rt = java.lang.Runtime.getRuntime
+          timeline.add(
+            f"""{"wall_s":$wallS%.0f,"pts_per_s":${(a - lastAcked) / sampleSec.toDouble}%.0f,""" +
+              f""""read_p50_ms":${wp(0.5)}%.1f,"read_p99_ms":${wp(0.99)}%.1f,""" +
+              s""""hot_depth":${api.hotDepth},"mids":${api.midCount},""" +
+              s""""pending":${api.pendingBatches},""" +
+              s""""stage_mb":${stageDir.fold(0L)(dirBytes) / 1048576},""" +
+              s""""cold_gens":${coldGens()},""" +
+              s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576}}""")
+          lastAcked = a
+        }
         Thread.sleep(250)
       }
     }, "pending-monitor")
@@ -260,8 +364,13 @@ object SoakBench {
     val (staleReads, staleHeadReads) = api.staleReadCounts
 
     // final correctness: drain and count — every acknowledged point
-    // must be stored exactly once (unique (series, ts) by construction)
-    val readBackN = api.rawPoints.map(_.count()).getOrElse(0L)
+    // must be stored exactly once (unique (series, ts) by construction).
+    // With a cold tier enabled the hot vector alone is not the store
+    // (folds spill aged points), so count the full merged LWW view.
+    val readBackN =
+      if (durablePath.isDefined)
+        api.source().map(_.points.count()).getOrElse(0L)
+      else api.rawPoints.map(_.count()).getOrElse(0L)
     val countOk = readBackN == acked.get
 
     def pct(q: ConcurrentLinkedQueue[Double], p: Double): Double = {
@@ -302,7 +411,9 @@ object SoakBench {
         s""""bucket_pts_per_s_min":$bMin,"bucket_pts_per_s_max":$bMax,""" +
         s""""bucket_pts_per_s_mean":$bMean,"n_buckets":${full.size},""" +
         s""""max_pending_batches":${maxPending.get},""" +
-        s""""readback_points":$readBackN,"count_ok":$countOk}"""
+        s""""readback_points":$readBackN,"count_ok":$countOk,""" +
+        s""""sample_sec":$sampleSec,""" +
+        s""""timeline":[${timeline.asScala.mkString(",")}]}"""
     println(json)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SB_OUT", "SOAK_BENCH.json")),

@@ -265,6 +265,53 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(v2.toSeq === Seq(100.0))
   }
 
+  test("delta folds (r13): raw tail collapses into mids every " +
+    "deltaFoldEvery pins off the write path; LWW survives the mid " +
+    "boundary; the full fold collapses mids back to one head") {
+    import org.apache.spark.sql.functions.col
+    val apiDF = new HttpApi(spark, compactEvery = 100, deltaFoldEvery = 2)
+    apiDF.write(Seq(series("dm", "a", i => 1.0 + i)), "default")
+    apiDF.drainFlushes()
+    apiDF.write(Seq(series("dm", "a", i => 100.0 + i)), "default")
+    apiDF.drainFlushes()
+    apiDF.write(Seq(series("dm", "a", i => 200.0 + i)), "default")
+    apiDF.drainFlushes()
+    apiDF.write(Seq(series("dm", "b", i => 7.0)), "default")
+    apiDF.drainFlushes()
+    apiDF.write(Seq(series("dm", "c", i => 8.0)), "default")
+    apiDF.drainFlushes()
+    // delta folds run on the background compact executor: 5 pins at
+    // deltaFoldEvery=2 must produce at least two mids, and the hot
+    // depth must drop well below the pin count — compactEvery=100 is
+    // out of reach, so none of this is the full fold
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while ((apiDF.midCount < 2 || apiDF.hotDepth > 3) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(apiDF.midCount >= 2)
+    assert(apiDF.hotDepth <= 3)
+    assert(apiDF.pendingBatches > 0) // mids are NOT a full fold
+    // LWW across the mid boundary: the third write (its own pin,
+    // possibly a different mid than the first two) wins at read
+    val v = apiDF.source().get.points
+      .where(col("__name__") === "dm" && col("instance") === "a" &&
+        col("ts_ms") === T0)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v.toSeq === Seq(200.0))
+    // the full fold collapses head + mids + tail to one deduped head
+    apiDF.compact()
+    assert(apiDF.midCount === 0)
+    assert(apiDF.pendingBatches === 0)
+    val folded = apiDF.rawPoints.get
+    assert(folded.count() ===
+      folded.select("metric_id", "ts_ms").distinct().count())
+    val v2 = apiDF.source().get.points
+      .where(col("__name__") === "dm" && col("instance") === "a" &&
+        col("ts_ms") === T0)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v2.toSeq === Seq(200.0))
+    apiDF.stop()
+  }
+
   test("remote read streams CRC-framed XOR chunks when negotiated") {
     val req = org.xerial.snappy.Snappy.compress(Prompb.encodeReadRequest(
       Seq(Prompb.ReadQuery(T0, T9, Seq(MatchEq("__name__", "node_load"),
