@@ -116,6 +116,13 @@ object StreamNearDup {
           .otherwise(array(concat(lit("solo:"),
             col("docId").cast("string"))))))
       .toDF("docId", "text", "tsMs", "__ts", "band", "bucket")
+      // the claim logic never reads the text — it is pass-through
+      // baggage for the survivor output. Shipping it on EVERY band row
+      // multiplied the state shuffle's byte volume by the band count
+      // (the r12 gate's 1.8k docs/s floor was mostly this); band 0
+      // alone carries it, and the batch-local reduction picks it back
+      // up per doc ([[survivorsBatch]]'s ignoreNulls first)
+      .withColumn("text", when(col("band") === 0, col("text")))
       .as[BandWire]
       .groupByKey(w => (w.band, w.bucket))
       .flatMapGroupsWithState(OutputMode.Append,
@@ -130,7 +137,10 @@ object StreamNearDup {
   def survivorsBatch(verdicts: DataFrame): DataFrame =
     verdicts.groupBy("docId")
       .agg(min(when(col("selfClaimed"), 1).otherwise(0)).as("__all"),
-        first(col("text")).as("text"), first(col("tsMs")).as("tsMs"))
+        // the text rides band 0 only (see [[verdicts]]) — pick the
+        // non-null one regardless of verdict arrival order
+        first(col("text"), ignoreNulls = true).as("text"),
+        first(col("tsMs")).as("tsMs"))
       .where(col("__all") === 1)
       .select("docId", "text", "tsMs")
 }

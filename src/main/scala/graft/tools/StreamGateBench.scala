@@ -72,6 +72,29 @@ object StreamGateBench {
       (q, () => counter.get)
     }
 
+    // attribution phase 1 — the HASH CEILING: the same corpus through
+    // the identical signature/band COLUMN pipeline as a plain batch
+    // projection (no state store, no micro-batch machinery). The gap
+    // between this and the gate below is what streaming state costs.
+    import graft.dedup.Dedup
+    val tS0 = System.nanoTime()
+    val sigRows = spark.createDataset(corpus.toIndexedSeq).toDF()
+      .withColumn("xs", Dedup.xsCol(col("text"), 3))
+      .select(col("docId") +: col("xs") +: Dedup.sigNamedCols(16): _*)
+      .select(col("docId"),
+        posexplode(when(size(col("xs")) > 0,
+          array(Dedup.bandDigestCols(16, 4): _*))
+          .otherwise(array(concat(lit("solo:"),
+            col("docId").cast("string"))))))
+      .count()
+    val tSig = (System.nanoTime() - tS0) / 1e9
+
+    // attribution phase 2 — state partition count: streaming state
+    // parallelism is fixed at query start from shuffle.partitions; 32
+    // partitions × per-trigger commit overhead dominates small batches
+    val stateParts = sys.env.getOrElse("SGB_STATE_PARTS", cpus).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+
     // LSH near-dup gate (verdicts + batch-local survivor reduction)
     val (tL, survL) = feed { input =>
       val counter = new java.util.concurrent.atomic.AtomicLong
@@ -85,7 +108,8 @@ object StreamGateBench {
 
     val json =
       s"""{"probe":"stream_gate_throughput","sf":"$sfDir","docs":$n,""" +
-        s""""batch":$batchSize,""" +
+        s""""batch":$batchSize,"state_parts":$stateParts,""" +
+        s""""sig_batch_sec":$tSig,"sig_batch_docs_per_s":${n / tSig},""" +
         s""""digest_sec":$tD,"digest_docs_per_s":${n / tD},""" +
         s""""digest_survivors":$survD,""" +
         s""""lsh_sec":$tL,"lsh_docs_per_s":${n / tL},""" +
