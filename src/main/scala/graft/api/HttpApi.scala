@@ -134,7 +134,14 @@ final class HttpApi(spark: SparkSession,
   // parquet on shared storage instead — executor loss costs a re-read,
   // never the data. Single-JVM facades (no stage.dir) keep the
   // localCheckpoint fast path: driver and "executor" share a process,
-  // so the cliff does not exist there.
+  // so the EXECUTOR-LOSS cliff does not exist there. The r13 hour soak
+  // found the cliff's in-process sibling, though: after ~20 min of
+  // sustained folds a long-lived JVM can lose checkpoint blocks
+  // (block-manager removal — no recompute path exists for a truncated
+  // lineage), failing reads AND the next fold. Hour-scale or durable
+  // deployments must set `graft.stage.dir`; the block-manager pin is a
+  // short-session fast path, and that boundary is now measured, not
+  // assumed (SCALE.md r13, SOAK_BENCH_hour_r13.json runs staged).
   private val durableHot: Boolean =
     spark.conf.getOption("graft.stage.dir").isDefined
   private val hotScope = graft.store.Stage.detachedScope()

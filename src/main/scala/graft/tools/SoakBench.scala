@@ -150,6 +150,8 @@ object SoakBench {
     val stop = new AtomicBoolean(false)
     val acked = new AtomicLong(0)
     val postSeq = new AtomicLong(0)
+    val writeErrors = new AtomicLong(0)
+    val readErrors = new AtomicLong(0)
 
     // SB_PREFILL_POSTS > 0: bulk-load that many writer-shaped posts
     // through api.write BEFORE the clock starts, then drain + compact —
@@ -235,11 +237,18 @@ object SoakBench {
           .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
           HttpResponse.BodyHandlers.ofByteArray()).statusCode()
         val ms = (System.nanoTime() - t1) / 1e6
-        require(rc == 204, s"write failed: $rc")
-        writeLatMs.add(ms)
-        acked.addAndGet(perPost.toLong)
-        ackedPerBucket.computeIfAbsent(bucketOf(), _ => new AtomicLong)
-          .addAndGet(perPost.toLong)
+        if (rc != 204) {
+          // count and continue — a soak whose agent threads die on the
+          // first failure measures nothing after it (the r13 hour run
+          // lost its reader 22 min in and silently became write-only)
+          writeErrors.incrementAndGet()
+          System.err.println(s"[soak] write error rc=$rc")
+        } else {
+          writeLatMs.add(ms)
+          acked.addAndGet(perPost.toLong)
+          ackedPerBucket.computeIfAbsent(bucketOf(), _ => new AtomicLong)
+            .addAndGet(perPost.toLong)
+        }
       }
     }
 
@@ -274,9 +283,14 @@ object SoakBench {
         val resp = client.send(
           rb.GET().build(), HttpResponse.BodyHandlers.ofString())
         val ms = (System.nanoTime() - t1) / 1e6
-        require(resp.statusCode() == 200, resp.body().take(200))
-        readLatMs.add(ms)
-        windowReadLat.add(ms)
+        if (resp.statusCode() != 200) {
+          readErrors.incrementAndGet()
+          System.err.println(
+            s"[soak] read error: ${resp.body().take(300)}")
+        } else {
+          readLatMs.add(ms)
+          windowReadLat.add(ms)
+        }
         Thread.sleep(readEveryMs)
       }
     }
@@ -412,6 +426,8 @@ object SoakBench {
         s""""bucket_pts_per_s_mean":$bMean,"n_buckets":${full.size},""" +
         s""""max_pending_batches":${maxPending.get},""" +
         s""""readback_points":$readBackN,"count_ok":$countOk,""" +
+        s""""write_errors":${writeErrors.get},""" +
+        s""""read_errors":${readErrors.get},""" +
         s""""sample_sec":$sampleSec,""" +
         s""""timeline":[${timeline.asScala.mkString(",")}]}"""
     println(json)
