@@ -87,6 +87,19 @@ object GraftSession {
       // compiled code comfortably.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+      // the app-status store populates even with the UI off, and its
+      // DEFAULTS are sized for a human browsing a UI, not a long-lived
+      // facade: 1000 retained SQL executions × (plan graph + plan
+      // string) — multi-MB each for deep hot-union plans — plus 1000
+      // jobs/stages with per-task metric maps. The r13 hour soak OOMed
+      // a 12 GiB heap in 15 min at ~10 jobs/s from exactly this
+      // retention; a serving facade needs a status WINDOW, not a
+      // status ARCHIVE.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.explainMode", "simple")
 
   def local(cores: Int = 32): SparkSession = {
     val s = configure(

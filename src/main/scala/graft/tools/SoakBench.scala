@@ -114,17 +114,23 @@ object SoakBench {
                t <- Option(jobTask.get(j)))
             t.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
         override def onJobEnd(
-            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          // hour-scale hygiene: stage→job entries would otherwise
+          // accumulate for the whole run
+          stageJob.entrySet.removeIf(en => en.getValue == e.jobId)
           for ((pool, t0) <- Option(jobStart.remove(e.jobId))) {
             val wall = e.time - t0
             val task = Option(jobTask.remove(e.jobId)).fold(0L)(_.get)
             val st = poolStats.computeIfAbsent(pool, _ => new PoolStat)
             st.jobs.incrementAndGet(); st.wallMs.addAndGet(wall)
             st.taskMs.addAndGet(task)
-            if (wall > 1000)
+            if (wall > 1000) {
               slowJobs.add(s"job=${e.jobId} pool=$pool wall=${wall}ms " +
                 s"task=${task}ms")
+              while (slowJobs.size > 200) slowJobs.poll() // bounded
+            }
           }
+        }
       })
 
     // hour-scale configuration (VERDICT r13 #3): SB_DURABLE_PATH enables
