@@ -982,31 +982,49 @@ final class HttpApi(spark: SparkSession,
     // day-partitioned parquet store (APPEND — late duplicates resolve
     // read-side by __seq); the spill lands BEFORE the swap so a write
     // failure loses nothing
-    val (folded, foldedPath, foldedMin, spilledTo) = coldPath match {
+    // two DIFFERENT frontiers come out of a spill and must not be
+    // conflated (r13): `aggTo` is a TIME frontier — data at/below the
+    // wall-derived cutoff is final-modulo-repair, the reference's
+    // fullyAggregatedAt semantics, and may legitimately run ahead of
+    // the data; `overlapTo` is a DATA frontier — the max key actually
+    // on disk + 1. Using the time frontier for overlap detection made
+    // every workload whose event time lags the wall clock (backfill /
+    // replay streams; the r13 soak's synthetic clock) permanently
+    // coldDirty: EVERY write landed "behind" the frontier, so every
+    // read paid a global LWW shuffle over hot ∪ cold (measured: read
+    // exec 2 s → 49 s as the cold tier grew, then heap death). A write
+    // can only duplicate a disk key if it reaches at or below the max
+    // spilled ts; the max runs over the pinned fold, one cheap pass.
+    val (folded, foldedPath, foldedMin, aggTo, overlapTo) = coldPath match {
       case Some(_) if blocked =>
-        (folded0, folded0Path, snapMin, Long.MinValue)
+        (folded0, folded0Path, snapMin, Long.MinValue, Long.MinValue)
       case Some(path) =>
         val cutoff = System.currentTimeMillis() - hotRetainMs
         val spill = folded0.where(col("ts_ms") < cutoff)
         if (spill.limit(1).count() == 0)
-          (folded0, folded0Path, snapMin, Long.MinValue)
+          (folded0, folded0Path, snapMin, Long.MinValue, Long.MinValue)
         else {
           graft.store.Store.writePoints(spill, path, Seq("metric_id"),
             org.apache.spark.sql.SaveMode.Append)
+          val spilledMax =
+            spill.agg(max(col("ts_ms"))).head().getLong(0)
           val (trimmed, tp) =
             pinHot(folded0.where(col("ts_ms") >= cutoff), "hot-fold")
-          (trimmed, tp, cutoff, cutoff)
+          (trimmed, tp, cutoff, cutoff, spilledMax + 1)
         }
-      case None => (folded0, folded0Path, snapMin, Long.MinValue)
+      case None => (folded0, folded0Path, snapMin, Long.MinValue, Long.MinValue)
     }
     val dropNow = synchronized {
       val tailMins = batchMins.drop(snap.size)
-      if (spilledTo != Long.MinValue) {
+      if (overlapTo != Long.MinValue) {
         // keys below the PREVIOUS frontier may already be on disk, and
         // batches appended DURING the fold may now sit below the new one
         if (snapMin < lastSpillCutoff) coldDirty = true
-        if (tailMins.exists(_ < spilledTo)) coldDirty = true
-        lastSpillCutoff = spilledTo
+        if (tailMins.exists(_ < overlapTo)) coldDirty = true
+        // monotone: a later fold can spill a LOWER max (backfill data
+        // below an earlier spill's keys) — the frontier keeps covering
+        // everything ever written to disk
+        lastSpillCutoff = math.max(lastSpillCutoff, overlapTo)
       }
       newDim.foreach(d => ttlDim = Some(d))
       val snapPaths = batchPaths.take(snap.size)
@@ -1036,7 +1054,7 @@ final class HttpApi(spark: SparkSession,
     dropNow.foreach(p => graft.store.Stage.drop(spark, p))
     // A5 at compaction: data behind the spill frontier is final (modulo
     // explicit backfill repair) — extend agg_5m up to it, incrementally
-    if (spilledTo != Long.MinValue) preAggregate(spilledTo)
+    if (aggTo != Long.MinValue) preAggregate(aggTo)
   }
 
   /** The expiration sweep (reference `cassandra/index/index.go:2138-2291`
