@@ -139,7 +139,9 @@ object ClusterBench {
         val sm = spillMem.get - m0; val sd = spillDisk.get - d0
         System.err.println(f"[cb ${spark.sparkContext.master.take(13)}" +
           f" pass$pass] $name $sec%.2fs spillMem=$sm spillDisk=$sd")
-        if (pass > 0) {
+        // passes=0 (single-pass budget mode, no warmup) must still
+        // record: the only pass IS the measurement
+        if (pass > 0 || passes == 0) {
           val prev = out.get(name)
           out += name -> ((math.min(sec, prev.map(_._1).getOrElse(Double.MaxValue)),
             math.max(sm, prev.map(_._2).getOrElse(0L)),
