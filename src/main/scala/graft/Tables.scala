@@ -100,6 +100,13 @@ object GraftSession {
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
       .config("spark.sql.ui.explainMode", "simple")
+      // transient checkpoint/cache blocks whose RDDs died are reclaimed
+      // by the ContextCleaner only after a DRIVER GC exposes the weak
+      // refs — on a large heap that can take the default 30 min
+      // periodicGC interval, during which dead blocks squat on storage
+      // memory (a long-lived facade folds/pins continuously; the r13
+      // soak's heap death curve tracked exactly this lag)
+      .config("spark.cleaner.periodicGC.interval", "3min")
 
   def local(cores: Int = 32): SparkSession = {
     val s = configure(

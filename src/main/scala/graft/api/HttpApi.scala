@@ -1115,7 +1115,14 @@ final class HttpApi(spark: SparkSession,
       // memory after the flag clears (locks are reentrant here)
       compactNow()
       coldPoints().foreach { c =>
-        val cleaned = lwwDedup(c).localCheckpoint(true)
+        // stream the rewrite — NO checkpoint: it reads g(N) and writes
+        // g(N+1) (different dirs, no self-overwrite hazard) for exactly
+        // one consumer, so pinning materialized the ENTIRE cold tier
+        // into block-manager memory for nothing, and those orphan
+        // blocks lingered until the cleaner's periodic GC (default
+        // 30 min) — the r13 soak's heap death curve tracked the
+        // compactCold cadence (r13)
+        val cleaned = lwwDedup(c)
         val nextGen = coldGen + 1
         graft.store.Store.writePoints(cleaned, s"$p/g$nextGen",
           Seq("metric_id"))

@@ -354,14 +354,27 @@ object SoakBench {
             else sortedRl(math.min(sortedRl.length - 1,
               (p * sortedRl.length).toInt))
           val rt = java.lang.Runtime.getRuntime
-          timeline.add(
+          // incremental NDJSON dump: three r13 soak attempts died
+          // mid-run and left NO artifact because the JSON only wrote at
+          // the end — the timeline-so-far IS the evidence a death run
+          // exists to produce
+          def appendLine(l: String): Unit =
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(sys.env.getOrElse("SB_OUT",
+                "SOAK_BENCH.json") + ".timeline"),
+              (l + "\n").getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+          val line =
             f"""{"wall_s":$wallS%.0f,"pts_per_s":${(a - lastAcked) / sampleSec.toDouble}%.0f,""" +
               f""""read_p50_ms":${wp(0.5)}%.1f,"read_p99_ms":${wp(0.99)}%.1f,""" +
               s""""hot_depth":${api.hotDepth},"mids":${api.midCount},""" +
               s""""pending":${api.pendingBatches},""" +
               s""""stage_mb":${stageDir.fold(0L)(dirBytes) / 1048576},""" +
               s""""cold_gens":${coldGens()},""" +
-              s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576}}""")
+              s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576}}"""
+          timeline.add(line)
+          scala.util.Try(appendLine(line))
           lastAcked = a
         }
         Thread.sleep(250)

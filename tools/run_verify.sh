@@ -10,6 +10,6 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
   java.base/sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $ADDOPENS -Xmx12g -XX:ReservedCodeCacheSize=1g \
+exec java $ADDOPENS -Xmx${GRAFT_XMX:-12g} -XX:ReservedCodeCacheSize=1g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
