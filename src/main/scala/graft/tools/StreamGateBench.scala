@@ -78,7 +78,9 @@ object StreamGateBench {
     // between this and the gate below is what streaming state costs.
     import graft.dedup.Dedup
     val tS0 = System.nanoTime()
-    val sigRows = spark.createDataset(corpus.toIndexedSeq).toDF()
+    val sigRows = spark.createDataset(corpus.toIndexedSeq)
+      .repartition(cpus.toInt) // a LocalTableScan would underparallelize
+      .toDF()
       .withColumn("xs", Dedup.xsCol(col("text"), 3))
       .select(col("docId") +: col("xs") +: Dedup.sigNamedCols(16): _*)
       .select(col("docId"),
