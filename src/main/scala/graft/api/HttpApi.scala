@@ -146,10 +146,17 @@ final class HttpApi(spark: SparkSession,
     spark.conf.getOption("graft.stage.dir").isDefined
   private val hotScope = graft.store.Stage.detachedScope()
   // staged path per batches[i] (parallel vector; "" = localCheckpoint).
-  // Superseded paths retire with ONE compaction generation of grace so
+  // Superseded paths retire with ONE FULL-fold generation of grace so
   // in-flight readers finish their scans (the coldGen discipline).
+  // Two lists (ADVICE r13): delta folds ACCUMULATE their retirees into
+  // the current generation and drop NOTHING — a single list overwritten
+  // per fold shrank a slow reader's grace window from ~compactEvery
+  // pins to ~deltaFoldEvery (8×) once delta folds ran between fulls.
+  // Each FULL fold deletes the previous generation's list and promotes
+  // the current one, so every retiree survives ≥ one full generation.
   @volatile private var batchPaths: Vector[String] = Vector.empty
-  @volatile private var retiredPins: Vector[String] = Vector.empty
+  @volatile private var retiredPrevGen: Vector[String] = Vector.empty
+  @volatile private var retiredCurGen: Vector[String] = Vector.empty
 
   /** Pin one hot relation on the configured medium. */
   private def pinHot(df: DataFrame, tag: String): (DataFrame, String) =
@@ -745,11 +752,24 @@ final class HttpApi(spark: SparkSession,
     * unfolded and unspilled indefinitely on an idle store).
     */
   private def maybeScheduleCompact(): Unit = {
-    val full = pinsSinceFullFold >= compactEvery
-    val delta = !full && deltaFoldEvery > 0 && rawTailLen >= deltaFoldEvery
+    val fullWanted = pinsSinceFullFold >= compactEvery
+    // a full fold needs the COLD lock (it spills into the current cold
+    // generation); while compactCold's minutes-long rewrite (or a
+    // pre-agg / expiry sweep) holds it, the full DEMOTES to a delta
+    // fold so the raw pin tail stays bounded — the r13 hour soak proved
+    // every read-p99 spike window was exactly this dam (SCALE.md r13).
+    // pinsSinceFullFold is untouched by the delta path, so the full
+    // trigger stays armed and fires when the lock frees (withColdLock
+    // re-checks on release).
+    val full = fullWanted && !compactLock.isLocked
+    val delta = deltaFoldEvery > 0 && rawTailLen >= deltaFoldEvery
     if ((full || delta) && compacting.compareAndSet(false, true))
       compactExec.execute { () =>
-        try { if (full) compactNow() else deltaFoldNow() }
+        try {
+          if (pinsSinceFullFold >= compactEvery && compactLock.tryLock())
+            try compactNow() finally compactLock.unlock()
+          else if (deltaFoldEvery > 0) deltaFoldNow()
+        }
         finally compacting.set(false)
         maybeScheduleCompact()
       }
@@ -820,13 +840,35 @@ final class HttpApi(spark: SparkSession,
     */
   def compact(): Unit = {
     flushPending()
-    compactNow()
+    withColdLock(compactNow())
   }
 
-  // serializes folds against each other (the prefix-swap arithmetic needs
-  // one compaction at a time) WITHOUT blocking writes, which append under
-  // `this`-lock only
-  private val compactLock = new Object
+  // COLD-tier lock: everything that touches the durable store — the
+  // full fold's spill (it appends into the current cold generation),
+  // compactCold's generation rewrite, pre-aggregation, the expiry
+  // sweep — serializes here, WITHOUT blocking writes (which append
+  // under `this`-lock only) and, as of r14, WITHOUT blocking delta
+  // folds: the r13 hour soak proved every read-p99 spike window (6-12 s)
+  // was compactCold's minutes-long rewrite holding this lock while the
+  // raw pin tail climbed to depth 22-30 (SCALE.md r13). Reentrant so
+  // compactCold → compactNow → preAggregate compose. Lock order is
+  // always compactLock → foldLock, never the reverse.
+  private val compactLock = new java.util.concurrent.locks.ReentrantLock
+  private def withColdLock[A](f: => A): A = {
+    compactLock.lock()
+    try f finally {
+      compactLock.unlock()
+      // a full fold that demoted to delta while this op held the lock
+      // left its trigger armed — re-check now instead of waiting for
+      // the next write (an idle store could otherwise sit unfolded)
+      maybeScheduleCompact()
+    }
+  }
+  // HOT-vector restructure lock (r14): delta and full folds serialize
+  // their snapshot/prefix-swap arithmetic here — one fold at a time —
+  // while the cold tier stays independently lockable, so a delta fold
+  // can bound the read-side union depth DURING a cold rewrite.
+  private val foldLock = new Object
 
   /** Write-cadence DELTA fold (the r13 read-tail fix): collapse the raw
     * pin tail into ONE deduped "mid" batch. Folding a CONTIGUOUS run of
@@ -840,7 +882,7 @@ final class HttpApi(spark: SparkSession,
     * budget). Cost per fold is O(deltaFoldEvery pins), off the read
     * path, on the write-side scheduler pool.
     */
-  private def deltaFoldNow(): Unit = compactLock.synchronized {
+  private def deltaFoldNow(): Unit = foldLock.synchronized {
     spark.sparkContext.setLocalProperty("spark.scheduler.pool",
       "graft-writes")
     val (snap, snapMins, snapWalls, snapPaths, prefixLen) = synchronized {
@@ -851,9 +893,9 @@ final class HttpApi(spark: SparkSession,
     if (raw.size < 2) return
     val (folded, foldedPath) =
       pinHot(lwwDedup(unionAll(raw).get), "hot-midfold")
-    val dropNow = synchronized {
+    synchronized {
       // the prefix [0, prefixLen) is stable (folds serialize on
-      // compactLock) and appends only extend the tail, so the
+      // foldLock) and appends only extend the tail, so the
       // take/drop arithmetic below cannot misalign
       batches = batches.take(prefixLen) ++
         (folded +: batches.drop(snap.size))
@@ -868,15 +910,23 @@ final class HttpApi(spark: SparkSession,
         (snapWalls.slice(prefixLen, snap.size).foldLeft(0L)(math.max) +:
           batchWallMs.drop(snap.size))
       midBatches += 1
-      val out = retiredPins
-      retiredPins =
+      // delta retirees ACCUMULATE (deleted only by the full fold after
+      // next, one full generation of grace — ADVICE r13); nothing drops
+      // on the delta cadence
+      retiredCurGen = retiredCurGen ++
         snapPaths.slice(prefixLen, snap.size).filter(_.nonEmpty)
-      out
     }
-    dropNow.foreach(p => graft.store.Stage.drop(spark, p))
   }
 
-  private def compactNow(): Unit = compactLock.synchronized {
+  /** The FULL fold. Callers must hold [[compactLock]] (the spill below
+    * appends into the current cold generation); the hot-vector swap
+    * itself serializes on [[foldLock]] so delta folds can't restructure
+    * the prefix mid-snapshot.
+    */
+  private def compactNow(): Unit = {
+    require(compactLock.isHeldByCurrentThread,
+      "compactNow requires the cold lock (it spills)")
+    val aggTo = foldLock.synchronized {
     // fold jobs ride the write-side pool too (see handle())
     spark.sparkContext.setLocalProperty("spark.scheduler.pool",
       "graft-writes")
@@ -1041,19 +1091,25 @@ final class HttpApi(spark: SparkSession,
       // fold (the remaining raw tail) count toward the next full fold
       midBatches = 0
       pinsSinceFullFold = batches.size - 1
-      // retire superseded staged pins with ONE compaction generation of
+      // retire superseded staged pins with ONE FULL-fold generation of
       // grace (readers holding plans over the old batches finish their
       // scans — the coldGen discipline); the PREVIOUS generation's
-      // retirees delete now, outside the lock
-      val out = retiredPins
-      retiredPins = (snapPaths :+
-        (if (foldedPath != folded0Path) folded0Path else ""))
+      // retirees (including delta-fold retirees accumulated since —
+      // ADVICE r13) delete now, outside the lock
+      val out = retiredPrevGen
+      retiredPrevGen = (retiredCurGen ++ (snapPaths :+
+        (if (foldedPath != folded0Path) folded0Path else "")))
         .filter(_.nonEmpty)
+      retiredCurGen = Vector.empty
       out
     }
     dropNow.foreach(p => graft.store.Stage.drop(spark, p))
+    aggTo
+    }
     // A5 at compaction: data behind the spill frontier is final (modulo
-    // explicit backfill repair) — extend agg_5m up to it, incrementally
+    // explicit backfill repair) — extend agg_5m up to it, incrementally.
+    // OUTSIDE foldLock: pre-agg is durable-tier work (compactLock is
+    // held) and must not dam delta folds any more than compactCold may
     if (aggTo != Long.MinValue) preAggregate(aggTo)
   }
 
@@ -1071,7 +1127,7 @@ final class HttpApi(spark: SparkSession,
     */
   def sweepExpiredSeries(
       nowMs: Long = System.currentTimeMillis()): Long =
-    compactLock.synchronized {
+    withColdLock {
       expiryPath.filter(isDir).fold(0L) { ep =>
         import spark.implicits._
         val hasNames = spark.read.parquet(ep).columns.contains("names")
@@ -1109,7 +1165,7 @@ final class HttpApi(spark: SparkSession,
     * the previous generation keep scanning it — one retired generation
     * stays on disk as the grace window, the one before it is removed.
     */
-  def compactCold(): Unit = compactLock.synchronized {
+  def compactCold(): Unit = withColdLock {
     durablePath.filter(_ => !coldWritesBlocked).foreach { p =>
       // fold + spill the hot side first, so no backfilled key lingers in
       // memory after the flag clears (locks are reentrant here)
@@ -1127,7 +1183,15 @@ final class HttpApi(spark: SparkSession,
         graft.store.Store.writePoints(cleaned, s"$p/g$nextGen",
           Seq("metric_id"))
         coldGen = nextGen // flip: new reads plan against the new snapshot
-        coldDirty = false
+        // NOT a blind `coldDirty = false`: with delta folds running
+        // concurrently (r14) — and even before, with writes never
+        // blocked here — a pin appended DURING the rewrite can land
+        // behind the spill frontier; clearing unconditionally would
+        // lose its overlap flag and reads would skip the LWW dedup a
+        // duplicated key needs. Recompute from the hot mins under the
+        // write lock (a concurrent append either shows in batchMins or
+        // sets the flag itself afterwards — no lost update).
+        synchronized { coldDirty = batchMins.exists(_ < lastSpillCutoff) }
         retireGenerations(p, nextGen)
       }
     }
@@ -1378,7 +1442,7 @@ final class HttpApi(spark: SparkSession,
     * "data below this is final" boundary) or on demand. Returns the new
     * watermark.
     */
-  def preAggregate(endMs: Long): Long = compactLock.synchronized {
+  def preAggregate(endMs: Long): Long = withColdLock {
     aggPath.fold(0L) { ap =>
     val wm = graft.store.Store.readWatermark(ap)
     val end = endMs - math.floorMod(endMs, PreAggResolutionMs)
@@ -1408,7 +1472,7 @@ final class HttpApi(spark: SparkSession,
     * Returns the rebuilt month partitions.
     */
   def forcePreAggregate(fromMs: Long, toMs: Long): Seq[String] =
-    compactLock.synchronized { aggPath.toSeq.flatMap { ap =>
+    withColdLock { aggPath.toSeq.flatMap { ap =>
       val wm = graft.store.Store.readWatermark(ap)
       val hi = math.min(toMs, wm) // beyond wm the raw tail serves anyway
       if (hi <= fromMs || coldWritesBlocked) Seq.empty
@@ -1660,7 +1724,8 @@ final class HttpApi(spark: SparkSession,
     // localCheckpoint path's blocks end with the JVM — the durable tier
     // holds everything the fold already spilled)
     if (durableHot) {
-      synchronized { retiredPins = Vector.empty; batchPaths = Vector.empty }
+      synchronized { retiredPrevGen = Vector.empty
+        retiredCurGen = Vector.empty; batchPaths = Vector.empty }
       graft.store.Stage.clearDetached(spark, hotScope)
     }
   }
@@ -2369,7 +2434,7 @@ final class HttpApi(spark: SparkSession,
     val strict = params(h).contains("strict")
     val expiredRegistered =
       if (!strict) 0L
-      else compactLock.synchronized {
+      else withColdLock {
         expiryPath.filter(isDir).fold(0L) { ep =>
           spark.read.parquet(ep).groupBy("metric_id")
             .agg(max(col("expiration_ms")).as("__e"))
@@ -2465,7 +2530,7 @@ final class HttpApi(spark: SparkSession,
         "no expiry dim (configure durablePath)"))
       case Some(ep) =>
         val day = java.sql.Date.valueOf(java.time.LocalDate.parse(date))
-        val dim = compactLock.synchronized {
+        val dim = withColdLock {
           spark.read.parquet(ep).groupBy("metric_id")
             .agg(max(col("expiration_ms")).as("expiration_ms"))
             .localCheckpoint(true) // pin: the dump outlives the lock

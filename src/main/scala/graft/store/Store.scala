@@ -255,7 +255,6 @@ object Store {
         .repartition(col("c"))
         .write.partitionBy("c").mode(SaveMode.Overwrite).parquet(tmp)
     }
-    true
   }
 
   /** Crash-safe directory commit: run `write` against a dot-prefixed
@@ -269,19 +268,52 @@ object Store {
     * temp from a previous crash is deleted first (it is retryable by
     * construction — nothing ever reads it).
     */
-  private def commitDir(dst: String)(write: String => Unit): Unit = {
+  private def commitDir(dst: String)(write: String => Unit): Boolean = {
     val dstPath = Paths.get(dst)
-    val tmpPath = dstPath.resolveSibling("." + dstPath.getFileName + ".tmp")
-    if (Files.isDirectory(tmpPath)) {
-      Files.walk(tmpPath).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+    // nonce-suffixed temp (ADVICE r13): two concurrent writers that both
+    // passed the caller's existence check must not share (and delete)
+    // each other's in-flight dir — each writes its own temp, exactly one
+    // rename wins, the loser reads as an already-committed replay. Stale
+    // temps from crashes are retryable by construction (nothing reads a
+    // dot-dir); only temps AGED past any plausible in-flight write are
+    // swept — an mtime gate, because with nonces a fresh temp is
+    // indistinguishable from a concurrent writer's and deleting that
+    // would be the very race this fixes.
+    Option(dstPath.getParent).foreach { parent =>
+      val staleMs = System.currentTimeMillis() - 3600L * 1000
+      if (Files.isDirectory(parent)) Files.list(parent).iterator()
+        .forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("." + dstPath.getFileName + ".tmp") &&
+              Files.isDirectory(p) &&
+              Files.getLastModifiedTime(p).toMillis < staleMs)
+            scala.util.Try(Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.delete(f)))
+        }
     }
+    val tmpPath = dstPath.resolveSibling("." + dstPath.getFileName +
+      ".tmp" + java.util.UUID.randomUUID().toString.take(8))
     write(tmpPath.toString)
-    try Files.move(tmpPath, dstPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmpPath, dstPath)
+    try {
+      try Files.move(tmpPath, dstPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmpPath, dstPath)
+      }
+      true
+    } catch {
+      // a concurrent committer won the rename: surface "already
+      // committed" instead of throwing — same single-winner contract
+      // the old SaveMode.ErrorIfExists write gave (ADVICE r13). The
+      // loser's temp dir is deleted so it can't be mistaken for state.
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.DirectoryNotEmptyException =>
+        scala.util.Try(Files.walk(tmpPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f)))
+        false
     }
   }
 
@@ -315,7 +347,6 @@ object Store {
         .repartition(col("c"))
         .write.partitionBy("c").mode(SaveMode.Overwrite).parquet(tmp)
     }
-    true
   }
 
   /** Read back (cells, asg) for probing — asg is the union of the base

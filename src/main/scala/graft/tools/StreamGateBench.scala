@@ -59,6 +59,14 @@ object StreamGateBench {
       } finally q.stop()
     }
 
+    // state partition count applies to BOTH gates (ADVICE r13: set
+    // between them, the two docs/s in one JSON ran at different state
+    // parallelism and were not comparable): streaming state parallelism
+    // is fixed at query start from shuffle.partitions; N partitions ×
+    // per-trigger commit overhead dominates small batches
+    val stateParts = sys.env.getOrElse("SGB_STATE_PARTS", cpus).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+
     // exact digest gate
     val (tD, survD) = feed { input =>
       val counter = new java.util.concurrent.atomic.AtomicLong
@@ -90,12 +98,6 @@ object StreamGateBench {
             col("docId").cast("string"))))))
       .count()
     val tSig = (System.nanoTime() - tS0) / 1e9
-
-    // attribution phase 2 — state partition count: streaming state
-    // parallelism is fixed at query start from shuffle.partitions; 32
-    // partitions × per-trigger commit overhead dominates small batches
-    val stateParts = sys.env.getOrElse("SGB_STATE_PARTS", cpus).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
 
     // LSH near-dup gate (verdicts + batch-local survivor reduction)
     val (tL, survL) = feed { input =>

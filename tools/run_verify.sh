@@ -12,4 +12,4 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
 done
 exec java $ADDOPENS -Xmx${GRAFT_XMX:-12g} -XX:ReservedCodeCacheSize=1g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "${GRAFT_CLASSPATH:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*" "$@"
