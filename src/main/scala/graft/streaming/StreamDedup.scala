@@ -92,6 +92,10 @@ object StreamDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      // NO pre-hash repartition here, unlike StreamNearDup: one md5 per
+      // doc is cheap enough that an extra full-text shuffle costs more
+      // than the parallelism buys (measured r14 — the digest gate's
+      // only worthwhile shuffle is the state exchange itself)
       .withColumn("digest", md5(col("text")))
       .withColumn("__ts", timestamp_millis(col("tsMs")))
       .withWatermark("__ts", s"$delayMs milliseconds")

@@ -166,7 +166,13 @@ object ClusterBench {
 
     // ---- pass B: real executor processes ----
     val stageDir = Files.createTempDirectory("cb-stage").toString
-    val classes = "/root/repo/target/scala-2.13/classes"
+    // honor the frozen-snapshot classpath (GRAFT_CLASSPATH, same knob
+    // run_verify.sh uses): executors lazy-load classes from this dir,
+    // and r13 lost a whole sf100 chunk to a compile replacing
+    // target/classes under a live cluster — a snapshot dir makes the
+    // run immune to concurrent builds
+    val classes = sys.env.getOrElse("GRAFT_CLASSPATH",
+      "/root/repo/target/scala-2.13/classes")
     val sCluster = GraftSession.configure(SparkSession.builder()
       .master(s"local-cluster[$workers,$cores,$memMB]")
       .config("spark.sql.shuffle.partitions", totalCores)

@@ -99,13 +99,27 @@ object StreamGateBench {
       .count()
     val tSig = (System.nanoTime() - tS0) / 1e9
 
-    // LSH near-dup gate (verdicts + batch-local survivor reduction)
+    // LSH near-dup gate (verdicts + batch-local survivor reduction).
+    // SGB_LSH_MODE attribution variants (default "full"):
+    //   raw       — count verdict rows, skip the survivorsBatch groupBy
+    //               (prices the per-trigger foreachBatch reduction)
+    //   verdicts0 — run the band pipeline WITHOUT the state operator
+    //               (prices hash + typed combine + payload union; the
+    //               gap to "raw" is the state exchange itself)
+    val lshMode = sys.env.getOrElse("SGB_LSH_MODE", "full")
     val (tL, survL) = feed { input =>
       val counter = new java.util.concurrent.atomic.AtomicLong
-      val q = StreamNearDup.verdicts(input.toDS(), delayMs = 3600000L)
+      val stream = lshMode match {
+        case "verdicts0" => StreamNearDup.verdictsStateless(input.toDS())
+        case _ => StreamNearDup.verdicts(input.toDS(), delayMs = 3600000L)
+      }
+      val q = stream
         .writeStream.outputMode("append")
         .foreachBatch { (b: DataFrame, _: Long) =>
-          counter.addAndGet(StreamNearDup.survivorsBatch(b).count()); ()
+          counter.addAndGet(
+            if (lshMode == "full") StreamNearDup.survivorsBatch(b).count()
+            else b.count())
+          ()
         }.start()
       (q, () => counter.get)
     }
@@ -116,6 +130,7 @@ object StreamGateBench {
         s""""sig_batch_sec":$tSig,"sig_batch_docs_per_s":${n / tSig},""" +
         s""""digest_sec":$tD,"digest_docs_per_s":${n / tD},""" +
         s""""digest_survivors":$survD,""" +
+        s""""lsh_mode":"$lshMode",""" +
         s""""lsh_sec":$tL,"lsh_docs_per_s":${n / tL},""" +
         s""""lsh_survivors":$survL}"""
     println(json)

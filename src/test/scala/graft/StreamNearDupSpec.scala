@@ -130,10 +130,16 @@ class StreamNearDupSpec extends SparkSpec {
     try {
       input.addData(Doc(1L, TextA, 1000L), Doc(2L, TextB, 2000L))
       q.processAllAvailable()
-      // every (doc, band) observation present: 4 bands per doc
+      // every (doc, band) observation present: 4 bands per doc (band -1
+      // is the stateless payload row — not a band verdict)
       val rows = spark0.table("snd_verdicts")
+        .where("band >= 0")
         .select("docId", "band", "selfClaimed")
         .as[(Long, Int, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+      // and exactly one payload row per doc, carrying the text
+      val payload = spark0.table("snd_verdicts").where("band = -1")
+        .select("docId", "text").as[(Long, String)].collect().sortBy(_._1)
+      assert(payload.toSeq === Seq((1L, TextA), (2L, TextB)))
       assert(rows.map(r => (r._1, r._2)) ===
         Seq((1L, 0), (1L, 1), (1L, 2), (1L, 3),
           (2L, 0), (2L, 1), (2L, 2), (2L, 3)))
