@@ -680,6 +680,30 @@ object PipelineQueries {
           col("nn_id"), col("cos_sim"))
     }),
 
+    // budget-adaptive multi-probe residual IVFADC (v15): v14's exact
+    // chain, but the probe list follows the Lv et al. 2007 multi-probe
+    // principle — rank cells by coarse distance, probe until the
+    // CUMULATIVE inverted-list mass reaches a candidate budget
+    // (IvfNProbe cells' worth of AVERAGE mass: n·nProbe/K), so boundary
+    // queries get more cells and dense-cell queries fewer at equal ADC
+    // pair cost. The oracle derives the SAME budget from count(*), the
+    // d9 dynamic-k discipline, so both engines agree at every SF
+    "v15_ivf_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = "/tmp/graft_ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${java.lang.ProcessHandle.current.pid}"
+      graft.store.Store.buildIvfIndex(s, idxPath, emb, nCells = 8)
+      val (cells, asg) = graft.store.Store.readIvfIndex(s, idxPath)
+      val budget = emb.count() * IvfNProbe / 8
+      Ann.ivfAdcResidualRerankBudget(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.where(col("vec_id") < 5), cells, asg,
+          PqM, PqSubDim, PqK, KmeansIters, budget, PqRerankCand, PqTopK)
+        .select(col("q_id"), col("rank").cast("long").as("rnk"),
+          col("nn_id"), col("cos_sim"))
+    }),
+
     // multimodal: typed metadata without decode
     "mm1_asset_meta" -> ((s, dir) =>
       Multimodal.assetMetadata(Tables.documents(s, dir))),
@@ -1924,6 +1948,90 @@ object PipelineQueries {
           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
             ORDER BY dist, c) AS rn
           FROM dc2 WHERE vec_id < 5) WHERE rn <= $IvfNProbe),
+      v AS (SELECT e.vec_id, list_transform(list_zip(e.embedding, i.cen),
+          p -> CAST(p[1] AS DOUBLE) - p[2]) AS embedding
+        FROM embeddings e JOIN ivfasg a USING (vec_id)
+        JOIN cells i ON i.c = a.c),
+      ${pqChainsSql(PqM, PqSubDim, PqK, KmeansIters)},
+      codes AS (${pqCodesSql(PqM)}),
+      cb AS (${(0 until PqM).map(s =>
+        s"SELECT CAST($s AS BIGINT) AS sub, cid, cen FROM cen${KmeansIters}_s$s")
+        .mkString("\n        UNION ALL ")}),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM raw
+        WHERE vec_id < 5),
+      qres AS (SELECT p.q_id, p.c,
+          list_transform(list_zip(q.q_emb, i.cen),
+            z -> CAST(z[1] AS DOUBLE) - z[2]) AS q_emb
+        FROM probes p JOIN q ON q.q_id = p.q_id
+        JOIN cells i ON i.c = p.c),
+      parts AS (SELECT qr.q_id, c.vec_id AS nn_id, c.sub,
+          ${sqdistSql(
+            s"list_slice(qr.q_emb, c.sub * $PqSubDim + 1, (c.sub + 1) * $PqSubDim)",
+            "cb.cen")} AS dp
+        FROM codes c
+        JOIN cb ON cb.sub = c.sub AND cb.cid = c.code
+        JOIN ivfasg ia2 ON ia2.vec_id = c.vec_id
+        JOIN qres qr ON qr.c = ia2.c
+        WHERE c.vec_id <> qr.q_id),
+      d AS (SELECT q_id, nn_id,
+          list_reduce(list(dp ORDER BY sub), (x, y) -> x + y) AS dist_adc
+        FROM parts GROUP BY 1, 2),
+      cand AS (SELECT q_id, nn_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY dist_adc ASC, nn_id ASC) AS rank
+        FROM d) WHERE rank <= $PqRerankCand),
+      scored AS (SELECT c.q_id, c.nn_id,
+          ${dotSql("q.q_emb", "e.embedding")} /
+            (sqrt(${dotSql("q.q_emb", "q.q_emb")}) *
+             sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+        FROM cand c
+        JOIN raw e ON e.vec_id = c.nn_id
+        JOIN q ON q.q_id = c.q_id)
+      SELECT q_id, rnk, nn_id, cos AS cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS rnk
+        FROM scored) WHERE rnk <= $PqTopK""",
+
+        // v15: v14's residual chain verbatim, with the fixed-nProbe probes
+    // CTE swapped for the budget rule — cells ranked by coarse
+    // distance, kept while the cumulative inverted-list mass BEFORE
+    // each cell is under n*nProbe//K candidates (the first cell always
+    // probes). `sizes` is one group over ivfasg; the budget derives
+    // from count(*) exactly like the Spark side's emb.count()
+"v15_ivf_multiprobe" -> s"""
+      WITH raw AS (SELECT vec_id, embedding FROM embeddings),
+      vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      ia AS (SELECT vec_id, vec_id % 8 AS c FROM embeddings),
+      iw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ia a USING (vec_id) GROUP BY 1, 2),
+      icen AS (SELECT c, list(w ORDER BY d) AS cen FROM iw GROUP BY 1),
+      dc1 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN icen i),
+      ac1 AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM dc1 GROUP BY 1),
+      uw AS (SELECT a.c, v.d,
+          CAST(sum(CAST(v.x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS w
+        FROM vecs v JOIN ac1 a USING (vec_id) GROUP BY 1, 2),
+      cells AS (SELECT c, list(w ORDER BY d) AS cen FROM uw GROUP BY 1),
+      dc2 AS (SELECT e.vec_id, i.c,
+          list_reduce(list_transform(list_zip(e.embedding, i.cen),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN cells i),
+      ivfasg AS (SELECT vec_id, (min(struct_pack(dd := dist, c := c))).c AS c
+        FROM dc2 GROUP BY 1),
+      sizes AS (SELECT c, count(*) AS csz FROM ivfasg GROUP BY 1),
+      probes AS (SELECT vec_id AS q_id, c FROM (
+          SELECT d2.vec_id, d2.c,
+            sum(s.csz) OVER (PARTITION BY d2.vec_id ORDER BY d2.dist, d2.c
+              ROWS UNBOUNDED PRECEDING) - s.csz AS cumb
+          FROM dc2 d2 JOIN sizes s USING (c) WHERE d2.vec_id < 5)
+        WHERE cumb < (SELECT count(*) * $IvfNProbe // 8 FROM embeddings)),
       v AS (SELECT e.vec_id, list_transform(list_zip(e.embedding, i.cen),
           p -> CAST(p[1] AS DOUBLE) - p[2]) AS embedding
         FROM embeddings e JOIN ivfasg a USING (vec_id)

@@ -878,6 +878,61 @@ object Ann {
       subDim, nProbe, nCand, topK, id)
   }
 
+  /** [[ivfAdcResidualRerankBudgetWith]] with inline index training —
+    * the self-contained oracle entry point (v15), mirroring
+    * [[ivfAdcResidualRerank]]'s shape.
+    */
+  def ivfAdcResidualRerankBudget(vectors: DataFrame, queries: DataFrame,
+      cells: DataFrame, asg: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int, budget: Long, nCand: Int, topK: Int,
+      id: String = "vec_id"): DataFrame = {
+    val (cens, codes) =
+      pqIndexResidual(vectors, cells, asg, m, subDim, k, iters, id)
+    ivfAdcResidualRerankBudgetWith(vectors, queries, cells, asg, codes,
+      cens, subDim, budget, nCand, topK, id)
+  }
+
+  /** Budget-adaptive MULTI-PROBE cell selection (the principle of Lv et
+    * al. 2007 "Multi-Probe LSH", applied to the inverted file): rank
+    * each query's cells by coarse distance — exactly the fixed-nProbe
+    * ordering — but probe until the CUMULATIVE inverted-list mass
+    * reaches `budget` candidates instead of stopping at a fixed cell
+    * count. A fixed nProbe spends wildly different ADC work per query
+    * (cells are skewed: IVF_CHURN measured max/med ≈ 26 under drift)
+    * and its recall ceiling is set by the WORST-covered query; the
+    * budget rule gives boundary queries (whose nearest cells are small
+    * or whose neighbors straddle cells) MORE cells and dense-cell
+    * queries fewer, equalizing per-query pair cost at ~budget. The
+    * first-ranked cell always probes (its cum-before is 0), so every
+    * query keeps at least v3's nProbe=1 guarantee. Cell sizes come
+    * from one K-group aggregate over the inverted file — index-build
+    * metadata, broadcast-small; empty cells carry no candidates and
+    * drop out of the ranking harmlessly.
+    */
+  def probeCellsBudget(queries: DataFrame, cells: DataFrame,
+      asg: DataFrame, budget: Long, id: String = "vec_id"): DataFrame = {
+    val sizes = asg.groupBy("c").agg(count(lit(1)).as("__csz"))
+    val w = Window.partitionBy(id).orderBy(col("dist"), col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assignCellsAll(queries, cells)
+      .join(broadcast(sizes), Seq("c"))
+      .withColumn("__cum", sum(col("__csz")).over(w))
+      .where(col("__cum") - col("__csz") < budget)
+      .select(col(id).as("q_id"), col("c"))
+  }
+
+  /** [[ivfAdcResidualRerankWith]] with the budget-adaptive probe rule —
+    * v15's entry point: same residual chain, the probe list comes from
+    * [[probeCellsBudget]] instead of a fixed nProbe.
+    */
+  def ivfAdcResidualRerankBudgetWith(vectors: DataFrame,
+      queries: DataFrame, cells: DataFrame, asg: DataFrame,
+      codes: DataFrame, cens: DataFrame, subDim: Int, budget: Long,
+      nCand: Int, topK: Int, id: String = "vec_id"): DataFrame =
+    ivfAdcResidualProbes(vectors, queries, cells, asg, codes, cens,
+      subDim, probeCellsBudget(queries, cells, asg, budget, id), nCand,
+      topK, id)
+
   /** [[ivfAdcResidualRerank]] over prebuilt IVF + residual-PQ indexes —
     * query-only.
     */
@@ -890,6 +945,18 @@ object Ann {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= nProbe)
       .select(col(id).as("q_id"), col("c"))
+    ivfAdcResidualProbes(vectors, queries, cells, asg, codes, cens,
+      subDim, probes, nCand, topK, id)
+  }
+
+  /** The residual-IVFADC chain downstream of an arbitrary (q_id, c)
+    * probe list — shared by the fixed-nProbe (v14) and budget-adaptive
+    * (v15) selectors; plan shape is unchanged from v14.
+    */
+  private def ivfAdcResidualProbes(vectors: DataFrame,
+      queries: DataFrame, cells: DataFrame, asg: DataFrame,
+      codes: DataFrame, cens: DataFrame, subDim: Int, probes: DataFrame,
+      nCand: Int, topK: Int, id: String): DataFrame = {
     val m = cens.select(size(array_distinct(
       transform(col("__cens"), c => c.getField("sub"))))).head().getInt(0)
     val censPos = censPositional(cens, m)

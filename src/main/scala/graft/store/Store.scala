@@ -317,46 +317,137 @@ object Store {
     }
   }
 
+  /** The index's CURRENT root: the newest committed retrain generation
+    * (`retrain_NNNNNN`, zero-padded so lexical order is numeric order),
+    * or the base `indexPath` itself. [[commitDir]]'s dot-prefix hides
+    * in-flight retrains, so a listed dir is always complete.
+    */
+  private def currentIvfRoot(indexPath: String): String = {
+    val root = Paths.get(indexPath)
+    if (!Files.isDirectory(root)) return indexPath
+    val retrains = Files.list(root).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("retrain_\\d+")).toSeq
+    if (retrains.isEmpty) indexPath
+    else s"$indexPath/${retrains.max}"
+  }
+
+  /** Inverted-list balance of the current index root: max/median cell
+    * size — the drift statistic a deployment gets FREE at write time
+    * (IvfChurnProbe: frozen-quantizer recall parts from the retrained
+    * ceiling once this passes ~15-20; recall itself needs ground truth,
+    * list sizes need one K-row aggregate).
+    */
+  def ivfCellBalance(spark: SparkSession, indexPath: String): Double = {
+    val (_, asg) = readIvfIndex(spark, indexPath)
+    val sizes = asg.groupBy("c").agg(count(lit(1)).as("n"))
+      .select("n").collect().map(_.getLong(0)).sorted
+    if (sizes.isEmpty) 1.0
+    else sizes.last.toDouble / sizes(sizes.length / 2)
+  }
+
+  /** Offline quantizer rebuild — the maintenance job [[upsertIvfIndex]]
+    * triggers when drift unbalances the inverted file: train fresh
+    * cells on the CURRENT corpus, assign everything, and commit the
+    * pair as a new `retrain_NNNNNN` generation under the crash-safe
+    * [[commitDir]] discipline (readers keep planning against the old
+    * root until the rename lands; a crash leaves the old root current).
+    * Cell count carries over from the live root unless overridden.
+    */
+  def retrainIvfIndex(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, nCellsOverride: Int = 0): Boolean = {
+    import graft.similarity.Ann
+    val live = currentIvfRoot(indexPath)
+    val nCells =
+      if (nCellsOverride > 0) nCellsOverride
+      else spark.read.parquet(s"$live/cells").count().toInt
+    val seq = Files.list(Paths.get(indexPath)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("retrain_\\d+"))
+      .map(_.stripPrefix("retrain_").toInt)
+      .foldLeft(0)(math.max) + 1
+    commitDir(f"$indexPath/retrain_$seq%06d") { tmp =>
+      Ann.ivfCells(corpus, nCells)
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+      val cells = spark.read.parquet(s"$tmp/cells")
+      Ann.assignCells(corpus, cells).select(col("vec_id"), col("c"))
+        .repartition(col("c"))
+        .write.partitionBy("c").mode(SaveMode.Overwrite).parquet(s"$tmp/asg")
+    }
+  }
+
   /** Incremental IVF maintenance — the FAISS `IndexIVF.add` discipline
     * (Johnson et al. 2017, faiss `IndexIVF::add_core`): NEW vectors are
     * assigned to the EXISTING centroids (the quantizer is frozen —
     * retraining it would invalidate every stored assignment) and
     * appended to the inverted file as their own GENERATION directory
-    * (`asg_up_<batchTag>`), idempotent per batch tag, so a replayed
-    * ingest job cannot double-insert. [[readIvfIndex]] unions all
-    * generations. Centroid drift under sustained inserts is handled the
-    * way production systems handle it: rebuild the quantizer offline
-    * when recall degrades — never on the write path. At 100 TB the
-    * upsert is one broadcast-centroid assignment pass over the delta
-    * (delta-sized, cells broadcast) and one partitioned append.
+    * (`asg_up_<batchTag>` under the current root), idempotent per batch
+    * tag, so a replayed ingest job cannot double-insert.
+    * [[readIvfIndex]] unions all generations of the current root.
+    *
+    * Centroid drift under sustained inserts: when `retrainCorpus` is
+    * supplied, the upsert checks [[ivfCellBalance]] after the append
+    * and triggers [[retrainIvfIndex]] once max/median reaches
+    * `spark.graft.ivf.retrain.ratio` (default 16 — the knee
+    * IVF_CHURN_r13 measured: frozen recall parts from the retrained
+    * ceiling at max/med ≈ 15-20). The rebuild runs on the maintenance
+    * path, never blocking the append itself; without a corpus handle
+    * the balance is still the caller's to watch (an index stores
+    * assignments, not vectors). At 100 TB the upsert is one
+    * broadcast-centroid assignment pass over the delta (delta-sized,
+    * cells broadcast) and one partitioned append.
     */
   def upsertIvfIndex(spark: SparkSession, indexPath: String,
-      delta: DataFrame, batchTag: String): Boolean = {
+      delta: DataFrame, batchTag: String,
+      retrainCorpus: Option[DataFrame] = None): Boolean = {
     import graft.similarity.Ann
-    val dir = s"$indexPath/asg_up_$batchTag"
-    if (Files.isDirectory(Paths.get(dir))) return false
+    val root = currentIvfRoot(indexPath)
+    // tag idempotency checks EVERY root, not just the current one: a
+    // replayed pre-retrain upsert is already inside the retrain's
+    // corpus — re-applying it under the new root would double-insert
+    // its vec_ids
+    val consumed = {
+      val base = Paths.get(indexPath)
+      Files.isDirectory(base) && {
+        val roots = indexPath +: Files.list(base).iterator().asScala
+          .filter(p => p.getFileName.toString.matches("retrain_\\d+"))
+          .map(_.toString).toSeq
+        roots.exists(r => Files.isDirectory(Paths.get(r, s"asg_up_$batchTag")))
+      }
+    }
+    if (consumed) return false
     // assign against the cells READ BACK, like buildIvfIndex: the
     // persisted index stays self-consistent with what probes will see.
     // Temp-write + atomic rename ([[commitDir]]): directory existence is
     // the idempotency check, so it must only become true on a COMPLETE
     // generation — a crash mid-write must leave replay able to finish,
     // not no-op on the partial dir.
-    val cells = spark.read.parquet(s"$indexPath/cells")
-    commitDir(dir) { tmp =>
+    val cells = spark.read.parquet(s"$root/cells")
+    val committed = commitDir(s"$root/asg_up_$batchTag") { tmp =>
       Ann.assignCells(delta, cells).select(col("vec_id"), col("c"))
         .repartition(col("c"))
         .write.partitionBy("c").mode(SaveMode.Overwrite).parquet(tmp)
     }
+    if (committed) retrainCorpus.foreach { corpus =>
+      val ratio = spark.conf.get("spark.graft.ivf.retrain.ratio",
+        "16.0").toDouble
+      if (ivfCellBalance(spark, indexPath) >= ratio)
+        retrainIvfIndex(spark, indexPath, corpus)
+    }
+    committed
   }
 
-  /** Read back (cells, asg) for probing — asg is the union of the base
-    * inverted file and every upsert generation. The partition column `c`
-    * is restored to long (partition-value inference narrows it to int).
+  /** Read back (cells, asg) for probing — asg is the union of the
+    * CURRENT root's base inverted file and every upsert generation
+    * under it (a committed retrain supersedes everything before it).
+    * The partition column `c` is restored to long (partition-value
+    * inference narrows it to int).
     */
   def readIvfIndex(spark: SparkSession,
       indexPath: String): (DataFrame, DataFrame) = {
-    val cells = spark.read.parquet(s"$indexPath/cells")
-    val gens = java.nio.file.Files.list(Paths.get(indexPath)).iterator()
+    val root = currentIvfRoot(indexPath)
+    val cells = spark.read.parquet(s"$root/cells")
+    val gens = java.nio.file.Files.list(Paths.get(root)).iterator()
     val asgDirs = new scala.collection.mutable.ArrayBuffer[String]
     gens.forEachRemaining { p =>
       val n = p.getFileName.toString

@@ -108,6 +108,30 @@ object IvfAdcProbe {
     Ann.ivfAdcResidualRerankWith(emb, queries, cells, asg, codesR, censR,
       dims / m, nProbe, nCandList.head, k).count()
 
+    // budget-adaptive multi-probe sweep (v15): budgets expressed as
+    // nProbe-EQUIVALENTS of average cell mass (n·np/K), so each row is
+    // directly comparable to a fixed-nProbe row at the same expected
+    // pair count — the question the sweep answers is whether moving
+    // probe mass from dense-cell queries to boundary queries buys
+    // recall at equal ADC work. Pairs are measured, not assumed: the
+    // probe list joins the real (skewed) cell sizes.
+    val budgetSweep = Seq(2, 4, 6, 8).flatMap { npEq =>
+      val budget = n * npEq / nCells
+      val probesB = Ann.probeCellsBudget(queries, cells, asg, budget)
+        .localCheckpoint(true)
+      val pairsB = probesB.join(cellSizes, "c")
+        .agg(sum("sz")).head().getLong(0) - nQ
+      val cellsPerQ = probesB.count().toDouble / nQ
+      nCandList.map { nCand =>
+        val (v15, tV15) = timed(Ann.ivfAdcResidualRerankBudgetWith(
+          emb, queries, cells, asg, codesR, censR, dims / m, budget,
+          nCand, k))
+        s"""{"np_equiv":$npEq,"budget":$budget,"adc_pairs":$pairsB,""" +
+          f""""cells_per_query":$cellsPerQ%.2f,"n_cand":$nCand,""" +
+          s""""recall":${recall(v15)},"sec":$tV15}"""
+      }
+    }
+
     val sweep = nCandList.map { nCand =>
       val (v10, tV10) = timed(Ann.pqAdcRerankWith(
         emb, queries, codes, cens, dims / m, nCand, k))
@@ -129,7 +153,8 @@ object IvfAdcProbe {
         s""""brute_sec":$tBrute,"adc_pairs_v10":$pairsV10,""" +
         s""""adc_pairs_v11":$pairsV11,""" +
         f""""pair_reduction":${pairsV10.toDouble / pairsV11}%.2f,""" +
-        s""""sweep":[${sweep.mkString(",")}]}"""
+        s""""sweep":[${sweep.mkString(",")}],""" +
+        s""""budget_sweep":[${budgetSweep.mkString(",")}]}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))

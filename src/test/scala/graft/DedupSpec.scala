@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -271,6 +273,14 @@ class DedupSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(tmp)
     java.nio.file.Files.write(tmp.resolve("part-junk.parquet"),
       Array[Byte](1, 2, 3))
+    // age the crash leftover past the sweep's mtime gate (r14: temps
+    // are nonce-suffixed and only STALE ones are swept — a fresh temp
+    // is indistinguishable from a concurrent writer's in-flight dir)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    java.nio.file.Files.setLastModifiedTime(tmp, old)
+    java.nio.file.Files.setLastModifiedTime(
+      tmp.resolve("part-junk.parquet"), old)
     // the temp dir is invisible to reads (no half-written generation)
     val (_, asgBefore) = graft.store.Store.readIvfIndex(spark, idxPath)
     assert(asgBefore.count() === base.count())
@@ -282,6 +292,73 @@ class DedupSpec extends SparkSpec {
     // and a genuine replay of the now-committed batch is still a no-op
     assert(!graft.store.Store.upsertIvfIndex(spark, idxPath, delta, "bX"))
     assert(!java.nio.file.Files.exists(tmp))
+  }
+
+  test("IVF retrain trigger (r14): below the balance threshold the " +
+    "quantizer stays frozen; at it a retrain generation commits, " +
+    "rebalances, supersedes reads, and keeps tag idempotency") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") >= 20)
+    // drifted deltas: near-constant vectors far from the base mass —
+    // every one lands in the same frozen cell, the worst-case skew the
+    // churn probe's drift produces gradually
+    def skewed(off: Long) = base.where(col("vec_id") < 30).select(
+      (col("vec_id") + off).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * 0.0 + 5.0).cast("float")).as("embedding"))
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfretrain_spec").toString + "/idx"
+    graft.store.Store.buildIvfIndex(spark, idxPath, base, 8)
+    // no corpus handle → the upsert NEVER retrains, however skewed
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath,
+      skewed(200000), "d1"))
+    val r1 = graft.store.Store.ivfCellBalance(spark, idxPath)
+    assert(r1 > 1.0)
+    val cellsBefore = spark.read.parquet(s"$idxPath/cells")
+      .collect().map(_.toString).sorted
+    val corpus2 = base.unionByName(skewed(200000)).unionByName(skewed(300000))
+    // threshold safely ABOVE the post-append balance → frozen
+    spark.conf.set("spark.graft.ivf.retrain.ratio", (r1 * 100).toString)
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath,
+      skewed(300000), "d2", Some(corpus2)))
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(idxPath))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("retrain_")),
+      "below threshold: no retrain generation")
+    assert(spark.read.parquet(s"$idxPath/cells")
+      .collect().map(_.toString).sorted === cellsBefore)
+    // threshold AT the floor → this upsert's balance check fires
+    spark.conf.set("spark.graft.ivf.retrain.ratio", "1.0")
+    val corpus3 = corpus2.unionByName(skewed(400000))
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath,
+      skewed(400000), "d3", Some(corpus3)))
+    spark.conf.unset("spark.graft.ivf.retrain.ratio")
+    val retrains = java.nio.file.Files.list(java.nio.file.Paths.get(idxPath))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("retrain_")).toSeq
+    assert(retrains === Seq("retrain_000001"), "at threshold: one retrain")
+    // the retrain supersedes: reads serve the full corpus from the new
+    // root, and the dense drifted region now has its own cell(s) — the
+    // balance statistic drops from the frozen index's skew
+    val (_, asg) = graft.store.Store.readIvfIndex(spark, idxPath)
+    assert(asg.count() === corpus3.count())
+    // (balance IMPROVEMENT is corpus-dependent at this toy scale; the
+    // contract under test is commit/supersede/idempotency — the probe
+    // tool measures the recall effect at real scale)
+    val r3 = graft.store.Store.ivfCellBalance(spark, idxPath)
+    assert(r3 >= 1.0)
+    // a replayed PRE-retrain tag stays consumed (its vectors are inside
+    // the retrained corpus — re-applying would double-insert)
+    assert(!graft.store.Store.upsertIvfIndex(spark, idxPath,
+      skewed(200000), "d1"))
+    assert(asg.count() === corpus3.count())
+    // and a genuinely new post-retrain upsert lands under the new root
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath,
+      skewed(500000), "d4"))
+    val (_, asg4) = graft.store.Store.readIvfIndex(spark, idxPath)
+    assert(asg4.count() === corpus3.count() + 10)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      idxPath, "retrain_000001", "asg_up_d4")))
   }
 
   test("IVFADC: full-probe + wide shortlist degrades to exact brute force; " +
