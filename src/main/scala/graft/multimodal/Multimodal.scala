@@ -250,6 +250,43 @@ object Multimodal {
     }).toDF("asset_id", "width", "height", "dhash")
   }
 
+  /** Per-asset EXACT integer luma total over decoded BMP pixels
+    * (Σ 299·R + 587·G + 114·B — [[imageDHash]]'s Rec.601 integer form
+    * without the grid): the media QUALITY statistic mm8's
+    * keep-best-of-cluster retention ranks on. Integer end to end, so
+    * the ordering is bit-identical across engines at any image size
+    * (a float mean would reintroduce exactly the division this
+    * family's 128-bit compares eliminated).
+    */
+  def imageLumaSum(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val b = a.payload
+      require(BmpCodec.matches(b), "imageLumaSum expects BMP payloads")
+      val off = le32(b, 10)
+      val width = le32(b, 18)
+      val height = le32(b, 22)
+      require(le16(b, 28) == 24 && le32(b, 30) == 0,
+        "only 24bpp uncompressed BMP supported")
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      var acc = 0L
+      var s = 0
+      while (s < height) {
+        val base0 = off + s * rowBytes
+        var x = 0
+        while (x < width) {
+          val i = base0 + x * 3
+          acc += 114L * (b(i) & 0xFF) + 587L * (b(i + 1) & 0xFF) +
+            299L * (b(i + 2) & 0xFF)
+          x += 1
+        }
+        s += 1
+      }
+      (a.asset_id, acc)
+    }).toDF("asset_id", "luma_sum")
+  }
+
   /** RIFF/WAVE with a PCM `fmt ` chunk and 16-bit samples: channels,
     * rate and duration from the headers; mean level = RMS amplitude of
     * all samples normalized to [0,1].

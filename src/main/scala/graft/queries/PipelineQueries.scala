@@ -817,46 +817,80 @@ object PipelineQueries {
     // signal. Planted exact copies pair at distance 0; one-pixel
     // retouches at ≤ 1
     "mm7_hamming_neardup" -> ((s, dir) => {
-      import s.implicits._
-      // NOT mm5's linear-gradient formula: any per-channel pattern that
-      // reads id only through `id mod 256` ALIASES — ids 256 apart
-      // render identical images, those groups grow linearly with the
-      // corpus, and the pair output goes quadratic at sf1. Six
-      // independent 20-bit md5 seeds give ~48 bits of pattern entropy
-      // (two mixed (x,y)-polynomial terms per channel), so accidental
-      // image-identical pairs are vanishing at ANY gated scale and only
-      // the planted arms pair up. The oracle derives the same seeds via
-      // DuckDB's md5 (memory: md5↔conv is the cross-engine seeding
-      // discipline)
-      def seeds(id: Long): IndexedSeq[Long] = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hx = md.digest(id.toString.getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString
-        (0 until 6).map(k =>
-          java.lang.Long.parseLong(hx.substring(5 * k, 5 * k + 5), 16))
-      }
-      def pix(sd: IndexedSeq[Long], bump: Int)(x: Int, y: Int)
-          : (Int, Int, Int) = (
-        ((((sd(0) * (x + 3) * (y + 7) + sd(1) * (x + 5) * (y + 3)) % 256) +
-          (if (bump > 0 && x == 0 && y == 0) 1 else 0)) % 256).toInt,
-        ((sd(2) * (x + 3) * (y + 7) + sd(3) * (x + 5) * (y + 3)) % 256).toInt,
-        ((sd(4) * (x + 3) * (y + 7) + sd(5) * (x + 5) * (y + 3)) % 256).toInt)
-      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .flatMap { id =>
-          val w = 16 + (id % 8).toInt
-          val h = 8 + (id % 8).toInt
-          val sd = seeds(id)
-          def mk(aid: Long, bump: Int) =
-            Multimodal.Asset(aid, Multimodal.BmpCodec.encode(w, h,
-              pix(sd, bump)))
-          Seq(mk(id, 0)) ++ (if (id < 40)
-            Seq(mk(id + 100000, 0), mk(id + 200000, 1)) else Nil)
-        }
-      val hashes = Multimodal.imageDHash(assets, gw = 8, gh = 8)
+      val hashes = Multimodal.imageDHash(mm7Assets(s, dir), gw = 8, gh = 8)
       Multimodal.hammingNearDupPairs(hashes, "asset_id", "dhash",
         bands = 4, maxHamming = 3)
+    }),
+
+    // media retention (mm8): the consumer mm7's pair graph was missing
+    // — cluster the banded-Hamming pairs with d7's connected-components
+    // pass and keep each cluster's HIGHEST-QUALITY member (quality =
+    // exact integer luma total, the resolution/brightness proxy that
+    // is bit-identical cross-engine; ties -> smallest asset id). The
+    // +1-bump retouch arm planted by the fixture gives its cluster a
+    // strictly brighter member, so the keep rule is exercised for real,
+    // not vacuous min-id
+    "mm8_media_keep" -> ((s, dir) => {
+      val assets = mm7Assets(s, dir)
+      val hashes = Multimodal.imageDHash(assets, gw = 8, gh = 8)
+      val pairs = Multimodal.hammingNearDupPairs(hashes, "asset_id",
+        "dhash", bands = 4, maxHamming = 3)
+      val clusters = Dedup.dupClusters(
+        pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          lit(1.0).as("jaccard")), 0.5)
+      val q = Multimodal.imageLumaSum(assets)
+        .select(col("asset_id").as("doc_id"), col("luma_sum"))
+      clusters.join(q, "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_assets"),
+          max(struct(col("luma_sum").as("q"),
+            (-col("doc_id")).as("nid"))).as("__m"))
+        .select(col("cluster"), col("n_assets"),
+          (-col("__m.nid")).cast("long").as("keep_id"),
+          col("__m.q").as("best_luma"))
     })
   )
+
+  /** mm7/mm8's shared image fixture. NOT mm5's linear-gradient formula:
+    * any per-channel pattern that reads id only through `id mod 256`
+    * ALIASES — ids 256 apart render identical images, those groups grow
+    * linearly with the corpus, and the pair output goes quadratic at
+    * sf1. Six independent 20-bit md5 seeds give ~48 bits of pattern
+    * entropy (two mixed (x,y)-polynomial terms per channel), so
+    * accidental image-identical pairs are vanishing at ANY gated scale
+    * and only the planted arms pair up: per doc_id < 40, an exact copy
+    * (+100000) and a one-pixel +1 retouch (+200000). The oracle derives
+    * the same seeds via DuckDB's md5 (md5<->conv is the cross-engine
+    * seeding discipline).
+    */
+  private def mm7Assets(s: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[Multimodal.Asset] = {
+    import s.implicits._
+    def seeds(id: Long): IndexedSeq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (0 until 6).map(k =>
+        java.lang.Long.parseLong(hx.substring(5 * k, 5 * k + 5), 16))
+    }
+    def pix(sd: IndexedSeq[Long], bump: Int)(x: Int, y: Int)
+        : (Int, Int, Int) = (
+      ((((sd(0) * (x + 3) * (y + 7) + sd(1) * (x + 5) * (y + 3)) % 256) +
+        (if (bump > 0 && x == 0 && y == 0) 1 else 0)) % 256).toInt,
+      ((sd(2) * (x + 3) * (y + 7) + sd(3) * (x + 5) * (y + 3)) % 256).toInt,
+      ((sd(4) * (x + 3) * (y + 7) + sd(5) * (x + 5) * (y + 3)) % 256).toInt)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val w = 16 + (id % 8).toInt
+        val h = 8 + (id % 8).toInt
+        val sd = seeds(id)
+        def mk(aid: Long, bump: Int) =
+          Multimodal.Asset(aid, Multimodal.BmpCodec.encode(w, h,
+            pix(sd, bump)))
+        Seq(mk(id, 0)) ++ (if (id < 40)
+          Seq(mk(id + 100000, 0), mk(id + 200000, 1)) else Nil)
+      }
+  }
 
   // --- DuckDB oracle ---------------------------------------------------
 
@@ -2498,6 +2532,81 @@ object PipelineQueries {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bv = b.bv AND a.aid < b.aid)
       SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(ha, hb)) <= 3"""
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
+
+    // mm8: mm7's pair chain verbatim, then d7's recursive
+    // connected-components pass over the pairs and the d12 keep rule
+    // with quality = the exact integer luma total from the same `lum`
+    // CTE the dHash was built from (sum cast back to BIGINT — DuckDB
+    // widens integer sums to HUGEINT)
+    "mm8_media_keep" -> """
+      WITH RECURSIVE par AS (SELECT doc_id, 16 + doc_id % 8 AS w, 8 + doc_id % 8 AS h,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 5) AS BIGINT) AS s0,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 6, 5) AS BIGINT) AS s1,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 11, 5) AS BIGINT) AS s2,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 16, 5) AS BIGINT) AS s3,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 21, 5) AS BIGINT) AS s4,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 26, 5) AS BIGINT) AS s5
+        FROM documents),
+      arms AS (
+        SELECT doc_id AS aid, 0 AS bump, w, h, s0, s1, s2, s3, s4, s5
+          FROM par
+        UNION ALL
+        SELECT doc_id + 100000, 0, w, h, s0, s1, s2, s3, s4, s5 FROM par
+          WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 200000, 1, w, h, s0, s1, s2, s3, s4, s5 FROM par
+          WHERE doc_id < 40),
+      px AS (SELECT aid, bump, w, h, s0, s1, s2, s3, s4, s5, xs.x, ys.y
+        FROM arms,
+        LATERAL (SELECT unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x) xs,
+        LATERAL (SELECT unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y) ys),
+      lum AS (SELECT aid,
+          ((h - 1 - y) * 8) // h AS by, (x * 9) // w AS bx,
+          299 * (((s0 * (x + 3) * (y + 7) + s1 * (x + 5) * (y + 3)) % 256 +
+            CASE WHEN bump = 1 AND x = 0 AND y = 0 THEN 1 ELSE 0 END) % 256)
+          + 587 * ((s2 * (x + 3) * (y + 7) + s3 * (x + 5) * (y + 3)) % 256)
+          + 114 * ((s4 * (x + 3) * (y + 7) + s5 * (x + 5) * (y + 3)) % 256) AS l
+        FROM px),
+      blocks AS (SELECT aid, by, bx, sum(l) AS sl, count(*) AS c
+        FROM lum GROUP BY 1, 2, 3),
+      bits AS (SELECT a.aid, a.by, a.bx,
+          CASE WHEN a.sl * b.c > b.sl * a.c THEN 1 ELSE 0 END AS bit
+        FROM blocks a JOIN blocks b
+          ON a.aid = b.aid AND a.by = b.by AND b.bx = a.bx + 1),
+      hsums AS (SELECT aid,
+          sum(bit * (1::HUGEINT << (by * 8 + bx))) AS s FROM bits
+        GROUP BY 1),
+      hashes AS (SELECT aid, CAST(CASE
+          WHEN s >= 9223372036854775808::HUGEINT
+          THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+          AS dhash
+        FROM hsums),
+      bands AS (SELECT aid, dhash, b.band,
+          (dhash >> (b.band * 16)) & 65535 AS bv
+        FROM hashes,
+          (SELECT unnest(generate_series(0, 3)) AS band) b),
+      cand AS (SELECT DISTINCT a.aid AS id_a, b.aid AS id_b,
+          a.dhash AS ha, b.dhash AS hb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.aid < b.aid),
+      pairs AS (SELECT id_a, id_b FROM cand
+        WHERE bit_count(xor(ha, hb)) <= 3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.src = e.dst),
+      cl AS (SELECT src AS aid, min(lbl) AS cluster FROM reach GROUP BY 1),
+      qual AS (SELECT aid, CAST(sum(l) AS BIGINT) AS luma_sum
+        FROM lum GROUP BY 1)
+      SELECT cluster, count(*) AS n_assets,
+        -((max(struct_pack(q := luma_sum, nid := -aid))).nid) AS keep_id,
+        (max(struct_pack(q := luma_sum, nid := -aid))).q AS best_luma
+      FROM cl JOIN qual USING (aid)
+      GROUP BY 1"""
   )
 }

@@ -214,10 +214,6 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cells: DataFrame, asg: DataFrame, nProbe: Int = 2): DataFrame = {
-    val c = corpus.join(asg, "vec_id")
-      .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
-        col("c"))
-      .withColumn("nn_norm", norm2(col("nn_emb")))
     // probe ranking: per query the nProbe nearest centroids
     val qDist = assignCellsAll(queries, cells)
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))
@@ -225,6 +221,19 @@ object Ann {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c"))
+    ivfTopKProbes(corpus, queries, k, asg, probes)
+  }
+
+  /** [[ivfTopK]] downstream of an arbitrary (q_id, c) probe list —
+    * shared by the fixed-nProbe selector above and the budget-adaptive
+    * [[probeCellsBudget]] (v15's IVF-flat form).
+    */
+  def ivfTopKProbes(corpus: DataFrame, queries: DataFrame, k: Int,
+      asg: DataFrame, probes: DataFrame): DataFrame = {
+    val c = corpus.join(asg, "vec_id")
+      .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+        col("c"))
+      .withColumn("nn_norm", norm2(col("nn_emb")))
     val q = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"))
       .withColumn("q_norm", norm2(col("q_emb")))

@@ -3,6 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.GraftSession
 import graft.similarity.Ann
 
@@ -56,6 +58,14 @@ object IvfChurnProbe {
     val idxPath =
       s"/tmp/graft_ivfchurn_${java.lang.ProcessHandle.current.pid}"
     graft.store.Store.buildIvfIndex(spark, idxPath, base, nCells)
+    // the WIRED-trigger twin (r14): same base index, but every upsert
+    // passes the corpus handle so Store's balance check can fire the
+    // auto-retrain at the default threshold (16, the r13-measured knee)
+    // — this probe run is the evidence the trigger fires where the
+    // curve said it should, and that the live index's recall rejoins
+    // the retrained ceiling when it does
+    val idxAuto = idxPath + "_auto"
+    graft.store.Store.buildIvfIndex(spark, idxAuto, base, nCells)
 
     def recallOf(corpus: DataFrame, queries: DataFrame, cells: DataFrame,
         asg: DataFrame): Double = {
@@ -82,6 +92,9 @@ object IvfChurnProbe {
       require(graft.store.Store.upsertIvfIndex(spark, idxPath, delta,
         s"churn_r$r"), s"round $r upsert must commit")
       corpus = corpus.unionByName(delta).localCheckpoint(true)
+      require(graft.store.Store.upsertIvfIndex(spark, idxAuto, delta,
+        s"churn_r$r", retrainCorpus = Some(corpus)),
+        s"round $r auto upsert must commit")
       val (cells, asg) = graft.store.Store.readIvfIndex(spark, idxPath)
       // queries: half from the original corpus, half from the drifted
       // region — recall is measured where the index is weakest too
@@ -98,19 +111,69 @@ object IvfChurnProbe {
       val retrainSec = (System.nanoTime() - t0) / 1e9
       val (fc, fa) = graft.store.Store.readIvfIndex(spark, freshPath)
       val rRetrain = recallOf(corpus, queries, fc, fa)
+      // the wired twin: how many retrain generations the trigger has
+      // committed so far, its live balance, and its live recall (after
+      // a fire, readIvfIndex serves the retrained root)
+      val autoRetrains = java.nio.file.Files.list(
+          java.nio.file.Paths.get(idxAuto)).iterator().asScala
+        .count(_.getFileName.toString.startsWith("retrain_"))
+      val autoBalance = graft.store.Store.ivfCellBalance(spark, idxAuto)
+      val (ac, aa) = graft.store.Store.readIvfIndex(spark, idxAuto)
+      val rAuto = recallOf(corpus, queries, ac, aa)
       val line =
         f"""{"round":$r,"corpus_n":${baseN + r.toLong * deltaN},""" +
           f""""max_med_ratio":$maxMed%.2f,"recall_frozen":$rFrozen%.3f,""" +
-          f""""recall_retrain":$rRetrain%.3f,"retrain_sec":$retrainSec%.1f}"""
+          f""""recall_retrain":$rRetrain%.3f,"retrain_sec":$retrainSec%.1f,""" +
+          f""""auto_retrains":$autoRetrains,"auto_balance":$autoBalance%.2f,""" +
+          f""""recall_auto":$rAuto%.3f}"""
       System.err.println(s"[churn] $line")
       line
+    }
+
+    // final-round frontier under REAL skew (r14, the multi-probe case
+    // the clustered100k sweep could not show — its max/med is mild):
+    // on the FROZEN index the drift just unbalanced, compare fixed
+    // nProbe against the budget rule at equal nProbe-equivalents.
+    // Pairs are measured from the actual probe lists.
+    val (fzC, fzA) = graft.store.Store.readIvfIndex(spark, idxPath)
+    val fzSizes = fzA.groupBy("c").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val finalQ = base.where(col("vec_id") < nQ / 2).unionByName(
+      corpus.where(col("vec_id") >= 1000000L * rounds).limit(nQ / 2))
+      .localCheckpoint(true)
+    val truthF = Ann.bruteForceTopK(corpus, finalQ, k)
+      .select("q_id", "nn_id").localCheckpoint(true)
+    val truthFN = truthF.count()
+    val finalN = corpus.count()
+    import org.apache.spark.sql.expressions.Window
+    val skewLines = Seq(nProbe, nProbe * 2).flatMap { np =>
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))
+      val fixedProbes = finalQ.crossJoin(broadcast(fzC))
+        .withColumn("dist", Ann.sqdist(col("embedding"), col("cen")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= np)
+        .select(col("vec_id").as("q_id"), col("c"))
+        .localCheckpoint(true)
+      val budget = finalN * np / nCells
+      val budgetProbes = Ann.probeCellsBudget(finalQ, fzC, fzA, budget)
+        .localCheckpoint(true)
+      Seq(("fixed", fixedProbes, np.toLong),
+          ("budget", budgetProbes, budget)).map { case (kind, pl, parm) =>
+        val pairs = pl.join(fzSizes, "c").agg(sum("sz")).head().getLong(0)
+        val rec = Ann.ivfTopKProbes(corpus, finalQ, k, fzA, pl)
+          .select("q_id", "nn_id")
+          .join(truthF, Seq("q_id", "nn_id")).count().toDouble / truthFN
+        f"""{"kind":"$kind","np_equiv":$np,"param":$parm,""" +
+          f""""adc_pairs":$pairs,"recall":$rec%.3f}"""
+      }
     }
 
     val json =
       s"""{"probe":"ivf_churn","sf":"$sfDir","base_n":$baseN,""" +
         s""""rounds":$rounds,"delta_per_round":$deltaN,""" +
         s""""n_queries":$nQ,"k":$k,"n_cells":$nCells,"n_probe":$nProbe,""" +
-        s""""rounds_data":[${lines.mkString(",")}]}"""
+        s""""rounds_data":[${lines.mkString(",")}],""" +
+        s""""skew_frontier":[${skewLines.mkString(",")}]}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
