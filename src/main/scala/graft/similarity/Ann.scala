@@ -917,16 +917,29 @@ object Ann {
     * from one K-group aggregate over the inverted file — index-build
     * metadata, broadcast-small; empty cells carry no candidates and
     * drop out of the ranking harmlessly.
+    *
+    * `minCells` is the SKEW guard: a pure mass budget saturates on a
+    * giant cell (IVF_CHURN_r14's drift-skewed index: one cell holds
+    * most of the drifted mass, so a query landing near it exhausts the
+    * whole budget on cell 1 and never sees the small neighboring cells
+    * — recall 0.982 at an np8-equivalent budget vs 0.996 for fixed
+    * nProbe=8 on the same index). Probing at least `minCells`
+    * distance-ranked cells restores the fixed rule's coverage floor
+    * while keeping the budget's cost equalization everywhere else;
+    * the default 1 is exactly the pre-floor behavior.
     */
   def probeCellsBudget(queries: DataFrame, cells: DataFrame,
-      asg: DataFrame, budget: Long, id: String = "vec_id"): DataFrame = {
+      asg: DataFrame, budget: Long, id: String = "vec_id",
+      minCells: Int = 1): DataFrame = {
     val sizes = asg.groupBy("c").agg(count(lit(1)).as("__csz"))
-    val w = Window.partitionBy(id).orderBy(col("dist"), col("c"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(id).orderBy(col("dist"), col("c"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     assignCellsAll(queries, cells)
       .join(broadcast(sizes), Seq("c"))
       .withColumn("__cum", sum(col("__csz")).over(w))
-      .where(col("__cum") - col("__csz") < budget)
+      .withColumn("__rn", row_number().over(ord))
+      .where(col("__cum") - col("__csz") < budget ||
+        col("__rn") <= minCells)
       .select(col(id).as("q_id"), col("c"))
   }
 

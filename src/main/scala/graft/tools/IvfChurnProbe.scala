@@ -157,8 +157,16 @@ object IvfChurnProbe {
       val budget = finalN * np / nCells
       val budgetProbes = Ann.probeCellsBudget(finalQ, fzC, fzA, budget)
         .localCheckpoint(true)
+      // the skew guard: same budget, but at least np distance-ranked
+      // cells probe regardless of how much mass the first ones hold —
+      // the r14 floor that stops a drift-fattened giant cell from
+      // consuming the whole budget on one probe
+      val floorProbes = Ann.probeCellsBudget(finalQ, fzC, fzA, budget,
+        "vec_id", np).localCheckpoint(true)
       Seq(("fixed", fixedProbes, np.toLong),
-          ("budget", budgetProbes, budget)).map { case (kind, pl, parm) =>
+          ("budget", budgetProbes, budget),
+          ("budget_floor", floorProbes, budget)).map {
+        case (kind, pl, parm) =>
         val pairs = pl.join(fzSizes, "c").agg(sum("sz")).head().getLong(0)
         val rec = Ann.ivfTopKProbes(corpus, finalQ, k, fzA, pl)
           .select("q_id", "nn_id")

@@ -895,6 +895,37 @@ class DedupSpec extends SparkSpec {
       "ADC distance increases with rank")
   }
 
+  test("probeCellsBudget: mass budget stops at a giant first cell; the " +
+    "minCells floor restores distance-ranked coverage without touching " +
+    "the budget-covered tail") {
+    import graft.similarity.Ann
+    import spark.implicits._
+    // 1-d toy inverted file: cell 0 is a drift-fattened giant (100
+    // members), cells 1-3 are small (2 each) — the IVF_CHURN_r14
+    // skew-frontier shape, where the pure mass rule under-probed
+    val cells = Seq((0, Array(0.0f)), (1, Array(1.0f)),
+      (2, Array(2.0f)), (3, Array(3.0f))).toDF("c", "cen")
+    val asg = ((0 until 100).map(i => (i.toLong, 0)) ++
+      Seq((100L, 1), (101L, 2), (102L, 3), (103L, 1), (104L, 2),
+        (105L, 3))).toDF("vec_id", "c")
+    val queries = Seq((1000L, Array(0.1f)), (1001L, Array(2.9f)))
+      .toDF("vec_id", "embedding")
+    def probesOf(minCells: Int): Set[(Long, Int)] =
+      Ann.probeCellsBudget(queries, cells, asg, 10L, "vec_id", minCells)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // pure budget: the giant nearest cell exhausts the budget for the
+    // query beside it (one probe), while the small-cell query walks
+    // all four cells inside the same budget
+    val pure = probesOf(1)
+    assert(pure.filter(_._1 == 1000L).map(_._2) === Set(0))
+    assert(pure.filter(_._1 == 1001L).map(_._2) === Set(0, 1, 2, 3))
+    // floor 3: the giant-cell query now also sees its next two
+    // distance-ranked cells; the already-covered query is unchanged
+    val floored = probesOf(3)
+    assert(floored.filter(_._1 == 1000L).map(_._2) === Set(0, 1, 2))
+    assert(floored.filter(_._1 == 1001L).map(_._2) === Set(0, 1, 2, 3))
+  }
+
   test("filteredTopK: selective predicate bypasses the index exactly; " +
     "broad predicate post-filters in-cell") {
     import graft.similarity.Ann
