@@ -164,6 +164,22 @@ object ClusterBench {
     // the next SparkSession must not inherit this one's SQL conf/state
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
+    // CB_LOCAL_ONLY=1: stop after pass A — the fourth-decade probe
+    // shape, where the corpus is big enough that running BOTH modes on
+    // one box would halve the memory each gets (and the cluster pass's
+    // fixed executor heaps are the first thing to OOM). Emits the same
+    // per-query JSON minus the cluster columns.
+    if (sys.env.get("CB_LOCAL_ONLY").contains("1")) {
+      val rows = names.map { n =>
+        val (ls, sm, sd, _) = local(n)
+        s""""$n":{"local_sec":$ls,"spill_mem_bytes":$sm,""" +
+          s""""spill_disk_bytes":$sd}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"probe":"cluster_bench_local_only","sf":"$sfDir",""" +
+        s""""cores":$totalCores,"passes":$passes,"queries":$rows}""")
+      return
+    }
+
     // ---- pass B: real executor processes ----
     val stageDir = Files.createTempDirectory("cb-stage").toString
     // honor the frozen-snapshot classpath (GRAFT_CLASSPATH, same knob
