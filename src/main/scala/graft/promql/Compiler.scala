@@ -157,6 +157,67 @@ object Compiler {
       .otherwise(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0)))
   }
 
+  /** Order-independent sum for the PromQL `sum`/`avg` aggregators and
+    * the `sum_over_time`/`avg_over_time` folds. IEEE double addition is
+    * not associative, so a plain `sum(double)` depends on shuffle fetch
+    * order — local, cluster, and per-run results can differ in the last
+    * ulps, and a 6-decimal presentation round amplifies one ulp into a
+    * visible flip whenever the true sum sits near a rounding boundary.
+    * Measured, not hypothetical: the r14 sf100 ClusterBench caught
+    * `e2e_stream_slice` (a `sum by` over ~1M series per group)
+    * fingerprint-MISMATCHING between local[16] and local-cluster over
+    * identical data, while every small-group query matched. At 1000
+    * executors this is a silent reproducibility hazard, so the engine
+    * defines its sum as exact fixed-point rather than leaving it
+    * execution-order-defined. Three regimes:
+    *
+    *  - '''non-finite group''' (any NaN/±Inf sample): plain double
+    *    `sum` — its saturated result (NaN, ±Inf) is order-independent
+    *    by IEEE semantics;
+    *  - '''single sample''': the sample itself, bit-exact (no order to
+    *    defend; keeps 1-series `sum by` groups — the common compiled
+    *    shape — unquantized);
+    *  - '''finite multi-sample''': each value floored onto the 2^-49
+    *    fixed-point grid ([[graft.similarity.Ann.CentroidScale]] — an
+    *    EXACT, tie-free double op, unlike a double→decimal cast whose
+    *    half-way ties the engines round differently), summed as exact
+    *    integer DECIMAL(38,0) (order-independent, map-side-combinable,
+    *    so the hash-aggregate plan shape is unchanged), divided back in
+    *    double. Values with |v| ≥ 16 pass through the grid exactly
+    *    (v·2^49 is already integral); smaller values quantize with
+    *    ≤ 2^-49 absolute bias — twelve orders below the 1e-6
+    *    presentation grid.
+    *
+    * Bound: Σ|v| within a group must stay under ~1.6e22 (DECIMAL(38,0)
+    * headroom at 2^49 scale); past it the decimal sum overflows loudly
+    * under ANSI. Oracles mirror the formula verbatim
+    * (`CASE WHEN count=1 THEN min ELSE CAST(SUM(CAST(FLOOR(v*2^49) AS
+    * HUGEINT)) AS DOUBLE)/2^49 END`).
+    */
+  private def sumDet(c: Column): Column = {
+    val bad = isnan(c) || abs(c) === lit(Double.PositiveInfinity)
+    val fp = sum(floor(when(bad, lit(0.0)).otherwise(c) *
+      lit(graft.similarity.Ann.CentroidScale)).cast("decimal(38,0)"))
+    when(max(when(bad, 1).otherwise(0)) === 1, sum(c))
+      .when(count(c) === 1, min(c))
+      .otherwise(fp.cast("double") / lit(graft.similarity.Ann.CentroidScale))
+  }
+
+  /** [[sumDet]] / count — the `avg`/`avg_over_time` twin. The division
+    * runs on the already-deterministic sum, so it inherits the same
+    * order-independence; the single-sample and non-finite regimes
+    * delegate to the sample / the IEEE-saturated builtin.
+    */
+  private def avgDet(c: Column): Column = {
+    val bad = isnan(c) || abs(c) === lit(Double.PositiveInfinity)
+    val fp = sum(floor(when(bad, lit(0.0)).otherwise(c) *
+      lit(graft.similarity.Ann.CentroidScale)).cast("decimal(38,0)"))
+    when(max(when(bad, 1).otherwise(0)) === 1, avg(c))
+      .when(count(c) === 1, min(c))
+      .otherwise(fp.cast("double") /
+        lit(graft.similarity.Ann.CentroidScale) / count(c))
+  }
+
   /** One row per eval step: the query_range grid. */
   private def grid(spark: SparkSession, p: EvalParams): DataFrame =
     spark.range(0, (p.endMs - p.startMs) / p.stepMs + 1)
@@ -628,10 +689,10 @@ object Compiler {
             return Vec(adf, lbls.map(_._1), scalar = false)
           case over =>
             val agg: Column => Column = over match {
-              case "avg_over_time" => avg
+              case "avg_over_time" => avgDet _
               case "min_over_time" => min
               case "max_over_time" => max
-              case "sum_over_time" => sum
+              case "sum_over_time" => sumDet _
               case "count_over_time" => c => count(c).cast("double")
               case "stddev_over_time" => c => sqrt(varPopDet(c))
               case "stdvar_over_time" => c => varPopDet(c)
@@ -754,8 +815,8 @@ object Compiler {
             Vec(df, groupLabels :+ vLab, scalar = false)
           case _ =>
             val aggCol: Column = op match {
-              case "sum" => sum(col("value"))
-              case "avg" => avg(col("value"))
+              case "sum" => sumDet(col("value"))
+              case "avg" => avgDet(col("value"))
               case "min" => min(col("value"))
               case "max" => max(col("value"))
               case "count" => count(col("value")).cast("double")

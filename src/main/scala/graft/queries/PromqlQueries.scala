@@ -768,9 +768,16 @@ object PromqlQueries {
         (max(struct_pack(t := ts_ms, v := value))).v AS value
         FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
         GROUP BY 1, 2, 3),
+      -- num groups hold exactly one series (a user's click series), so
+      -- plain sum IS the sample; den sums up to 5 series and mirrors
+      -- Compiler.sumDet's fixed-point form so the add order can't move
+      -- the ratio across the 6th-decimal rounding boundary
       num AS (SELECT user_id, eval_ms, sum(value) AS v FROM inst
         WHERE event_type = 'click' GROUP BY 1, 2),
-      den AS (SELECT user_id, eval_ms, sum(value) AS v FROM inst
+      den AS (SELECT user_id, eval_ms,
+        CASE WHEN count(value) = 1 THEN min(value)
+          ELSE CAST(sum(CAST(floor(value * 562949953421312.0) AS HUGEINT))
+            AS DOUBLE) / 562949953421312.0 END AS v FROM inst
         GROUP BY 1, 2)
       SELECT user_id, eval_ms, round(num.v / den.v, 6) AS ratio
       FROM num JOIN den USING (user_id, eval_ms)""",

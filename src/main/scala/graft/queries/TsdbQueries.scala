@@ -522,8 +522,14 @@ object TsdbQueries {
       graft.api.QueryService.queryRange(
           "sum by (event_type) (events_value)", src,
           EvalParams(Jan10, Jan25, Hour, lookbackMs = SixH))
+        // r6, not round(): the sum beneath is now bit-identical across
+        // engines and parallelisms (Compiler.sumDet), so the
+        // presentation round must be the identical double-op sequence
+        // too — Spark's round() goes through the shortest-decimal
+        // string, DuckDB's through the binary double, and they can part
+        // on a last-ulp input exactly where the old plain sum hid
         .select(col("event_type"), col("eval_ms"),
-          round(col("value"), 6).as("value"))
+          r6(col("value")).as("value"))
     })
   )
 
@@ -964,7 +970,17 @@ object TsdbQueries {
         FROM sg ASOF JOIN merged m
           ON m.user_id = sg.user_id AND m.event_type = sg.event_type
             AND m.ts_ms <= sg.eval_ms)
-      SELECT event_type, eval_ms, round(sum(value), 6) AS value
+      -- sum mirrors Compiler.sumDet: single-sample groups pass the
+      -- sample through raw; multi-sample groups accumulate exact
+      -- fixed-point on the 2^-49 grid (floor is tie-free on doubles,
+      -- HUGEINT sums are exact integers) so the sum is independent of
+      -- add order in BOTH engines; the final 6-decimal round is the
+      -- same floor(x*1e6+0.5)/1e6 double-op sequence as Spark's r6
+      SELECT event_type, eval_ms,
+        floor((CASE WHEN count(value) = 1 THEN min(value)
+          ELSE CAST(sum(CAST(floor(value * 562949953421312.0) AS HUGEINT))
+            AS DOUBLE) / 562949953421312.0 END) * 1e6 + 0.5) / 1e6
+          AS value
       FROM inst WHERE value IS NOT NULL GROUP BY 1, 2""",
 
     "j2_series_expiry" -> s"""
