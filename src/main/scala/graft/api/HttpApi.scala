@@ -32,7 +32,12 @@ import graft.tsdb.{MatchEq, Matcher, Matchers, MutableMapping}
   * drain under write saturation.
   *
   * Scheduler isolation: read queries are tagged into the `graft-reads`
-  * pool and pin/fold jobs into `graft-writes` (no-op under default FIFO).
+  * pool, pin jobs into `graft-writes`, and background upkeep (delta and
+  * full folds, the cold-generation rewrite, pre-agg) into
+  * `graft-upkeep` (r14: within a FIFO pool jobs run in submit order, so
+  * upkeep sharing the pin pool queued minutes of rewrite ahead of pins,
+  * aged the completeness stamps past the staleness budget, and turned
+  * reads into drains — all no-ops under default FIFO scheduling).
   * An embedding app that serves dashboards DURING sustained ingest
   * should build the session with `spark.scheduler.mode=FAIR` and an
   * allocation file granting `graft-reads` a minShare (SoakBench writes
@@ -883,8 +888,18 @@ final class HttpApi(spark: SparkSession,
     * path, on the write-side scheduler pool.
     */
   private def deltaFoldNow(): Unit = foldLock.synchronized {
+    // upkeep pool, NOT graft-writes: within a FIFO pool jobs run in
+    // submit order, so any restructure job submitted ahead of a pin
+    // stalls that pin for the restructure's whole runtime — and a pin
+    // stall ages the completeness stamps past the staleness budget,
+    // which cascades into read-side drains that wait on the same dammed
+    // pins (the r14 hour soak measured exactly this: its 13-33 s read
+    // spikes were precisely its 7 non-stale drain reads, each during a
+    // cold compaction). Pins are ack-backed latency work; folds,
+    // spills, rewrites and pre-agg are background upkeep — they get
+    // their own pool so the pin lane is never queued behind them.
     spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-      "graft-writes")
+      "graft-upkeep")
     val (snap, snapMins, snapWalls, snapPaths, prefixLen) = synchronized {
       ((batches, batchMins, batchWallMs, batchPaths,
         (if (headCompacted && batches.nonEmpty) 1 else 0) + midBatches))
@@ -927,9 +942,9 @@ final class HttpApi(spark: SparkSession,
     require(compactLock.isHeldByCurrentThread,
       "compactNow requires the cold lock (it spills)")
     val aggTo = foldLock.synchronized {
-    // fold jobs ride the write-side pool too (see handle())
+    // background-upkeep pool, not the pin lane (see deltaFoldNow)
     spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-      "graft-writes")
+      "graft-upkeep")
     // (batches, batchMins) snapshot under the write lock — a concurrent
     // write could otherwise publish the new vector before its mins entry
     val (snap, snapMins, snapWalls) =
@@ -1166,6 +1181,11 @@ final class HttpApi(spark: SparkSession,
     * stays on disk as the grace window, the one before it is removed.
     */
   def compactCold(): Unit = withColdLock {
+    // the generation rewrite is the longest upkeep job in the facade —
+    // minutes at scale — and it must never queue ahead of a pin in a
+    // shared FIFO pool (see deltaFoldNow)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      "graft-upkeep")
     durablePath.filter(_ => !coldWritesBlocked).foreach { p =>
       // fold + spill the hot side first, so no backfilled key lingers in
       // memory after the flag clears (locks are reentrant here)

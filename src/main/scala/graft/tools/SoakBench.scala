@@ -67,6 +67,10 @@ object SoakBench {
         |    <schedulingMode>FIFO</schedulingMode>
         |    <weight>1</weight><minShare>0</minShare>
         |  </pool>
+        |  <pool name="graft-upkeep">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1</weight><minShare>0</minShare>
+        |  </pool>
         |</allocations>""".stripMargin.getBytes("UTF-8"))
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]")
