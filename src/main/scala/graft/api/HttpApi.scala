@@ -1186,6 +1186,29 @@ final class HttpApi(spark: SparkSession,
     // shared FIFO pool (see deltaFoldNow)
     spark.sparkContext.setLocalProperty("spark.scheduler.pool",
       "graft-upkeep")
+    // FINE-GRAINED upkeep tasks: pool isolation schedules at TASK
+    // granularity — FAIR shares assign slots only when a task ends, so
+    // a rewrite cut into `cpus` giant tasks (each minutes long at a
+    // ~100M-point tier) still blocks every pin and read stage for one
+    // whole task duration once its tasks hold the slots. The r14
+    // pool-split soak measured exactly that remainder: its four
+    // 10-17 s spike windows were its four non-stale drain reads, each
+    // inside a long rewrite. 4x-finer write tasks bound the
+    // head-of-line wait at a quarter of a task — the standard
+    // fair-scheduler lever (shrink task size, not pool weight). Scoped
+    // to this lock (upkeep serializes on compactLock; pins and reads
+    // never consult the knob).
+    val prevTasks = spark.conf.getOption("spark.graft.write.tasks")
+    spark.conf.set("spark.graft.write.tasks",
+      (spark.sparkContext.defaultParallelism * 4).toString)
+    try compactColdBody()
+    finally prevTasks match {
+      case Some(v) => spark.conf.set("spark.graft.write.tasks", v)
+      case None => spark.conf.unset("spark.graft.write.tasks")
+    }
+  }
+
+  private def compactColdBody(): Unit = {
     durablePath.filter(_ => !coldWritesBlocked).foreach { p =>
       // fold + spill the hot side first, so no backfilled key lingers in
       // memory after the flag clears (locks are reentrant here)
