@@ -172,35 +172,76 @@ object Compiler {
     * execution-order-defined. Three regimes:
     *
     *  - '''non-finite group''' (any NaN/±Inf sample): plain double
-    *    `sum` — its saturated result (NaN, ±Inf) is order-independent
-    *    by IEEE semantics;
+    *    `sum` — NaN/±Inf saturation absorbs finite add order in every
+    *    realistic case. One residual order-dependence survives here: a
+    *    group holding one +Inf plus finite values whose partial sums
+    *    can themselves overflow to −Inf (magnitudes near 1e308) yields
+    *    +Inf in one add order and NaN in another. The engine accepts
+    *    that corner — metric values at 1e308 are already garbage — and
+    *    documents it rather than pretending IEEE saturation is total;
     *  - '''single sample''': the sample itself, bit-exact (no order to
     *    defend; keeps 1-series `sum by` groups — the common compiled
     *    shape — unquantized);
     *  - '''finite multi-sample''': each value floored onto the 2^-49
-    *    fixed-point grid ([[graft.similarity.Ann.CentroidScale]] — an
-    *    EXACT, tie-free double op, unlike a double→decimal cast whose
-    *    half-way ties the engines round differently), summed as exact
-    *    integer DECIMAL(38,0) (order-independent, map-side-combinable,
-    *    so the hash-aggregate plan shape is unchanged), divided back in
+    *    fixed-point grid via [[gridTerm]] (an EXACT, tie-free double
+    *    op, unlike a double→decimal cast whose half-way ties the
+    *    engines round differently), summed as exact integer
+    *    DECIMAL(38,0) (order-independent, map-side-combinable, so the
+    *    hash-aggregate plan shape is unchanged), divided back in
     *    double. Values with |v| ≥ 16 pass through the grid exactly
     *    (v·2^49 is already integral); smaller values quantize with
     *    ≤ 2^-49 absolute bias — twelve orders below the 1e-6
     *    presentation grid.
     *
-    * Bound: Σ|v| within a group must stay under ~1.6e22 (DECIMAL(38,0)
-    * headroom at 2^49 scale); past it the decimal sum overflows loudly
-    * under ANSI. Oracles mirror the formula verbatim
-    * (`CASE WHEN count=1 THEN min ELSE CAST(SUM(CAST(FLOOR(v*2^49) AS
-    * HUGEINT)) AS DOUBLE)/2^49 END`).
+    * Bounds: |v| must stay under 2^63 per sample ([[gridTerm]]'s long
+    * range — violations raise loudly, see there), and Σ|v| within a
+    * group under ~5e23 (DECIMAL(38,0) headroom at 2^49 scale; past it
+    * the decimal sum overflows loudly under ANSI). Oracles mirror the
+    * split formula verbatim in HUGEINT — see the `den` CTE in
+    * [[graft.queries.PromqlQueries]] `pql3_binop_ratio`.
     */
   private def sumDet(c: Column): Column = {
     val bad = isnan(c) || abs(c) === lit(Double.PositiveInfinity)
-    val fp = sum(floor(when(bad, lit(0.0)).otherwise(c) *
-      lit(graft.similarity.Ann.CentroidScale)).cast("decimal(38,0)"))
+    val fp = sum(gridTerm(when(bad, lit(0.0)).otherwise(c)))
     when(max(when(bad, 1).otherwise(0)) === 1, sum(c))
       .when(count(c) === 1, min(c))
       .otherwise(fp.cast("double") / lit(graft.similarity.Ann.CentroidScale))
+  }
+
+  /** Exact `floor(v · 2^49)` as DECIMAL(38,0), for any finite
+    * |v| < 2^63. The naive `floor(v * 2^49)` is WRONG past |v| ≥ 2^14:
+    * Spark's `floor(double)` returns LongType — codegen does
+    * `(long) Math.floor(x)` — which silently saturates at
+    * `Long.MaxValue` once v·2^49 ≥ 2^63, corrupting sums over routine
+    * metric magnitudes (byte counters, request totals). A
+    * double→decimal cast is no escape either: Spark routes it through
+    * `Double.toString` (shortest round-trip repr, ≤17 significant
+    * digits), which diverges from the exact binary value above ~1e17 —
+    * while DuckDB's `CAST(double AS HUGEINT)` is binary-exact, so the
+    * oracle fingerprints would drift ~ulp per term.
+    *
+    * Instead, split v exactly: `i = floor(v)` (long-safe for
+    * |v| < 2^63) and `f = v − i`, exact by the Sterbenz lemma (i and v
+    * are within a factor of 2 for |v| ≥ 1; f = v for |v| < 1; f = 0
+    * for |v| ≥ 2^53 where v is already integral). Then
+    * `floor(v·2^49) = i·2^49 + floor(f·2^49)` holds as exact integer
+    * arithmetic: i·2^49 is an integer, f·2^49 < 2^49 fits a long, and
+    * f·2^49 is an exact double op (power-of-two scale shifts the
+    * exponent only). Both halves mirror bit-exactly in DuckDB HUGEINT.
+    * |v| ≥ 2^63 raises loudly ([[sumDet]]'s documented bound) via an
+    * explicit guard — the long floor would otherwise saturate at
+    * `Long.MaxValue`, which still FITS decimal(19,0), so the decimal
+    * layer alone cannot catch it.
+    */
+  private def gridTerm(v0: Column): Column = {
+    val v = when(abs(v0) >= lit(9.223372036854776e18), raise_error(lit(
+      "sum/avg: |value| >= 2^63 exceeds the deterministic fixed-point " +
+        "grid's long range")).cast("double")).otherwise(v0)
+    val i = floor(v)
+    (i.cast("decimal(19,0)") * lit(562949953421312L).cast("decimal(15,0)"))
+      .cast("decimal(38,0)") +
+      floor((v - i.cast("double")) * lit(graft.similarity.Ann.CentroidScale))
+        .cast("decimal(38,0)")
   }
 
   /** [[sumDet]] / count — the `avg`/`avg_over_time` twin. The division
@@ -210,8 +251,7 @@ object Compiler {
     */
   private def avgDet(c: Column): Column = {
     val bad = isnan(c) || abs(c) === lit(Double.PositiveInfinity)
-    val fp = sum(floor(when(bad, lit(0.0)).otherwise(c) *
-      lit(graft.similarity.Ann.CentroidScale)).cast("decimal(38,0)"))
+    val fp = sum(gridTerm(when(bad, lit(0.0)).otherwise(c)))
     when(max(when(bad, 1).otherwise(0)) === 1, avg(c))
       .when(count(c) === 1, min(c))
       .otherwise(fp.cast("double") /

@@ -122,6 +122,21 @@ object PromqlQueries {
         .select(col("user_id"), col("eval_ms"),
           round(col("value"), 6).as("ratio"))),
 
+    // A6 regression — sumDet at |v| ≥ 2^14: scaling every sample by 1e9
+    // puts all terms deep into the regime where the r14 formula's
+    // LongType floor silently saturated (floor(v·2^49) caps at
+    // Long.MaxValue once |v| ≥ 16384, corrupting sums over routine
+    // counter magnitudes). The split gridTerm keeps the fixed-point sum
+    // exact for any |v| < 2^63 and the DuckDB oracle mirrors the split
+    // bit-for-bit — this query is the cross-engine witness.
+    "pql24_sum_large" -> ((s, dir) =>
+      Compiler.compile(
+        """sum by (event_type) (events * 1000000000)""",
+        srcBySeries(s, dir),
+        EvalParams(Start, End, Day, lookbackMs = Hour))
+        .select(col("event_type"), col("eval_ms"),
+          TsdbQueries.r6(col("value")).as("sum_v"))),
+
     // §2.7/A6 — histogram_quantile compiled over le-labelled cumulative
     // buckets (compliance yml:233): hourly per-type histograms derived
     // from the events table, quantile interpolated per (series-minus-le)
@@ -771,16 +786,54 @@ object PromqlQueries {
       -- num groups hold exactly one series (a user's click series), so
       -- plain sum IS the sample; den sums up to 5 series and mirrors
       -- Compiler.sumDet's fixed-point form so the add order can't move
-      -- the ratio across the 6th-decimal rounding boundary
+      -- the ratio across the 6th-decimal rounding boundary. The grid
+      -- term is the SPLIT form floor(v)*2^49 + floor((v-floor(v))*2^49)
+      -- (Sterbenz-exact, long-safe on the Spark side for |v| < 2^63 —
+      -- the direct floor(v*2^49) saturates Spark's long floor at
+      -- |v| >= 2^14); the non-finite arm mirrors the engine's IEEE
+      -- fallback (dormant on finite fixture data)
       num AS (SELECT user_id, eval_ms, sum(value) AS v FROM inst
         WHERE event_type = 'click' GROUP BY 1, 2),
       den AS (SELECT user_id, eval_ms,
-        CASE WHEN count(value) = 1 THEN min(value)
-          ELSE CAST(sum(CAST(floor(value * 562949953421312.0) AS HUGEINT))
+        CASE
+          WHEN max(CASE WHEN isnan(value) OR isinf(value) THEN 1
+            ELSE 0 END) = 1 THEN sum(value)
+          WHEN count(value) = 1 THEN min(value)
+          ELSE CAST(sum(CAST(floor(value) AS HUGEINT)
+              * 562949953421312::HUGEINT
+            + CAST(floor((value - floor(value)) * 562949953421312.0)
+              AS HUGEINT))
             AS DOUBLE) / 562949953421312.0 END AS v FROM inst
         GROUP BY 1, 2)
       SELECT user_id, eval_ms, round(num.v / den.v, 6) AS ratio
       FROM num JOIN den USING (user_id, eval_ms)""",
+
+    // (see the Spark-side comment) every term is >= 16384 here, so this
+    // query fails against the r14 direct-floor engine and passes the
+    // split form: the regression witness for gridTerm.
+    "pql24_sum_large" -> s"""
+      WITH pts AS (SELECT user_id, event_type,
+        epoch_ns(ts)//1000000 AS ts_ms, arg_max(value, event_id) AS value
+        FROM events GROUP BY 1, 2, 3),
+      grid AS (SELECT unnest(generate_series(${Start}, ${End}, ${Day}))
+        AS eval_ms),
+      inst AS (SELECT user_id, event_type, eval_ms,
+        (max(struct_pack(t := ts_ms, v := value))).v * 1000000000.0
+          AS value
+        FROM pts JOIN grid ON ts_ms <= eval_ms AND ts_ms > eval_ms - ${Hour}
+        GROUP BY 1, 2, 3)
+      SELECT event_type, eval_ms,
+        floor((CASE
+          WHEN max(CASE WHEN isnan(value) OR isinf(value) THEN 1
+            ELSE 0 END) = 1 THEN sum(value)
+          WHEN count(value) = 1 THEN min(value)
+          ELSE CAST(sum(CAST(floor(value) AS HUGEINT)
+              * 562949953421312::HUGEINT
+            + CAST(floor((value - floor(value)) * 562949953421312.0)
+              AS HUGEINT))
+            AS DOUBLE) / 562949953421312.0 END) * 1e6 + 0.5) / 1e6
+          AS sum_v
+      FROM inst GROUP BY 1, 2""",
 
     "j4_binop_one2one" -> s"""
       WITH pts AS ($P),

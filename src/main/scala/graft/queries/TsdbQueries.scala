@@ -970,15 +970,27 @@ object TsdbQueries {
         FROM sg ASOF JOIN merged m
           ON m.user_id = sg.user_id AND m.event_type = sg.event_type
             AND m.ts_ms <= sg.eval_ms)
-      -- sum mirrors Compiler.sumDet: single-sample groups pass the
-      -- sample through raw; multi-sample groups accumulate exact
-      -- fixed-point on the 2^-49 grid (floor is tie-free on doubles,
-      -- HUGEINT sums are exact integers) so the sum is independent of
-      -- add order in BOTH engines; the final 6-decimal round is the
-      -- same floor(x*1e6+0.5)/1e6 double-op sequence as Spark's r6
+      -- sum mirrors Compiler.sumDet: non-finite groups fall back to
+      -- the IEEE-saturated plain sum (engine parity; fixture data is
+      -- finite so this arm is dormant at gate scale); single-sample
+      -- groups pass the sample through raw; multi-sample groups
+      -- accumulate exact fixed-point on the 2^-49 grid via the SPLIT
+      -- form floor(v)*2^49 + floor((v-floor(v))*2^49) — the direct
+      -- floor(v*2^49) would be long-saturated on the Spark side for
+      -- |v| >= 2^14, and v-floor(v) is Sterbenz-exact, so the split is
+      -- bit-identical in both engines for any |v| < 2^63. HUGEINT sums
+      -- are exact integers, so the sum is independent of add order in
+      -- BOTH engines; the final 6-decimal round is the same
+      -- floor(x*1e6+0.5)/1e6 double-op sequence as Spark's r6
       SELECT event_type, eval_ms,
-        floor((CASE WHEN count(value) = 1 THEN min(value)
-          ELSE CAST(sum(CAST(floor(value * 562949953421312.0) AS HUGEINT))
+        floor((CASE
+          WHEN max(CASE WHEN isnan(value) OR isinf(value) THEN 1
+            ELSE 0 END) = 1 THEN sum(value)
+          WHEN count(value) = 1 THEN min(value)
+          ELSE CAST(sum(CAST(floor(value) AS HUGEINT)
+              * 562949953421312::HUGEINT
+            + CAST(floor((value - floor(value)) * 562949953421312.0)
+              AS HUGEINT))
             AS DOUBLE) / 562949953421312.0 END) * 1e6 + 0.5) / 1e6
           AS value
       FROM inst WHERE value IS NOT NULL GROUP BY 1, 2""",

@@ -864,4 +864,72 @@ class PromqlSpec extends SparkSpec {
       Seq("value" -> (c => count(c).cast("double"))))
     assert(rows(got) === rows(want))
   }
+
+  // ---- deterministic sum at large magnitudes (r15 ADVICE regression) ----
+
+  /** A tiny multi-series source whose values land in the regime the r14
+    * sumDet silently corrupted: Spark's `floor(double)` is LongType, so
+    * `floor(v * 2^49)` saturates at Long.MaxValue once |v| >= 2^14.
+    */
+  private def bigSrc(values: Seq[Double]): PromSource = {
+    val df = values.zipWithIndex
+      .map { case (v, i) => (s"u$i", Start, v) }
+      .toDF("u", "ts_ms", "value")
+    PromSource(df, Seq("u"), {
+      case "__name__" => lit("m")
+      case "u" => col("u")
+    })
+  }
+
+  // exact floor(v * 2^49) over the binary value of v (NOT its shortest
+  // decimal string — java.math.BigDecimal(double) is the exact ctor),
+  // mirroring the DuckDB oracle's HUGEINT arithmetic
+  private def gridExact(v: Double): BigInt =
+    BigDecimal(new java.math.BigDecimal(v))
+      .*(BigDecimal(BigInt(2).pow(49)))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+
+  test("sumDet: exact fixed-point sum for |v| >= 2^14 (long-floor regression)") {
+    // every value is past the 2^14 saturation threshold of the r14
+    // formula; several carry fractional parts so the integer/fraction
+    // split is exercised, and one sits above 2^53 (already-integral
+    // double, frac = 0 branch)
+    val vals = Seq(16384.5, 1.0e9 + 0.25, 1.23456789e8 + 0.75,
+      5.0e11 + 0.125, 98765.0, -2.5e10 - 0.5, 9.007199254740993e15)
+    val single = EvalParams(Start, Start, Hour)
+    val got = Compiler.compile("sum by () (m)", bigSrc(vals), single)
+      .select("value").head().getDouble(0)
+    val want = (BigDecimal(vals.map(gridExact).sum) /
+      BigDecimal(BigInt(2).pow(49))).toDouble
+    assert(got === want)
+    // and the r14 direct-floor formula would NOT have produced this: the
+    // saturated terms sum to ~n * 2^63 / 2^49 = n * 16384
+    val saturated = vals.map(v =>
+      BigInt((v * 562949953421312.0).toLong)).sum
+    assert(BigDecimal(saturated) / BigDecimal(BigInt(2).pow(49))
+      != BigDecimal(want))
+  }
+
+  test("sumDet: single large sample stays bit-exact; avg follows the sum") {
+    val v = 8.76543219876e13 + 0.375
+    val got = Compiler.compile("sum by () (m)", bigSrc(Seq(v)),
+      EvalParams(Start, Start, Hour)).select("value").head().getDouble(0)
+    assert(got === v) // single-sample regime: no grid, no quantization
+    val vals = Seq(1.0e10 + 0.5, 2.0e10 + 0.25, 3.0e10 + 0.125)
+    val gotAvg = Compiler.compile("avg by () (m)", bigSrc(vals),
+      EvalParams(Start, Start, Hour)).select("value").head().getDouble(0)
+    val wantAvg = (BigDecimal(vals.map(gridExact).sum) /
+      BigDecimal(BigInt(2).pow(49))).toDouble / vals.size
+    assert(gotAvg === wantAvg)
+  }
+
+  test("sumDet: |v| >= 2^63 raises loudly instead of saturating") {
+    val e = intercept[Exception] {
+      Compiler.compile("sum by () (m)", bigSrc(Seq(1.0e19, 1.0, 2.0)),
+        EvalParams(Start, Start, Hour)).select("value").head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("2^63")))
+  }
 }
