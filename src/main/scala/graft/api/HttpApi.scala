@@ -172,6 +172,24 @@ final class HttpApi(spark: SparkSession,
   // disk; only then do reads pay the LWW dedup shuffle over the cold tier
   @volatile private var lastSpillCutoff = Long.MinValue
   @volatile private var coldDirty = false
+  // Partial (leveled) rewrite tracking — the reference's TWCS discipline
+  // (`cassandra/tsdb/tsdb.go:205-215`: time-window compaction never
+  // re-sorts closed windows). The LWW dedup key is (metric_id, ts_ms)
+  // and ts_ms determines the day partition, so duplicate keys are
+  // DAY-LOCAL: a generation rewrite only needs the day partitions some
+  // spill has appended into since the last rewrite — every other day is
+  // already deduped+clustered and is carried into the new generation at
+  // the file level (hardlink). Without this, the rewrite is O(tier) per
+  // cadence and its duration GROWS with the tier (r14 soak: generation 4
+  // ran ~12 min at ~90 M points against a 5-min cadence) — the one
+  // 100 TB scale-killer left in the facade. Some(set) = the exact
+  // dirty-day set since the last flip; None = provenance unknown (fresh
+  // process over an existing tier, or a backfill too wide to track) →
+  // the next compactCold performs one FULL rewrite and tracking resumes.
+  // Guarded by `synchronized` (the write-side state lock).
+  private var dirtyColdDays: Option[Set[java.time.LocalDate]] =
+    Some(Set.empty)
+  private val MaxTrackedDirtyDays = 4096
   // cold-tier SNAPSHOT GENERATION: the data lives in `$durablePath/g<N>`
   // and [[compactCold]] rewrites into g<N+1> then flips — never in place,
   // so readers holding plans over the old generation keep scanning it
@@ -448,6 +466,10 @@ final class HttpApi(spark: SparkSession,
         }
       }
       coldDirty = true // spill overlap history unknown across restarts
+      // same for the dirty-day set: which days pre-restart spills
+      // appended into is unknowable, so the first compactCold of this
+      // process does one full rewrite, then partial tracking resumes
+      synchronized { dirtyColdDays = None }
     }
     restoreMutable()
   }
@@ -1073,6 +1095,16 @@ final class HttpApi(spark: SparkSession,
             org.apache.spark.sql.SaveMode.Append)
           val spilledMax =
             spill.agg(max(col("ts_ms"))).head().getLong(0)
+          // TWCS bookkeeping: every day this spill may have appended
+          // into becomes dirty for the next generation rewrite. The
+          // range form [snapMin, spilledMax] is conservative (snapMin
+          // IS the spill's min — the kept side is all >= cutoff) and
+          // costs no extra job; a backfill too wide to track falls
+          // back to None → one full rewrite
+          synchronized {
+            dirtyColdDays = trackDirtyDays(dirtyColdDays,
+              snapMin, spilledMax)
+          }
           val (trimmed, tp) =
             pinHot(folded0.where(col("ts_ms") >= cutoff), "hot-fold")
           (trimmed, tp, cutoff, cutoff, spilledMax + 1)
@@ -1213,32 +1245,114 @@ final class HttpApi(spark: SparkSession,
       // fold + spill the hot side first, so no backfilled key lingers in
       // memory after the flag clears (locks are reentrant here)
       compactNow()
+      // snapshot the dirty-day set AFTER compactNow: its spill is the
+      // last possible append into g<coldGen> before the flip (spills
+      // serialize on compactLock, which we hold; delta folds never
+      // spill), so the snapshot is complete — clearing happens only
+      // after a successful flip, so a failed rewrite loses nothing
+      val tracked = synchronized(dirtyColdDays)
       coldPoints().foreach { c =>
-        // stream the rewrite — NO checkpoint: it reads g(N) and writes
-        // g(N+1) (different dirs, no self-overwrite hazard) for exactly
-        // one consumer, so pinning materialized the ENTIRE cold tier
-        // into block-manager memory for nothing, and those orphan
-        // blocks lingered until the cleaner's periodic GC (default
-        // 30 min) — the r13 soak's heap death curve tracked the
-        // compactCold cadence (r13)
-        val cleaned = lwwDedup(c)
         val nextGen = coldGen + 1
-        graft.store.Store.writePoints(cleaned, s"$p/g$nextGen",
-          Seq("metric_id"))
-        coldGen = nextGen // flip: new reads plan against the new snapshot
-        // NOT a blind `coldDirty = false`: with delta folds running
-        // concurrently (r14) — and even before, with writes never
-        // blocked here — a pin appended DURING the rewrite can land
-        // behind the spill frontier; clearing unconditionally would
-        // lose its overlap flag and reads would skip the LWW dedup a
-        // duplicated key needs. Recompute from the hot mins under the
-        // write lock (a concurrent append either shows in batchMins or
-        // sets the flag itself afterwards — no lost update).
-        synchronized { coldDirty = batchMins.exists(_ < lastSpillCutoff) }
-        retireGenerations(p, nextGen)
+        val curDir = java.nio.file.Paths.get(s"$p/g$coldGen")
+        val existing: Seq[String] =
+          if (!java.nio.file.Files.isDirectory(curDir)) Seq.empty
+          else java.nio.file.Files.list(curDir).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("day=")).toSeq
+        // LocalDate.toString is yyyy-MM-dd — the partition dir suffix;
+        // an unparseable dir (can't happen for ts_ms-derived days, but
+        // defensive) counts as clean and is carried forward verbatim
+        val dirty = tracked.map(s =>
+          existing.filter(d => scala.util.Try(
+            java.time.LocalDate.parse(d.stripPrefix("day=")))
+            .toOption.exists(s.contains)))
+        dirty match {
+          case Some(d) if d.isEmpty =>
+            // no spill since the last flip: the tier is already deduped
+            // and clustered — rewriting it would be pure waste. Keep
+            // aging out retired generations on the cadence.
+            retireGenerations(p, coldGen)
+          case Some(d) if d.size * 2 < existing.size =>
+            // PARTIAL (leveled) rewrite: dedup only the spilled-into
+            // days; every clean day is carried forward as hardlinks.
+            // Cost is O(dirty days), so compaction duration stays FLAT
+            // as the tier grows — at a 100 TB tier the cadence rewrite
+            // touches only the ingest frontier (typically 1-2 days),
+            // not the whole history. Built in a staging dir maxGenIn
+            // can never adopt (no `g` prefix); the atomic rename to
+            // g<N+1> is the commit point, so a crash at ANY step
+            // leaves either the intact g<N> alone or a complete
+            // g<N+1> — never a generation missing its clean days.
+            val staging = java.nio.file.Paths.get(s"$p/_build_g$nextGen")
+            deleteRecursively(staging)
+            val slice = spark.read.parquet(curDir.toString)
+              .where(col("day").isin(d.map(x =>
+                java.sql.Date.valueOf(x.stripPrefix("day="))): _*))
+              .drop("day")
+            graft.store.Store.writePoints(lwwDedup(slice),
+              staging.toString, Seq("metric_id"))
+            existing.filterNot(d.contains).foreach { cd =>
+              linkTree(curDir.resolve(cd), staging.resolve(cd))
+            }
+            java.nio.file.Files.move(staging,
+              java.nio.file.Paths.get(s"$p/g$nextGen"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            finishColdFlip(p, nextGen)
+          case _ =>
+            // FULL rewrite: dirty-day provenance unknown (restart over
+            // an existing tier, too-wide backfill) or most days are
+            // dirty anyway (carry-forward overhead buys nothing).
+            // Stream the rewrite — NO checkpoint: it reads g(N) and
+            // writes g(N+1) (different dirs, no self-overwrite hazard)
+            // for exactly one consumer, so pinning materialized the
+            // ENTIRE cold tier into block-manager memory for nothing,
+            // and those orphan blocks lingered until the cleaner's
+            // periodic GC (default 30 min) — the r13 soak's heap death
+            // curve tracked the compactCold cadence (r13)
+            graft.store.Store.writePoints(lwwDedup(c), s"$p/g$nextGen",
+              Seq("metric_id"))
+            finishColdFlip(p, nextGen)
+        }
       }
     }
   }
+
+  /** Publish cold generation `nextGen`: flip the read pointer, recompute
+    * the overlap flag, reset dirty-day tracking, retire aged snapshots.
+    */
+  private def finishColdFlip(p: String, nextGen: Int): Unit = {
+    coldGen = nextGen // flip: new reads plan against the new snapshot
+    // NOT a blind `coldDirty = false`: with delta folds running
+    // concurrently (r14) — and even before, with writes never
+    // blocked here — a pin appended DURING the rewrite can land
+    // behind the spill frontier; clearing unconditionally would
+    // lose its overlap flag and reads would skip the LWW dedup a
+    // duplicated key needs. Recompute from the hot mins under the
+    // write lock (a concurrent append either shows in batchMins or
+    // sets the flag itself afterwards — no lost update).
+    synchronized {
+      coldDirty = batchMins.exists(_ < lastSpillCutoff)
+      // the new generation is fully deduped: tracking restarts empty
+      // (no spill can have raced this — compactLock is held)
+      dirtyColdDays = Some(Set.empty)
+    }
+    retireGenerations(p, nextGen)
+  }
+
+  /** Fold the day range [fromMs, toMs] into the dirty-day set; a range
+    * too wide to track degrades to None (→ one full rewrite).
+    */
+  private def trackDirtyDays(cur: Option[Set[java.time.LocalDate]],
+      fromMs: Long, toMs: Long): Option[Set[java.time.LocalDate]] =
+    cur.flatMap { s =>
+      val lo = java.time.Instant.ofEpochMilli(fromMs)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val hi = java.time.Instant.ofEpochMilli(toMs)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val n = java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1
+      if (n <= 0 || n + s.size > MaxTrackedDirtyDays) None
+      else Some(s ++ Iterator.iterate(lo)(_.plusDays(1)).take(n.toInt))
+    }
 
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
@@ -1486,6 +1600,13 @@ final class HttpApi(spark: SparkSession,
     * watermark.
     */
   def preAggregate(endMs: Long): Long = withColdLock {
+    // background-upkeep pool, not the request lane (see deltaFoldNow):
+    // the debug HTTP endpoint otherwise inherits the handler thread's
+    // graft-reads tag, and under FAIR a forced re-aggregation would
+    // compete with — and dam — dashboard reads in the read pool. Each
+    // request re-tags its pool at dispatch, so no restore is needed.
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      "graft-upkeep")
     aggPath.fold(0L) { ap =>
     val wm = graft.store.Store.readWatermark(ap)
     val end = endMs - math.floorMod(endMs, PreAggResolutionMs)
@@ -1515,7 +1636,11 @@ final class HttpApi(spark: SparkSession,
     * Returns the rebuilt month partitions.
     */
   def forcePreAggregate(fromMs: Long, toMs: Long): Seq[String] =
-    withColdLock { aggPath.toSeq.flatMap { ap =>
+    withColdLock {
+      // upkeep pool, same reasoning as preAggregate above
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+        "graft-upkeep")
+      aggPath.toSeq.flatMap { ap =>
       val wm = graft.store.Store.readWatermark(ap)
       val hi = math.min(toMs, wm) // beyond wm the raw tail serves anyway
       if (hi <= fromMs || coldWritesBlocked) Seq.empty

@@ -361,6 +361,46 @@ class DedupSpec extends SparkSpec {
       idxPath, "retrain_000001", "asg_up_d4")))
   }
 
+  test("IVF cell-balance stats are incremental: per-generation _counts " +
+      "sidecars fold to the full-rescan value; a legacy generation " +
+      "falls back once") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") >= 20)
+    def shifted(off: Long) = emb.where(col("vec_id") < 15).select(
+      (col("vec_id") + off).as("vec_id"), col("embedding"))
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfcounts_spec").toString + "/idx"
+    graft.store.Store.buildIvfIndex(spark, idxPath, base, 8)
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath,
+      shifted(100000), "c1"))
+    assert(graft.store.Store.upsertIvfIndex(spark, idxPath,
+      shifted(200000), "c2"))
+    // every generation carries its sidecar
+    for (g <- Seq("asg", "asg_up_c1", "asg_up_c2"))
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+        idxPath, g, "_counts")), s"$g missing _counts sidecar")
+    // the sidecar fold must equal the full rescan EXACTLY — same
+    // max/median over the same per-cell totals (trigger behavior on the
+    // churn probe is therefore identical, with the index-sized scan
+    // gone from the upsert hot path)
+    def rescanBalance(): Double = {
+      val (_, asg) = graft.store.Store.readIvfIndex(spark, idxPath)
+      val sizes = asg.groupBy("c").agg(count(lit(1)).as("n"))
+        .select("n").collect().map(_.getLong(0)).sorted
+      sizes.last.toDouble / sizes(sizes.length / 2)
+    }
+    val fast = graft.store.Store.ivfCellBalance(spark, idxPath)
+    assert(fast === rescanBalance())
+    // legacy generation (no sidecar, pre-r15 layout): delete one sidecar
+    // and the balance must come from the rescan path, same value
+    val victim = java.nio.file.Paths.get(idxPath, "asg_up_c1", "_counts")
+    java.nio.file.Files.walk(victim).sorted(
+      java.util.Comparator.reverseOrder()).forEach(p =>
+      java.nio.file.Files.delete(p))
+    assert(graft.store.Store.ivfCellBalance(spark, idxPath) === fast)
+  }
+
   test("IVFADC: full-probe + wide shortlist degrades to exact brute force; " +
       "narrow probe only surfaces probed-cell candidates") {
     import graft.similarity.Ann

@@ -3,6 +3,8 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.BeforeAndAfterAll
 
 import graft.api.HttpApi
@@ -1852,5 +1854,85 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     val quiesced = get2("X-SquirrelDB-Max-Staleness" -> "3600")
     assert(quiesced.contains(""""instance":"c""""))
     api2.stop()
+  }
+
+  test("TWCS partial cold rewrite: only spilled-into days rewrite, clean " +
+    "days hardlink-carry, a spill-free cadence skips the rewrite, and a " +
+    "restart falls back to one full rewrite") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_twcs")
+      .resolve("cold")
+    val dir = root.toString
+    val day = 86400000L
+    val apiT = new HttpApi(spark, compactEvery = 1000000,
+      durablePath = Some(dir), hotRetainMs = 0L)
+    def daySeries(d: Int, v: Double) = Seq(PromSeries(
+      Map("__name__" -> "tw", "job" -> "twcs"),
+      (0 until 5).map(i => (T0 + d * day + i * 60000L, v + i))))
+    (0 until 12).foreach(d => apiT.write(daySeries(d, d * 100.0), "default"))
+    apiT.drainFlushes()
+    apiT.compactCold() // 12 fresh dirty days of 12 → FULL rewrite → g1
+    def files(gen: Int): Map[String, Set[String]] = {
+      val g = root.resolve(s"g$gen")
+      assert(java.nio.file.Files.isDirectory(g), s"missing g$gen")
+      java.nio.file.Files.list(g).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("day="))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val g1 = files(1)
+    assert(g1.size === 12)
+    // backfill exactly ONE day behind the spill frontier → partial
+    val dirtyDay = java.time.Instant.ofEpochMilli(T0 + 3 * day)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    apiT.write(daySeries(3, 9999.0), "default")
+    apiT.drainFlushes()
+    apiT.compactCold() // 1 dirty of 12 → PARTIAL rewrite → g2
+    val g2 = files(2)
+    assert(g2.size === 12)
+    val dn = s"day=$dirtyDay"
+    // the dirty day was REWRITTEN (fresh task files, disjoint names);
+    // every clean day carried its exact file set forward (hardlinks)
+    assert((g2(dn) & g1(dn)).isEmpty && g2(dn).nonEmpty)
+    (g1.keySet - dn).foreach { d =>
+      assert(g2(d) === g1(d), s"clean day $d was rewritten")
+      val ino = (p: java.nio.file.Path) => scala.util.Try(
+        java.nio.file.Files.getAttribute(p, "unix:ino"))
+      g1(d).headOption.foreach { f =>
+        val (a, b) = (ino(root.resolve(s"g1/$d/$f")),
+          ino(root.resolve(s"g2/$d/$f")))
+        if (a.isSuccess && b.isSuccess)
+          assert(a.get === b.get, s"$d/$f not hardlinked")
+      }
+    }
+    // LWW read-back across the partial flip: the backfilled day wins,
+    // nothing lost, nothing duplicated
+    val pts = apiT.source().get.points.where(col("__name__") === "tw")
+    assert(pts.count() === 60)
+    val v3 = pts.where(col("ts_ms") === T0 + 3 * day)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v3.toSeq === Seq(9999.0))
+    // a cadence with NO spill since the flip skips the rewrite entirely
+    apiT.compactCold()
+    assert(!java.nio.file.Files.exists(root.resolve("g3")),
+      "spill-free cadence must not produce a new generation")
+    // restart: dirty-day provenance is unknown → next compactCold does
+    // ONE full rewrite (every day freshly written), then tracking resumes
+    val apiR = new HttpApi(spark, compactEvery = 1000000,
+      durablePath = Some(dir), hotRetainMs = 0L)
+    apiR.write(daySeries(5, 7777.0), "default")
+    apiR.drainFlushes()
+    apiR.compactCold()
+    val g3 = files(3)
+    assert(g3.size === 12)
+    g1.keySet.foreach(d => assert((g3(d) & files(2)(d)).isEmpty,
+      s"restart rewrite must be full, but $d was carried"))
+    val vR = apiR.source().get.points
+      .where(col("__name__") === "tw" && col("ts_ms") === T0 + 5 * day)
+      .select("value").collect().map(_.getDouble(0))
+    assert(vR.toSeq === Seq(7777.0))
   }
 }
