@@ -1251,6 +1251,16 @@ final class HttpApi(spark: SparkSession,
       // spill), so the snapshot is complete — clearing happens only
       // after a successful flip, so a failed rewrite loses nothing
       val tracked = synchronized(dirtyColdDays)
+      // sweep stale partial-rewrite staging dirs (a crash mid-build
+      // leaves one; it is never adopted — no g prefix — but should not
+      // leak disk across generation numbers)
+      locally {
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.isDirectory(root))
+          java.nio.file.Files.list(root).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("_build_g"))
+            .foreach(deleteRecursively)
+      }
       coldPoints().foreach { c =>
         val nextGen = coldGen + 1
         val curDir = java.nio.file.Paths.get(s"$p/g$coldGen")
