@@ -80,6 +80,41 @@ object Store {
       .sortWithinPartitions((series.map(col) :+ col("ts_ms")): _*)
       .write.partitionBy("day").mode(mode).parquet(path)
 
+  /** SURVEY §4.1's ingest layout, demonstrated: persist a point stream
+    * SERIES-BUCKETED — hash-bucketed by the series key with one file per
+    * bucket, (series, ts)-sorted within — so every per-series
+    * aggregation runs SHUFFLE-FREE. `bucketBy` records the hash
+    * partitioning in the table metadata; any `groupBy` whose keys
+    * contain the bucket columns already satisfies its clustering
+    * requirement straight off the scan (`HashPartitioning(bucketCols)`
+    * satisfies `ClusteredDistribution(groupKeys ⊇ bucketCols)`), and
+    * Catalyst plans the partial+final HashAggregate with NO Exchange.
+    * This is the escape from the r14 fourth-decade spill wall: at
+    * sf1000 the A1 downsample's 1 B-row shuffle spilled 97 GB on one
+    * box — with this layout the shuffle does not exist, each of the
+    * `nBuckets` read tasks folds only its own series, and the cost is
+    * one ingest-time shuffle paid ONCE instead of per query. At 100 TB
+    * the bucket count is sized so one bucket ≈ one comfortable task
+    * (e.g. 16 Ki buckets for ~6 GB each); all per-series operators
+    * (downsample, rate windows, LWW dedup, sessionize) ride the same
+    * layout free.
+    *
+    * The one-file-per-bucket shape comes from the `repartition` on the
+    * bucket columns before the write (each task holds exactly one
+    * bucket's rows); bucketed reads then schedule one task per bucket.
+    */
+  def writeBucketedPoints(points: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String]): Unit =
+    points
+      .repartition(nBuckets, bucketCols.map(col): _*)
+      .write
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", path)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
   /** Read back with partition pruning for a time range. */
   def readPoints(spark: SparkSession, path: String,
       fromMs: Long, toMs: Long): DataFrame =

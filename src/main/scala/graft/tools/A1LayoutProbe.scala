@@ -1,0 +1,177 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.Tables
+
+/** The r14 fourth-decade spill-wall escape for A1, demonstrated
+  * (VERDICT r15 task 3): at sf1000 the 1 B-event downsample's
+  * (series, bucket) shuffle spilled 97 GB on one 32-core box and ran
+  * 2.1× over its linear bar. The escape is LAYOUT, not code — persist
+  * events series-bucketed at ingest ([[graft.store.Store
+  * .writeBucketedPoints]], SURVEY §4.1's prescription) and the shuffle
+  * does not exist: the groupBy's clustering requirement is satisfied
+  * straight off the bucketed scan.
+  *
+  * Steps (args: `<eventsSrcDir> <workDir> [factor=1] [nBuckets=256]
+  * [cpus=32]`):
+  *
+  *  1. replicate the source events `factor`× in ONE pass (id-shifted
+  *     replicas via a broadcast cross-join with `range(factor)` — the
+  *     same decorrelation ScaleGen applies to events: the series
+  *     universe grows factor×, per-series history unchanged), writing
+  *     `workDir/events.parquet` — the PLAIN layout;
+  *  2. write the same rows through `writeBucketedPoints` — the
+  *     BUCKETED layout (this is the ingest-time cost a deployment pays
+  *     once, reported separately);
+  *  3. run the EXACT a1_downsample_5m aggregate over both layouts,
+  *     timed, with per-layout shuffle-spill bytes from a TaskEnd
+  *     listener; assert the bucketed plan contains NO Exchange;
+  *  4. fingerprint both results two ways: over the order-independent
+  *     columns (series, bucket, min, max, count) — must match EXACTLY —
+  *     and over everything incl. `avg` quantized at 1e-3 (avg is an
+  *     IEEE double mean, so the two layouts' different add orders can
+  *     legitimately flip a 6th-decimal rounding boundary on a handful
+  *     of groups; the probe proves layout-equality, not sum
+  *     determinism — `Compiler.sumDet` owns that for the query layer).
+  *
+  * One JSON line to stdout and to `A1_LAYOUT_OUT`
+  * (default SCALE_sf1000_a1bucketed.json).
+  */
+object A1LayoutProbe {
+
+  private def fingerprint(df: DataFrame): (String, Long) = {
+    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    val r = h.agg(sum(col("h").cast("decimal(38,0)")).as("s"),
+      count(lit(1)).as("c")).head()
+    (if (r.isNullAt(0)) "0" else r.getDecimal(0).toPlainString,
+      r.getLong(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val workDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 1
+    val nBuckets = if (args.length > 3) args(3).toInt else 256
+    val cpus = if (args.length > 4) args(4).toInt else 32
+    val out = sys.env.getOrElse("A1_LAYOUT_OUT",
+      "SCALE_sf1000_a1bucketed.json")
+
+    val spark = GraftSession.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.warehouse.dir", s"$workDir/warehouse"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    def timed[A](f: => A): (A, Double, Long, Long) = {
+      val m0 = spillMem.get; val d0 = spillDisk.get
+      val t0 = System.nanoTime()
+      val a = f
+      ((a, (System.nanoTime() - t0) / 1e9,
+        spillMem.get - m0, spillDisk.get - d0))
+    }
+
+    // ---- 1. plain layout: factor× replicated events, one pass ----
+    val plainPath = s"$workDir/events.parquet"
+    val genSec =
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(plainPath))) 0.0
+      else {
+        val base = Tables.points(spark, srcDir)
+        val (_, sec, _, _) = timed {
+          base
+            .crossJoin(broadcast(
+              spark.range(0, factor).select(col("id").as("__rep"))))
+            .select(
+              (col("event_id") + col("__rep") * 1000000000000L)
+                .as("event_id"),
+              (col("user_id") + col("__rep") * 1000000000L).as("user_id"),
+              col("event_type"), col("ts_ms"), col("value"))
+            .write.mode(SaveMode.Overwrite).parquet(plainPath)
+        }
+        sec
+      }
+    val plain = spark.read.parquet(plainPath)
+    System.err.println(f"[a1layout] plain gen ${genSec}%.1fs rows=" +
+      plain.count())
+
+    // ---- 2. bucketed layout (the once-per-ingest cost) ----
+    val (_, bucketWriteSec, _, _) = timed {
+      graft.store.Store.writeBucketedPoints(plain, "events_bucketed",
+        s"$workDir/events_bucketed", Seq("user_id", "event_type"),
+        nBuckets, Seq("user_id", "event_type", "ts_ms"))
+    }
+    System.err.println(f"[a1layout] bucketed write $bucketWriteSec%.1fs")
+
+    // the EXACT a1_downsample_5m shape (TsdbQueries) over a point frame
+    def a1(pts: DataFrame): DataFrame =
+      graft.tsdb.Downsample(pts,
+          Seq(col("user_id"), col("event_type")), col("ts_ms"),
+          col("value"))
+        .select(col("user_id"), col("event_type"), col("bucket_ms"),
+          col("min").as("min_v"), col("max").as("max_v"),
+          round(col("avg"), 6).as("avg_v"), col("count").as("n"))
+
+    // ---- 3. timed runs (warmup pass then measured pass each) ----
+    def run(tag: String, pts: DataFrame):
+        (Double, Long, Long, DataFrame) = {
+      val df = a1(pts)
+      df.count() // warmup (codegen, file listing)
+      val (_, sec, sm, sd) = timed(df.count())
+      System.err.println(f"[a1layout] $tag $sec%.1fs spillMem=$sm " +
+        s"spillDisk=$sd")
+      (sec, sm, sd, df)
+    }
+    val (plainSec, plainSm, plainSd, plainDf) = run("plain", plain)
+    val bucketed = spark.table("events_bucketed")
+    val (bSec, bSm, bSd, bDf) = run("bucketed", bucketed)
+
+    // the bucketed aggregate must plan WITHOUT any exchange
+    val bPlan = a1(bucketed).queryExecution.executedPlan.toString
+    val noExchange = !bPlan.contains("Exchange")
+    System.err.println(s"[a1layout] bucketed plan exchange-free: " +
+      noExchange)
+
+    // ---- 4. layout-equality fingerprints ----
+    def oiCols(df: DataFrame) = df.select("user_id", "event_type",
+      "bucket_ms", "min_v", "max_v", "n")
+    val (fpP, nP) = fingerprint(oiCols(plainDf))
+    val (fpB, nB) = fingerprint(oiCols(bDf))
+    def qAvg(df: DataFrame) = df.select(col("user_id"), col("event_type"),
+      col("bucket_ms"), col("min_v"), col("max_v"),
+      round(col("avg_v"), 3).as("avg_q"), col("n"))
+    val (fqP, _) = fingerprint(qAvg(plainDf))
+    val (fqB, _) = fingerprint(qAvg(bDf))
+
+    val json = f"""{"metric":"a1_layout_probe","factor":$factor,""" +
+      f""""n_buckets":$nBuckets,"cpus":$cpus,""" +
+      f""""gen_sec":$genSec%.1f,"bucket_write_sec":$bucketWriteSec%.1f,""" +
+      f""""plain_sec":$plainSec%.1f,"plain_spill_mem":$plainSm,""" +
+      f""""plain_spill_disk":$plainSd,""" +
+      f""""bucketed_sec":$bSec%.1f,"bucketed_spill_mem":$bSm,""" +
+      f""""bucketed_spill_disk":$bSd,"no_exchange":$noExchange,""" +
+      f""""rows_plain":$nP,"rows_bucketed":$nB,""" +
+      f""""fp_oi_match":${fpP == fpB && nP == nB},""" +
+      f""""fp_avg_q3_match":${fqP == fqB}}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    spark.stop()
+  }
+}

@@ -207,4 +207,33 @@ class StoreSpec extends SparkSpec {
       .select("series", "ts_ms").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(kept.toSet === Set(("A", 0L), ("A", 40000L)))
   }
+
+  test("series-bucketed layout: per-series aggregation plans with NO " +
+    "exchange and returns the same rows as the plain layout") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed")
+    val pts = Tables.points(spark, "/root/testdata/sf0.001")
+    Store.writeBucketedPoints(pts, "spec_events_bucketed",
+      s"$dir/events_bucketed", Seq("user_id", "event_type"), 8,
+      Seq("user_id", "event_type", "ts_ms"))
+    def a1(src: org.apache.spark.sql.DataFrame) =
+      graft.tsdb.Downsample(src, Seq(col("user_id"), col("event_type")),
+        col("ts_ms"), col("value"))
+    val bucketed = a1(spark.table("spec_events_bucketed"))
+    // the clustering requirement is satisfied off the bucketed scan —
+    // the shuffle the r14 sf1000 probe measured spilling 97 GB at 1B
+    // events simply does not exist in this plan
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // physical change only: same rows as the plain-layout aggregate
+    // (min/max/count exactly; avg through the same single-partition add
+    // order per group here, so the full row compares equal at this size)
+    val plain = a1(pts)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("user_id"), col("event_type"), col("bucket_ms"),
+        col("min"), col("max"), round(col("avg"), 6), col("count"))
+      .collect().map(_.toString).sorted
+    assert(key(bucketed) === key(plain))
+    spark.sql("DROP TABLE IF EXISTS spec_events_bucketed")
+  }
 }
