@@ -1240,6 +1240,28 @@ final class HttpApi(spark: SparkSession,
     }
   }
 
+  /** Rewrite-scoped task-granularity control for the LWW aggregate: the
+    * r14 4×-finer knob only covered the rewrite's WRITE stage
+    * (repartitionForWrite reads `spark.graft.write.tasks`); the dedup
+    * aggregate still ran at `spark.sql.shuffle.partitions` fat tasks —
+    * ~5-10 s each at a ~100 M-point tier — and FAIR assigns slots only
+    * as tasks END, so a pin job stalled up to a whole agg-task duration,
+    * the completeness stamps aged past the staleness budget, and the
+    * reader fell back to a drain (the residual spike windows the r14
+    * soak left and the r15 soak reproduced). Pre-partitioning on the
+    * dedup keys at the same 4×-finer count makes the aggregate ride
+    * this partitioning (HashPartitioning(keys) satisfies the groupBy's
+    * clustering requirement — no second exchange; the lost map-side
+    * combine is immaterial: rewrite inputs are mostly-unique keys), so
+    * head-of-line is bounded at a quarter-task on the agg stage too.
+    * NOT applied to read-side lwwDedup — reads keep their plan.
+    */
+  private def fineForUpkeep(df: DataFrame): DataFrame = {
+    val tasks = spark.conf.get("spark.graft.write.tasks",
+      spark.sparkContext.defaultParallelism.toString).toInt
+    df.repartition(tasks, col("metric_id"), col("ts_ms"))
+  }
+
   private def compactColdBody(): Unit = {
     durablePath.filter(_ => !coldWritesBlocked).foreach { p =>
       // fold + spill the hot side first, so no backfilled key lingers in
@@ -1276,12 +1298,18 @@ final class HttpApi(spark: SparkSession,
           existing.filter(d => scala.util.Try(
             java.time.LocalDate.parse(d.stripPrefix("day=")))
             .toOption.exists(s.contains)))
+        val rw0 = System.nanoTime()
+        def logRewrite(mode: String, nDirty: Int): Unit =
+          System.err.println(f"[graft compactCold] $mode dirtyDays=" +
+            f"$nDirty/${existing.size} gen=$coldGen " +
+            f"took=${(System.nanoTime() - rw0) / 1e9}%.1fs")
         dirty match {
           case Some(d) if d.isEmpty =>
             // no spill since the last flip: the tier is already deduped
             // and clustered — rewriting it would be pure waste. Keep
             // aging out retired generations on the cadence.
             retireGenerations(p, coldGen)
+            logRewrite("skip", 0)
           case Some(d) if d.size * 2 < existing.size =>
             // PARTIAL (leveled) rewrite: dedup only the spilled-into
             // days; every clean day is carried forward as hardlinks.
@@ -1299,7 +1327,7 @@ final class HttpApi(spark: SparkSession,
               .where(col("day").isin(d.map(x =>
                 java.sql.Date.valueOf(x.stripPrefix("day="))): _*))
               .drop("day")
-            graft.store.Store.writePoints(lwwDedup(slice),
+            graft.store.Store.writePoints(lwwDedup(fineForUpkeep(slice)),
               staging.toString, Seq("metric_id"))
             existing.filterNot(d.contains).foreach { cd =>
               linkTree(curDir.resolve(cd), staging.resolve(cd))
@@ -1308,6 +1336,7 @@ final class HttpApi(spark: SparkSession,
               java.nio.file.Paths.get(s"$p/g$nextGen"),
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             finishColdFlip(p, nextGen)
+            logRewrite("partial", d.size)
           case _ =>
             // FULL rewrite: dirty-day provenance unknown (restart over
             // an existing tier, too-wide backfill) or most days are
@@ -1319,9 +1348,10 @@ final class HttpApi(spark: SparkSession,
             // and those orphan blocks lingered until the cleaner's
             // periodic GC (default 30 min) — the r13 soak's heap death
             // curve tracked the compactCold cadence (r13)
-            graft.store.Store.writePoints(lwwDedup(c), s"$p/g$nextGen",
-              Seq("metric_id"))
+            graft.store.Store.writePoints(lwwDedup(fineForUpkeep(c)),
+              s"$p/g$nextGen", Seq("metric_id"))
             finishColdFlip(p, nextGen)
+            logRewrite("full", tracked.map(_.size).getOrElse(-1))
         }
       }
     }

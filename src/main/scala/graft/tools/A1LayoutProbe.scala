@@ -88,10 +88,15 @@ object A1LayoutProbe {
         spillMem.get - m0, spillDisk.get - d0))
     }
 
-    // ---- 1. plain layout: factor× replicated events, one pass ----
+    // ---- 1. plain layout ----
+    // factor == 1: read the source dir directly through Tables (the
+    // exact frame the bench's a1 runs over — its ts→ts_ms cast is
+    // codegen'd arithmetic, immaterial next to the shuffle under test);
+    // factor > 1: materialize a replicated copy first (small-scale
+    // self-contained runs)
     val plainPath = s"$workDir/events.parquet"
     val genSec =
-      if (java.nio.file.Files.isDirectory(
+      if (factor == 1 || java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(plainPath))) 0.0
       else {
         val base = Tables.points(spark, srcDir)
@@ -108,7 +113,9 @@ object A1LayoutProbe {
         }
         sec
       }
-    val plain = spark.read.parquet(plainPath)
+    val plain =
+      if (factor == 1) Tables.points(spark, srcDir)
+      else spark.read.parquet(plainPath)
     System.err.println(f"[a1layout] plain gen ${genSec}%.1fs rows=" +
       plain.count())
 
