@@ -1200,11 +1200,24 @@ object Compiler {
         math.floor(v / to + 0.5) * to
     }
 
+  /** PromQL floor/ceil/round return DOUBLES (Go `math.Floor`), but
+    * Spark's floor/ceil on a double are LongType — `(long) Math.floor`
+    * silently saturates at ±2^63 (the r15 gate's defect class, see
+    * [[gridTerm]]). Any |v| ≥ 2^52 is already integral in double, so
+    * floor/ceil are the identity there and the long conversion is
+    * skipped — the result matches Go/DuckDB double semantics at every
+    * magnitude (incl. ±Inf, which the identity branch passes through
+    * where the long cast would saturate).
+    */
+  private def intValued(v: Column)(f: Column => Column): Column =
+    when(abs(v) >= lit(4.503599627370496e15) || isnan(v), v)
+      .otherwise(f(v))
+
   private def mathCol(fn: String, v: Column, ps: Seq[Double]): Column =
     fn match {
       case "abs" => abs(v)
-      case "ceil" => ceil(v).cast("double")
-      case "floor" => floor(v).cast("double")
+      case "ceil" => intValued(v)(x => ceil(x).cast("double"))
+      case "floor" => intValued(v)(x => floor(x).cast("double"))
       case "exp" => exp(v)
       case "ln" => log(v)
       case "log2" => log2(v)
@@ -1223,9 +1236,13 @@ object Compiler {
       case "clamp_min" => greatest(v, lit(ps.head))
       case "clamp_max" => least(v, lit(ps.head))
       case "round" =>
-        // PromQL round(v, to): nearest multiple, ties away from zero
+        // PromQL round(v, to): nearest multiple, ties away from zero.
+        // The +0.5 add always runs in double (its half-even tie at
+        // ulp ≥ 1 is part of Go's op sequence); only the long floor is
+        // skipped once the sum is ≥ 2^52 and already integral (same
+        // saturation guard as floor/ceil above)
         val to = ps.headOption.getOrElse(1.0)
-        floor(v / to + 0.5) * to
+        intValued(v / to + 0.5)(x => floor(x).cast("double")) * to
     }
 
   /** Prometheus bucketQuantile over a sorted array of (le, cumulative

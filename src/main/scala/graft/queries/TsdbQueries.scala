@@ -50,8 +50,23 @@ object TsdbQueries {
     * at sf0.1: 1193.16906249999.. → 062 (Spark) vs 063 (DuckDB). The
     * SQL mirror is `floor(x * 1e6 + 0.5) / 1e6`. Inputs must already be
     * engine-identical (decimal-accumulated sums, exact picks).
+    *
+    * Magnitude guard (the r15 sf1 gate caught this on
+    * `pql24_sum_large`): Spark's `floor(double)` is LongType, so the
+    * naive form silently saturates at `Long.MaxValue/1e6` once
+    * |x| ≥ ~9.2e12 — while DuckDB's double floor stays exact, so the
+    * engines diverge precisely at large-sum scale (the same defect
+    * class `Compiler.gridTerm` fixed inside the deterministic sum).
+    * For |x| ≥ 4.6e9, `x·1e6 + 0.5` is already ≥ 2^52 and therefore
+    * integral in double — the floor is the IDENTITY and is skipped,
+    * which keeps the op sequence (multiply, add, divide, with the
+    * +0.5 tie rounding half-even identically in both engines)
+    * bit-identical to DuckDB's `floor` of the same integral value.
     */
-  private[queries] def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private[queries] def r6(c: Column): Column = {
+    val y = c * 1e6 + 0.5
+    when(abs(c) >= 4.6e9, y / 1e6).otherwise(floor(y) / 1e6)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — 5-min downsampling kernel (aggregate/aggregate.go:43-137)

@@ -923,6 +923,29 @@ class PromqlSpec extends SparkSpec {
     assert(gotAvg === wantAvg)
   }
 
+  test("floor/ceil/round: double semantics at every magnitude (no long " +
+      "saturation; NaN/Inf pass through)") {
+    // Spark's floor/ceil(double) are LongType — the naive lowering
+    // returned 0.0 for NaN, Long.MaxValue-ish for |v| >= 2^63, and
+    // PromQL requires Go math.Floor double semantics
+    val inf = Double.PositiveInfinity
+    val vals = Seq(1.0e300, -1.0e300, 9.3e18, 2.5, -2.5, inf, -inf)
+    val p1 = EvalParams(Start, Start, Hour)
+    def run(q: String): Seq[Double] =
+      Compiler.compile(q, bigSrc(vals), p1)
+        .orderBy("u").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(run("floor(m)") === vals.map(math.floor))
+    assert(run("ceil(m)") === vals.map(math.ceil))
+    val gotR = run("round(m)")
+    val wantR = vals.map(v => math.floor(v + 0.5))
+    gotR.zip(wantR).foreach { case (g, w) =>
+      assert(g == w || (g.isNaN && w.isNaN), s"round: $g != $w") }
+    // NaN: floor(NaN) must be NaN, not the long-cast's 0.0
+    val nan = Compiler.compile("floor(m)",
+      bigSrc(Seq(Double.NaN)), p1).select("value").head().getDouble(0)
+    assert(nan.isNaN)
+  }
+
   test("sumDet: |v| >= 2^63 raises loudly instead of saturating") {
     val e = intercept[Exception] {
       Compiler.compile("sum by () (m)", bigSrc(Seq(1.0e19, 1.0, 2.0)),
