@@ -183,7 +183,7 @@ object Compiler {
     *    defend; keeps 1-series `sum by` groups — the common compiled
     *    shape — unquantized);
     *  - '''finite multi-sample''': each value floored onto the 2^-49
-    *    fixed-point grid via [[gridTerm]] (an EXACT, tie-free double
+    *    fixed-point grid via [[gridSum]] (an EXACT, tie-free double
     *    op, unlike a double→decimal cast whose half-way ties the
     *    engines round differently), summed as exact integer
     *    DECIMAL(38,0) (order-independent, map-side-combinable, so the
@@ -193,7 +193,7 @@ object Compiler {
     *    ≤ 2^-49 absolute bias — twelve orders below the 1e-6
     *    presentation grid.
     *
-    * Bounds: |v| must stay under 2^63 per sample ([[gridTerm]]'s long
+    * Bounds: |v| must stay under 2^63 per sample ([[gridSum]]'s long
     * range — violations raise loudly, see there), and Σ|v| within a
     * group under ~5e23 (DECIMAL(38,0) headroom at 2^49 scale; past it
     * the decimal sum overflows loudly under ANSI). Oracles mirror the
@@ -202,7 +202,7 @@ object Compiler {
     */
   private def sumDet(c: Column): Column = {
     val bad = isnan(c) || abs(c) === lit(Double.PositiveInfinity)
-    val fp = sum(gridTerm(when(bad, lit(0.0)).otherwise(c)))
+    val fp = gridSum(when(bad, lit(0.0)).otherwise(c))
     when(max(when(bad, 1).otherwise(0)) === 1, sum(c))
       .when(count(c) === 1, min(c))
       .otherwise(fp.cast("double") / lit(graft.similarity.Ann.CentroidScale))
@@ -230,18 +230,30 @@ object Compiler {
     * exponent only). Both halves mirror bit-exactly in DuckDB HUGEINT.
     * |v| ≥ 2^63 raises loudly ([[sumDet]]'s documented bound) via an
     * explicit guard — the long floor would otherwise saturate at
-    * `Long.MaxValue`, which still FITS decimal(19,0), so the decimal
+    * `Long.MaxValue`, which still FITS the decimal cast, so the decimal
     * layer alone cannot catch it.
+    *
+    * Cost shape (the r15 e2e profile): a per-row decimal multiply +
+    * DECIMAL(38,0) add priced the naive `sum(i·2^49 + fracGrid)` at a
+    * visible fraction of the whole compiled plan on ~10⁷-row groups.
+    * Distributivity fixes it exactly: `Σ(i·2^49 + g) = (Σi)·2^49 + Σg`
+    * in exact integer arithmetic (both engines), so the per-row work is
+    * two long floors + two long→decimal casts, and the single decimal
+    * multiply happens once per GROUP. The DuckDB mirrors keep the
+    * per-row form — same integer, no oracle change. Headroom: both
+    * partial sums ride decimal(30,0) (sum over decimal(20,0)), and the
+    * final (Σi)·2^49 needs < 10^38 → Σ|v| < ~1.7e23, the same bound
+    * the old DECIMAL(38,0) per-row accumulation had.
     */
-  private def gridTerm(v0: Column): Column = {
+  private def gridSum(v0: Column): Column = {
     val v = when(abs(v0) >= lit(9.223372036854776e18), raise_error(lit(
       "sum/avg: |value| >= 2^63 exceeds the deterministic fixed-point " +
         "grid's long range")).cast("double")).otherwise(v0)
     val i = floor(v)
-    (i.cast("decimal(19,0)") * lit(562949953421312L).cast("decimal(15,0)"))
-      .cast("decimal(38,0)") +
-      floor((v - i.cast("double")) * lit(graft.similarity.Ann.CentroidScale))
-        .cast("decimal(38,0)")
+    val g = floor((v - i.cast("double")) *
+      lit(graft.similarity.Ann.CentroidScale))
+    sum(i.cast("decimal(20,0)")) * lit(562949953421312L).cast("decimal(15,0)") +
+      sum(g.cast("decimal(20,0)"))
   }
 
   /** [[sumDet]] / count — the `avg`/`avg_over_time` twin. The division
@@ -251,7 +263,7 @@ object Compiler {
     */
   private def avgDet(c: Column): Column = {
     val bad = isnan(c) || abs(c) === lit(Double.PositiveInfinity)
-    val fp = sum(gridTerm(when(bad, lit(0.0)).otherwise(c)))
+    val fp = gridSum(when(bad, lit(0.0)).otherwise(c))
     when(max(when(bad, 1).otherwise(0)) === 1, avg(c))
       .when(count(c) === 1, min(c))
       .otherwise(fp.cast("double") /
@@ -1203,7 +1215,7 @@ object Compiler {
   /** PromQL floor/ceil/round return DOUBLES (Go `math.Floor`), but
     * Spark's floor/ceil on a double are LongType — `(long) Math.floor`
     * silently saturates at ±2^63 (the r15 gate's defect class, see
-    * [[gridTerm]]). Any |v| ≥ 2^52 is already integral in double, so
+    * [[gridSum]]). Any |v| ≥ 2^52 is already integral in double, so
     * floor/ceil are the identity there and the long conversion is
     * skipped — the result matches Go/DuckDB double semantics at every
     * magnitude (incl. ±Inf, which the identity branch passes through

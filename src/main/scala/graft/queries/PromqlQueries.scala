@@ -126,7 +126,7 @@ object PromqlQueries {
     // puts all terms deep into the regime where the r14 formula's
     // LongType floor silently saturated (floor(v·2^49) caps at
     // Long.MaxValue once |v| ≥ 16384, corrupting sums over routine
-    // counter magnitudes). The split gridTerm keeps the fixed-point sum
+    // counter magnitudes). The split gridSum keeps the fixed-point sum
     // exact for any |v| < 2^63 and the DuckDB oracle mirrors the split
     // bit-for-bit — this query is the cross-engine witness.
     "pql24_sum_large" -> ((s, dir) =>
@@ -810,7 +810,7 @@ object PromqlQueries {
 
     // (see the Spark-side comment) every term is >= 16384 here, so this
     // query fails against the r14 direct-floor engine and passes the
-    // split form: the regression witness for gridTerm.
+    // split form: the regression witness for gridSum.
     "pql24_sum_large" -> s"""
       WITH pts AS (SELECT user_id, event_type,
         epoch_ns(ts)//1000000 AS ts_ms, arg_max(value, event_id) AS value

@@ -56,7 +56,7 @@ object TsdbQueries {
     * naive form silently saturates at `Long.MaxValue/1e6` once
     * |x| ≥ ~9.2e12 — while DuckDB's double floor stays exact, so the
     * engines diverge precisely at large-sum scale (the same defect
-    * class `Compiler.gridTerm` fixed inside the deterministic sum).
+    * class `Compiler.gridSum` fixed inside the deterministic sum).
     * For |x| ≥ 4.6e9, `x·1e6 + 0.5` is already ≥ 2^52 and therefore
     * integral in double — the floor is the IDENTITY and is skipped,
     * which keeps the op sequence (multiply, add, divide, with the
@@ -471,8 +471,11 @@ object TsdbQueries {
         // slice's 3.1 s. An EXPLICIT partition count is exempt from AQE
         // coalescing: the tiny extra shuffle buys back the whole wire
         // pipeline's parallelism (results are per-series, so placement
-        // cannot change them)
-        .repartition(16)
+        // cannot change them). r15: the count follows the session's
+        // core count — the r12 hardcoded 16 left half a 32-core box
+        // idle through the slice's single most expensive job (the
+        // encode→decode→ingest pin)
+        .repartition(s.sparkContext.defaultParallelism)
         .flatMap { r =>
           def labels(batch: Int) = Map(
             "__name__" -> "events_value",
