@@ -59,6 +59,14 @@ object A1LayoutProbe {
     val factor = if (args.length > 2) args(2).toInt else 1
     val nBuckets = if (args.length > 3) args(3).toInt else 256
     val cpus = if (args.length > 4) args(4).toInt else 32
+    // "all" = both layouts in one session (small-scale smoke);
+    // "bucketed" / "plain" = one layout per PROCESS — at 1 B rows one
+    // session cannot host the bucketed write's shuffle files plus the
+    // plain pass's ~30 GB of map outputs + spill on this disk, and a
+    // late failure loses the earlier pass's fingerprints. Split runs
+    // print a machine-readable [a1layout-result] line each; the caller
+    // assembles the artifact.
+    val mode = if (args.length > 5) args(5) else "all"
     val out = sys.env.getOrElse("A1_LAYOUT_OUT",
       "SCALE_sf1000_a1bucketed.json")
 
@@ -120,12 +128,22 @@ object A1LayoutProbe {
       plain.count())
 
     // ---- 2. bucketed layout (the once-per-ingest cost) ----
-    val (_, bucketWriteSec, _, _) = timed {
-      graft.store.Store.writeBucketedPoints(plain, "events_bucketed",
-        s"$workDir/events_bucketed", Seq("user_id", "event_type"),
-        nBuckets, Seq("user_id", "event_type", "ts_ms"))
-    }
-    System.err.println(f"[a1layout] bucketed write $bucketWriteSec%.1fs")
+    val bucketWriteSec =
+      if (mode == "plain") 0.0
+      else {
+        val (_, sec, _, _) = timed {
+          graft.store.Store.writeBucketedPoints(plain, "events_bucketed",
+            s"$workDir/events_bucketed", Seq("user_id", "event_type"),
+            nBuckets, Seq("user_id", "event_type", "ts_ms"))
+        }
+        System.err.println(f"[a1layout] bucketed write $sec%.1fs")
+        sec
+      }
+    // the write's ~input-sized shuffle files live until the dependency
+    // is GC'd; at 1 B rows leaving them around ran the disk out under
+    // the plain pass's own spill — nudge the ContextCleaner now
+    def reclaimShuffles(): Unit = { System.gc(); Thread.sleep(8000) }
+    reclaimShuffles()
 
     // the EXACT a1_downsample_5m shape (TsdbQueries) over a point frame
     def a1(pts: DataFrame): DataFrame =
@@ -136,36 +154,64 @@ object A1LayoutProbe {
           col("min").as("min_v"), col("max").as("max_v"),
           round(col("avg"), 6).as("avg_v"), col("count").as("n"))
 
-    // ---- 3. timed runs (warmup pass then measured pass each) ----
+    // ---- 3.+4. timed single-pass runs, fingerprint FUSED into the
+    // measured aggregate (r14's passes=0 budget-mode shape): at 1 B
+    // rows a separate warmup + count + fingerprint pass tripled the
+    // shuffle/spill footprint and ran the disk out — one execution per
+    // layout computes timing, spill bytes, AND both layout-equality
+    // fingerprints (exact over the order-independent columns; avg
+    // quantized at 1e-3 — an IEEE mean's add order legitimately differs
+    // across layouts). The hash projection adds the same constant work
+    // to both layouts, so the plain/bucketed comparison stays fair.
     def run(tag: String, pts: DataFrame):
-        (Double, Long, Long, DataFrame) = {
+        (Double, Long, Long, String, String, Long) = {
       val df = a1(pts)
-      df.count() // warmup (codegen, file listing)
-      val (_, sec, sm, sd) = timed(df.count())
+      val h = df.select(
+        xxhash64(col("user_id"), col("event_type"), col("bucket_ms"),
+          col("min_v"), col("max_v"), col("n")).as("hoi"),
+        xxhash64(col("user_id"), col("event_type"), col("bucket_ms"),
+          col("min_v"), col("max_v"), round(col("avg_v"), 3),
+          col("n")).as("hq"))
+      val (r, sec, sm, sd) = timed(
+        h.agg(sum(col("hoi").cast("decimal(38,0)")).as("soi"),
+          sum(col("hq").cast("decimal(38,0)")).as("sq"),
+          count(lit(1)).as("c")).head())
       System.err.println(f"[a1layout] $tag $sec%.1fs spillMem=$sm " +
         s"spillDisk=$sd")
-      (sec, sm, sd, df)
+      ((sec, sm, sd,
+        if (r.isNullAt(0)) "0" else r.getDecimal(0).toPlainString,
+        if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString,
+        r.getLong(2)))
     }
-    val (plainSec, plainSm, plainSd, plainDf) = run("plain", plain)
-    val bucketed = spark.table("events_bucketed")
-    val (bSec, bSm, bSd, bDf) = run("bucketed", bucketed)
+    def emit(tag: String, sec: Double, sm: Long, sd: Long, fo: String,
+        fq: String, n: Long, extra: String): Unit =
+      println(f"""[a1layout-result] {"tag":"$tag","sec":$sec%.1f,""" +
+        f""""spill_mem":$sm,"spill_disk":$sd,"fp_oi":"$fo",""" +
+        f""""fp_q3":"$fq","rows":$n$extra}""")
 
+    if (mode == "plain") {
+      val (s, sm, sd, fo, fq, n) = run("plain", plain)
+      emit("plain", s, sm, sd, fo, fq, n, "")
+      spark.stop()
+      return
+    }
+    // bucketed first (shuffle-free, no disk growth), plain last so its
+    // spill + map outputs get the most free disk
+    val bucketed = spark.table("events_bucketed")
+    val (bSec, bSm, bSd, fpB, fqB, nB) = run("bucketed", bucketed)
     // the bucketed aggregate must plan WITHOUT any exchange
     val bPlan = a1(bucketed).queryExecution.executedPlan.toString
     val noExchange = !bPlan.contains("Exchange")
     System.err.println(s"[a1layout] bucketed plan exchange-free: " +
       noExchange)
-
-    // ---- 4. layout-equality fingerprints ----
-    def oiCols(df: DataFrame) = df.select("user_id", "event_type",
-      "bucket_ms", "min_v", "max_v", "n")
-    val (fpP, nP) = fingerprint(oiCols(plainDf))
-    val (fpB, nB) = fingerprint(oiCols(bDf))
-    def qAvg(df: DataFrame) = df.select(col("user_id"), col("event_type"),
-      col("bucket_ms"), col("min_v"), col("max_v"),
-      round(col("avg_v"), 3).as("avg_q"), col("n"))
-    val (fqP, _) = fingerprint(qAvg(plainDf))
-    val (fqB, _) = fingerprint(qAvg(bDf))
+    if (mode == "bucketed") {
+      emit("bucketed", bSec, bSm, bSd, fpB, fqB, nB,
+        f""","write_sec":$bucketWriteSec%.1f,"no_exchange":$noExchange""")
+      spark.stop()
+      return
+    }
+    reclaimShuffles()
+    val (plainSec, plainSm, plainSd, fpP, fqP, nP) = run("plain", plain)
 
     val json = f"""{"metric":"a1_layout_probe","factor":$factor,""" +
       f""""n_buckets":$nBuckets,"cpus":$cpus,""" +
