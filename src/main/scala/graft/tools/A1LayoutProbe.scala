@@ -195,6 +195,29 @@ object A1LayoutProbe {
       spark.stop()
       return
     }
+    // "plainN" (e.g. plain4): the plain-layout fingerprint computed in
+    // N disjoint key slices, one aggregate per slice, shuffle footprint
+    // ~1/N each — the single-pass plain aggregate's ~30 GB of map
+    // outputs + spill exceeds this box's free disk at 1 B rows. Sound
+    // because the a1 group key (user_id, event_type, bucket) is a
+    // refinement of the slice key (user_id, event_type): every group
+    // lives wholly in one slice, and the fingerprint is a SUM of row
+    // hashes — additive across disjoint slices (the caller adds the
+    // slice sums). NOT a timing mode: the timed single-pass number
+    // comes from a dedicated run.
+    if (mode.startsWith("plain") && mode.length > 5) {
+      val nSlices = mode.drop(5).toInt
+      for (k <- 0 until nSlices) {
+        val slice = plain.where(
+          pmod(xxhash64(col("user_id"), col("event_type")),
+            lit(nSlices.toLong)) === k)
+        val (s, sm, sd, fo, fq, n) = run(s"plain_$k", slice)
+        emit(s"plain_$k", s, sm, sd, fo, fq, n, "")
+        reclaimShuffles()
+      }
+      spark.stop()
+      return
+    }
     // bucketed first (shuffle-free, no disk growth), plain last so its
     // spill + map outputs get the most free disk
     val bucketed = spark.table("events_bucketed")
