@@ -100,6 +100,19 @@ final class HttpApi(spark: SparkSession,
 
   import Prompb.{ChunkMeta, PromRow, PromSeries}
 
+  // TWCS day classification (trackDirtyDays, the dirty-dir parse) is
+  // ZoneOffset.UTC-based, while Store.writePoints derives the `day`
+  // partition via to_date(timestamp_millis(...)), which follows
+  // spark.sql.session.timeZone — an embedding app constructing this
+  // facade on a non-UTC session would classify a spilled-into
+  // partition as clean and hardlink-carry un-deduped duplicates. Fail
+  // loudly at construction instead (ADVICE r15); GraftSession pins UTC.
+  require(durablePath.isEmpty ||
+    spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+    "durablePath requires spark.sql.session.timeZone=UTC: the TWCS " +
+      "partial-rewrite day classification is UTC-based and a non-UTC " +
+      "day partition derivation would silently carry duplicates")
+
   /** "No TTL" sentinel: ~100 years in seconds. Finite so the per-series
     * max-merge (T9: the LARGEST TTL any write supplied wins,
     * `remotestorage.go:103-114`) is a plain `max`.
@@ -1257,8 +1270,11 @@ final class HttpApi(spark: SparkSession,
     * NOT applied to read-side lwwDedup — reads keep their plan.
     */
   private def fineForUpkeep(df: DataFrame): DataFrame = {
+    // same fallback chain as Store.repartitionForWrite, so the agg
+    // stage and the write stage agree on task count when the knob is
+    // unset (ADVICE r15)
     val tasks = spark.conf.get("spark.graft.write.tasks",
-      spark.sparkContext.defaultParallelism.toString).toInt
+      spark.conf.get("spark.sql.shuffle.partitions", "200")).toInt
     df.repartition(tasks, col("metric_id"), col("ts_ms"))
   }
 

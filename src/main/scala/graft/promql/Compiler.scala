@@ -194,17 +194,32 @@ object Compiler {
     *    presentation grid.
     *
     * Bounds: |v| must stay under 2^63 per sample ([[gridSum]]'s long
-    * range — violations raise loudly, see there), and Σ|v| within a
-    * group under ~5e23 (DECIMAL(38,0) headroom at 2^49 scale; past it
-    * the decimal sum overflows loudly under ANSI). Oracles mirror the
-    * split formula verbatim in HUGEINT — see the `den` CTE in
-    * [[graft.queries.PromqlQueries]] `pql3_binop_ratio`.
+    * range), and Σ|v| within a group under ~5e23 (DECIMAL(38,0)
+    * headroom at 2^49 scale; past it the decimal sum overflows loudly
+    * under ANSI). The 2^63 guard is GROUP-level, not per-row (ADVICE
+    * r15): aggregate arms all evaluate, so a per-row raise inside
+    * [[gridSum]] fired even for single-sample groups whose CASE arm
+    * returns the sample bit-exactly without touching the grid.
+    * Huge-but-finite samples are clamped out of the grid input and the
+    * raise happens only when the grid arm is actually SELECTED for a
+    * group containing one (post-aggregation CASE branches evaluate
+    * lazily). Oracles mirror the split formula verbatim in HUGEINT —
+    * see the `den` CTE in [[graft.queries.PromqlQueries]]
+    * `pql3_binop_ratio`.
     */
+  private def hugeRaise: Column = raise_error(lit(
+    "sum/avg: |value| >= 2^63 exceeds the deterministic fixed-point " +
+      "grid's long range")).cast("double")
+
+  private def isHuge(c: Column): Column =
+    abs(c) >= lit(9.223372036854776e18)
+
   private def sumDet(c: Column): Column = {
     val bad = isnan(c) || abs(c) === lit(Double.PositiveInfinity)
-    val fp = gridSum(when(bad, lit(0.0)).otherwise(c))
+    val fp = gridSum(when(bad || isHuge(c), lit(0.0)).otherwise(c))
     when(max(when(bad, 1).otherwise(0)) === 1, sum(c))
       .when(count(c) === 1, min(c))
+      .when(max(when(isHuge(c), 1).otherwise(0)) === 1, hugeRaise)
       .otherwise(fp.cast("double") / lit(graft.similarity.Ann.CentroidScale))
   }
 
@@ -228,10 +243,11 @@ object Compiler {
     * arithmetic: i·2^49 is an integer, f·2^49 < 2^49 fits a long, and
     * f·2^49 is an exact double op (power-of-two scale shifts the
     * exponent only). Both halves mirror bit-exactly in DuckDB HUGEINT.
-    * |v| ≥ 2^63 raises loudly ([[sumDet]]'s documented bound) via an
-    * explicit guard — the long floor would otherwise saturate at
-    * `Long.MaxValue`, which still FITS the decimal cast, so the decimal
-    * layer alone cannot catch it.
+    * |v| ≥ 2^63 would long-saturate the floor at `Long.MaxValue` —
+    * which still FITS the decimal cast, so the decimal layer alone
+    * cannot catch it; callers ([[sumDet]]/[[avgDet]]) clamp huge
+    * samples out of the grid input and raise at GROUP level only when
+    * the grid arm is selected for a group containing one.
     *
     * Cost shape (the r15 e2e profile): a per-row decimal multiply +
     * DECIMAL(38,0) add priced the naive `sum(i·2^49 + fracGrid)` at a
@@ -245,10 +261,7 @@ object Compiler {
     * final (Σi)·2^49 needs < 10^38 → Σ|v| < ~1.7e23, the same bound
     * the old DECIMAL(38,0) per-row accumulation had.
     */
-  private def gridSum(v0: Column): Column = {
-    val v = when(abs(v0) >= lit(9.223372036854776e18), raise_error(lit(
-      "sum/avg: |value| >= 2^63 exceeds the deterministic fixed-point " +
-        "grid's long range")).cast("double")).otherwise(v0)
+  private def gridSum(v: Column): Column = {
     val i = floor(v)
     val g = floor((v - i.cast("double")) *
       lit(graft.similarity.Ann.CentroidScale))
@@ -263,9 +276,10 @@ object Compiler {
     */
   private def avgDet(c: Column): Column = {
     val bad = isnan(c) || abs(c) === lit(Double.PositiveInfinity)
-    val fp = gridSum(when(bad, lit(0.0)).otherwise(c))
+    val fp = gridSum(when(bad || isHuge(c), lit(0.0)).otherwise(c))
     when(max(when(bad, 1).otherwise(0)) === 1, avg(c))
       .when(count(c) === 1, min(c))
+      .when(max(when(isHuge(c), 1).otherwise(0)) === 1, hugeRaise)
       .otherwise(fp.cast("double") /
         lit(graft.similarity.Ann.CentroidScale) / count(c))
   }

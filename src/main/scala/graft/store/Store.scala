@@ -115,6 +115,135 @@ object Store {
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
 
+  /** Bucket-layout manifest of a cold-tier generation, persisted as
+    * `_bucketspec.json` INSIDE the generation dir — underscore-prefixed
+    * so parquet reads skip it, carried verbatim by the TWCS atomic
+    * rename, untouched by the clean-day hardlink carry. The manifest is
+    * what makes the layout survive a facade restart: `bucketBy`
+    * metadata lives only in the session catalog (in-memory — gone with
+    * the process), and a bare `spark.read.parquet` over the same files
+    * plans the per-series Exchange again. With the manifest, restart
+    * re-issues the `CREATE TABLE … CLUSTERED BY … INTO n BUCKETS
+    * LOCATION` DDL ([[registerBucketedDayTable]]) and per-series reads
+    * stay exchange-free across process lifetimes. Bucket ids are
+    * FILENAME-encoded (`part-…_00003.…`), so files written by different
+    * jobs/sessions — rewrite output, spill appends, hardlinked clean
+    * days — compose into one consistent bucketed table as long as they
+    * share this spec; that is exactly why the spec is frozen per
+    * generation (a count change forces a full rewrite, never a mix).
+    */
+  final case class BucketSpec(cols: Seq[String], n: Int,
+      sortCols: Seq[String])
+
+  object BucketSpec {
+    val ManifestName = "_bucketspec.json"
+
+    def write(genPath: String, spec: BucketSpec): Unit = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.createObjectNode()
+      val cols = root.putArray("cols")
+      spec.cols.foreach(cols.add)
+      root.put("n", spec.n)
+      val sc = root.putArray("sortCols")
+      spec.sortCols.foreach(sc.add)
+      Files.createDirectories(Paths.get(genPath))
+      Files.writeString(Paths.get(genPath, ManifestName), root.toString)
+    }
+
+    def read(genPath: String): Option[BucketSpec] = {
+      val p = Paths.get(genPath, ManifestName)
+      if (!Files.isRegularFile(p)) None
+      else scala.util.Try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = m.readTree(Files.readString(p))
+        def arr(f: String): Seq[String] = {
+          val a = root.get(f)
+          (0 until a.size()).map(a.get(_).asText())
+        }
+        BucketSpec(arr("cols"), root.get("n").asInt(), arr("sortCols"))
+      }.toOption
+    }
+  }
+
+  /** S8, series-bucketed PRODUCTION layout (the sf1000-proven
+    * [[writeBucketedPoints]] discipline composed with the TWCS day
+    * partitioning): day-partitioned AND series-bucketed, so both
+    * partition lifecycle (retention = day drop, partial rewrites =
+    * dirty days only, hardlink carry for clean days) and exchange-free
+    * per-series aggregation hold at once. Every per-series operator —
+    * downsample, rate windows, LWW dedup — rides the scan's
+    * `HashPartitioning(bucketCols)` for free: it satisfies
+    * `ClusteredDistribution(keys)` for any key set CONTAINING the
+    * bucket columns (subset rule), so `groupBy(metric_id, …)` plans
+    * with NO Exchange.
+    *
+    * `tasks` sizes the write shuffle; it is rounded UP to a multiple of
+    * `spec.n` so each task holds exactly ONE bucket (`hash mod kn ≡
+    * hash mod n (mod n)` when n | kn — Spark's `repartition` and its
+    * bucket-id derivation use the same Murmur3 HashPartitioning), which
+    * bounds output at one file per (task, day) — k files per
+    * bucket-day — while keeping upkeep tasks FINE (the FAIR-pool
+    * head-of-line bound is one task duration; see HttpApi's
+    * compactCold). `tasks <= 0` means the caller already shaped the
+    * frame (e.g. pre-partitioned on the bucket columns so an upstream
+    * dedup aggregate rides the same single exchange) — no repartition
+    * is added; the bucketed V1 write only requires an ORDERING
+    * (partition + bucket id + sort cols, a per-task sort), never its
+    * own exchange.
+    *
+    * At 100 TB: size `spec.n` so one bucket is one comfortable task
+    * (~16 Ki buckets for ~6 GB each at 100 TB/yr); the bucket count is
+    * a per-generation constant, changed only through a full rewrite.
+    */
+  def writeBucketedDays(points: DataFrame, table: String, path: String,
+      spec: BucketSpec, mode: SaveMode, tasks: Int): Unit = {
+    val withDay =
+      points.withColumn("day", to_date(timestamp_millis(col("ts_ms"))))
+    val shaped =
+      if (tasks <= 0) withDay
+      else {
+        val k = math.max(1, (tasks + spec.n - 1) / spec.n)
+        withDay.repartition(k * spec.n, spec.cols.map(col): _*)
+      }
+    shaped.write
+      .partitionBy("day")
+      .bucketBy(spec.n, spec.cols.head, spec.cols.tail: _*)
+      .sortBy(spec.sortCols.head, spec.sortCols.tail: _*)
+      .option("path", path)
+      .mode(mode)
+      .saveAsTable(table)
+  }
+
+  /** Re-register a generation's bucketed table from its on-disk
+    * manifest (restart recovery; also the flip-time registration). The
+    * DDL recreates exactly what `saveAsTable` recorded in the lost
+    * in-memory catalog: parquet source, `day` partitioning, the
+    * CLUSTERED/SORTED BY bucket spec, external LOCATION. `RECOVER
+    * PARTITIONS` relists the day dirs (the generation was assembled by
+    * rename + hardlinks, which no catalog observed). Returns the spec
+    * when the generation is bucketed; None for a legacy (manifest-less)
+    * generation — callers fall back to the plain parquet read.
+    */
+  def registerBucketedDayTable(spark: SparkSession, table: String,
+      genPath: String): Option[BucketSpec] =
+    BucketSpec.read(genPath).flatMap { spec =>
+      scala.util.Try {
+        val schema = spark.read.parquet(genPath).schema
+        val dataDdl = org.apache.spark.sql.types.StructType(
+          schema.filterNot(_.name == "day")).toDDL
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        spark.sql(
+          s"""CREATE TABLE `$table` ($dataDdl, day DATE) USING PARQUET
+             |PARTITIONED BY (day)
+             |CLUSTERED BY (${spec.cols.map(c => s"`$c`").mkString(", ")})
+             |SORTED BY (${spec.sortCols.map(c => s"`$c`").mkString(", ")})
+             |INTO ${spec.n} BUCKETS
+             |LOCATION '$genPath'""".stripMargin)
+        spark.sql(s"ALTER TABLE `$table` RECOVER PARTITIONS")
+        spec
+      }.toOption
+    }
+
   /** Read back with partition pruning for a time range. */
   def readPoints(spark: SparkSession, path: String,
       fromMs: Long, toMs: Long): DataFrame =

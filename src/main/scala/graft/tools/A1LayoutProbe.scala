@@ -45,14 +45,6 @@ import graft.Tables
   */
 object A1LayoutProbe {
 
-  private def fingerprint(df: DataFrame): (String, Long) = {
-    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-    val r = h.agg(sum(col("h").cast("decimal(38,0)")).as("s"),
-      count(lit(1)).as("c")).head()
-    (if (r.isNullAt(0)) "0" else r.getDecimal(0).toPlainString,
-      r.getLong(1))
-  }
-
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val workDir = args(1)

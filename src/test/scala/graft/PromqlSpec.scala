@@ -955,4 +955,18 @@ class PromqlSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("2^63")))
   }
+
+  test("sumDet: single sample >= 2^63 passes through bit-exact (no " +
+      "raise — the guard is group-level, ADVICE r15)") {
+    // PromQL accepts doubles to ~1.8e308; a 1-sample group never
+    // touches the grid, so the 2^63 guard must not fire for it
+    for (v <- Seq(1.0e19, -3.7e200, 1.0e308)) {
+      val got = Compiler.compile("sum by () (m)", bigSrc(Seq(v)),
+        EvalParams(Start, Start, Hour)).select("value").head().getDouble(0)
+      assert(got === v)
+      val gotAvg = Compiler.compile("avg by () (m)", bigSrc(Seq(v)),
+        EvalParams(Start, Start, Hour)).select("value").head().getDouble(0)
+      assert(gotAvg === v)
+    }
+  }
 }

@@ -236,4 +236,74 @@ class StoreSpec extends SparkSpec {
     assert(key(bucketed) === key(plain))
     spark.sql("DROP TABLE IF EXISTS spec_events_bucketed")
   }
+
+  test("day-partitioned bucketed layout: appends land, the manifest " +
+    "re-registers across a catalog wipe, per-series aggs stay " +
+    "exchange-free, and day pruning holds") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_bday").toString
+    val gen = s"$dir/g0"
+    val tbl = "spec_bday_g0"
+    val spec = Store.BucketSpec(Seq("metric_id"), 8, Seq("metric_id", "ts_ms"))
+    val raw = Tables.points(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").as("metric_id"), col("ts_ms"), col("value"))
+    val (d1, d2) = (raw.where(col("ts_ms") < 1705276800000L),
+      raw.where(col("ts_ms") >= 1705276800000L))
+    // create (append-to-nonexistent creates the table), then append the
+    // later days — the spill discipline
+    Store.writeBucketedDays(d1, tbl, gen, spec,
+      org.apache.spark.sql.SaveMode.Append, tasks = spec.n)
+    Store.BucketSpec.write(gen, spec)
+    Store.writeBucketedDays(d2, tbl, gen, spec,
+      org.apache.spark.sql.SaveMode.Append, tasks = spec.n)
+    assert(spark.table(tbl).count() === raw.count())
+    // manifest round-trips
+    assert(Store.BucketSpec.read(gen) === Some(spec))
+    // restart simulation: the in-memory catalog forgets the table; the
+    // manifest re-registers it and the layout survives
+    spark.sql(s"DROP TABLE `$tbl`")
+    assert(Store.registerBucketedDayTable(spark, tbl, gen) === Some(spec))
+    val t = spark.table(tbl)
+    assert(t.count() === raw.count())
+    // exchange-free per-series aggregation off the re-registered scan —
+    // the whole point of persisting the spec (subset rule: the group
+    // keys CONTAIN the bucket column)
+    val agg = t.groupBy(col("metric_id"), col("ts_ms"))
+      .agg(max(col("value")))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    // day partition pruning through the catalog table
+    val pruned = t.where(col("day") === lit("2024-01-03").cast("date"))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || pruned.count() ===
+      raw.withColumn("day", to_date(timestamp_millis(col("ts_ms"))))
+        .where(col("day") === lit("2024-01-03").cast("date")).count())
+    // hardlink compose: carry one day dir into a sibling generation,
+    // bucket ids are filename-encoded so the carried files read as the
+    // same buckets under the new generation's table
+    val gen1 = s"$dir/g1"
+    Files.createDirectories(Paths.get(gen1))
+    val someDay = Files.list(Paths.get(gen)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("day=")).toSeq.sorted.head
+    def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst)
+      Files.list(src).iterator().asScala.foreach { f =>
+        val tt = dst.resolve(f.getFileName.toString)
+        if (Files.isDirectory(f)) linkTree(f, tt) else Files.createLink(tt, f)
+      }
+    }
+    linkTree(Paths.get(gen, someDay), Paths.get(gen1, someDay))
+    Files.copy(Paths.get(gen, "_SUCCESS"), Paths.get(gen1, "_SUCCESS"))
+    Store.BucketSpec.write(gen1, spec)
+    assert(Store.registerBucketedDayTable(spark, "spec_bday_g1", gen1)
+      === Some(spec))
+    val t1 = spark.table("spec_bday_g1")
+    assert(t1.count() ===
+      spark.read.parquet(gen).where(col("day") ===
+        lit(someDay.stripPrefix("day=")).cast("date")).count())
+    val agg1 = t1.groupBy(col("metric_id")).agg(sum(col("value")))
+    assert(!agg1.queryExecution.executedPlan.toString.contains("Exchange"))
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    spark.sql("DROP TABLE IF EXISTS spec_bday_g1")
+  }
 }
