@@ -388,6 +388,86 @@ final class HttpApi(spark: SparkSession,
   private def coldPath: Option[String] =
     durablePath.map(p => s"$p/g$coldGen")
 
+  // ---- series-bucketed cold layout (S8 productized; SURVEY §4.1) ----
+  // The sf1000-proven bucketed discipline (Store.writeBucketedPoints:
+  // exchange-free per-series aggregation, zero spill at 1 B rows)
+  // composed with the TWCS day-partition + hardlink mechanism: every
+  // generation is day-partitioned AND metric_id-bucketed, described by
+  // its own _bucketspec.json manifest, registered as a catalog table so
+  // per-series reads ride HashPartitioning(metric_id) straight off the
+  // scan — across facade restarts (the manifest re-issues the DDL the
+  // in-memory catalog lost).
+
+  /** Catalog name of a generation's bucketed table under `root` —
+    * path-keyed so facades over different tiers in one session never
+    * collide, gen-keyed so the flip is a table switch.
+    */
+  private def genTableName(root: String, gen: Int): String =
+    f"graft_cold_${root.hashCode.toLong & 0xFFFFFFFFL}%08x_g$gen"
+
+  private def coldTableName(gen: Int): String =
+    genTableName(durablePath.getOrElse(""), gen)
+
+  /** Bucket layout for NEW generations: `spark.graft.cold.buckets`
+    * buckets on metric_id (0 = legacy unbucketed). Size so one bucket
+    * is one comfortable task at the deployment's tier size (~16 Ki for
+    * ~6 GB each at 100 TB/yr); the local default suits local[32]. The
+    * count is frozen per generation in the manifest — changing the
+    * knob takes effect at the next FULL rewrite, never by mixing.
+    */
+  private def confBucketSpec: Option[graft.store.Store.BucketSpec] = {
+    val n = spark.conf.get("spark.graft.cold.buckets", "32").toInt
+    if (n <= 0) None
+    else Some(graft.store.Store.BucketSpec(Seq("metric_id"), n,
+      Seq("metric_id", "ts_ms")))
+  }
+
+  /** The CURRENT generation's on-disk layout manifest (None = legacy
+    * plain-parquet generation).
+    */
+  private def coldGenSpec: Option[graft.store.Store.BucketSpec] =
+    coldPath.flatMap(graft.store.Store.BucketSpec.read)
+
+  /** (Re-)register generation `gen`'s bucketed table from its
+    * manifest; None (no-op) for legacy generations. Called at
+    * bootstrap (restart recovery) and at each flip.
+    */
+  private def registerColdGen(gen: Int): Option[String] =
+    durablePath.flatMap { p =>
+      graft.store.Store.registerBucketedDayTable(spark,
+        coldTableName(gen), s"$p/g$gen").map(_ => coldTableName(gen))
+    }
+
+  /** Spill append into the current cold generation. Bucketed tier →
+    * bucketed append through the generation's catalog table (the spec
+    * comes from the GENERATION's manifest, never the conf — mixing
+    * bucket counts inside one dir would corrupt the filename-derived
+    * bucket ids). Fresh tier → start bucketed under the configured
+    * spec; the manifest is written AFTER the first successful append
+    * (it asserts "every file here is bucketed", so it must follow the
+    * files — a crash in between leaves a plain-degraded generation the
+    * next full rewrite converts). Legacy manifest-less tier → plain
+    * append, unchanged.
+    */
+  private def spillToCold(spill: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val S = graft.store.Store
+    coldGenSpec match {
+      case Some(spec) =>
+        S.writeBucketedDays(spill, coldTableName(coldGen), path, spec,
+          SaveMode.Append, tasks = spec.n)
+      case None =>
+        confBucketSpec match {
+          case Some(spec) if !isDir(path) =>
+            S.writeBucketedDays(spill, coldTableName(coldGen), path,
+              spec, SaveMode.Append, tasks = spec.n)
+            S.BucketSpec.write(path, spec)
+          case _ =>
+            S.writePoints(spill, path, Seq("metric_id"), SaveMode.Append)
+        }
+    }
+  }
+
   // restart metadata sidecar: (writeSeq, labelNames) as one tiny JSON,
   // plus the TTL dim as parquet — written at each compaction BEFORE the
   // spill, so the persisted writeSeq always ≥ every __seq on the cold
@@ -436,6 +516,11 @@ final class HttpApi(spark: SparkSession,
     // restart: adopt the highest generation on disk
     durablePath.filter(isDir).map(maxGenIn).filter(_ >= 0)
       .foreach(coldGen = _)
+    // re-register the adopted generation's bucketed table from its
+    // on-disk manifest — the bucket spec must survive the restart (the
+    // in-memory catalog died with the previous process; without this,
+    // every per-series cold read would silently replan the Exchange)
+    durablePath.filter(isDir).foreach(_ => registerColdGen(coldGen))
     aggPath.filter(isDir).map(maxGenIn).filter(_ >= 0)
       .foreach(aggGen = _)
     val metaLoaded = metaPath
@@ -1104,8 +1189,7 @@ final class HttpApi(spark: SparkSession,
         if (spill.limit(1).count() == 0)
           (folded0, folded0Path, snapMin, Long.MinValue, Long.MinValue)
         else {
-          graft.store.Store.writePoints(spill, path, Seq("metric_id"),
-            org.apache.spark.sql.SaveMode.Append)
+          spillToCold(spill, path)
           val spilledMax =
             spill.agg(max(col("ts_ms"))).head().getLong(0)
           // TWCS bookkeeping: every day this spill may have appended
@@ -1269,13 +1353,28 @@ final class HttpApi(spark: SparkSession,
     * head-of-line is bounded at a quarter-task on the agg stage too.
     * NOT applied to read-side lwwDedup — reads keep their plan.
     */
-  private def fineForUpkeep(df: DataFrame): DataFrame = {
+  private def fineForUpkeep(df: DataFrame,
+      spec: Option[graft.store.Store.BucketSpec]): DataFrame = {
     // same fallback chain as Store.repartitionForWrite, so the agg
     // stage and the write stage agree on task count when the knob is
     // unset (ADVICE r15)
     val tasks = spark.conf.get("spark.graft.write.tasks",
       spark.conf.get("spark.sql.shuffle.partitions", "200")).toInt
-    df.repartition(tasks, col("metric_id"), col("ts_ms"))
+    spec match {
+      case Some(s) =>
+        // bucketed rewrite: partition on the BUCKET columns only, at a
+        // multiple of the bucket count, so (a) the dedup groupBy still
+        // rides this one exchange (HashPartitioning(metric_id)
+        // satisfies ClusteredDistribution(metric_id, ts_ms) — subset
+        // rule), (b) each write task holds exactly one bucket (hash
+        // mod kn ≡ hash mod n (mod n)) so files stay k per bucket-day,
+        // (c) tasks stay k× finer than one-task-per-bucket, keeping
+        // the FAIR head-of-line bound at a fraction of a bucket
+        val k = math.max(1, (tasks + s.n - 1) / s.n)
+        df.repartition(k * s.n, s.cols.map(col): _*)
+      case None =>
+        df.repartition(tasks, col("metric_id"), col("ts_ms"))
+    }
   }
 
   private def compactColdBody(): Unit = {
@@ -1319,6 +1418,32 @@ final class HttpApi(spark: SparkSession,
           System.err.println(f"[graft compactCold] $mode dirtyDays=" +
             f"$nDirty/${existing.size} gen=$coldGen " +
             f"took=${(System.nanoTime() - rw0) / 1e9}%.1fs")
+        // layout of the generation being rewritten vs the configured
+        // target: a partial rewrite hardlink-carries g<N>'s files into
+        // g<N+1>, so both must share ONE spec — a mismatch (knob
+        // change, legacy→bucketed migration) degrades to a full
+        // rewrite, which is also how the layout converts
+        val curSpec = graft.store.Store.BucketSpec.read(curDir.toString)
+        val wantSpec = confBucketSpec
+        // build a generation dir under the staging discipline: bucketed
+        // generations go through a throwaway catalog name (bucketBy
+        // requires saveAsTable; the table is EXTERNAL, so dropping it
+        // keeps the files) plus the manifest, written AFTER the data
+        def buildGen(src: DataFrame, dir: String,
+            spec: Option[graft.store.Store.BucketSpec]): Unit =
+          spec match {
+            case Some(s) =>
+              val buildTable = coldTableName(nextGen) + "_build"
+              spark.sql(s"DROP TABLE IF EXISTS `$buildTable`")
+              graft.store.Store.writeBucketedDays(
+                lwwDedup(fineForUpkeep(src, spec)), buildTable, dir, s,
+                org.apache.spark.sql.SaveMode.Overwrite, tasks = 0)
+              spark.sql(s"DROP TABLE IF EXISTS `$buildTable`")
+              graft.store.Store.BucketSpec.write(dir, s)
+            case None =>
+              graft.store.Store.writePoints(
+                lwwDedup(fineForUpkeep(src, None)), dir, Seq("metric_id"))
+          }
         dirty match {
           case Some(d) if d.isEmpty =>
             // no spill since the last flip: the tier is already deduped
@@ -1326,7 +1451,8 @@ final class HttpApi(spark: SparkSession,
             // aging out retired generations on the cadence.
             retireGenerations(p, coldGen)
             logRewrite("skip", 0)
-          case Some(d) if d.size * 2 < existing.size =>
+          case Some(d) if d.size * 2 < existing.size &&
+              curSpec == wantSpec =>
             // PARTIAL (leveled) rewrite: dedup only the spilled-into
             // days; every clean day is carried forward as hardlinks.
             // Cost is O(dirty days), so compaction duration stays FLAT
@@ -1337,35 +1463,50 @@ final class HttpApi(spark: SparkSession,
             // g<N+1> is the commit point, so a crash at ANY step
             // leaves either the intact g<N> alone or a complete
             // g<N+1> — never a generation missing its clean days.
+            // Bucket ids are filename-encoded, so rewritten dirty days
+            // and hardlinked clean days compose into one consistent
+            // bucketed generation (same spec on both sides, enforced
+            // by the curSpec == wantSpec guard above).
             val staging = java.nio.file.Paths.get(s"$p/_build_g$nextGen")
             deleteRecursively(staging)
             val slice = spark.read.parquet(curDir.toString)
               .where(col("day").isin(d.map(x =>
                 java.sql.Date.valueOf(x.stripPrefix("day="))): _*))
               .drop("day")
-            graft.store.Store.writePoints(lwwDedup(fineForUpkeep(slice)),
-              staging.toString, Seq("metric_id"))
+            buildGen(slice, staging.toString, curSpec)
             existing.filterNot(d.contains).foreach { cd =>
               linkTree(curDir.resolve(cd), staging.resolve(cd))
             }
             java.nio.file.Files.move(staging,
               java.nio.file.Paths.get(s"$p/g$nextGen"),
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            registerColdGen(nextGen)
             finishColdFlip(p, nextGen)
             logRewrite("partial", d.size)
           case _ =>
             // FULL rewrite: dirty-day provenance unknown (restart over
-            // an existing tier, too-wide backfill) or most days are
-            // dirty anyway (carry-forward overhead buys nothing).
-            // Stream the rewrite — NO checkpoint: it reads g(N) and
-            // writes g(N+1) (different dirs, no self-overwrite hazard)
-            // for exactly one consumer, so pinning materialized the
-            // ENTIRE cold tier into block-manager memory for nothing,
-            // and those orphan blocks lingered until the cleaner's
-            // periodic GC (default 30 min) — the r13 soak's heap death
-            // curve tracked the compactCold cadence (r13)
-            graft.store.Store.writePoints(lwwDedup(fineForUpkeep(c)),
-              s"$p/g$nextGen", Seq("metric_id"))
+            // an existing tier, too-wide backfill), most days dirty
+            // anyway (carry-forward buys nothing), or a layout change
+            // (legacy→bucketed, bucket-count knob) that must not mix
+            // with carried files. Stream the rewrite — NO checkpoint:
+            // it reads g(N) and writes g(N+1) (different dirs, no
+            // self-overwrite hazard) for exactly one consumer, so
+            // pinning materialized the ENTIRE cold tier into
+            // block-manager memory for nothing, and those orphan
+            // blocks lingered until the cleaner's periodic GC (default
+            // 30 min) — the r13 soak's heap death curve tracked the
+            // compactCold cadence (r13). Bucketed target goes through
+            // the same staging + atomic-rename discipline (saveAsTable
+            // has no committer-level direct-to-final story for a dir a
+            // crash could leave half-written with a _SUCCESS-free but
+            // manifest-carrying state).
+            val staging = java.nio.file.Paths.get(s"$p/_build_g$nextGen")
+            deleteRecursively(staging)
+            buildGen(c, staging.toString, wantSpec)
+            java.nio.file.Files.move(staging,
+              java.nio.file.Paths.get(s"$p/g$nextGen"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            registerColdGen(nextGen)
             finishColdFlip(p, nextGen)
             logRewrite("full", tracked.map(_.size).getOrElse(-1))
         }
@@ -1422,9 +1563,17 @@ final class HttpApi(spark: SparkSession,
     * Cassandra's TTL'd SSTables aging out). Returns the dropped
     * partition names.
     */
-  def applyColdRetention(cutoffMs: Long): Seq[String] =
-    coldPath.toSeq.flatMap(p =>
+  def applyColdRetention(cutoffMs: Long): Seq[String] = {
+    val dropped = coldPath.toSeq.flatMap(p =>
       graft.store.Store.applyRetention(p, cutoffMs))
+    // a bucketed generation's catalog table caches its partition list
+    // and file index; dropping day dirs on disk without telling the
+    // catalog would leave readers planning over deleted files
+    // (FAILED_READ_FILE) — re-register from the manifest, which relists
+    // the surviving partitions (no-op on legacy manifest-less tiers)
+    if (dropped.nonEmpty) registerColdGen(coldGen)
+    dropped
+  }
 
   /** The durable cold tier, when configured and non-empty. Finite time
     * bounds become a `day` predicate so parquet PARTITION PRUNING kicks
@@ -1438,7 +1587,16 @@ final class HttpApi(spark: SparkSession,
       .filter(isDir)
       .flatMap { p =>
         scala.util.Try {
-          val df = spark.read.parquet(p)
+          // bucketed generations read through their catalog table so
+          // per-series aggregations (downsample, rate windows, LWW
+          // dedup — all keyed on metric_id ⊇ the bucket column) plan
+          // with NO Exchange straight off the scan; legacy generations
+          // (or a registration gap) fall back to the plain parquet
+          // read, which is correct but pays the shuffle
+          val name = coldTableName(coldGen)
+          val df =
+            if (spark.catalog.tableExists(name)) spark.table(name)
+            else spark.read.parquet(p)
           val pruned =
             if (fromMs == Long.MinValue || toMs == Long.MaxValue) df
             else df.where(col("day").between(
@@ -1810,7 +1968,13 @@ final class HttpApi(spark: SparkSession,
           case None =>
             scala.util.Try(
               java.nio.file.Files.writeString(marker, now.toString))
-          case Some(t) if now - t >= grace => deleteRecursively(g)
+          case Some(t) if now - t >= grace =>
+            deleteRecursively(g)
+            // drop the retired generation's catalog entry with its dir
+            // (no-op for legacy/agg generations that never had one)
+            scala.util.Try(spark.sql("DROP TABLE IF EXISTS `" +
+              genTableName(root,
+                g.getFileName.toString.drop(1).toInt) + "`"))
           case _ => () // inside the grace window: leave it
         }
       }

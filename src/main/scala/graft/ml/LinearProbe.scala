@@ -104,10 +104,15 @@ object LinearProbe {
           posexplode(col("__x")).as(Seq("j", "xj")))
         .select(col("j"),
           element_at(col("__w"), (col("j") + 1).cast("int")).as("wj"),
-          floor(col("xj") * col("__r") * CentroidScale).as("gq"))
+          // the gradient term xj·r quantizes through the saturation-
+          // safe split sum (r16 audit: the naive floor(xj·r·2^49)
+          // long-saturated at |xj·r| ≥ 2^14 — unnormalized features
+          // times an early-training residual get there); the weight
+          // round keeps double floor semantics at every magnitude
+          (col("xj") * col("__r")).as("g"))
         .groupBy("j")
-        .agg((floor((min(col("wj")) - lit(lr) *
-          (sum(col("gq").cast("decimal(38,0)")).cast("double") /
+        .agg((graft.similarity.Ann.floorD((min(col("wj")) - lit(lr) *
+          (graft.similarity.Ann.gridFloorSum(col("g")).cast("double") /
             count(lit(1)) / CentroidScale)) * WeightScale) / WeightScale)
           .as("wj"))
         .agg(transform(sort_array(collect_list(struct(col("j"), col("wj")))),

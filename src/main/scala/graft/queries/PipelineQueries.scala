@@ -590,6 +590,19 @@ object PipelineQueries {
       Ann.groupCentroids(
         Tables.embeddings(s, dir).select("label", "embedding"), "label")),
 
+    // saturation witness for the quantizer split (the r16 audit's
+    // FOURTH LongType-floor instance, pinned like pql24_sum_large pins
+    // sumDet): centroids over coordinates scaled to |x| ~ 2^16 — deep
+    // past the 2^14 threshold where the naive floor(x·2^49)
+    // long-saturated — must match the oracle's double-floor +
+    // binary-exact decimal mirror bit-for-bit (quantized magnitudes
+    // here cross 2^63 itself, so only the split survives)
+    "v16_centroid_sat" -> ((s, dir) =>
+      Ann.groupCentroids(
+        Tables.embeddings(s, dir).select(col("label"),
+          transform(col("embedding"), x => x * lit(131072.0f))
+            .as("embedding")), "label")),
+
     // prototype-based data pruning: rank by cosine-to-centroid within
     // each label, keep the hardest (least prototypical) 75% — centroid
     // dim broadcast, one window shuffle, no pairwise comparisons
@@ -2321,6 +2334,19 @@ object PipelineQueries {
         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
         floor(CAST(unnest(embedding) AS DOUBLE) * ${Ann.CentroidScale})
           AS xq FROM embeddings)
+      SELECT label, d,
+        CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+          / ${Ann.CentroidScale} AS w
+      FROM vecs GROUP BY 1, 2""",
+
+    // DuckDB's floor(double) is double→double and its decimal cast is
+    // binary-exact, so this mirror is correct at any magnitude — the
+    // Spark side must reproduce it through the split quantizer
+    "v16_centroid_sat" -> s"""
+      WITH vecs AS (SELECT label,
+        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+        floor(CAST(unnest(embedding) AS DOUBLE) * 131072
+          * ${Ann.CentroidScale}) AS xq FROM embeddings)
       SELECT label, d,
         CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
           / ${Ann.CentroidScale} AS w

@@ -353,6 +353,50 @@ object Ann {
     */
   val CentroidScale: Double = 562949953421312.0
 
+  /** Deterministic fixed-point SUM of `floor(v·2^49)` over a group —
+    * the quantizer-side twin of `promql.Compiler.gridSum` (the r15
+    * LongType-floor saturation class; this was its FOURTH instance,
+    * found by the r16 audit): Spark's `floor(double)` returns LongType
+    * and silently saturates at ±2^63, so the old per-row
+    * `floor(x·2^49)` corrupted centroid/gradient accumulation once
+    * |x| ≥ 2^14 — routine unnormalized feature magnitudes — while the
+    * DuckDB mirrors (double `floor`, binary-exact decimal cast) stayed
+    * correct, i.e. silent cross-engine divergence outside gate-data
+    * magnitudes. The split `floor(v·2^49) = floor(v)·2^49 +
+    * floor((v−floor(v))·2^49)` is exact integer arithmetic for any
+    * finite |v| < 2^63 (power-of-two scaling shifts exponents only;
+    * v−floor(v) is Sterbenz-exact), and distributivity moves the
+    * decimal multiply to once per GROUP: per-row cost is two long
+    * floors + two long→decimal casts, the same map-side-combinable
+    * partial-sum shape as before. |v| ≥ 2^63 raises loudly (the sumDet
+    * contract; DuckDB raises at its own decimal bound — neither engine
+    * is silent); group Σ|v| must stay under ~1.7e23 (decimal(38,0)
+    * headroom at 2^49 scale), also loud under ANSI.
+    */
+  def gridFloorSum(v0: Column): Column = {
+    val v = when(abs(v0) >= lit(9.223372036854776e18), raise_error(lit(
+      "quantize: |value| >= 2^63 exceeds the fixed-point grid's long " +
+        "range")).cast("double")).otherwise(v0)
+    val i = floor(v)
+    val g = floor((v - i.cast("double")) * lit(CentroidScale))
+    sum(i.cast("decimal(20,0)")) *
+      lit(562949953421312L).cast("decimal(15,0)") +
+      sum(g.cast("decimal(20,0)"))
+  }
+
+  /** `floor` with DOUBLE semantics at every magnitude — for
+    * presentation/rounding grids whose result stays a double (no
+    * decimal accumulation): any |y| ≥ 2^52 is already integral in
+    * double, so `floor(y) = y` there and the LongType floor (exact
+    * below 2^63, silently saturating past it) is never consulted in
+    * the regime where it lies. Mirrors DuckDB's `floor(double)` —
+    * which IS double→double — bit-for-bit at all magnitudes,
+    * NaN/±Inf included (they take the ≥2^52 arm and pass through).
+    */
+  def floorD(y: Column): Column =
+    when(abs(y) >= lit(4.503599627370496e15) || isnan(y), y)
+      .otherwise(floor(y).cast("double"))
+
   /** Per-group embedding centroids in long format (group, d, w): one
     * posexplode + hash aggregate. Means are fixed-point-accumulated per
     * (group, dim): each value is floored onto the 2^-49 grid (an exact,
@@ -369,9 +413,9 @@ object Ann {
     vectors.select(col(group),
         posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col(group), col("d").cast("long").as("d"),
-        floor(col("x").cast("double") * CentroidScale).as("xq"))
+        col("x").cast("double").as("x"))
       .groupBy(group, "d")
-      .agg((sum(col("xq").cast("decimal(38,0)")).cast("double") /
+      .agg((gridFloorSum(col("x")).cast("double") /
         count(lit(1)) / CentroidScale).as("w"))
 
   /** Prototype-based data pruning (Sorscher et al., "Beyond neural
@@ -555,9 +599,9 @@ object Ann {
           posexplode(subSlice(col("embedding"), col("c.sub"), subDim))
             .as(Seq("d", "x")))
         .select(col("sub"), col("cid"), col("d").cast("long").as("d"),
-          floor(col("x") * CentroidScale).as("xq"))
+          col("x").cast("double").as("x"))
         .groupBy("sub", "cid", "d")
-        .agg((sum(col("xq").cast("decimal(38,0)")).cast("double") /
+        .agg((gridFloorSum(col("x")).cast("double") /
           count(lit(1)) / CentroidScale).as("w"))
         .groupBy("sub", "cid")
         .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),

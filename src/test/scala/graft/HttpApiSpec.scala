@@ -1935,4 +1935,75 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
       .select("value").collect().map(_.getDouble(0))
     assert(vR.toSeq === Seq(7777.0))
   }
+
+  test("series-bucketed cold tier: generations carry the bucket " +
+    "manifest, spills append bucketed, the layout survives a facade " +
+    "restart, and per-series cold aggregation plans with NO Exchange") {
+    import org.apache.spark.sql.functions.{col, max}
+    val root = java.nio.file.Files.createTempDirectory("graft_bcold")
+      .resolve("cold")
+    val dir = root.toString
+    val day = 86400000L
+    val apiB = new HttpApi(spark, compactEvery = 1000000,
+      durablePath = Some(dir), hotRetainMs = 0L)
+    def daySeries(d: Int, v: Double) = Seq(PromSeries(
+      Map("__name__" -> "bk", "job" -> "bucketed"),
+      (0 until 5).map(i => (T0 + d * day + i * 60000L, v + i))))
+    (0 until 8).foreach(d => apiB.write(daySeries(d, d * 10.0), "default"))
+    apiB.drainFlushes()
+    apiB.compact() // the fold's spill creates g0 BUCKETED (fresh tier)
+    def manifest(gen: Int) = graft.store.Store.BucketSpec.read(
+      root.resolve(s"g$gen").toString)
+    assert(manifest(0).isDefined, "fresh-tier spill must start bucketed")
+    // every spilled file is bucket-named (the filename IS the bucket id)
+    val spilled = java.nio.file.Files.walk(root.resolve("g0")).iterator()
+      .asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(spilled.nonEmpty && spilled.forall(_.matches(".*_\\d{5}\\..*")),
+      spilled.take(3).toString)
+    apiB.compactCold() // full rewrite → g1, bucketed + registered
+    assert(manifest(1).isDefined)
+    val tbl1 = f"graft_cold_${dir.hashCode.toLong & 0xFFFFFFFFL}%08x_g1"
+    assert(spark.catalog.tableExists(tbl1), "flip must register the table")
+    // the headline: per-series aggregation straight off the cold scan,
+    // NO Exchange — the layout pays the shuffle once at write time
+    val agg = spark.table(tbl1)
+      .groupBy(col("metric_id"), col("ts_ms")).agg(max(col("value")))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      agg.queryExecution.executedPlan.toString)
+    // restart: wipe the in-memory catalog (what a process death does),
+    // re-construct — the manifest re-registers the adopted generation
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_cold_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+    assert(!spark.catalog.tableExists(tbl1))
+    val apiR = new HttpApi(spark, compactEvery = 1000000,
+      durablePath = Some(dir), hotRetainMs = 0L)
+    assert(spark.catalog.tableExists(tbl1),
+      "restart must re-register the bucketed table from the manifest")
+    val aggR = spark.table(tbl1)
+      .groupBy(col("metric_id"), col("ts_ms")).agg(max(col("value")))
+    assert(!aggR.queryExecution.executedPlan.toString.contains("Exchange"),
+      "per-series cold aggregation must stay exchange-free across restart")
+    // and the facade's own read serves the same data through it
+    val pts = apiR.source().get.points.where(col("__name__") === "bk")
+    assert(pts.count() === 40)
+    val v2 = pts.where(col("ts_ms") === T0 + 2 * day)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v2.toSeq === Seq(20.0))
+    // partial rewrite keeps the manifest and the carried bucket files
+    apiR.write(daySeries(2, 5555.0), "default")
+    apiR.drainFlushes()
+    apiR.compactCold() // restart wiped provenance → full; then partial
+    apiR.write(daySeries(3, 6666.0), "default")
+    apiR.drainFlushes()
+    apiR.compactCold()
+    val gen = (2 to 3).filter(g =>
+      java.nio.file.Files.isDirectory(root.resolve(s"g$g"))).max
+    assert(manifest(gen).isDefined, "rewrites must carry the manifest")
+    val vP = apiR.source().get.points
+      .where(col("__name__") === "bk" && col("ts_ms") === T0 + 3 * day)
+      .select("value").collect().map(_.getDouble(0))
+    assert(vP.toSeq === Seq(6666.0))
+  }
 }
