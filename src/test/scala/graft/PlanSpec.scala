@@ -218,6 +218,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("gridSum keeps partial/final hash aggregation with the two " +
+    "decimal(20,0) partial sums (map-side combine preserved)") {
+    // the r15 distributive rewrite's cost model depends on this shape:
+    // per-row work is two long floors + two long->decimal casts feeding
+    // map-side partial sums; the decimal multiply happens once per
+    // group AFTER the final aggregate. A refactor that collapses the
+    // sum to a single-phase aggregate (losing map-side combine) or
+    // reintroduces a per-row decimal multiply fails here.
+    val p = plan("pql24_sum_large")
+    assert("partial_sum\\(cast\\(FLOOR".r.findAllMatchIn(p).nonEmpty,
+      s"expected decimal partial sums over long floors:\n${p.take(2000)}")
+    assert("as decimal\\(20,0\\)".r.findAllMatchIn(p).size >= 2, p.take(2000))
+  }
+
+  test("upkeep rewrite shape: the LWW dedup aggregate rides one " +
+    "repartition on the bucket column (subset rule, no second exchange)") {
+    import org.apache.spark.sql.functions._
+    // fineForUpkeep pre-partitions rewrite inputs on metric_id (bucketed
+    // mode) or (metric_id, ts_ms) (legacy); either HashPartitioning
+    // satisfies the groupBy(metric_id, ts_ms)'s clustering requirement —
+    // HashPartitioning(e) satisfies ClusteredDistribution(c) for e ⊆ c —
+    // so the dedup aggregate adds NO second exchange and the write rides
+    // the same task layout. This is the mechanism behind both the r15
+    // soak fix (agg-task head-of-line bound) and the r16 bucketed write
+    // alignment.
+    val base = spark.range(1000).select(col("id").as("metric_id"),
+      (col("id") % 97L * 1000L).as("ts_ms"),
+      col("id").cast("double").as("value"), col("id").as("__seq"))
+    for (keys <- Seq(Seq("metric_id"), Seq("metric_id", "ts_ms"))) {
+      val shaped = base.repartition(8, keys.map(col): _*)
+        .groupBy("metric_id", "ts_ms")
+        .agg(max_by(col("value"), col("__seq")).as("value"),
+          max(col("__seq")).as("__seq"))
+      val p = shaped.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllMatchIn(p).length === 1,
+        s"keys=$keys expected exactly 1 exchange:\n${p.take(1500)}")
+    }
+  }
+
   test("matcher queries keep whole-stage codegen in the scan path") {
     // AQE hides codegen until the final plan: execute first
     val df = SparkEntry.queries("f1_matchers")(spark, sfDir)
