@@ -117,7 +117,11 @@ object LinearProbe {
           .as("wj"))
         .agg(transform(sort_array(collect_list(struct(col("j"), col("wj")))),
           e => e.getField("wj")).as("__w"))
-    val wT = (1 to iters).foldLeft(w0)((w, _) => step(w))
+    // pin each round's one-row weight frame (Ann.pinDim): the t-th
+    // broadcast otherwise re-executes every earlier GD round
+    val wT = (1 to iters).foldLeft(
+      graft.similarity.Ann.pinDim(w0))((w, _) =>
+      graft.similarity.Ann.pinDim(step(w)))
     (f.crossJoin(broadcast(wT))
       .select(col(id), pred.as("pred"), col("__y").as("y")), wT)
   }

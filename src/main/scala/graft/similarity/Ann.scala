@@ -188,6 +188,24 @@ object Ann {
       .select(col("vec_id"), col("c")))
   }
 
+  /** Cut the lineage of a tiny single-row centroid/weight frame:
+    * collect it and re-create a literal DataFrame. Each Lloyd/GD
+    * iteration otherwise embeds the WHOLE previous chain in its plan,
+    * so every per-iteration broadcast re-serializes — and on a cluster
+    * re-executes — a lineage that grows with the iteration count: the
+    * 1.55× cluster-vs-local ratio d9 paid at sf100 (r14 pricing; r16
+    * task 6). The frame is k×d doubles by design (broadcast-small),
+    * collect round-trips JVM doubles bit-exactly, and only the PLAN
+    * changes — every downstream fingerprint is identical. Unlike
+    * `localCheckpoint`, the literal survives executor loss (the r10
+    * durable-pin lesson) and costs no block-manager residency.
+    */
+  private[graft] def pinDim(df: DataFrame): DataFrame = {
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    df.collect().foreach(rows.add)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Nearest cell per vector: K ordered-fold L2 distances, argmin with
     * deterministic (dist, c) tiebreak.
     */
@@ -511,8 +529,11 @@ object Ann {
         .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
           e => e.getField("w")).as("cen"))
         .agg(collect_list(struct(col("cid"), col("cen"))).as("__cens"))
-    val finalCens = (1 to iters).foldLeft(seed) { (cens, _) =>
-      update(assign(cens))
+    // pin each iteration's one-row centroid frame: without it, the
+    // t-th broadcast's plan re-executes iterations 0..t-1 (quadratic
+    // corpus scans) and the serialized lineage grows per round
+    val finalCens = (1 to iters).foldLeft(pinDim(seed)) { (cens, _) =>
+      pinDim(update(assign(cens)))
     }
     assign(finalCens)
   }
@@ -608,8 +629,8 @@ object Ann {
           e => e.getField("w")).as("cen"))
         .agg(collect_list(struct(col("sub"), col("cid"), col("cen")))
           .as("__cens"))
-    (1 to iters).foldLeft(seed)((c, _) =>
-      update(pqAssign(v, c, m, subDim, id)))
+    (1 to iters).foldLeft(pinDim(seed))((c, _) =>
+      pinDim(update(pqAssign(v, c, m, subDim, id))))
   }
 
   /** Product quantization (Jégou, Douze, Schmid, "Product quantization
