@@ -152,17 +152,31 @@ object ClusterBench {
       out
     }
 
+    // CB_CLUSTER_ONLY=1: skip pass A — the fourth-decade CLUSTER probe
+    // shape, the dual of CB_LOCAL_ONLY: when the point is whether
+    // aggregate executor memory absorbs a shuffle that spills on one
+    // JVM, running the (already-recorded) local pass first would both
+    // waste an hour and contend for the very RAM the executor heaps
+    // need. Emits cluster columns only; the local baseline lives in the
+    // prior round's CB_LOCAL_ONLY artifact at the same sfDir.
+    val clusterOnly = sys.env.get("CB_CLUSTER_ONLY").contains("1")
+
     // ---- pass A: single-JVM local[n], same core count ----
-    val sLocal = GraftSession.configure(SparkSession.builder()
-      .master(s"local[$totalCores]")
-      .config("spark.sql.shuffle.partitions", totalCores))
-      .getOrCreate()
-    sLocal.sparkContext.setLogLevel("ERROR")
-    val local = runSuite(sLocal)
-    graft.store.Stage.clear(sLocal)
-    sLocal.stop()
-    // the next SparkSession must not inherit this one's SQL conf/state
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val local: Map[String, (Double, Long, Long, Option[(String, Long, Long)])] =
+      if (clusterOnly) Map.empty
+      else {
+        val sLocal = GraftSession.configure(SparkSession.builder()
+          .master(s"local[$totalCores]")
+          .config("spark.sql.shuffle.partitions", totalCores))
+          .getOrCreate()
+        sLocal.sparkContext.setLogLevel("ERROR")
+        val l = runSuite(sLocal)
+        graft.store.Stage.clear(sLocal)
+        sLocal.stop()
+        // the next SparkSession must not inherit this one's SQL conf/state
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        l
+      }
 
     // CB_LOCAL_ONLY=1: stop after pass A — the fourth-decade probe
     // shape, where the corpus is big enough that running BOTH modes on
@@ -200,6 +214,23 @@ object ClusterBench {
     val cluster = runSuite(sCluster)
     graft.store.Stage.clear(sCluster)
     sCluster.stop()
+
+    if (clusterOnly) {
+      // cluster columns only; `compare=1` records the cluster-side
+      // fingerprint verbatim so it can be checked against a prior
+      // local artifact (or a later run) offline
+      val rows = names.map { n =>
+        val (cs, sm, sd, cfp) = cluster(n)
+        val fp = cfp.fold("null") { case (s, x, c) =>
+          s"""{"sum":"$s","xor":$x,"count":$c}""" }
+        s""""$n":{"cluster_sec":$cs,"spill_mem_bytes":$sm,""" +
+          s""""spill_disk_bytes":$sd,"fingerprint":$fp}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"probe":"cluster_bench_cluster_only","sf":"$sfDir",""" +
+        s""""workers":$workers,"cores_each":$cores,"exec_mem_mb":$memMB,""" +
+        s""""passes":$passes,"queries":$rows}""")
+      return
+    }
 
     val rows = names.map { n =>
       val (ls, _, _, lfp) = local(n)

@@ -325,6 +325,33 @@ object SoakBench {
       Option(f.listFiles()).fold(0)(_.count(x =>
         x.isDirectory && x.getName.startsWith("g")))
     }
+    // Cold-tier disk accounting under TWCS hardlink chains: clean days
+    // carry between generations as hardlinks, so a naive per-entry walk
+    // counts each shared inode once PER GENERATION that links it. The
+    // honest footprint dedups by inode (fileKey); the (walk − unique)
+    // gap is the live hardlink-sharing factor — growth in `unique` is
+    // real disk, growth only in `walk` is just chain depth.
+    def coldBytes(p: String): (Long, Long) = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.isDirectory(root)) return (0L, 0L)
+      var walk = 0L
+      val seen = new java.util.HashSet[Object]()
+      var unique = 0L
+      val s = java.nio.file.Files.walk(root)
+      try {
+        s.filter(java.nio.file.Files.isRegularFile(_)).forEach { f =>
+          scala.util.Try {
+            val sz = java.nio.file.Files.size(f)
+            walk += sz
+            val key = java.nio.file.Files
+              .readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              .fileKey()
+            if (key == null || seen.add(key)) unique += sz
+          }
+        }
+      } finally s.close()
+      (walk, unique)
+    }
     // SB_COLD_COMPACT_EVERY_SEC > 0: rewrite the cold tier into its next
     // snapshot generation on a timer (the out-of-band maintenance job a
     // deployment would cron) — the hour soak watches generations retire
@@ -375,7 +402,11 @@ object SoakBench {
               s""""hot_depth":${api.hotDepth},"mids":${api.midCount},""" +
               s""""pending":${api.pendingBatches},""" +
               s""""stage_mb":${stageDir.fold(0L)(dirBytes) / 1048576},""" +
-              s""""cold_gens":${coldGens()},""" +
+              s""""cold_gens":${coldGens()},""" + {
+                val (w, u) = durablePath.fold((0L, 0L))(coldBytes)
+                s""""cold_walk_mb":${w / 1048576},""" +
+                  s""""cold_unique_mb":${u / 1048576},"""
+              } +
               s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576}}"""
           timeline.add(line)
           scala.util.Try(appendLine(line))
@@ -450,7 +481,11 @@ object SoakBench {
         s""""max_pending_batches":${maxPending.get},""" +
         s""""readback_points":$readBackN,"count_ok":$countOk,""" +
         s""""write_errors":${writeErrors.get},""" +
-        s""""read_errors":${readErrors.get},""" +
+        s""""read_errors":${readErrors.get},""" + {
+          val (w, u) = durablePath.fold((0L, 0L))(coldBytes)
+          s""""cold_walk_mb":${w / 1048576},""" +
+            s""""cold_unique_mb":${u / 1048576},"""
+        } +
         s""""sample_sec":$sampleSec,""" +
         s""""timeline":[${timeline.asScala.mkString(",")}]}"""
     println(json)
