@@ -206,6 +206,15 @@ object ClusterBench {
     val sCluster = GraftSession.configure(SparkSession.builder()
       .master(s"local-cluster[$workers,$cores,$memMB]")
       .config("spark.sql.shuffle.partitions", totalCores)
+      // local-cluster's third field is WORKER capacity, not executor
+      // heap — executors launch at spark.executor.memory (default
+      // 1 GB!) and the worker merely checks capacity covers it. Without
+      // this line every "memMB" cluster pass actually ran 1 GiB
+      // executor heaps: constrained-spill runs were MORE constrained
+      // than labeled, and big-memory runs silently starved (caught when
+      // the r16 4×24 GB x16 pass OOM-killed executors whose resource
+      // profile read 1024 MB).
+      .config("spark.executor.memory", s"${memMB}m")
       .config("spark.executor.extraClassPath", classes)
       .config("spark.executor.extraJavaOptions", AddOpens)
       .config("graft.stage.dir", stageDir))
