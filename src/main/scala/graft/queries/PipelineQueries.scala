@@ -1661,15 +1661,16 @@ object PipelineQueries {
       WITH corpus AS ($CorpusSql),
       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
       ch AS (SELECT DISTINCT doc_id,
-          array_to_string(toks[((g - 1) * $ChunkTokens + 1):(g * $ChunkTokens)],
-            ' ') AS chunk
+          md5(array_to_string(
+            toks[((g - 1) * $ChunkTokens + 1):(g * $ChunkTokens)], ' '))
+            AS ch
         FROM t, unnest(generate_series(1,
           ((len(toks) + ${ChunkTokens - 1}) // $ChunkTokens)::BIGINT)) AS u(g)),
-      df AS (SELECT chunk, count(*) AS df FROM ch GROUP BY 1)
+      df AS (SELECT ch, count(*) AS df FROM ch GROUP BY 1)
       SELECT doc_id, count(*) AS n_chunks,
         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
         (sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 2 < count(*)) AS keep
-      FROM ch JOIN df d USING (chunk) GROUP BY 1""",
+      FROM ch JOIN df d USING (ch) GROUP BY 1""",
 
     // rolling k-token windows → global duplicate set → flagged start
     // positions → gaps-and-islands span merge; all-integer, engine-exact
@@ -1677,12 +1678,12 @@ object PipelineQueries {
       WITH corpus AS ($CorpusSql),
       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
       wins AS (SELECT doc_id, p,
-          array_to_string(toks[p:(p + ${SubstrWindow - 1})], ' ') AS w
+          md5(array_to_string(toks[p:(p + ${SubstrWindow - 1})], ' ')) AS wh
         FROM t, unnest(generate_series(1,
           len(toks) - ${SubstrWindow - 1})) AS u(p)
         WHERE len(toks) >= $SubstrWindow),
-      dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
-      dp AS (SELECT doc_id, p FROM wins SEMI JOIN dup USING (w)),
+      dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+      dp AS (SELECT doc_id, p FROM wins SEMI JOIN dup USING (wh)),
       isl AS (SELECT doc_id, p,
           CASE WHEN p > coalesce(max(p + ${SubstrWindow - 1}) OVER (
               PARTITION BY doc_id ORDER BY p

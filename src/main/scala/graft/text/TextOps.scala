@@ -784,14 +784,19 @@ object TextOps {
     val starts = when(size(toks) >= k,
       sequence(lit(1), size(toks) - lit(k - 1)))
       .otherwise(typedLit(Seq.empty[Int]))
+    // digest-keyed like chunkDedup: one row per token POSITION makes
+    // this the suite's widest explode (≈ one window string per token),
+    // so carrying the ~k-token window text through the pin and both
+    // shuffles is the dominant cost — the md5 digest is computed
+    // map-side and the text never leaves the scan stage
     val e = graft.store.Stage.pin(docs
       .select(col(id), col(text), explode(starts).as("p"))
       .select(col(id), col("p"),
-        array_join(slice(toks, col("p"), lit(k)), " ").as("w")),
+        md5(array_join(slice(toks, col("p"), lit(k)), " ")).as("wh")),
       "substr-windows")
-    val dup = e.groupBy("w").agg(count(lit(1)).as("__c"))
-      .where(col("__c") >= 2).select("w")
-    val dupPos = e.join(dup, Seq("w"), "left_semi").select(col(id), col("p"))
+    val dup = e.groupBy("wh").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("wh")
+    val dupPos = e.join(dup, Seq("wh"), "left_semi").select(col(id), col("p"))
     // gaps-and-islands: a flagged start opens a NEW span iff it begins
     // past the running max end + 1 (adjacent coverage merges); each
     // position appears once per doc, so the order is total
@@ -834,11 +839,22 @@ object TextOps {
         slice(toks, (g - lit(1)) * lit(chunkTokens) + lit(1),
           lit(chunkTokens)),
         " "))
+    // dedup on the chunk's md5 DIGEST, not the chunk text: the digest
+    // is computed map-side inside the explode, so the ~1 KB chunk
+    // string never reaches the pin, the groupBy shuffle, or the
+    // join-back — at sf1000 that is the difference between shuffling
+    // ~70 GB of text twice (the r14-r16 spill wall: 300 GB spilled on
+    // 96 GB of executor memory) and shuffling 32-byte keys. md5 is
+    // byte-identical across engines on the same UTF-8 string (the d2
+    // MinHash discipline), so the oracle mirrors the digest grouping
+    // exactly; a 128-bit collision (~1e-21 at corpus scale) is the
+    // standard content-digest dedup contract.
     val e = graft.store.Stage.pin(docs
-      .select(col(id), explode(array_distinct(chunks)).as("chunk")),
+      .select(col(id),
+        explode(array_distinct(transform(chunks, c => md5(c)))).as("ch")),
       "chunk-pairs")
-    val df = e.groupBy("chunk").agg(count(lit(1)).as("__df"))
-    e.join(df, Seq("chunk"))
+    val df = e.groupBy("ch").agg(count(lit(1)).as("__df"))
+    e.join(df, Seq("ch"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
