@@ -92,6 +92,13 @@ object ClusterBench {
       case csv => csv.split(",").toSeq
     }
     val totalCores = workers * cores
+    // CB_SHUFFLE_PARTS: both modes default to one partition per core,
+    // which under-partitions decade-scale aggregates (a 0.25 B-key
+    // hash-agg in 32 partitions is ~1 GB of state per task — it spills
+    // at ANY executor size). A deployment sizes shuffle partitions to
+    // the data, not the core count; the probe must be able to too.
+    val shuffleParts = sys.env.get("CB_SHUFFLE_PARTS")
+      .map(_.toInt).getOrElse(totalCores)
 
     val spillMem = new AtomicLong
     val spillDisk = new AtomicLong
@@ -167,7 +174,7 @@ object ClusterBench {
       else {
         val sLocal = GraftSession.configure(SparkSession.builder()
           .master(s"local[$totalCores]")
-          .config("spark.sql.shuffle.partitions", totalCores))
+          .config("spark.sql.shuffle.partitions", shuffleParts))
           .getOrCreate()
         sLocal.sparkContext.setLogLevel("ERROR")
         val l = runSuite(sLocal)
@@ -205,7 +212,7 @@ object ClusterBench {
       "/root/repo/target/scala-2.13/classes")
     val sCluster = GraftSession.configure(SparkSession.builder()
       .master(s"local-cluster[$workers,$cores,$memMB]")
-      .config("spark.sql.shuffle.partitions", totalCores)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       // local-cluster's third field is WORKER capacity, not executor
       // heap — executors launch at spark.executor.memory (default
       // 1 GB!) and the worker merely checks capacity covers it. Without
@@ -216,6 +223,12 @@ object ClusterBench {
       // profile read 1024 MB).
       .config("spark.executor.memory", s"${memMB}m")
       .config("spark.executor.extraClassPath", classes)
+      // NOTE: do NOT cap executor GC threads to the core allotment —
+      // measured at sf1000 (r16): -XX:ParallelGCThreads=8 on 24 GB heaps
+      // ran x16 1110.7 s vs 652.7 s with the JVM default. The default GC
+      // sizing is per-MACHINE, and on local-cluster the heaps are big
+      // enough that starving GC costs far more than thread
+      // oversubscription does.
       .config("spark.executor.extraJavaOptions", AddOpens)
       .config("graft.stage.dir", stageDir))
       .getOrCreate()
