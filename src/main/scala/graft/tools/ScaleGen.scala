@@ -55,6 +55,12 @@ object ScaleGen {
     // suffixed vocabulary → planted cross-replica shingle overlap)
     val strideMult = if (args.length > 3) args(3).toLong else 1L
     val tag = if (args.length > 4) args(4) else "r"
+    // optional table filter (csv; default all): a probe that needs one
+    // decade-scaled table should not pay the whole generation — e.g. the
+    // d9 cluster re-run needs only `embeddings` at sf100
+    val only: Set[String] =
+      if (args.length > 5) args(5).split(",").toSet else Set.empty
+    def wanted(t: String): Boolean = only.isEmpty || only(t)
     val seedTag = if (tag == "r") "sf" else s"sf-$tag-"
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[16]")
@@ -66,7 +72,7 @@ object ScaleGen {
     // dimension tables ride along unchanged (queries outside the scaling
     // headline still need them to resolve)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+        "orders", "lineitem") if wanted(t)) {
       val s = Paths.get(srcDir, s"$t.parquet")
       if (Files.isRegularFile(s))
         Files.copy(s, Paths.get(dstDir, s"$t.parquet"),
@@ -77,6 +83,7 @@ object ScaleGen {
     }
 
     def replicate(table: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      if (!wanted(table)) return
       val base = spark.read.parquet(s"$srcDir/$table.parquet")
       val out = (0 until factor).map(i => tx(base, i)).reduce(_ unionByName _)
       out.write.mode(SaveMode.Overwrite)
@@ -96,8 +103,10 @@ object ScaleGen {
         length(txt).cast("long").as("n_chars"))
     }
 
-    val dims = spark.read.parquet(s"$srcDir/embeddings.parquet")
-      .select(size(col("embedding"))).head().getInt(0)
+    val dims =
+      if (!wanted("embeddings")) 0
+      else spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .select(size(col("embedding"))).head().getInt(0)
     replicate("embeddings") { (df, i) =>
       val emb =
         if (i == 0) col("embedding")
