@@ -1563,14 +1563,22 @@ final class HttpApi(spark: SparkSession,
     * Cassandra's TTL'd SSTables aging out). Returns the dropped
     * partition names.
     */
-  def applyColdRetention(cutoffMs: Long): Seq[String] = {
+  def applyColdRetention(cutoffMs: Long): Seq[String] = withColdLock {
+    // under the cold lock like every other durable-store mutation: an
+    // unlocked delete raced the background fold/compaction's IN-FLIGHT
+    // read tasks over the same generation (FAILED_READ_FILE under load —
+    // caught by the retention spec running concurrently with a busy box)
     val dropped = coldPath.toSeq.flatMap(p =>
       graft.store.Store.applyRetention(p, cutoffMs))
     // a bucketed generation's catalog table caches its partition list
     // and file index; dropping day dirs on disk without telling the
     // catalog would leave readers planning over deleted files
     // (FAILED_READ_FILE) — re-register from the manifest, which relists
-    // the surviving partitions (no-op on legacy manifest-less tiers)
+    // the surviving partitions (no-op on legacy manifest-less tiers).
+    // registerBucketedDayTable drops the stale table even when EVERY
+    // day was retired (no files left to infer a schema from), so a
+    // fully-aged generation degrades to "empty store", never to a
+    // catalog still planning the deleted files
     if (dropped.nonEmpty) registerColdGen(coldGen)
     dropped
   }

@@ -227,11 +227,18 @@ object Store {
   def registerBucketedDayTable(spark: SparkSession, table: String,
       genPath: String): Option[BucketSpec] =
     BucketSpec.read(genPath).flatMap { spec =>
+      // schema comes from the surviving files, so it is read BEFORE the
+      // drop — but the drop must happen even when the read fails: a
+      // generation whose every day partition was just retired has no
+      // data files left to infer from, and skipping the drop would
+      // leave the PREVIOUS registration (with its pre-retention
+      // partition list) serving reads over deleted files
+      val schema = scala.util.Try(spark.read.parquet(genPath).schema)
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      schema.toOption.flatMap { sch =>
       scala.util.Try {
-        val schema = spark.read.parquet(genPath).schema
         val dataDdl = org.apache.spark.sql.types.StructType(
-          schema.filterNot(_.name == "day")).toDDL
-        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          sch.filterNot(_.name == "day")).toDDL
         spark.sql(
           s"""CREATE TABLE `$table` ($dataDdl, day DATE) USING PARQUET
              |PARTITIONED BY (day)
@@ -242,6 +249,7 @@ object Store {
         spark.sql(s"ALTER TABLE `$table` RECOVER PARTITIONS")
         spec
       }.toOption
+      }
     }
 
   /** Read back with partition pruning for a time range. */
