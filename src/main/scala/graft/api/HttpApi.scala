@@ -98,7 +98,7 @@ final class HttpApi(spark: SparkSession,
     flushEveryPosts: Int = 1,
     flushEveryRows: Long = 50000L) {
 
-  import Prompb.{ChunkMeta, PromRow, PromSeries}
+  import Prompb.{ChunkMeta, PromSeries}
 
   // TWCS day classification (trackDirtyDays, the dirty-dir parse) is
   // ZoneOffset.UTC-based, while Store.writePoints derives the `day`
@@ -578,8 +578,18 @@ final class HttpApi(spark: SparkSession,
   // pre-r11 shape built one lazy ingest plan per POST and folded them
   // with an N-way unionByName at flush — measured as the small-post
   // throughput bound, ~per-POST driver work that no storage design needs)
-  private final class PendingPost(val rows: Seq[PromRow], val seq: Long,
-      val ttlSec: Long, val minTs: Long, val tenant: String)
+  // buffered in SERIES shape (labels + samples array), not flattened to
+  // per-sample rows: all per-labels pin work — the driver map encode,
+  // the regex validation, the canonical encode + xxhash64 — then runs
+  // once per series instead of once per sample (PinProfile measures the
+  // flat shape ~an-order-of-magnitude more per-point work at the soak's
+  // 10-samples-per-series posts; the single-threaded flusher fold was
+  // the measured ingest ceiling, SCALE.md r16)
+  private final class PendingPost(val series: Seq[PromSeries],
+      val seq: Long, val ttlSec: Long, val minTs: Long,
+      val tenant: String) {
+    val rowCount: Long = series.iterator.map(_.samples.size.toLong).sum
+  }
   private var pending: Vector[PendingPost] = Vector.empty
   private var pendingRowCount = 0L
   // single-flusher queue: pins happen in submission order OFF the HTTP
@@ -594,7 +604,9 @@ final class HttpApi(spark: SparkSession,
   // flush snapshots submitted but not yet appended to `batches`
   private val queuedFlushes = new java.util.concurrent.atomic.AtomicInteger(0)
   // backpressure bound: a flusher lagging this many snapshots behind
-  // stalls the writer until the queue drains — bounded driver memory
+  // stalls the writer until a queue SLOT frees — bounded driver memory
+  // (transient overshoot is ≤ one snapshot per concurrent writer: each
+  // post appends, maybe submits, and only then waits for the slot)
   private val MaxQueuedFlushes = 16
   // bounded-staleness reads: every post acked at or before this wall
   // instant is PINNED (visible in `batches`). Advanced by the flusher
@@ -620,35 +632,38 @@ final class HttpApi(spark: SparkSession,
     */
   def write(series: Seq[PromSeries], tenant: String,
       ttlSec: Long = DefaultTtlSec): Long = {
-    val rows = series.flatMap(s =>
-      s.samples.map { case (t, v) => PromRow(s.labels, t, v) })
-    if (rows.isEmpty) return 0L
+    val nSamples = series.iterator.map(_.samples.size.toLong).sum
+    if (nSamples == 0) return 0L
     writesTotal.incrementAndGet()
-    pointsWrittenTotal.addAndGet(rows.size.toLong)
+    pointsWrittenTotal.addAndGet(nSamples)
     // label-name union + oldest-sample probe in plain Scala over the
-    // request rows (they are already on the driver; mirroring
-    // ingestLabeled's validation costs no extra Spark job per write)
-    val valid = rows.filter(r =>
-      r.labels.keysIterator.forall(Ingest.validNameStr)
-        && r.labels.get("__name__").exists(Ingest.validNameStr)
+    // request series (they are already on the driver; mirroring
+    // ingestLabeled's validation costs no extra Spark job per write).
+    // Validity is a LABELS predicate, so it is series-granular: every
+    // sample of a valid series counts toward the written-samples stat
+    val valid = series.filter(s =>
+      s.samples.nonEmpty
+        && s.labels.keysIterator.forall(Ingest.validNameStr)
+        && s.labels.get("__name__").exists(Ingest.validNameStr)
         // null value = invalid, matching ingestLabeled: the Spark-side
         // forall over map_values yields NULL for a null element and the
         // where() drops the row — counting it here would over-report the
         // written-samples stat
-        && r.labels.valuesIterator.forall(v =>
+        && s.labels.valuesIterator.forall(v =>
           v != null && !v.exists(c => c <= 3.toChar)))
     val batchNames = valid.iterator
       .flatMap(_.labels.collect {
         case (k, v) if v != null && v.nonEmpty && k != tenantLabel => k
       }).toSeq.distinct :+ tenantLabel
     val minTs =
-      if (valid.isEmpty) Long.MaxValue else valid.iterator.map(_.ts_ms).min
-    val overloaded = synchronized {
+      if (valid.isEmpty) Long.MaxValue
+      else valid.iterator.flatMap(_.samples.iterator.map(_._1)).min
+    synchronized {
       writeSeq += 1
       if (ttlSec != DefaultTtlSec) ttlSeen = true
       labelNames = (labelNames ++ batchNames).distinct.sorted
-      pending :+= new PendingPost(rows, writeSeq, ttlSec, minTs, tenant)
-      pendingRowCount += rows.size
+      pending :+= new PendingPost(series, writeSeq, ttlSec, minTs, tenant)
+      pendingRowCount += nSamples
       // group commit: the post-count threshold submits only when the
       // flusher is IDLE — while a pin is in flight, posts keep buffering
       // and the next flush adapts its size to the pin latency (the
@@ -658,10 +673,19 @@ final class HttpApi(spark: SparkSession,
       // unconditionally — it is the driver-memory bound.
       if ((pending.size >= flushEveryPosts && queuedFlushes.get == 0) ||
         pendingRowCount >= flushEveryRows) submitFlush()
-      queuedFlushes.get >= MaxQueuedFlushes
     }
-    if (overloaded) flushPending()
-    valid.size.toLong
+    // backpressure waits for a queue SLOT, not the whole queue: the old
+    // full drain (flushPending) parked every overloaded writer until the
+    // ENTIRE backlog pinned, then released them as a herd that refilled
+    // it instantly — measured at 16 flat-out writers as a 107 k → 40 k
+    // pts/s collapse with 2.7 s write p99 (SOAK_BENCH_pinseries_16w).
+    // A slot wait keeps the flusher saturated and releases writers one
+    // pin at a time; the driver-memory bound is unchanged (same queue
+    // cap — the waiting writer's own post is already buffered either
+    // way, and the group-commit chain in pinBatchImpl keeps submitting
+    // while writers wait).
+    while (queuedFlushes.get >= MaxQueuedFlushes) Thread.sleep(1)
+    valid.iterator.map(_.samples.size.toLong).sum
   }
 
   /** Posts buffered but not yet submitted to the flusher
@@ -819,7 +843,7 @@ final class HttpApi(spark: SparkSession,
       // discipline documented at the submit site
       if (!pinned) synchronized {
         pending = snap ++ pending
-        pendingRowCount += snap.iterator.map(_.rows.size.toLong).sum
+        pendingRowCount += snap.iterator.map(_.rowCount).sum
       }
       queuedFlushes.decrementAndGet()
     }
@@ -828,14 +852,22 @@ final class HttpApi(spark: SparkSession,
   private def pinBatchImpl(
       snap: Vector[PendingPost], onPinned: () => Unit): Unit = {
     import spark.implicits._
-    val flat = snap.flatMap(p => p.rows.map(r =>
-      (r.labels, r.ts_ms, r.value, p.seq, p.ttlSec, p.tenant)))
-    val df = flat.toDF(
-      "labels", "ts_ms", "value", "__seq", "__ttl_sec", "__tenant")
+    // one driver row per SERIES, samples riding as a (ts_ms, value)
+    // array: [[Ingest.ingestLabeled]] only touches `labels`, so the
+    // validation regexes and the canonical-encode + xxhash64 run once
+    // per series; the explode to sample rows happens AFTER, inside the
+    // same codegen stage (the pre-r16 flat shape paid all label work
+    // per SAMPLE — at the soak's 10-samples-per-series posts that was
+    // the single-threaded flusher's measured ingest ceiling)
+    val perSeries = snap.flatMap(p => p.series.map(s =>
+      (s.labels, s.samples, p.seq, p.ttlSec, p.tenant)))
+    val nSamples = snap.iterator.map(_.rowCount).sum
+    val df = perSeries.toDF(
+      "labels", "samples", "__seq", "__ttl_sec", "__tenant")
     // per-post tenants ride the rows; ingestLabeled stamps the label from
     // a column-less constant, so group by tenant value (facades serve ONE
     // tenant label name — the per-row tenant VALUE is what varies)
-    val byTenant = flat.iterator.map(_._6).toSet
+    val byTenant = perSeries.iterator.map(_._5).toSet
     val ingested = byTenant.iterator.map { t =>
       Ingest.ingestLabeled(df.where(col("__tenant") === t), tenantLabel, t)
     }.reduce(_.unionByName(_))
@@ -844,9 +876,13 @@ final class HttpApi(spark: SparkSession,
     // pure scheduling overhead for a few thousand rows (measured: the
     // per-flush floor, not the encode, bounds small-post ingest). One
     // partition per ~flushEveryRows keeps giant backfill flushes parallel.
-    val parts = math.max(1L, flat.size / flushEveryRows).toInt
+    val parts = math.max(1L, nSamples / flushEveryRows).toInt
     val (batch, path) = pinHot(ingested
-      .select("labels", "ts_ms", "value", "metric_id", "__seq", "__ttl_sec")
+      .select(col("labels"), explode(col("samples")).as("__s"),
+        col("metric_id"), col("__seq"), col("__ttl_sec"))
+      .select(col("labels"), col("__s._1").as("ts_ms"),
+        col("__s._2").as("value"), col("metric_id"), col("__seq"),
+        col("__ttl_sec"))
       .coalesce(parts), "hot-batch")
     val minTs = snap.map(_.minTs).min
     synchronized {

@@ -229,6 +229,24 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!q.contains("v2_hist_metric"), q)
   }
 
+  test("write validation is series-granular: an invalid-label series " +
+    "drops whole, every valid sample counts and lands") {
+    import org.apache.spark.sql.functions.col
+    // the driver-side written-samples stat and the Spark-side
+    // ingestLabeled filter must agree; validity is a LABELS predicate,
+    // so the pin can keep series shape (labels hashed once, samples
+    // exploded after) without changing what gets counted or stored
+    val apiV = new HttpApi(spark)
+    val bad = PromSeries(Map("__name__" -> "wv_bad", "ctl\u0001" -> "x"),
+      (0 until 7).map(i => (T0 + i * 1000L, 1.0)))
+    val good = series("wv_good", "i1", i => 2.0 + i) // 10 samples
+    val written = apiV.write(Seq(bad, good), "default")
+    assert(written === 10L)
+    val pts = apiV.source().get.points
+    assert(pts.where(col("__name__") === "wv_good").count() === 10L)
+    assert(pts.where(col("__name__") === "wv_bad").count() === 0L)
+  }
+
   test("append-only hot store: per-write work pins one batch, LWW at read, " +
     "bounded compaction") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
