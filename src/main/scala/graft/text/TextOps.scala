@@ -761,16 +761,17 @@ object TextOps {
     * re-expression is a rolling token window: ONE corpus-tokens-sized
     * (doc, pos, window) relation — pinned, because both the global
     * duplicate set and the position join consume it — one
-    * hash-aggregate on the window text for the duplicate set, a
-    * left-semi join back, then one per-doc window pass (running
-    * max-end → island ids → span extents). All arithmetic is integer,
-    * so the result is engine-exact. At 100 TB the window key becomes
-    * xxhash64(window) instead of the text (the text key here keeps the
-    * engine-vs-oracle comparison exact; a 64-bit key admits ~1e-9
-    * false-duplicate positions at 1e10 windows, which the span merge
-    * absorbs), the window aggregate is the one corpus-sized shuffle,
-    * and the per-doc pass shuffles on doc id — no pairwise work
-    * anywhere. (x16 chunkDedup is the cheap non-overlapping variant;
+    * hash-aggregate on the window's md5 DIGEST for the duplicate set
+    * (computed map-side inside the explode, so the window text never
+    * leaves the scan stage — the digest is byte-identical across
+    * engines on the same UTF-8 string, the oracle groups by the same
+    * digest, and a 128-bit collision is the standard content-digest
+    * contract), a left-semi join back, then one per-doc window pass
+    * (running max-end → island ids → span extents). All arithmetic is
+    * integer, so the result is engine-exact. The window aggregate is
+    * the one corpus-sized shuffle — 32-byte keys, volume scaling with
+    * window COUNT, not corpus BYTES — and the per-doc pass shuffles on
+    * doc id: no pairwise work anywhere. (x16 chunkDedup is the cheap non-overlapping variant;
     * this is the position-exact one — x16 cannot see a duplicated run
     * that straddles a chunk boundary, this can.)
     */
