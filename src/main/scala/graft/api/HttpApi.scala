@@ -762,8 +762,15 @@ final class HttpApi(spark: SparkSession,
     *     248 ms p50 from exactly this cliff.)
     *  2. the full pinned union, when even the newest batch stamp is too
     *     old but [[pinnedThroughWallMs]] still covers the budget;
-    *  3. a strict drain — the guarantee is real: a lapsed budget reads
-    *     exactly what a header-less read would.
+    *  3. a budget-bounded drain ([[drainToBudget]], r16) — wait until
+    *     the oldest overdue snapshots pin, not until the whole backlog
+    *     does. The guarantee is real (every sample acked ≥ S ago is in
+    *     the served view) but a lapsed budget no longer pays for the
+    *     fresh tail: under a rewrite-window backlog the queue refills
+    *     while a full drain waits, and the r16 ceiling soak measured
+    *     those full drains at 50-160 s — most of it spent pinning data
+    *     the budget never asked for. Header-less reads still take the
+    *     strict whole-queue [[flushPending]] path.
     */
   private def readView(): (Vector[DataFrame], Boolean) = {
     val budget = readStalenessMs.get
@@ -802,9 +809,60 @@ final class HttpApi(spark: SparkSession,
       staleReadsTotal.incrementAndGet()
       (bs, hc)
     } else {
-      flushPending()
-      (batches, headCompacted)
+      drainToBudget(budget.longValue)
     }
+  }
+
+  /** Tier-3 drain, bounded by the staleness budget (r16): the flush
+    * queue is FIFO and the completeness stamps ascend, so coverage is
+    * restored the moment the oldest OVERDUE snapshots pin — not when
+    * the entire backlog does. The pre-r16 tier 3 called
+    * [[flushPending]] (wait for the LAST queued snapshot); under a
+    * rewrite-window backlog that makes the reader pay for the fresh
+    * tail too, and the tail keeps refilling while the drain waits —
+    * the r16 ceiling soak (8 writers at ~150 k pts/s offered, cold
+    * rewrites co-located) measured exactly those whole-queue drains as
+    * its 50-160 s read spikes. Waiting only to coverage serves the
+    * documented header contract ("any view that includes every sample
+    * acked ≥ S ago") at the cheapest point the contract admits.
+    *
+    * Each wait slice rides the in-flight flush future (`get` with a
+    * 50 ms timeout), so a pin failure surfaces to the reader exactly
+    * as `flushPending().get()` would, and a completed future triggers
+    * re-submission of whatever buffered since — the loop makes the
+    * same progress guarantee as repeated flushPending calls without
+    * ever waiting past the first covering stamp.
+    */
+  private def drainToBudget(budgetMs: Long): (Vector[DataFrame], Boolean) = {
+    // the freshness horizon is pinned at ENTRY — staleness is measured
+    // from request arrival, not from a moving "now": a re-evaluated
+    // horizon is a livelock under sustained refill (per-pin latency
+    // above the budget means no stamp is ever fresh enough when it
+    // lands), while the entry horizon is covered at latest by the
+    // snapshot this drain submits itself (its wall stamp IS the entry
+    // instant), so termination is one overdue-prefix drain, never the
+    // refilling tail
+    val horizon = System.currentTimeMillis() - budgetMs
+    var f = synchronized(submitFlush())
+    while (true) {
+      val (quiesced, bs, hc, walls, pinnedThrough) = synchronized {
+        val q = pending.isEmpty && queuedFlushes.get == 0
+        if (q) pinnedThroughWallMs = System.currentTimeMillis()
+        (q, batches, headCompacted, batchWallMs, pinnedThroughWallMs)
+      }
+      if (quiesced) return (bs, hc)
+      // first covering index: walls ascend, so batches[0..i] contain
+      // every post acked at or before walls(i) >= horizon
+      val i = walls.indexWhere(_ >= horizon)
+      if (i >= 0) return (bs.take(i + 1), hc)
+      if (pinnedThrough >= horizon) return (bs, hc)
+      if (f == null || f.isDone) f = synchronized(submitFlush())
+      if (f == null) Thread.sleep(1) // not quiesced ⇒ transiently racing
+      else
+        try f.get(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: java.util.concurrent.TimeoutException => () }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Pin one flush snapshot as ONE batch — runs on the flusher thread.

@@ -1833,6 +1833,62 @@ class HttpApiSpec extends SparkSpec with BeforeAndAfterAll {
     apiBS.stop()
   }
 
+  test("bounded-staleness tier 3 drains to the BUDGET: every sample acked " +
+    "before the horizon is served, including under continuous refill") {
+    val api3 = new HttpApi(spark, flushEveryPosts = 100) // no auto-flush
+    val port3 = api3.start(0)
+    def get3(headers: (String, String)*): String = {
+      val b = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port3/api/v1/query_range?query=${enc("bd")}" +
+          s"&start=${T0 / 1000}&end=${T9 / 1000}&step=60"))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val r = client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200, r.body())
+      r.body()
+    }
+    // the lapsed-budget shape that forces tier 3: a pinned-but-stale
+    // batch plus a buffered (unpinned) post
+    api3.write(Seq(series("bd", "old", i => 1.0)), "default")
+    api3.drainFlushes()
+    api3.write(Seq(series("bd", "fresh", i => 2.0)), "default")
+    assert(api3.bufferedPosts === 1)
+    Thread.sleep(60) // every pinned stamp is now older than the budget
+    val r3 = get3("X-SquirrelDB-Max-Staleness" -> "0.02")
+    // the drain's own submit stamps the covering snapshot, so the served
+    // prefix contains both the stale batch and the formerly-buffered post
+    assert(r3.contains(""""instance":"old""""))
+    assert(r3.contains(""""instance":"fresh""""), r3)
+    // contract under continuous refill (the rewrite-window backlog shape
+    // the r16 ceiling soak measured): everything acked at least a budget
+    // ago must be in the served view, no matter how fast the tail refills
+    val stopW = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ackedInst = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = new Thread(() => {
+      var k = 0
+      while (!stopW.get) {
+        val inst = s"w$k"
+        api3.write(Seq(series("bd", inst, i => k.toDouble)), "default")
+        ackedInst.add(inst) // acked: write() returned
+        k += 1
+        Thread.sleep(2)
+      }
+    })
+    writer.start()
+    try {
+      Thread.sleep(100) // build a buffered backlog
+      val horizon: Vector[String] = {
+        import scala.jdk.CollectionConverters._
+        val snap = ackedInst.asScala.toVector
+        Thread.sleep(60) // everything in `snap` is now ≥ the 50 ms budget old
+        snap
+      }
+      val r = get3("X-SquirrelDB-Max-Staleness" -> "0.05")
+      horizon.foreach(inst =>
+        assert(r.contains(s""""instance":"$inst""""), s"missing $inst"))
+    } finally { stopW.set(true); writer.join(10000) }
+    api3.stop()
+  }
+
   test("bounded-staleness tier 1: a fresh compacted head serves ALONE " +
     "(constant scan depth) — pinned-but-unfolded tail batches excluded") {
     val api2 = new HttpApi(spark, flushEveryPosts = 100) // no auto-flush
