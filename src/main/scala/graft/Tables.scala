@@ -27,6 +27,48 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-parallelism floor for small single-row-group corpora
+    * (optimization guide §2.5 "input skew: one huge unsplittable file …
+    * otherwise repartition immediately after the read"): parquet cannot
+    * split inside a row group, so a gate-scale corpus arrives as ONE scan
+    * task — and for the text/vector pipelines ALL the expensive per-row
+    * derivation (shingle digests, MinHash permutations, ordered vector
+    * folds, regex features) lives in that scan stage, single-core while
+    * the rest of the machine idles (measured r16: x18's bigram-tf pin ran
+    * 1.76 s in one task on 32 cores; d4's candidate chain 2.2 s in 3).
+    *
+    * Scale-adaptive, not a local[32] constant: the exchange is inserted
+    * only when the file is too small for the scan to reach core-count
+    * parallelism by splitting (bytes < defaultParallelism ×
+    * files.maxPartitionBytes) — a production-scale input (many files /
+    * row groups) takes the unchanged zero-exchange path — and large
+    * enough to matter (≥ 32 KB; broadcast dims stay exchange-free; the
+    * floor is BELOW the gate-SF corpora deliberately, so the sf0.001/
+    * sf0.01 oracle gates execute the same spread plan shape the sf0.1
+    * bench times). The
+    * width is `defaultParallelism`, so the driver's lower-core bench run
+    * spreads to ITS core count, not a tuned constant. The round-robin
+    * repartition is retry-safe (sortBeforeRepartition, Spark default)
+    * and every downstream operator is order-independent by the engine's
+    * cross-engine-exactness discipline, so results are bit-identical.
+    */
+  private def spreadSmallScan(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.getContentSummary(hp).getLength
+      } catch { case _: Throwable => Long.MaxValue }
+    if (bytes >= 32L * 1024 && bytes < cores.toLong * maxSplit)
+      df.repartition(cores)
+    else df
+  }
+
   /** `ts` → epoch milliseconds, floored — exactly DuckDB's
     * `epoch_ns(ts)//1000000` under EITHER physical representation the
     * driver has generated: parquet TIMESTAMP(NANOS) read as a LongType of
@@ -51,6 +93,18 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
+
+  /** [[documents]] with the scan-parallelism floor — for operators whose
+    * scan-stage derivation dominates their cost (measured r16: the d2-d12
+    * LSH/verify chain and the exploding text aggregates x12/x13/x18/x19/
+    * x22 ran ×0.24-0.66 with the spread). Operators that are
+    * iteration-heavy or whose scans are cheap (x11/x16/x17, the
+    * embeddings family) REGRESSED under a blanket spread — the extra
+    * exchange and 32-way task scheduling outweigh the scan win — so the
+    * spread is opt-in per operator, not ambient on the table.
+    */
+  def documentsWide(spark: SparkSession, dir: String): DataFrame =
+    spreadSmallScan(spark, dir, "documents")
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")

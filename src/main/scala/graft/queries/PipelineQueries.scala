@@ -36,9 +36,18 @@ object PipelineQueries {
   // x23 split buckets: md5-prefix mod 20 → 5% test / 5% val / 90% train
   private val SplitBuckets = 20
 
-  /** documents ∪ exact re-crawl ∪ near-dup re-crawl. */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
+  /** documents ∪ exact re-crawl ∪ near-dup re-crawl.
+    *
+    * `wide = true` rides the [[Tables.documentsWide]] scan-parallelism
+    * floor — for the LSH/verify/CC chain whose shingle-digest derivation
+    * dominates (measured ×0.45-0.66 at sf0.1); the cheap-scan consumers
+    * (d1 exact digest, x16 chunk digests) keep the exchange-free scan,
+    * where the spread measured as a net loss.
+    */
+  private def corpus(s: SparkSession, dir: String,
+      wide: Boolean = false): DataFrame = {
+    val docs = (if (wide) Tables.documentsWide(s, dir)
+      else Tables.documents(s, dir)).select("doc_id", "text")
     docs
       .unionByName(docs.where(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 10000))
@@ -165,7 +174,8 @@ object PipelineQueries {
 
   private def candidates(s: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidates(
-      Dedup.lshBucketsDirect(corpus(s, dir), MinhashK, ShingleLen, RowsPerBand),
+      Dedup.lshBucketsDirect(corpus(s, dir, wide = true), MinhashK,
+        ShingleLen, RowsPerBand),
       MaxBucket)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -200,7 +210,7 @@ object PipelineQueries {
 
     // MinHash signatures (k salted digests, long format)
     "d2_minhash_sig" -> ((s, dir) =>
-      Dedup.minhash(corpus(s, dir), MinhashK, ShingleLen)),
+      Dedup.minhash(corpus(s, dir, wide = true), MinhashK, ShingleLen)),
 
     // LSH banding: candidate pairs only within shared buckets (no O(n²))
     "d3_lsh_candidates" -> ((s, dir) =>
@@ -213,7 +223,7 @@ object PipelineQueries {
     // 100 TB this is the natural pipeline checkpoint between the LSH and
     // verify stages)
     "d4_jaccard_verify" -> ((s, dir) =>
-      Dedup.jaccard(corpus(s, dir),
+      Dedup.jaccard(corpus(s, dir, wide = true),
         candidates(s, dir).localCheckpoint(true), ShingleLen)),
 
     // edit-distance verification over the SAME candidate set as d4:
@@ -221,7 +231,7 @@ object PipelineQueries {
     // planted "+ extra tail" re-crawls land near 1.0; unrelated
     // LSH collisions fall low)
     "d11_edit_verify" -> ((s, dir) =>
-      Dedup.editVerify(corpus(s, dir),
+      Dedup.editVerify(corpus(s, dir, wide = true),
         candidates(s, dir).localCheckpoint(true), 500)),
 
     // SimHash (60-bit) per document
@@ -232,7 +242,7 @@ object PipelineQueries {
     // min-label propagation picks the canonical doc per dup component
     "d7_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(
-        Dedup.jaccard(corpus(s, dir),
+        Dedup.jaccard(corpus(s, dir, wide = true),
           candidates(s, dir).localCheckpoint(true), ShingleLen),
         ClusterThreshold)),
 
@@ -245,7 +255,7 @@ object PipelineQueries {
     // aggregate over the cluster-membership relation (cluster count ≤
     // candidate pairs, orders below the corpus at 100 TB).
     "d12_cluster_best" -> ((s, dir) => {
-      val c = corpus(s, dir)
+      val c = corpus(s, dir, wide = true)
       val clusters = Dedup.dupClusters(
         Dedup.jaccard(c, candidates(s, dir).localCheckpoint(true),
           ShingleLen), ClusterThreshold)
@@ -293,7 +303,7 @@ object PipelineQueries {
     // the held-out benchmark slice, with overlap counts; planted
     // contaminated copies guarantee positives at every SF
     "d8_decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val docs = Tables.documentsWide(s, dir).select("doc_id", "text")
       val bench = docs.where(col("doc_id") % 17 === 3)
       // plants get NEGATIVE ids: disjoint from genuine train ids at any
       // corpus size (an additive offset collides once the corpus outgrows
@@ -405,13 +415,13 @@ object PipelineQueries {
     // first-occurrence shingle novelty per doc
     "x12_novelty" -> ((s, dir) =>
       TextOps.novelty(
-        Tables.documents(s, dir).select("doc_id", "text"), ShingleLen)),
+        Tables.documentsWide(s, dir).select("doc_id", "text"), ShingleLen)),
 
     // per-source boilerplate n-grams: top-k shingles by within-source
     // document frequency — the removal-dictionary miner
     "x13_boilerplate_ngrams" -> ((s, dir) =>
       TextOps.boilerplateNgrams(
-        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        Tables.documentsWide(s, dir).select("doc_id", "text", "source"),
         TfidfK, ShingleLen)),
 
     // per-source token-length percentile gate: DISC thresholds via
@@ -438,14 +448,14 @@ object PipelineQueries {
     // per doc with span/token accounting; sees runs x16's fixed chunk
     // grid straddles
     "x21_substring_dedup" -> ((s, dir) =>
-      TextOps.substringDedup(corpus(s, dir), SubstrWindow)),
+      TextOps.substringDedup(corpus(s, dir, wide = true), SubstrWindow)),
 
     // corpus-LM quality scoring: per-doc NLL under an add-one bigram LM
     // estimated from the corpus itself (CCNet/Moore-Lewis LM signal);
     // log-probs quantized to a BIGINT 1e-9 grid for engine exactness
     "x18_bigram_nll" -> ((s, dir) =>
       TextOps.bigramNll(
-        Tables.documents(s, dir).select("doc_id", "text"))),
+        Tables.documentsWide(s, dir).select("doc_id", "text"))),
 
     // weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     // per-source rates from the mixture weights, md5-derived u, ranking
@@ -460,7 +470,7 @@ object PipelineQueries {
     // DSIR generalizes); both models on the integer 1e-9 log grid
     "x19_moore_lewis" -> ((s, dir) =>
       TextOps.mooreLewis(
-        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        Tables.documentsWide(s, dir).select("doc_id", "text", "source"),
         DsirTargets)),
 
     // deterministic training-shard layout: md5-hash shard + within-shard
@@ -473,7 +483,7 @@ object PipelineQueries {
     // behind mixture design (how much content two sources double-count)
     "x22_source_overlap" -> ((s, dir) =>
       TextOps.sourceOverlap(
-        Tables.documents(s, dir).select("source", "text"), ShingleLen)),
+        Tables.documentsWide(s, dir).select("source", "text"), ShingleLen)),
 
     // split-leakage guard: verified near-dup pairs (the d4 chain) whose
     // members hash into DIFFERENT train/val/test splits — the
@@ -483,7 +493,7 @@ object PipelineQueries {
     // pairs cross a split boundary at any scale.
     "x23_split_leakage" -> ((s, dir) =>
       TextOps.splitLeakage(
-        Dedup.jaccard(corpus(s, dir),
+        Dedup.jaccard(corpus(s, dir, wide = true),
           candidates(s, dir).localCheckpoint(true), ShingleLen),
         ClusterThreshold, SplitBuckets)),
 
@@ -498,7 +508,7 @@ object PipelineQueries {
     // gate ∧ language gate ∧ exact-dedup keep-list — the end-to-end
     // filter chain a training-data run executes before tokenization
     "p1_curation_pipeline" -> ((s, dir) => {
-      val c = corpus(s, dir)
+      val c = corpus(s, dir, wide = true)
       val q = TextOps.quality(c).select(col("doc_id"), col("quality_score"))
       val l = TextOps.langId(c).select(col("doc_id"), col("lang_pred"))
       val keepers = Dedup.exact(c).select(col("keep_id").as("doc_id"))
