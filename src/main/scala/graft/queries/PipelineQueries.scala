@@ -904,7 +904,7 @@ object PipelineQueries {
         (if (bump > 0 && x == 0 && y == 0) 1 else 0)) % 256).toInt,
       ((sd(2) * (x + 3) * (y + 7) + sd(3) * (x + 5) * (y + 3)) % 256).toInt,
       ((sd(4) * (x + 3) * (y + 7) + sd(5) * (x + 5) * (y + 3)) % 256).toInt)
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.documentsWide(s, dir).select(col("doc_id")).as[Long]
       .flatMap { id =>
         val w = 16 + (id % 8).toInt
         val h = 8 + (id % 8).toInt
