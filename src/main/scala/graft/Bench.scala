@@ -63,7 +63,14 @@ object Bench {
       // run's staging disk bounded by ONE query's pins (not the whole
       // suite × passes) without ever racing another unit of work
       val scope = graft.store.Stage.open()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // loud marker: a crashing query must not pass as a fast time
+          // (correctness is gated separately by Verify; this keeps the
+          // bench log self-honest)
+          System.err.println(s"[bench ERROR] $name ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).take(200))
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       graft.store.Stage.clear(spark, scope) // untimed: boundary hygiene
       System.err.println(f"[bench pass$pass] $name $sec%.2fs")
@@ -72,19 +79,31 @@ object Bench {
 
     val calibLast = calib()
     val loadEnd = loadAvg
-    val qs = names.map(k => "\"" + k + "\":" + results(k)).mkString("{", ",", "}")
+    // 3-decimal seconds (1 ms resolution — well under the suite's run
+    // noise): r15/r16 both lost the driver's per-query comparison because
+    // the 143-query line at full double precision (~4.6 KB) overflowed the
+    // ~4 KB stdout tail the driver stores — the stored tail began
+    // mid-JSON and the parse failed (PERF_r16 per_query empty). At 3
+    // decimals the line is ~3.7 KB and fits with sbt's trailer.
+    def f3(d: Double): String = f"$d%.3f"
+    val qs = names.map(k => "\"" + k + "\":" + f3(results(k)))
+      .mkString("{", ",", "}")
     val total = results.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","calib_query":"$CalibQuery","calib_first_sec":$calibFirst""" +
-        s""","calib_last_sec":$calibLast,"load_avg_start":$loadStart""" +
-        s""","load_avg_end":$loadEnd}"""
-    println(json)
-    // also persist to a file: stdout tails get truncated (BENCH_r05 lost
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","calib_query":"$CalibQuery","calib_first_sec":${f3(calibFirst)}""" +
+        s""","calib_last_sec":${f3(calibLast)},"load_avg_start":${f3(loadStart)}""" +
+        s""","load_avg_end":${f3(loadEnd)}}"""
+    // persist to a file first: stdout tails get truncated (BENCH_r05 lost
     // its per-query dict that way); the file is the artifact of record
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
+    // stop Spark BEFORE printing so the JSON is the final repo-emitted
+    // stdout line (only sbt's own [success] trailer can follow it), then
+    // flush explicitly — the driver parses the line from a bounded tail
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
