@@ -95,9 +95,17 @@ object LinearProbe {
       col(y).cast("double").as("__y")), "probe-features")
     val pred: Column = // ordered fold: 0.0 + x₀w₀ + x₁w₁ + … (fused)
       graft.functions.VectorOps.vecDot(col("__x"), col("__w"))
-    val w0 = f.sparkSession.range(1)
-      .select(array((0 until dims).map(_ => lit(0.0)): _*).as("__w"))
-    def step(w: DataFrame): DataFrame =
+    // the weight row is a driver-built LITERAL each round (Ann.dimLit):
+    // flat lineage — the t-th broadcast otherwise re-executes every
+    // earlier GD round — and zero Spark work for the d-double reshape
+    // (the old one-row w0 even scanned 32 empty range partitions)
+    def wLit(ws: Seq[Double]): DataFrame = graft.similarity.Ann.dimLit(
+      f.sparkSession, org.apache.spark.sql.types.DoubleType, ws, "__w")
+    val w0 = wLit(Seq.fill(dims)(0.0))
+    // ONE ≤ d-group gradient aggregate per iteration reaches Spark; the
+    // nest-to-one-row reshape happens on the driver over d doubles (the
+    // wj values are the collected aggregate outputs, bit-unchanged)
+    def step(w: DataFrame): Seq[Double] =
       f.crossJoin(broadcast(w))
         .withColumn("__r", pred - col("__y"))
         .select(col("__w"), col("__r"),
@@ -115,13 +123,8 @@ object LinearProbe {
           (graft.similarity.Ann.gridFloorSum(col("g")).cast("double") /
             count(lit(1)) / CentroidScale)) * WeightScale) / WeightScale)
           .as("wj"))
-        .agg(transform(sort_array(collect_list(struct(col("j"), col("wj")))),
-          e => e.getField("wj")).as("__w"))
-    // pin each round's one-row weight frame (Ann.pinDim): the t-th
-    // broadcast otherwise re-executes every earlier GD round
-    val wT = (1 to iters).foldLeft(
-      graft.similarity.Ann.pinDim(w0))((w, _) =>
-      graft.similarity.Ann.pinDim(step(w)))
+        .collect().toSeq.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val wT = (1 to iters).foldLeft(w0)((w, _) => wLit(step(w)))
     (f.crossJoin(broadcast(wT))
       .select(col(id), pred.as("pred"), col("__y").as("y")), wT)
   }

@@ -188,22 +188,34 @@ object Ann {
       .select(col("vec_id"), col("c")))
   }
 
-  /** Cut the lineage of a tiny single-row centroid/weight frame:
-    * collect it and re-create a literal DataFrame. Each Lloyd/GD
-    * iteration otherwise embeds the WHOLE previous chain in its plan,
-    * so every per-iteration broadcast re-serializes — and on a cluster
-    * re-executes — a lineage that grows with the iteration count: the
-    * 1.55× cluster-vs-local ratio d9 paid at sf100 (r14 pricing; r16
-    * task 6). The frame is k×d doubles by design (broadcast-small),
-    * collect round-trips JVM doubles bit-exactly, and only the PLAN
-    * changes — every downstream fingerprint is identical. Unlike
+  /** One-row literal relation `outName: array<elem>` built on the driver —
+    * the pin medium of the Lloyd/GD iteration chains. Each iteration's
+    * centroid/weight frame is collected and re-created as a LITERAL: the
+    * t-th broadcast otherwise embeds (re-serializes, and on a cluster
+    * re-executes) a lineage growing with t — the 1.55× cluster-vs-local
+    * ratio d9 paid at sf100 (r14 pricing). The collect round-trips JVM
+    * doubles bit-exactly, so only the PLAN changes; unlike
     * `localCheckpoint`, the literal survives executor loss (the r10
     * durable-pin lesson) and costs no block-manager residency.
+    *
+    * r17: the chains collect the LONG-FORMAT aggregate output (≤ k·d
+    * doubles — dimension-sized, guide §5's driver budget) and nest it
+    * here instead of collecting a pre-nested one-row frame: the
+    * nest-to-one-row reshaping aggregates (groupBy collect_list + global
+    * collect_list) were 2 extra shuffles per iteration, each an AQE
+    * stage job plus a planning round — pure driver-side latency at any
+    * scale (measured r17: v6 ran 15 jobs for 2 Lloyd iterations, job
+    * time 0.8 s of a 2.2 s wall; the corpus-scale (group, dim) mean
+    * aggregate is untouched and stays in Spark).
     */
-  private[graft] def pinDim(df: DataFrame): DataFrame = {
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    df.collect().foreach(rows.add)
-    df.sparkSession.createDataFrame(rows, df.schema)
+  private[graft] def dimLit(spark: org.apache.spark.sql.SparkSession,
+      elem: org.apache.spark.sql.types.DataType, values: Seq[Any],
+      outName: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    val one = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    one.add(org.apache.spark.sql.Row(values))
+    spark.createDataFrame(one,
+      StructType(Seq(StructField(outName, ArrayType(elem)))))
   }
 
   /** Nearest cell per vector: K ordered-fold L2 distances, argmin with
@@ -509,12 +521,23 @@ object Ann {
     */
   private def kmeansAssign(vectors: DataFrame, k: Int, iters: Int,
       id: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
     val v = vectors.select(col(id), col("embedding"))
-    // one row: array of (cid, cen) structs; array_min below is
-    // order-insensitive, so collect_list's nondeterministic order is fine
-    val seed = v.orderBy(md5(col(id).cast("string")), col(id)).limit(k)
-      .select(col(id).as("cid"), col("embedding").cast("array<double>").as("cen"))
-      .agg(collect_list(struct(col("cid"), col("cen"))).as("__cens"))
+    val spark = v.sparkSession
+    // one row: array of (cid, cen) structs as a driver-built LITERAL
+    // ([[dimLit]]) — array_min below is order-insensitive, elements are
+    // sorted by cid string only for plan determinism
+    val censElem = StructType(Seq(
+      StructField("cid", v.schema(id).dataType),
+      StructField("cen", ArrayType(DoubleType))))
+    def censLit(cens: Seq[Row]): DataFrame =
+      dimLit(spark, censElem, cens, "__cens")
+    val seed = censLit(
+      v.orderBy(md5(col(id).cast("string")), col(id)).limit(k)
+        .select(col(id).as("cid"),
+          col("embedding").cast("array<double>").as("cen"))
+        .collect().toSeq.map(r => Row(r.get(0), r.getSeq[Double](1))))
     def assign(cens: DataFrame): DataFrame =
       v.crossJoin(broadcast(cens))
         .withColumn("__m", array_min(transform(col("__cens"),
@@ -522,18 +545,21 @@ object Ann {
             c.getField("cid").as("cid")))))
         .select(col(id), col("__m.cid").as("cid"), col("embedding"))
     // the mean IS groupCentroids keyed by cell — one fixed-point
-    // discipline, not a re-implementation the oracle could drift from
-    def update(assigned: DataFrame): DataFrame =
+    // discipline, not a re-implementation the oracle could drift from.
+    // ONE (cid, d, w) aggregate per iteration reaches Spark; the
+    // nest-to-one-row reshape happens on the driver over ≤ k·d doubles
+    // (the w values are the collected aggregate outputs, bit-unchanged)
+    def update(assigned: DataFrame): Seq[Row] =
       groupCentroids(assigned.select(col("cid"), col("embedding")), "cid")
-        .groupBy(col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
-          e => e.getField("w")).as("cen"))
-        .agg(collect_list(struct(col("cid"), col("cen"))).as("__cens"))
-    // pin each iteration's one-row centroid frame: without it, the
-    // t-th broadcast's plan re-executes iterations 0..t-1 (quadratic
+        .collect().toSeq
+        .groupBy(_.get(0)).toSeq.sortBy(_._1.toString)
+        .map { case (cid, rs) =>
+          Row(cid, rs.sortBy(_.getLong(1)).map(_.getDouble(2))) }
+    // pin each iteration's centroid literal: without it, the t-th
+    // broadcast's plan re-executes iterations 0..t-1 (quadratic
     // corpus scans) and the serialized lineage grows per round
-    val finalCens = (1 to iters).foldLeft(pinDim(seed)) { (cens, _) =>
-      pinDim(update(assign(cens)))
+    val finalCens = (1 to iters).foldLeft(seed) { (cens, _) =>
+      censLit(update(assign(cens)))
     }
     assign(finalCens)
   }
@@ -606,15 +632,31 @@ object Ann {
     */
   private def pqTrain(v: DataFrame, m: Int, subDim: Int, k: Int,
       iters: Int, id: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val spark = v.sparkSession
+    // one row: array of (sub, cid, cen) structs as a driver-built
+    // LITERAL ([[dimLit]]); downstream consumers filter by sub and
+    // sort_array, so element order is plan cosmetics only
+    val censElem = StructType(Seq(
+      StructField("sub", IntegerType),
+      StructField("cid", v.schema(id).dataType),
+      StructField("cen", ArrayType(DoubleType))))
+    def censLit(cens: Seq[Row]): DataFrame =
+      dimLit(spark, censElem, cens, "__cens")
     val subs = sequence(lit(0), lit(m - 1))
-    val seed = v.orderBy(md5(col(id).cast("string")), col(id)).limit(k)
-      .select(col(id).as("cid"), col("embedding").as("emb"))
-      .select(col("cid"), explode(subs).as("sub"), col("emb"))
-      .select(col("sub"), col("cid"),
-        subSlice(col("emb"), col("sub"), subDim).as("cen"))
-      .agg(collect_list(struct(col("sub"), col("cid"), col("cen")))
-        .as("__cens"))
-    def update(asg: DataFrame): DataFrame =
+    val seed = censLit(
+      v.orderBy(md5(col(id).cast("string")), col(id)).limit(k)
+        .select(col(id).as("cid"), col("embedding").as("emb"))
+        .select(col("cid"), explode(subs).as("sub"), col("emb"))
+        .select(col("sub"), col("cid"),
+          subSlice(col("emb"), col("sub"), subDim).as("cen"))
+        .collect().toSeq
+        .map(r => Row(r.getInt(0), r.get(1), r.getSeq[Double](2))))
+    // ONE (sub, cid, d, w) aggregate per iteration reaches Spark; the
+    // two nest-to-one-row reshapes happen on the driver over ≤ m·k·d
+    // doubles (w values are the collected aggregate outputs, unchanged)
+    def update(asg: DataFrame): Seq[Row] =
       asg.select(col("embedding"), explode(col("codes")).as("c"))
         .select(col("c.sub").as("sub"), col("c.cid").as("cid"),
           posexplode(subSlice(col("embedding"), col("c.sub"), subDim))
@@ -624,13 +666,13 @@ object Ann {
         .groupBy("sub", "cid", "d")
         .agg((gridFloorSum(col("x")).cast("double") /
           count(lit(1)) / CentroidScale).as("w"))
-        .groupBy("sub", "cid")
-        .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
-          e => e.getField("w")).as("cen"))
-        .agg(collect_list(struct(col("sub"), col("cid"), col("cen")))
-          .as("__cens"))
-    (1 to iters).foldLeft(pinDim(seed))((c, _) =>
-      pinDim(update(pqAssign(v, c, m, subDim, id))))
+        .collect().toSeq
+        .groupBy(r => (r.getInt(0), r.get(1))).toSeq
+        .sortBy { case ((s, c), _) => (s, c.toString) }
+        .map { case ((s, c), rs) =>
+          Row(s, c, rs.sortBy(_.getLong(2)).map(_.getDouble(3))) }
+    (1 to iters).foldLeft(seed)((c, _) =>
+      censLit(update(pqAssign(v, c, m, subDim, id))))
   }
 
   /** Product quantization (Jégou, Douze, Schmid, "Product quantization
@@ -698,7 +740,10 @@ object Ann {
       id: String = "vec_id"): (DataFrame, DataFrame) = {
     val v = vectors.select(col(id),
       col("embedding").cast("array<double>").as("embedding"))
-    val cens = pqTrain(v, m, subDim, k, iters, id).localCheckpoint(true)
+    // pqTrain already returns a driver-built literal — flat lineage by
+    // construction, so a localCheckpoint here would only add a job and
+    // block-manager residency
+    val cens = pqTrain(v, m, subDim, k, iters, id)
     val codes = pqAssign(v, cens, m, subDim, id)
       .select(col(id).as("nn_id"), col("codes"))
     (cens, codes)
@@ -924,7 +969,7 @@ object Ann {
       asg: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
       id: String = "vec_id"): (DataFrame, DataFrame) = {
     val r = residuals(vectors, cells, asg, id)
-    val cens = pqTrain(r, m, subDim, k, iters, id).localCheckpoint(true)
+    val cens = pqTrain(r, m, subDim, k, iters, id) // literal, see pqIndex
     val codes = pqAssign(r, cens, m, subDim, id)
       .select(col(id).as("nn_id"), col("codes"))
     (cens, codes)
