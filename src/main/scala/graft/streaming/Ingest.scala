@@ -124,13 +124,33 @@ object Ingest {
       .withWatermark("ts_utc", "8 hours") // reference MaxPastDelay, aggregate.go:48
       .groupBy(window(col("ts_utc"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State-store partition count, scoped to THIS streaming query: the
+    // aggregation state is (window × event_type) — dimension-bounded at
+    // any ingest volume, and the state shuffle carries map-side-combined
+    // partials, not raw events — so core-count state partitions buy no
+    // parallelism and cost core-count state-store commits (+ provider
+    // files) per micro-batch: the dominant term of a small batch
+    // (measured r16/r17 at sf0.1: 32 → 4 partitions = 2.08 → 1.68 s).
+    // A streaming query CLONES the session at start, so setting the
+    // session conf around start() pins the query's state width without
+    // touching any other query; the session value is restored before the
+    // post-stream batch read below. Deployments with high-cardinality
+    // state keys size it via graft.stream.statePartitions.
+    val stateParts = spark.conf.getOption("graft.stream.statePartitions")
+      .getOrElse("4")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    val q =
+      try {
+        val started = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+        started
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // Materialize and fully detach from streaming machinery: the memory
     // sink + state-store listeners otherwise keep degrading every later
     // batch query in the session (observed: 2.8s → 230s on a follow-up
