@@ -52,20 +52,41 @@ object Tables {
     * and every downstream operator is order-independent by the engine's
     * cross-engine-exactness discipline, so results are bit-identical.
     */
-  private def spreadSmallScan(spark: SparkSession, dir: String,
-      name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val df = spark.read.parquet(path)
+  /** Total bytes of a table's parquet path; Long.MaxValue when the
+    * listing fails (unknown size reads as "big" — every size gate then
+    * takes its conservative large-input branch). NonFatal only: an OOM
+    * or interrupt must not masquerade as a silent no-spread fallback.
+    */
+  private[graft] def tableBytes(spark: SparkSession, dir: String,
+      name: String): Long =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.getContentSummary(hp).getLength
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"tableBytes($dir/$name.parquet) failed - size gates take " +
+            s"the large-input branch: $e")
+        Long.MaxValue
+    }
+
+  /** The byte window where a repartition after the read is the only way
+    * to core-count parallelism: big enough to matter, too small for
+    * splitting to get there (parquet cannot split inside a row group).
+    */
+  private[graft] def narrowScanRegime(spark: SparkSession,
+      bytes: Long): Boolean = {
     val cores = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val bytes =
-      try {
-        val hp = new org.apache.hadoop.fs.Path(path)
-        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.getContentSummary(hp).getLength
-      } catch { case _: Throwable => Long.MaxValue }
-    if (bytes >= 32L * 1024 && bytes < cores.toLong * maxSplit)
-      df.repartition(cores)
+    bytes >= 32L * 1024 && bytes < cores.toLong * maxSplit
+  }
+
+  private def spreadSmallScan(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (narrowScanRegime(spark, tableBytes(spark, dir, name)))
+      df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
 

@@ -218,6 +218,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p1: pinned-scored single pass — one corpus scan inside the pin, " +
+    "window keep-test downstream, no corpus-side join") {
+    // r17 restructure: quality+langid+md5 materialize in ONE wide corpus
+    // scan (the p1-scored pin); the keep-list membership test is
+    // `min(doc_id) over (partition by __md5)` on the pin read. A
+    // regression to the join form shows up as a second documents scan,
+    // or a join in the final plan; a lost pin as a documents scan there.
+    def scans(p: String): Seq[String] =
+      p.split("Scan parquet|FileScan parquet").toSeq.tail
+    graft.store.Stage.startRecording()
+    val p = plan("p1_curation_pipeline")
+    val pins = graft.store.Stage.stopRecording()
+    assert(pins.map(_._1) === Seq("p1-scored"),
+      s"p1 should materialize exactly the p1-scored pin, got ${pins.map(_._1)}")
+    assert(scans(pins.head._2).count(_.contains("documents.parquet")) >= 1,
+      s"p1 pin plan lost its corpus scan:\n${pins.head._2.take(1500)}")
+    assert(scans(p).forall(!_.contains("documents.parquet")),
+      s"p1 re-reads the corpus outside the pin:\n${p.take(2000)}")
+    assert(!p.contains("Join"),
+      s"p1 final plan regressed to the join form:\n${p.take(2000)}")
+    assert(p.contains("Window"),
+      s"p1 final plan lost the keep-test window:\n${p.take(2000)}")
+  }
+
   test("gridSum keeps partial/final hash aggregation with the two " +
     "decimal(20,0) partial sums (map-side combine preserved)") {
     // the r15 distributive rewrite's cost model depends on this shape:
