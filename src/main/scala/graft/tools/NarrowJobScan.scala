@@ -43,11 +43,14 @@ object NarrowJobScan {
     })
 
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-      flagged = Nil
       val scope = graft.store.Stage.open()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => }
+      catch {
+        case e: Throwable => // a crashed query must not read as "no narrow jobs"
+          println(s"$name CRASHED ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).take(160))
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       graft.store.Stage.clear(spark, scope)
       Thread.sleep(100) // listener bus drain
@@ -57,6 +60,9 @@ object NarrowJobScan {
           f"$tot%5d ms  " + flagged.reverse.map { case (id, ms, t) =>
             s"j$id:${ms}ms/${t}t" }.mkString(" "))
       }
+      // reset AFTER the drain + read, so a late job-end event from this
+      // query cannot leak into the next query's flagged list
+      flagged = Nil
     }
     spark.stop()
   }
