@@ -112,6 +112,19 @@ object Tables {
       .select("event_id", "user_id", "event_type", "ts_ms", "value")
   }
 
+  /** [[points]] with the scan-parallelism floor — for the ONE events
+    * consumer whose scan-stage derivation dominates (e2e's wire
+    * collect_list partial aggregate ran 354 ms in one task on 32 cores,
+    * r17 JobProfile). The tsdb/promql grid families measured the spread
+    * as a ×1.4-2.4 LOSS (r16) because each of their several pts()
+    * branches re-pays the exchange; e2e consumes points exactly once.
+    */
+  def pointsWide(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spreadSmallScan(spark, dir, "events")
+    ev.withColumn("ts_ms", tsMs(ev))
+      .select("event_id", "user_id", "event_type", "ts_ms", "value")
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
 

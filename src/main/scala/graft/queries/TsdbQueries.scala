@@ -460,7 +460,10 @@ object TsdbQueries {
       //    three sequential tiers where one grouped pass suffices.
       //    Batch 2 is a later correction write (doubled values, winner
       //    event_id % 7 == 0) that must win last-write-wins end-to-end.
-      val wire = pts(s, dir)
+      // pointsWide: the ONE-consumer spread (r17) — the collect_list
+      // partial aggregate below otherwise runs on the unsplittable
+      // single-row-group scan's lone task (354 ms of the slice)
+      val wire = Tables.pointsWide(s, dir)
         .groupBy("user_id", "event_type")
         .agg(collect_list(struct(col("ts_ms"), col("value"),
           col("event_id"))).as("samples"))
